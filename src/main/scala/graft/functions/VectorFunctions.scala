@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native vector math over ARRAY<DOUBLE> columns — the engine's analogue of
+  * the reference's Qdrant cosine distance (qdrant_text_loader.py:25, :122-142,
+  * SURVEY.md op K1). Implemented as Catalyst expressions with `doGenCode` so
+  * the hot loop stays inside whole-stage codegen (no UDF boxing): at 100 TB a
+  * brute-force scoring scan is compute-bound on exactly this loop.
+  *
+  * Both inputs must be ARRAY<DOUBLE>; cast float embeddings with
+  * `VectorFunctions.asDouble` first (done in double precision so results are
+  * bit-stable across engines).
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+}
+
+/** dot(a, b) = sum_i a(i)*b(i); length mismatch → null (mirrors the
+  * reference's dimension guard, qdrant_text_loader.py:134-135). */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = dot / (|a|*|b|); zero-norm or length mismatch → null. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorFold {
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) null
+      else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xv = $x.getDouble($i);
+         |    final double $yv = $y.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Cast an ARRAY<FLOAT> embedding column to ARRAY<DOUBLE> (scoring is done
+    * in double precision). */
+  def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  def vectorDot(a: Column, b: Column): Column =
+    column(DotProduct(expression(asDouble(a)), expression(asDouble(b))))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(asDouble(a)), expression(asDouble(b))))
+
+  def l2Norm(c: Column): Column = sqrt(vectorDot(c, c))
+
+  /** Unit-normalize an array<double> column (null-safe: zero vectors → null). */
+  def l2Normalize(c: Column): Column = {
+    val d = asDouble(c)
+    transform(d, x => x / l2Norm(d))
+  }
+}

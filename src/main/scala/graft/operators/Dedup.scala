@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.functions.Fingerprints._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-corpus training-data pipelines
+  * (SURVEY.md §7.1-8 north-star extensions).
+  *
+  * Scale design notes (100 TB posture):
+  *  - Exact dedup is one hash-shuffle on the fingerprint — the canonical
+  *    map-side-combinable groupBy.
+  *  - `ngramJaccardPairs` is the exact O(shared-shingle) algorithm: it
+  *    shuffles on shingle, so ubiquitous shingles explode the join; at scale
+  *    use `minhashLshPairs` (same output contract, sub-quadratic) and keep
+  *    the exact form for verification of candidates only.
+  *  - All bucket keys are machine-independent hashes (graft.functions.Hashing)
+  *    so LSH agrees across executors.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content fingerprint: one row per distinct
+    * text with the lowest id as the canonical representative. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5Fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows surviving exact dedup (keep lowest id per identical text). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Distinct word n-gram shingles, exploded: (id, shingle). */
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sg"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs: all (a < b) with
+    * |shingles(a) ∩ shingles(b)| / |union| >= threshold.
+    * Shuffles on shingle; exact but quadratic in per-shingle doc frequency. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
+      .join(sizes.select($"id".as("id_b"), $"n_sh".as("nb")), "id_b")
+      .select($"id_a", $"id_b",
+        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** MinHash + LSH near-duplicate pairs — the scale path. Signature of k
+    * hashes split into `bands`; docs sharing any band bucket become
+    * candidates; candidates are verified with the exact shingle-set Jaccard,
+    * so the OUTPUT contract equals `ngramJaccardPairs` whenever banding
+    * recall is 1 at the threshold (choose bands so that
+    * (1/bands)^(k/bands·…) — standard S-curve — is well left of it). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val rows = k / bands
+    val withSh = docs.select(col(idCol).as("id"),
+        array_distinct(shingles(tokens(col(textCol)), n)).as("shs"))
+      .filter(size($"shs") > 0)
+    val sig = withSh.select($"id", $"shs",
+      minhashSignature($"shs", k).as("sig"))
+
+    // (band_idx, hash(band slice)) bucket keys; one row per band.
+    val buckets = sig.select($"id", $"shs",
+      explode(array((0 until bands).map { b =>
+        xxhash64(concat_ws("_", lit(b), concat_ws(",",
+          transform(slice($"sig", b * rows + 1, rows), _.cast("string")))))
+      }: _*)).as("bucket"))
+
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shs").as("sha"), col("b.shs").as("shb"))
+      .dropDuplicates("id_a", "id_b")
+
+    // verify candidates with exact set Jaccard (distinct shingle arrays).
+    cand.select($"id_a", $"id_b",
+        (size(array_intersect($"sha", $"shb")).cast("double") /
+          size(array_union($"sha", $"shb"))).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, candidates from 16-bit
+    * chunk collisions (any doc pair within Hamming distance 3 of each other
+    * must agree on at least one of 4 chunks), verified by bit_count. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sig"))
+    val chunks = sig.select($"id", $"sig",
+      explode(array((0 until 4).map { i =>
+        concat_ws("_", lit(i),
+          shiftrightunsigned($"sig", i * 16).bitwiseAND(lit(0xffffL)).cast("string"))
+      }: _*)).as("chunk"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact (all-pairs). Quadratic:
+    * keep for verification / small sides; scale path = `cosinePairsLsh`. */
+  def cosinePairsBrute(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSimilarity(col("a.v"), col("b.v")).as("cosine"))
+      .filter($"cosine" >= threshold)
+  }
+
+  /** Embedding near-dup via sign-random-projection LSH: bucket on bands of
+    * hyperplane-sign bits, verify candidates exactly. Sub-quadratic; recall
+    * depends on bands/bits at the threshold. */
+  def cosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(planes % bands == 0, s"bands=$bands must divide planes=$planes")
+    val dim = embs.select(size(col(vecCol))).first().getInt(0)
+    val bits = planes / bands
+    val hyper = randomHyperplanes(planes, dim, seed)
+    val e = embs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val withBits = hyper.zipWithIndex.foldLeft(e) { case (df, (plane, i)) =>
+      df.withColumn(s"_b$i",
+        when(vectorDot($"v", typedLit(plane)) >= 0, lit(1L)).otherwise(lit(0L)))
+    }
+    val bandCols = (0 until bands).map { b =>
+      val bandBits = (0 until bits).map(j => b * bits + j)
+      val key = bandBits.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, 1) + col(s"_b$i")
+      }
+      concat_ws("_", lit(b), key).as(s"_band$b")
+    }
+    val buckets = withBits.select(($"id" +: $"v" +: bandCols): _*)
+      .select($"id", $"v", explode(array((0 until bands).map(b => col(s"_band$b")): _*)).as("bucket"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSimilarity(col("a.v"), col("b.v")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+      .filter($"cosine" >= threshold)
+  }
+
+  private def randomHyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private implicit class ColName(private val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §7.1-8): image/audio/video payloads
+  * ride as opaque BINARY columns with typed metadata, exactly like the
+  * reference's page-image bytes (enem_pdf_extractor.py:297-335) — extract,
+  * transform and partition them relationally; only the codec call itself is
+  * modality-specific.
+  *
+  * The actual decoders (image resize, audio resample, frame sampling) need
+  * native libs not present in this container, so `DecodeStub` is a
+  * clearly-marked deterministic fake with the REAL Spark-side contract:
+  * schema, per-partition batching, and column plumbing are production-shaped;
+  * swap `decodeBatch` for a JNI/codec implementation to go live.
+  */
+object Multimodal {
+
+  /** Metadata block a real decoder would emit. */
+  final case class MediaMeta(nBytes: Int, contentHash: String, nFrames: Int)
+  final case class MediaRecord(id: Long, bytes: Array[Byte])
+  final case class DecodedRecord(id: Long, nBytes: Int, contentHash: String,
+      nFrames: Int)
+
+  /** Column-level feature extraction over an opaque binary column — pure
+    * built-ins, codegen'd, oracle-checkable. */
+  def features(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
+    df.select(col(idCol),
+      octet_length(col(bytesCol)).as("n_bytes"),
+      md5(col(bytesCol)).as("content_md5"),
+      (pmod(octet_length(col(bytesCol)), lit(8)) + 1).cast("int")
+        .as("n_frames"))
+
+  /** STUB decode: a real implementation would decode the codec frame here
+    * (e.g. JPEG → WxH, WAV → samples). Deterministic fake keeps the batch
+    * shape honest for tests. */
+  private def decodeBatch(batch: Iterator[MediaRecord]): Iterator[DecodedRecord] =
+    batch.map { rec =>
+      // ??? ← real codec call goes here (libjpeg/ffmpeg via JNI).
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(rec.bytes).map("%02x".format(_)).mkString
+      DecodedRecord(rec.id, rec.bytes.length, hash, rec.bytes.length % 8 + 1)
+    }
+
+  /** Typed per-partition decode pipeline: the production shape for codec
+    * work in Spark — one decoder init per partition, streaming batches, no
+    * driver involvement. */
+  def decode(ds: Dataset[MediaRecord]): Dataset[DecodedRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(decodeBatch)
+  }
+}

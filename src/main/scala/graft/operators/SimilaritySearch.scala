@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column — the Spark re-expression of
+  * the reference's Qdrant `search` (qdrant_text_loader.py:122-142, SURVEY.md
+  * op K1), plus the ANN scale paths the reference delegates to Qdrant's index.
+  *
+  * Scale notes:
+  *  - `topK` broadcasts the single query vector as a literal — the scan is
+  *    one embarrassingly-parallel stage + a tiny TakeOrdered; this is the
+  *    exact-search baseline at any corpus size.
+  *  - `topKForQueries` is a broadcast nested-loop (queries must be the small
+  *    side) with a per-query window rank — brute force, exact.
+  *  - `topKIvf` is the index path: k-means-style centroids on a sample,
+  *    partition corpus by nearest centroid, probe only `nprobe` cells per
+  *    query. Recall < 1, cost ~ nprobe/ncells of brute force.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine for one query vector. Ties broken by id. */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, scoreDecimals: Int = 6): DataFrame =
+    corpus.select(col(idCol),
+        round(cosineSimilarity(col(vecCol), typedLit(query)), scoreDecimals)
+          .as("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+
+  /** Exact top-k per query row (broadcast the queries side). */
+  def topKForQueries(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(queryId).as("query_id"), col(corpusId).as("id"),
+        cosineSimilarity(col(corpusVec), col(queryVec)).as("score"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy(desc("score"), $"id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  /** IVF-style approximate search: centroids from a deterministic sample
+    * (k-means|| would be the production path; here a single Lloyd pass over
+    * a seeded sample keeps it dependency-free and deterministic), corpus
+    * bucketed by nearest centroid, queries probe `nprobe` nearest cells. */
+  def topKIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, ncells: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // 1. deterministic sample → centroids (one Lloyd refinement pass).
+    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("v").cast("string"), lit(seed)))
+      .limit(ncells * 8)
+      .as[Seq[Double]].collect()
+    val init = sample.take(ncells).map(_.toArray)
+    val centroids =
+      if (sample.isEmpty) Array.empty[Array[Double]]
+      else lloydPass(sample.map(_.toArray), init)
+
+    val cents = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+
+    // 2. assign each corpus vector to its nearest centroid (broadcast).
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("d", vectorDot(col(vecCol), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(desc("d"), col("cell").asc)))
+      .filter(col("rk") === 1)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"), col("cell"))
+
+    // 3. probe the nprobe cells nearest to the query.
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (i, dot(c, query.toArray)) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1).toSeq
+
+    assigned.filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol),
+        round(cosineSimilarity(col("v"), typedLit(query)), 6).as("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def lloydPass(points: Array[Array[Double]],
+      init: Array[Array[Double]]): Array[Array[Double]] = {
+    val k = init.length
+    val dim = init.head.length
+    val sums = Array.fill(k)(new Array[Double](dim))
+    val counts = new Array[Int](k)
+    points.foreach { p =>
+      var best = 0; var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        val d = dot(p, init(c))
+        if (d > bestD) { bestD = d; best = c }
+        c += 1
+      }
+      counts(best) += 1
+      var j = 0
+      while (j < dim) { sums(best)(j) += p(j); j += 1 }
+    }
+    (0 until k).map { c =>
+      if (counts(c) == 0) init(c)
+      else sums(c).map(_ / counts(c))
+    }.toArray
+  }
+
+  private implicit class ColName(private val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.Fingerprints
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §7.1-8):
+  * token counting, language ID, quality scoring, fingerprinting. All pure
+  * built-in column expressions — fully codegen'd, no UDFs, so a 100 TB
+  * corpus pass stays in one WholeStageCodegen scan stage per query.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count plus a BPE-ish subword token count: runs of
+    * letters, runs of digits, or single punctuation — the standard cheap
+    * proxy for tokenizer cost before the real tokenizer runs. */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(Fingerprints.tokens(text)).cast("long").as("ws_tokens"),
+    size(regexp_extract_all(lower(text),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long").as("subword_tokens")
+  )
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有")
+  )
+
+  /** Marker-hit score for one language. */
+  def langScore(tokens: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+  }
+
+  /** Heuristic language ID: argmax marker-hit count with a fixed priority
+    * tie-break (en > es > de > fr > zh), 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = Fingerprints.tokens(text)
+    val scores = langMarkers.map { case (l, _) => l -> langScore(toks, l) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(total > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality-score feature block: length, punctuation ratio, stopword ratio,
+    * mean token length, and a composite [0,1] quality score — the standard
+    * pre-filter features for corpus curation. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = Fingerprints.tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()]", ""))
+    val stop = langScore(toks, "en")
+    val meanTokLen =
+      when(nTok > 0, (nChars - (nTok - 1)).cast("double") / nTok).otherwise(0.0)
+    val punctRatio =
+      when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0)
+    val stopRatio =
+      when(nTok > 0, stop.cast("double") / nTok).otherwise(0.0)
+    val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
+    val quality = round(
+      (lengthScore + least(stopRatio * 5.0, lit(1.0)) +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))) / 3.0, 4)
+    Seq(nTok.cast("long").as("n_tokens"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      quality.as("quality"))
+  }
+
+  /** Content fingerprints: exact (md5 — oracle-verifiable) and shift-robust
+    * (min-hash over char 8-grams). */
+  def fingerprintColumns(text: Column): Seq[Column] = Seq(
+    Fingerprints.md5Fingerprint(text).as("fp_md5"),
+    sha2(text, 256).as("fp_sha256"),
+    Fingerprints.rollingFingerprint(text).as("fp_rolling")
+  )
+}

@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.t
+
+/** Relational coverage of SURVEY.md §2's operator inventory over the driver
+  * testdata (TESTDATA.md), each with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Conventions shared with the oracles so the driver's hash compare is
+  * byte-stable:
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are rounded (2-6 decimals) to absorb summation-order
+  *    ulps between engines;
+  *  - every query ends in a total ORDER BY (unique key tie-break);
+  *  - derived integer types are cast so Spark and DuckDB agree (count →
+  *    BIGINT, year()/len()/strpos() → INT, sum(int) → BIGINT).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ── A1/A5-family aggregation (TPC-H Q1 shape; SURVEY §2.5) ────────────
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ── S-family scan: projection + predicate pushdown to parquet ─────────
+    "s2_scan_pushdown" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") < 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── F1/F2/F5 composite filter predicates (SURVEY §2.2) ────────────────
+    "f_filters" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") >= 1 &&
+          instr(col("text"), "join") > 0 && col("n_chars") > 200)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── T6 tokenizer: split + posexplode (the question-slicer shape) ──────
+    "t6_tokenize" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+        .filter(length(col("token")) > 0)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ── F7 short-line filter after explode (answer-key line filter shape) ─
+    "f7_short_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+        .filter(length(col("token")) > 0 && length(col("token")) <= 4)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ── T1/T2/T3 scalar string transforms ─────────────────────────────────
+    "t_scalar_strings" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("head20"),
+        regexp_replace(col("text"), "data", "DATA").as("replaced"),
+        length(col("text")).as("len"),
+        instr(col("text"), "join").cast("int").as("join_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── T8/T12 field extraction + id construction ─────────────────────────
+    "t8_extract_fields" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+          .as("src_num"),
+        concat_ws("_", col("lang"), col("doc_id")).as("synth_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── T9 subject bucketing as CASE WHEN + aggregation ───────────────────
+    "t9_bucket_case" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .withColumn("bucket",
+          when(col("l_quantity") <= 10, "small")
+            .when(col("l_quantity") <= 30, "mid")
+            .otherwise("large"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ── T13 record templating ─────────────────────────────────────────────
+    "t13_template" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        format_string("(Doc/%d)  %s", col("doc_id"),
+          substring(col("text"), 1, 30)).as("record"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── J1 pairing equi-join (broadcast small side) ───────────────────────
+    "j1_equi_join" -> ((s, d) => {
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── J1 abort-check anti-join (customers with no large order) ──────────
+    "j1_anti_join" -> ((s, d) => {
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── semi-join (EXISTS) ────────────────────────────────────────────────
+    "j_semi_join" -> ((s, d) => {
+      t(s, d, "part").join(t(s, d, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── J2 answer lookup: build side aggregated, left outer + default ─────
+    "j2_lookup_default" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      t(s, d, "part").join(li, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), coalesce(col("cnt"), lit(0L)).as("n_lines"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── J3 range join against an inline dimension (subject ranges shape) ──
+    "j3_range_join" -> ((s, d) => {
+      import s.implicits._
+      val ranges = Seq(("short", 0L, 200L), ("mid", 201L, 400L),
+        ("long", 401L, 10000000L)).toDF("bucket", "lo", "hi")
+      t(s, d, "documents").join(broadcast(ranges),
+          col("n_chars").between(col("lo"), col("hi")))
+        .select(col("doc_id"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── multiway join (E1 shape: facts through two dims) ──────────────────
+    "j_multiway" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ── A2/W1 running counter via window ──────────────────────────────────
+    "a2_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 4).as("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── W1 row numbering in partition order ───────────────────────────────
+    "w1_row_number" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("event_id"),
+          row_number().over(w).as("rn"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── W2/T16 global id assignment with collection offset ────────────────
+    // Correctness form (global window). The scale form is per-partition
+    // offsets (see graft.sources.VectorCollection.assignIds).
+    "w2_offset_ids" -> ((s, d) => {
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("event_id"),
+          (row_number().over(w).cast("long") + 1000L).as("point_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── A3 per-group load counts + distinct ───────────────────────────────
+    "a3_group_stats" -> ((s, d) => {
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── A4 stats pivot (year×subject counts shape) ────────────────────────
+    "a4_pivot_stats" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = t(s, d, "documents").groupBy(col("source"))
+        .pivot("lang", langs).agg(count(lit(1)))
+      p.select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy(col("source"))
+    }),
+
+    // ── A5 summary stats ──────────────────────────────────────────────────
+    "a5_summary_stats" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── time bucketing (events → hourly rollup; streaming-adjacent) ───────
+    "events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s2_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 3 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f_filters" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id >= 1 AND strpos(text, 'join') > 0 AND n_chars > 200
+        |ORDER BY doc_id""".stripMargin,
+
+    "t6_tokenize" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |  unnest(range(len(string_split_regex(text, '\s+')))) AS pos,
+        |  unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, token FROM tok
+        |WHERE length(token) > 0
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "f7_short_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |  unnest(range(len(string_split_regex(text, '\s+')))) AS pos,
+        |  unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, token FROM tok
+        |WHERE length(token) > 0 AND length(token) <= 4
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "t_scalar_strings" ->
+      """SELECT doc_id,
+        |upper(text[1:20]) AS head20,
+        |regexp_replace(text, 'data', 'DATA', 'g') AS replaced,
+        |CAST(length(text) AS INT) AS len,
+        |CAST(strpos(text, 'join') AS INT) AS join_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t8_extract_fields" ->
+      """SELECT doc_id,
+        |CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+        |lang || '_' || CAST(doc_id AS VARCHAR) AS synth_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t9_bucket_case" ->
+      """SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+        |WHEN l_quantity <= 30 THEN 'mid' ELSE 'large' END AS bucket,
+        |count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t13_template" ->
+      """SELECT doc_id, printf('(Doc/%d)  %s', doc_id, text[1:30]) AS record
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j1_equi_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j2_lookup_default" ->
+      """SELECT p_partkey, coalesce(cnt, 0) AS n_lines
+        |FROM part LEFT JOIN (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |) ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j3_range_join" ->
+      """SELECT doc_id, bucket
+        |FROM documents JOIN (VALUES ('short', 0, 200), ('mid', 201, 400),
+        |  ('long', 401, 10000000)) r(bucket, lo, hi)
+        |ON n_chars BETWEEN lo AND hi
+        |ORDER BY doc_id""".stripMargin,
+
+    "j_multiway" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a2_running_sum" ->
+      """SELECT event_id, user_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |  AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w1_row_number" ->
+      """SELECT event_id, CAST(row_number() OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id) AS INT) AS rn
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w2_offset_ids" ->
+      """SELECT event_id,
+        |row_number() OVER (ORDER BY ts, event_id) + 1000 AS point_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "a3_group_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |count(DISTINCT user_id) AS n_users,
+        |round(sum(value), 4) AS sum_value,
+        |round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a4_pivot_stats" ->
+      """SELECT source,
+        |count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+        |count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+        |count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+        |count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+        |count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a5_summary_stats" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty,
+        |max(l_quantity) AS max_qty, round(avg(l_quantity), 4) AS avg_qty,
+        |count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

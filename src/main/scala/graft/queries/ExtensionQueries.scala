@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.functions.Fingerprints
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Training-data-pipeline extension operators (dedup, similarity search,
+  * text analysis, multimodal) exposed as driver-checkable queries over the
+  * `documents` / `embeddings` testdata tables.
+  *
+  * Oracle notes: the approximate operators (MinHash-LSH, SimHash,
+  * hyperplane-LSH, IVF) verify their candidates exactly before emitting, so
+  * where their recall is provably 1 at the threshold (the testdata's
+  * near-dup pairs sit at Jaccard ≥ 0.9 vs a background < 0.3) their output
+  * contract equals the exact-algorithm oracle. Purely hash-defined outputs
+  * (SimHash distances, raw signatures) have no SQL-expressible oracle and
+  * are covered by ScalaTest instead.
+  */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val JaccardThreshold = 0.8
+
+  val queries: Map[String, Q] = Map(
+    // ── K1: exact cosine top-k (the reference's vector search) ────────────
+    "k1_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0)
+      SimilaritySearch.topK(emb, "vec_id", "embedding", query, 10)
+    }),
+
+    // ── K1 batch: top-3 per query over a broadcast query set ──────────────
+    "k1_topk_per_query" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      SimilaritySearch.topKForQueries(emb, queries,
+          "vec_id", "embedding", "qid", "qv", k = 3)
+        .select(col("query_id"), col("id"), round(col("score"), 6).as("score"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── ANN scale path: IVF probe (approximate → rows-only check) ─────────
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0)
+      SimilaritySearch.topKIvf(emb, "vec_id", "embedding", query,
+        k = 10, ncells = 8, nprobe = 3)
+    }),
+
+    // ── embedding-cosine near-dup pairs, exact (oracle-checked) ───────────
+    "emb_cosine_pairs" -> ((s, d) => {
+      Dedup.cosinePairsBrute(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── embedding near-dup via hyperplane LSH (approx → rows-only) ────────
+    "emb_cosine_pairs_lsh" -> ((s, d) => {
+      Dedup.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, planes = 16, bands = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── exact dedup groups by content hash ────────────────────────────────
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    // ── exact n-gram Jaccard near-dup pairs ───────────────────────────────
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = JaccardThreshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── MinHash+LSH near-dup pairs (verified candidates; recall 1 at the
+    //    testdata's threshold gap → same oracle as the exact form) ─────────
+    "dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = JaccardThreshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── SimHash near-dup pairs (hash-defined → rows-only) ─────────────────
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── text analysis: token counting ─────────────────────────────────────
+    "docs_token_counts" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select((col("doc_id") +: TextAnalysis.tokenCounts(col("text"))): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── text analysis: heuristic language ID ──────────────────────────────
+    "docs_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── text analysis: quality scoring ────────────────────────────────────
+    "docs_quality" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── text analysis: content fingerprints (md5/sha256 oracle-checked) ───
+    "docs_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+          Fingerprints.md5Fingerprint(col("text")).as("fp_md5"),
+          sha2(col("text"), 256).as("fp_sha256"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── T15 embedding stand-in: deterministic hash embedder invariants ────
+    "docs_hash_embed" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Fingerprints.hashEmbed(col("text"), 64).as("vec"))
+        .select(col("doc_id"), size(col("vec")).as("dim"),
+          round(graft.functions.VectorFunctions.l2Norm(col("vec")), 4)
+            .as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── multimodal: opaque binary column + deterministic feature stub ─────
+    "multimodal_features" -> ((s, d) => {
+      graft.operators.Multimodal
+        .features(t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val ngramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+      |    AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sg FROM (
+      |    SELECT doc_id,
+      |    unnest([array_to_string(tk[i:i+2], ' ')
+      |            FOR i IN range(1, len(tk) - 1)]) AS sg
+      |    FROM toks WHERE len(tk) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ida AS id_a, idb AS id_b,
+      |round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON ida = sa.doc_id
+      |JOIN sizes sb ON idb = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val langScoresSql: String =
+    """len([t FOR t IN tk IF t IN ('the','and','of','to','in','is','a')]) AS s_en,
+      |len([t FOR t IN tk IF t IN ('el','la','de','que','y','en','los')]) AS s_es,
+      |len([t FOR t IN tk IF t IN ('der','die','und','das','ist','nicht','ein')]) AS s_de,
+      |len([t FOR t IN tk IF t IN ('le','la','les','et','des','un','est')]) AS s_fr,
+      |len([t FOR t IN tk IF t IN ('的','是','不','了','在','我','有')]) AS s_zh""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "k1_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "k1_topk_per_query" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |  list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS raw
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT query_id, id, raw,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY raw DESC, id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, id, round(raw, 6) AS score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "emb_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |  b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |  b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    "docs_token_counts" ->
+      """SELECT doc_id,
+        |CAST(len([x FOR x IN string_split_regex(lower(text), '\s+')
+        |  IF len(x) > 0]) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(lower(text),
+        |  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_lang_id" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |  [x FOR x IN string_split_regex(lower(text), '\\s+') IF len(x) > 0]
+         |    AS tk
+         |  FROM documents),
+         |scores AS (
+         |  SELECT doc_id, $langScoresSql
+         |  FROM toks),
+         |best AS (
+         |  SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         |  greatest(s_en, s_es, s_de, s_fr, s_zh) AS b,
+         |  s_en + s_es + s_de + s_fr + s_zh AS total
+         |  FROM scores)
+         |SELECT doc_id,
+         |CASE WHEN total > 0 AND s_en = b THEN 'en'
+         |     WHEN total > 0 AND s_es = b THEN 'es'
+         |     WHEN total > 0 AND s_de = b THEN 'de'
+         |     WHEN total > 0 AND s_fr = b THEN 'fr'
+         |     WHEN total > 0 AND s_zh = b THEN 'zh'
+         |     ELSE 'und' END AS lang_pred
+         |FROM best ORDER BY doc_id""".stripMargin,
+
+    "docs_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+        |    AS tk,
+        |  length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars, punct, len(tk) AS n_tok,
+        |  len([t FOR t IN tk
+        |    IF t IN ('the','and','of','to','in','is','a')]) AS stop
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_tok > 0
+        |    THEN (n_chars - (n_tok - 1)) * 1.0 / n_tok ELSE 0.0 END AS mtl,
+        |  CASE WHEN n_chars > 0
+        |    THEN punct * 1.0 / n_chars ELSE 0.0 END AS pr,
+        |  CASE WHEN n_tok > 0 THEN stop * 1.0 / n_tok ELSE 0.0 END AS sr,
+        |  least(n_tok / 100.0, 1.0) AS ls
+        |  FROM g)
+        |SELECT doc_id, n_tokens,
+        |round(mtl, 4) AS mean_token_len,
+        |round(pr, 4) AS punct_ratio,
+        |round(sr, 4) AS stopword_ratio,
+        |round((ls + least(sr * 5.0, 1.0) + (1.0 - least(pr * 10.0, 1.0)))
+        |  / 3.0, 4) AS quality
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "docs_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_hash_embed" ->
+      """SELECT doc_id, 64 AS dim, 1.0 AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |md5(text) AS content_md5,
+        |CAST(octet_length(encode(text)) % 8 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
