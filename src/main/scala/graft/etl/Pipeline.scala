@@ -1,0 +1,93 @@
+package graft.etl
+
+import graft.functions.{Fingerprints, TextFunctions => TF}
+import graft.operators.{ExtractPipeline, Pairing}
+import graft.sources.VectorCollection
+import graft.stats.LoadStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E1 — the full ETL "query" (pdf_to_qdrant_etl.py:107-159): pair
+  * booklets↔keys, extract questions, embed, load into the vector
+  * collection, reconcile counts, merge stats. One logical plan per stage,
+  * Catalyst-optimized; external I/O only at the sinks.
+  *
+  * The reference loops file-pairs in Python and crosses the network once
+  * per question for embeddings; here the whole folder is one lineage and
+  * embedding is a deterministic in-plan expression (swap `HashEmbed` for a
+  * batched `mapPartitions` client to use a real model — see
+  * graft.functions.Fingerprints T15 notes).
+  */
+object Pipeline {
+
+  final case class LoadReport(pairs: Long, unpaired: Long,
+      attempted: Long, added: Long)
+
+  /** pages: (file_name, page_idx, page_text, has_images);
+    * keyTexts: (file_name, key_text). */
+  def processFolder(spark: SparkSession, pages: DataFrame,
+      keyTexts: DataFrame, collectionRoot: String, collection: String,
+      dim: Int = 64, statsCsv: Option[String] = None,
+      imagesMode: Boolean = false): LoadReport = {
+
+    // J1 pairing over the distinct file inventory; abort on unpaired.
+    val files = pages.select(col("file_name"))
+      .union(keyTexts.select(col("file_name"))).distinct()
+    val unpaired = Pairing.unpairedTests(files).count()
+    if (unpaired > 0)
+      throw new java.io.IOException(
+        s"$unpaired test PDFs have no matching answer key")
+    val pairs = Pairing.pair(files)
+
+    // E2 extract → questions.
+    val questions = ExtractPipeline
+      .extract(pages, keyTexts, pairs, imagesMode)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // T15 embed + point assembly (payload = reference's
+    // {page_content, metadata:{materia, ano}}, flattened).
+    val chunks = questions.select(
+      TF.txtRecord(col("year"), col("question_text"), col("correct_answer"))
+        .as("page_content"),
+      col("subject").as("materia"), col("year").as("ano"),
+      col("id").as("qid"))
+    val embedded = chunks.withColumn("vector",
+      Fingerprints.hashEmbed(col("page_content"), dim))
+
+    // W2 id assignment continuing from the existing collection size.
+    val existing = VectorCollection.count(spark, collectionRoot, collection)
+    val points = VectorCollection.assignIdsOrdered(
+        embedded.select(col("vector"), col("page_content"), col("materia"),
+          col("ano"), col("qid")),
+        existing, Seq("qid"))
+      .drop("qid")
+      .select(col("id"), col("vector"), col("page_content"), col("materia"),
+        col("ano").cast("int").as("ano"))
+
+    // S8 load + A3 reconcile.
+    val (attempted, added) =
+      VectorCollection.append(spark, collectionRoot, collection, points)
+
+    // A4 stats merge (todas questoes = attempted per (year, subject);
+    // questoes add = actually inserted — equal here by construction,
+    // reconciled from the collection itself).
+    statsCsv.foreach { csv =>
+      val attemptedCounts = questions.groupBy(col("year"), col("subject"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("todas questoes"))
+      val addedCounts = VectorCollection
+        .read(spark, collectionRoot, collection)
+        .groupBy(col("ano").as("year"), col("materia").as("subject"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("questoes add"))
+      val stats = LoadStats.mergeWithExisting(spark, Some(csv),
+        attemptedCounts.unionByName(addedCounts)
+          .select(col("year"), col("subject"), col("kind"), col("n")))
+      LoadStats.writeCsv(stats, csv + ".out")
+    }
+
+    val nPairs = pairs.count()
+    questions.unpersist()
+    LoadReport(nPairs, 0L, attempted, added)
+  }
+}

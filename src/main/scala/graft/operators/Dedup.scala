@@ -43,7 +43,9 @@ object Dedup {
     * Shuffles on shingle; exact but quadratic in per-shingle doc frequency. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // persisted: referenced by sizes + both self-join sides (3 consumers).
     val sh = explodedShingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
@@ -68,14 +70,21 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val rows = k / bands
-    val withSh = docs.select(col(idCol).as("id"),
+    // Materialize (id, shingles, signature) ONCE. Without this boundary
+    // Catalyst's CollapseProject inlines the shingle+minhash expressions
+    // into every band column and both self-join sides — ~2·bands× redundant
+    // compute per row. At production scale this is a persisted signature
+    // table (parquet stage); in-plan, MEMORY_AND_DISK persist is the same
+    // boundary.
+    val sig = docs.select(col(idCol).as("id"),
         array_distinct(shingles(tokens(col(textCol)), n)).as("shs"))
       .filter(size($"shs") > 0)
-    val sig = withSh.select($"id", $"shs",
-      minhashSignature($"shs", k).as("sig"))
+      .withColumn("sig", minhashSignature($"shs", k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (band_idx, hash(band slice)) bucket keys; one row per band.
-    val buckets = sig.select($"id", $"shs",
+    // (band_idx, hash(band slice)) bucket keys; one row per band — ids only,
+    // shingle arrays do NOT ride through the shuffle.
+    val buckets = sig.select($"id",
       explode(array((0 until bands).map { b =>
         xxhash64(concat_ws("_", lit(b), concat_ws(",",
           transform(slice($"sig", b * rows + 1, rows), _.cast("string")))))
@@ -83,28 +92,39 @@ object Dedup {
 
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shs").as("sha"), col("b.shs").as("shb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // verify candidates with exact set Jaccard (distinct shingle arrays).
-    cand.select($"id_a", $"id_b",
+    // verify candidates with exact set Jaccard (re-attach shingle arrays
+    // by id — candidates are few, so these joins are small).
+    cand
+      .join(sig.select($"id".as("id_a"), $"shs".as("sha")), "id_a")
+      .join(sig.select($"id".as("id_b"), $"shs".as("shb")), "id_b")
+      .select($"id_a", $"id_b",
         (size(array_intersect($"sha", $"shb")).cast("double") /
           size(array_union($"sha", $"shb"))).as("jaccard"))
       .filter($"jaccard" >= threshold)
   }
 
-  /** SimHash near-duplicate pairs: 64-bit signature, candidates from 16-bit
-    * chunk collisions (any doc pair within Hamming distance 3 of each other
-    * must agree on at least one of 4 chunks), verified by bit_count. */
+  /** SimHash near-duplicate pairs: 64-bit signature, candidates from chunk
+    * collisions, verified by bit_count. The 64 bits are partitioned into
+    * maxHamming+1 chunks — by pigeonhole, any pair within the distance must
+    * agree exactly on at least one chunk, so candidate recall is 1. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist boundary: stops CollapseProject from inlining the tokenize +
+    // simhash expressions into the chunk columns and both join sides.
     val sig = docs.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sig"))
+        simhash64(tokens(col(textCol))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numChunks = math.min(maxHamming + 1, 64)
     val chunks = sig.select($"id", $"sig",
-      explode(array((0 until 4).map { i =>
+      explode(array((0 until numChunks).map { i =>
+        val start = i * 64 / numChunks
+        val width = (i + 1) * 64 / numChunks - start
+        val mask = if (width == 64) -1L else (1L << width) - 1L
         concat_ws("_", lit(i),
-          shiftrightunsigned($"sig", i * 16).bitwiseAND(lit(0xffffL)).cast("string"))
+          shiftrightunsigned($"sig", start).bitwiseAND(lit(mask)).cast("string"))
       }: _*)).as("chunk"))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
@@ -149,6 +169,7 @@ object Dedup {
     }
     val buckets = withBits.select(($"id" +: $"v" +: bandCols): _*)
       .select($"id", $"v", explode(array((0 until bands).map(b => col(s"_band$b")): _*)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

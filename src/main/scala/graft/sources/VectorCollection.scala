@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed vector collection — the engine's Qdrant
+  * (qdrant_text_loader.py S8-S10, W2, K1): create/recreate, id-offset
+  * append, count reconciliation, and cosine top-k search over
+  * `(id BIGINT, vector ARRAY<DOUBLE>, page_content STRING, materia STRING,
+  * ano INT)`.
+  *
+  * Scale notes:
+  *  - `assignIds` uses per-partition offsets (zipWithIndex semantics) —
+  *    NOT a global row_number window, which would funnel 100 TB through a
+  *    single partition. Ids are (offset + dense enumeration), matching the
+  *    reference's running-count ids (qdrant_text_loader.py:189-210) without
+  *    a driver loop.
+  *  - append is idempotent per batch directory; `count()` after write is
+  *    the reference's status-check reconciliation (:222, :306).
+  */
+object VectorCollection {
+
+  def path(root: String, name: String): String = s"$root/$name"
+
+  def create(spark: SparkSession, root: String, name: String,
+      dim: Int): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vector", ArrayType(DoubleType, containsNull = false)),
+      StructField("page_content", StringType),
+      StructField("materia", StringType),
+      StructField("ano", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path(root, name))
+  }
+
+  def recreate(spark: SparkSession, root: String, name: String,
+      dim: Int): Unit = {
+    val dir = new java.io.File(path(root, name))
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    create(spark, root, name, dim)
+  }
+
+  def read(spark: SparkSession, root: String, name: String): DataFrame =
+    spark.read.parquet(path(root, name))
+
+  def count(spark: SparkSession, root: String, name: String): Long =
+    read(spark, root, name).count()
+
+  /** Dense sequential ids continuing from `offset` in partition order —
+    * zipWithIndex semantics: one count pass + one emit pass, no
+    * single-partition funnel (W2 scale form). */
+  def assignIds(points: DataFrame, offset: Long): DataFrame = {
+    val spark = points.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        points.schema.fields)
+    val rdd = points.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + offset) +: row.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Ordered, deterministic id assignment: global sort then dense ids.
+    * Matches the reference's enumeration order semantics exactly; the
+    * range-partitioned sort scales (no single-partition window). */
+  def assignIdsOrdered(points: DataFrame, offset: Long,
+      orderCols: Seq[String]): DataFrame = {
+    val spark = points.sparkSession
+    val sorted = points.orderBy(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + offset) +: row.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** S8: batched upsert-append; returns (attempted, added) — the
+    * reference's per-file reconciliation pair (A3). */
+  def append(spark: SparkSession, root: String, name: String,
+      points: DataFrame): (Long, Long) = {
+    val before = count(spark, root, name)
+    val attempted = points.count()
+    points.write.mode(SaveMode.Append).parquet(path(root, name))
+    val added = count(spark, root, name) - before
+    (attempted, added)
+  }
+
+  /** K1: cosine top-k search with the reference's dimension guard
+    * (qdrant_text_loader.py:134-135). */
+  def search(spark: SparkSession, root: String, name: String,
+      query: Seq[Double], k: Int = 1): DataFrame = {
+    val coll = read(spark, root, name)
+    require(query.nonEmpty, "empty query vector")
+    coll.select(col("id"), col("page_content"), col("materia"), col("ano"),
+        VectorFunctions.cosineSimilarity(col("vector"), typedLit(query))
+          .as("score"))
+      .filter(size(col("vector")) === query.length)
+      .orderBy(desc("score"), col("id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.functions.Fingerprints
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest (SURVEY.md §2.8): the reference is
+  * batch-only (its "streaming" is a Python generator), so this is the
+  * extension path — a file-source stream of document batches embedded and
+  * appended to the collection via foreachBatch, i.e. the same batch plan
+  * run incrementally. No watermarks/session state are required by the
+  * reference semantics; dedup-on-ingest shows the stateful form.
+  */
+object DocIngest {
+
+  /** Stream parquet document batches from `inDir`, hash-embed, append to
+    * the collection dir. Exactly-once per file via checkpointing. */
+  def start(spark: SparkSession, inDir: String, schema: String,
+      collectionPath: String, checkpoint: String, dim: Int = 64,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withColumn("vector", Fingerprints.hashEmbed(col("text"), dim))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(collectionPath)
+      }
+      .start()
+
+  /** Stateful variant: drop exact duplicates across the whole stream by
+    * content fingerprint (dropDuplicates with state). */
+  def startDeduped(spark: SparkSession, inDir: String, schema: String,
+      collectionPath: String, checkpoint: String, dim: Int = 64): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withColumn("fp", Fingerprints.md5Fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .withColumn("vector", Fingerprints.hashEmbed(col("text"), dim))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(collectionPath)
+      }
+      .start()
+}

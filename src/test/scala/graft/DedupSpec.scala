@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "o rato roeu a roupa do rei de roma e depois fugiu para o campo " +
+      "onde encontrou um queijo enorme perto do moinho antigo"
+    val nearDup = base.replace("queijo", "bolo") // 1-token edit
+    val distinct1 = "completamente outro texto sobre análise de dados em " +
+      "larga escala com spark e processamento distribuído de documentos"
+    val distinct2 = "receita de pão caseiro com fermento natural água " +
+      "farinha sal e tempo de descanso longo na geladeira"
+    Seq((0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2),
+      (4L, base)) // doc 4 = exact dup of doc 0
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts and keeps the lowest id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() === 4)
+    val dupGroup = groups.filter(col("n_dups") === 2).collect()
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") === 0L)
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() === 4)
+  }
+
+  test("exact n-gram Jaccard finds the planted near-dup pair (and the " +
+    "exact dup)") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("MinHash-LSH pairs equal the exact algorithm on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh === exact)
+  }
+
+  test("SimHash puts near-dups within small Hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // identical text → distance 0
+    assert(pairs.contains((0L, 1L))) // near-dup → few bits
+    assert(!pairs.contains((2L, 3L))) // unrelated texts stay apart
+  }
+
+  test("embedding-cosine near-dup (brute) flags hash-embedded near-dups") {
+    import graft.functions.Fingerprints
+    val embs = docs.select(col("doc_id"),
+      Fingerprints.hashEmbed(col("text"), 64).as("embedding"))
+    val pairs = Dedup.cosinePairsBrute(embs, "doc_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+}

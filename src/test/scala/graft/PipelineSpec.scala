@@ -1,0 +1,56 @@
+package graft
+
+import graft.etl.Pipeline
+import graft.sources.VectorCollection
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  test("E1: process folder end-to-end — extract, embed, load, search") {
+    val root = Files.createTempDirectory("graft_etl").toString
+    VectorCollection.recreate(spark, root, "enem", dim = 64)
+
+    val report = Pipeline.processFolder(spark,
+      TestBooklet.pagesDf(spark), TestBooklet.keysDf(spark),
+      root, "enem", dim = 64)
+
+    // D1: 9 standard visible questions; D2: 4 → 13 points.
+    assert(report.attempted === 13)
+    assert(report.added === 13)
+    assert(report.pairs === 2)
+
+    val coll = VectorCollection.read(spark, root, "enem")
+    assert(coll.count() === 13)
+    // ids dense from 0.
+    val ids = coll.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids === (0L until 13L).toArray)
+
+    // K1: searching with a loaded point's vector returns that point.
+    val probe = coll.filter(col("materia") === "natu").limit(1).first()
+    val hit = VectorCollection.search(spark, root, "enem",
+      probe.getSeq[Double](probe.fieldIndex("vector")), k = 1).first()
+    assert(hit.getAs[Long]("id") === probe.getAs[Long]("id"))
+
+    // Second run appends with offset ids (incremental load, W2).
+    val report2 = Pipeline.processFolder(spark,
+      TestBooklet.pagesDf(spark), TestBooklet.keysDf(spark),
+      root, "enem", dim = 64)
+    assert(report2.added === 13)
+    val ids2 = VectorCollection.read(spark, root, "enem")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids2 === (0L until 26L).toArray)
+  }
+
+  test("E1: unpaired test aborts the folder (reference IOError semantics)") {
+    import spark.implicits._
+    val pagesNoKey = TestBooklet.pagesDf(spark)
+      .filter(col("file_name") === TestBooklet.d1File)
+    val emptyKeys = Seq.empty[(String, String)].toDF("file_name", "key_text")
+    val root = Files.createTempDirectory("graft_etl2").toString
+    VectorCollection.recreate(spark, root, "enem", dim = 64)
+    intercept[java.io.IOException] {
+      Pipeline.processFolder(spark, pagesNoKey, emptyKeys, root, "enem")
+    }
+  }
+}

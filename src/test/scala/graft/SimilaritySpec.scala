@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{Fingerprints, VectorFunctions}
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine expression matches a reference computation (and codegen " +
+    "path agrees with eval)") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(-1.0, 0.5, 2.0)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .first().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+    // length mismatch and zero vector → null
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(bad.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .first().isNullAt(0))
+    val zero = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(zero.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .first().isNullAt(0))
+  }
+
+  test("hash embedder: deterministic, unit-norm, fixed dim") {
+    import spark.implicits._
+    val df = Seq("spark engine test text", "spark engine test text",
+      "different words entirely").toDF("text")
+    val rows = df.select(Fingerprints.hashEmbed(col("text"), 32).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    assert(rows.forall(_.length === 32))
+    assert(rows(0) === rows(1)) // deterministic
+    assert(rows(0) !== rows(2))
+    val norm = math.sqrt(rows(0).map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+  }
+
+  test("topK: self is rank 1 with score 1.0; k respected") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j)))
+    }.toDF("vec_id", "embedding")
+    val query = vecs.filter(col("vec_id") === 7)
+      .select(col("embedding")).first().getSeq[Double](0)
+    val top = SimilaritySearch.topK(vecs, "vec_id", "embedding", query, 5)
+      .collect()
+    assert(top.length === 5)
+    assert(top.head.getLong(0) === 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("IVF top-k finds the exact top-1 (self) when probing its cell") {
+    import spark.implicits._
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 17 + j * 3 + 1)))
+    }.toDF("vec_id", "embedding")
+    val query = vecs.filter(col("vec_id") === 11)
+      .select(col("embedding")).first().getSeq[Double](0)
+    val got = SimilaritySearch.topKIvf(vecs, "vec_id", "embedding", query,
+      k = 3, ncells = 4, nprobe = 4) // nprobe = ncells ⇒ exact
+    assert(got.collect().head.getLong(0) === 11L)
+  }
+}

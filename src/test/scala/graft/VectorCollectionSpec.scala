@@ -1,0 +1,83 @@
+package graft
+
+import graft.sources.VectorCollection
+import graft.stats.LoadStats
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class VectorCollectionSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft_coll").toString
+
+  test("S9/S10: create, count empty, recreate") {
+    VectorCollection.create(spark, root, "c1", dim = 4)
+    assert(VectorCollection.count(spark, root, "c1") === 0)
+    VectorCollection.recreate(spark, root, "c1", dim = 4)
+    assert(VectorCollection.count(spark, root, "c1") === 0)
+  }
+
+  test("W2/S8: id-offset append twice, then K1 search hits the right point") {
+    import spark.implicits._
+    VectorCollection.recreate(spark, root, "c2", dim = 4)
+    def batch(tag: String, n: Int) = (0 until n).map { i =>
+      (Seq.tabulate(4)(j => math.sin(tag.hashCode + i * 4 + j)),
+        s"$tag-$i", "math", 2023)
+    }.toDF("vector", "page_content", "materia", "ano")
+
+    val b1 = VectorCollection.assignIdsOrdered(
+      batch("first", 3), 0L, Seq("page_content"))
+    VectorCollection.append(spark, root, "c2",
+      b1.select(col("id"), col("vector"), col("page_content"),
+        col("materia"), col("ano")))
+    assert(VectorCollection.count(spark, root, "c2") === 3)
+
+    val offset = VectorCollection.count(spark, root, "c2")
+    val b2 = VectorCollection.assignIdsOrdered(
+      batch("second", 2), offset, Seq("page_content"))
+    val (attempted, added) = VectorCollection.append(spark, root, "c2",
+      b2.select(col("id"), col("vector"), col("page_content"),
+        col("materia"), col("ano")))
+    assert(attempted === 2 && added === 2)
+
+    val ids = VectorCollection.read(spark, root, "c2")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids === Array(0L, 1L, 2L, 3L, 4L))
+
+    // search for an exact stored vector → top-1 is that point, score 1.
+    val target = VectorCollection.read(spark, root, "c2")
+      .filter(col("page_content") === "second-0")
+      .select("vector").first().getSeq[Double](0)
+    val hit = VectorCollection.search(spark, root, "c2", target, k = 1)
+      .first()
+    assert(hit.getAs[String]("page_content") === "second-0")
+    assert(math.abs(hit.getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("A4: stats pivot merge matches the golden CSV shape") {
+    import spark.implicits._
+    val counts = Seq(
+      (2022, "math", "todas questoes", 37L),
+      (2022, "natu", "todas questoes", 29L),
+      (2022, "spani", "todas questoes", 3L),
+      (2022, "lang", "todas questoes", 24L),
+      (2022, "huma", "todas questoes", 26L),
+      (2022, "math", "questoes add", 37L),
+      (2022, "natu", "questoes add", 29L),
+      (2022, "spani", "questoes add", 3L),
+      (2022, "lang", "questoes add", 24L),
+      (2022, "huma", "questoes add", 26L)
+    ).toDF("year", "subject", "kind", "n")
+    val stats = LoadStats.pivot(counts)
+    assert(stats.columns.toSeq ===
+      "row_key" +: LoadStats.Subjects)
+    val rows = stats.collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("2022 questoes add", "2022 todas questoes"))
+    // 119-question 2022 total (BASELINE.md golden count).
+    val total = LoadStats.Subjects.map(s =>
+      rows(1).getAs[Long](s)).sum
+    assert(total === 119L)
+    // eng had no 2022 extractions → zero-filled.
+    assert(rows(1).getAs[Long]("eng") === 0L)
+  }
+}
