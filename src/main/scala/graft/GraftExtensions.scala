@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, HashEmbed, MinHashSignature, SimHash64}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT cosine_similarity(a, b) ...")` works like any built-in
+  * (SURVEY.md §2.9). Two entry points, same registry:
+  *
+  *  - config `spark.sql.extensions=graft.GraftExtensions` (cluster-wide);
+  *  - `GraftExtensions.register(spark)` on a live session (library use).
+  *
+  * All functions are codegen'd Catalyst expressions (VectorFunctions /
+  * Fingerprints), not UDFs — they stay inside whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
+    Seq(
+      (FunctionIdentifier("cosine_similarity"),
+        info("cosine_similarity",
+          "cosine_similarity(a, b) - cosine of two ARRAY<DOUBLE> vectors"),
+        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      (FunctionIdentifier("vector_dot"),
+        info("vector_dot",
+          "vector_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors"),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (FunctionIdentifier("hash_embed"),
+        info("hash_embed",
+          "hash_embed(text, dim) - deterministic unit-norm feature-hash embedding"),
+        (args: Seq[Expression]) =>
+          HashEmbed(args(0), litInt(args(1), "hash_embed dim"))),
+      (FunctionIdentifier("simhash64"),
+        info("simhash64",
+          "simhash64(tokens) - 64-bit SimHash of an ARRAY<STRING> token column"),
+        (args: Seq[Expression]) => SimHash64(args(0))),
+      (FunctionIdentifier("minhash_signature"),
+        info("minhash_signature",
+          "minhash_signature(shingles, k) - k-hash MinHash signature"),
+        (args: Seq[Expression]) =>
+          MinHashSignature(args(0), litInt(args(1), "minhash_signature k"))))
+
+  /** Register on an already-running session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, inf, builder)
+    }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("SQL cosine_similarity/vector_dot agree with the Column API") {
+    import spark.implicits._
+    Seq((Seq(1.0, 0.0, 2.0), Seq(0.5, 1.0, -1.0)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val row = spark.sql(
+      """SELECT round(cosine_similarity(a, b), 9) AS cos,
+        |round(vector_dot(a, b), 9) AS dot FROM vecs""".stripMargin).first()
+    val dot = 1.0 * 0.5 + 0.0 * 1.0 + 2.0 * -1.0
+    val cos = dot / (math.sqrt(5.0) * math.sqrt(0.25 + 1.0 + 1.0))
+    assert(row.getDouble(0) === BigDecimal(cos).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(1) === -1.5)
+  }
+
+  test("SQL hash_embed matches the Column API and rejects non-literal dim") {
+    import spark.implicits._
+    Seq(("some document text")).toDF("t").createOrReplaceTempView("docs_t")
+    val viaSql = spark.sql("SELECT hash_embed(t, 16) AS v FROM docs_t")
+      .first().getSeq[Double](0)
+    val viaCol = Seq(("some document text")).toDF("t")
+      .select(graft.functions.Fingerprints.hashEmbed(col("t"), 16).as("v"))
+      .first().getSeq[Double](0)
+    assert(viaSql === viaCol)
+    intercept[Exception] {
+      spark.sql("SELECT hash_embed(t, length(t)) FROM docs_t").collect()
+    }
+  }
+
+  test("SQL simhash64 and minhash_signature run and are deterministic") {
+    val df = spark.sql(
+      """SELECT simhash64(array('a', 'b', 'c')) AS sh,
+        |minhash_signature(array('x y z', 'y z w'), 8) AS mh""".stripMargin)
+    val r1 = df.first()
+    val r2 = df.first()
+    assert(r1.getLong(0) === r2.getLong(0))
+    assert(r1.getSeq[Long](1) === r2.getSeq[Long](1))
+    assert(r1.getSeq[Long](1).length === 8)
+  }
+}

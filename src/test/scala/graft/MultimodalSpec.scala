@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{DecodedRecord, MediaRecord}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary feature columns match a local computation") {
+    import spark.implicits._
+    val payloads = Seq(0L -> "tiny", 1L -> "a longer binary payload body")
+      .map { case (id, s) => (id, s.getBytes("UTF-8")) }
+    val df = payloads.toDF("id", "bytes")
+    val got = Multimodal.features(df, "id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1)
+    payloads.zip(got).foreach { case ((id, bytes), (gid, n, hash, frames)) =>
+      assert(gid === id)
+      assert(n === bytes.length)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(hash === md5)
+      assert(frames === bytes.length % 8 + 1)
+    }
+  }
+
+  test("typed per-partition decode keeps one output row per input record") {
+    import spark.implicits._
+    val ds = (0L until 20L)
+      .map(i => MediaRecord(i, s"payload-$i".getBytes("UTF-8")))
+      .toDS().repartition(4)
+    val out: Array[DecodedRecord] = Multimodal.decode(ds).collect()
+    assert(out.length === 20)
+    assert(out.map(_.id).sorted === (0L until 20L).toArray)
+    // deterministic: same input → same decoded metadata on every run
+    val again = Multimodal.decode(ds).collect().sortBy(_.id)
+    assert(out.sortBy(_.id).toSeq === again.toSeq)
+  }
+}
