@@ -20,6 +20,67 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan CPU-heavy per-row work out to the session's full parallelism when
+    * the input arrives under-partitioned (e.g. one small parquet file → one
+    * task evaluating every signature). No-op when the source already has
+    * enough partitions, so a well-partitioned production input pays no
+    * extra shuffle. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** (id, shs[, sig]) signature table via ONE typed mapPartitions kernel.
+    *
+    * Why imperative and not `minhashSignature(shingles(tokens(text)))`
+    * columns: the signature is consumed by several plan branches (band
+    * bucketing + both verify-join sides), and CollapseProject inlines an
+    * expensive aliased expression into every consumer — including INSIDE
+    * per-band lambda bodies, multiplying the work by the band count.
+    * Caching the frame instead pays a columnar cache build and leaks into
+    * the session's CacheManager. A typed kernel emits concrete columns:
+    * nothing to inline, no codegen fallback, one pass per consumer branch,
+    * embarrassingly parallel after `spread`. The Catalyst expressions stay
+    * as the SQL-facing surface (GraftExtensions) where single-consumer use
+    * is the norm. */
+  private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val src = spread(docs)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+    val withSig = k > 0
+    src.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Iterator.empty
+        else {
+          val shs = toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+          val sig =
+            if (!withSig) Array.emptyLongArray
+            else {
+              val s = Array.fill(k)(Long.MaxValue)
+              var i = 0
+              while (i < shs.length) {
+                val base = graft.functions.Hashing.hash64(shs(i), 0L)
+                var j = 0
+                while (j < k) {
+                  val h = graft.functions.Hashing.mix64(
+                    base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+                  if (h < s(j)) s(j) = h
+                  j += 1
+                }
+                i += 1
+              }
+              s
+            }
+          Iterator.single((id, shs, sig))
+        }
+      }
+    }.toDF("id", "shs", "sig")
+  }
+
   /** Exact duplicate groups by content fingerprint: one row per distinct
     * text with the lowest id as the canonical representative. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -32,28 +93,26 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
-  /** Distinct word n-gram shingles, exploded: (id, shingle). */
-  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sg"))
-
   /** Exact n-gram Jaccard near-duplicate pairs: all (a < b) with
     * |shingles(a) ∩ shingles(b)| / |union| >= threshold.
-    * Shuffles on shingle; exact but quadratic in per-shingle doc frequency. */
+    * Shuffles on shingle; exact but quadratic in per-shingle doc frequency.
+    *
+    * Set sizes come straight from `size(shs)` on the per-doc array — no
+    * extra groupBy shuffle — and re-attach to the (small) pair frame via
+    * equi-joins that AQE turns into broadcasts when pairs are few. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // persisted: referenced by sizes + both self-join sides (3 consumers).
-    val sh = explodedShingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
+    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
+      .withColumn("n_sh", size($"shs"))
+    // ids only through the shingle shuffle; arrays stay columnar at rest.
+    val sh = base.select($"id", explode($"shs").as("sg"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("c"))
     common
-      .join(sizes.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
-      .join(sizes.select($"id".as("id_b"), $"n_sh".as("nb")), "id_b")
+      .join(base.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
+      .join(base.select($"id".as("id_b"), $"n_sh".as("nb")), "id_b")
       .select($"id_a", $"id_b",
         ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= threshold)
@@ -70,17 +129,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val rows = k / bands
-    // Materialize (id, shingles, signature) ONCE. Without this boundary
-    // Catalyst's CollapseProject inlines the shingle+minhash expressions
-    // into every band column and both self-join sides — ~2·bands× redundant
-    // compute per row. At production scale this is a persisted signature
-    // table (parquet stage); in-plan, MEMORY_AND_DISK persist is the same
-    // boundary.
-    val sig = docs.select(col(idCol).as("id"),
-        array_distinct(shingles(tokens(col(textCol)), n)).as("shs"))
-      .filter(size($"shs") > 0)
-      .withColumn("sig", minhashSignature($"shs", k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = shingleFrame(docs, idCol, textCol, n, k)
 
     // (band_idx, hash(band slice)) bucket keys; one row per band — ids only,
     // shingle arrays do NOT ride through the shuffle.
@@ -112,11 +161,34 @@ object Dedup {
     * agree exactly on at least one chunk, so candidate recall is 1. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persist boundary: stops CollapseProject from inlining the tokenize +
-    // simhash expressions into the chunk columns and both join sides.
-    val sig = docs.select(col(idCol).as("id"),
-        simhash64(tokens(col(textCol))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // typed kernel, same rationale as shingleFrame: concrete sig column,
+    // nothing for CollapseProject to inline into the chunk expressions.
+    val sig = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      spread(docs)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val votes = new Array[Int](64)
+          text.toLowerCase.split("\\s+").foreach { tok =>
+            if (tok.nonEmpty) {
+              val h = graft.functions.Hashing.hash64(tok, 0x5deece66dL)
+              var b = 0
+              while (b < 64) {
+                if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+                b += 1
+              }
+            }
+          }
+          var out = 0L
+          var b = 0
+          while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+          (id, out)
+        }
+      }.toDF("id", "sig")
+    }
     val numChunks = math.min(maxHamming + 1, 64)
     val chunks = sig.select($"id", $"sig",
       explode(array((0 until numChunks).map { i =>
@@ -138,7 +210,7 @@ object Dedup {
     * keep for verification / small sides; scale path = `cosinePairsLsh`. */
   def cosinePairsBrute(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = embs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val e = spread(embs).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosineSimilarity(col("a.v"), col("b.v")).as("cosine"))
@@ -155,7 +227,7 @@ object Dedup {
     val dim = embs.select(size(col(vecCol))).first().getInt(0)
     val bits = planes / bands
     val hyper = randomHyperplanes(planes, dim, seed)
-    val e = embs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val e = spread(embs).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val withBits = hyper.zipWithIndex.foldLeft(e) { case (df, (plane, i)) =>
       df.withColumn(s"_b$i",
         when(vectorDot($"v", typedLit(plane)) >= 0, lit(1L)).otherwise(lit(0L)))
@@ -167,14 +239,25 @@ object Dedup {
       }
       concat_ws("_", lit(b), key).as(s"_band$b")
     }
-    val buckets = withBits.select(($"id" +: $"v" +: bandCols): _*)
-      .select($"id", $"v", explode(array((0 until bands).map(b => col(s"_band$b")): _*)).as("bucket"))
+    // vectors persist once; ONLY (id, bucket) rides the self-join shuffle —
+    // at scale the embedding column dwarfs the key, so keeping it out of
+    // the exchange is the difference between shuffling ids and shuffling
+    // the whole corpus.
+    val vecs = withBits
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buckets.as("a").join(buckets.as("b"),
+    val buckets = vecs.select(($"id" +: bandCols): _*)
+      .select($"id", explode(array((0 until bands).map(b => col(s"_band$b")): _*)).as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineSimilarity(col("a.v"), col("b.v")).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify exactly: re-attach vectors by id (AQE broadcasts the small
+    // candidate side; vecs streams without a shuffle).
+    cand
+      .join(vecs.select($"id".as("id_a"), $"v".as("va")), "id_a")
+      .join(vecs.select($"id".as("id_b"), $"v".as("vb")), "id_b")
+      .select($"id_a", $"id_b",
+        cosineSimilarity($"va", $"vb").as("cosine"))
       .filter($"cosine" >= threshold)
   }
 
