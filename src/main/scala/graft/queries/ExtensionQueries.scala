@@ -130,6 +130,13 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── shift-robust rolling fingerprint (hash-defined → rows-only) ───────
+    "docs_fingerprint_rolling" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+          Fingerprints.rollingFingerprint(col("text")).as("fp_rolling"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── T15 embedding stand-in: deterministic hash embedder invariants ────
     "docs_hash_embed" -> ((s, d) => {
       t(s, d, "documents")

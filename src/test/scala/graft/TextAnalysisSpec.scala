@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.Fingerprints
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(colExpr: org.apache.spark.sql.Column, text: String) = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(colExpr).first()
+  }
+
+  test("langId picks the dominant marker language, 'und' when none") {
+    assert(one(TextAnalysis.langId(col("t")),
+      "the cat and the dog of the house is a pet").getString(0) === "en")
+    assert(one(TextAnalysis.langId(col("t")),
+      "el perro y la casa de los gatos que ladran").getString(0) === "es")
+    assert(one(TextAnalysis.langId(col("t")),
+      "xyzzy plugh qwerty").getString(0) === "und")
+  }
+
+  test("tokenCounts: whitespace vs subword proxy") {
+    val r = one(struct(TextAnalysis.tokenCounts(col("t")): _*),
+      "Hello, world! 42 tests").getStruct(0)
+    assert(r.getAs[Long]("ws_tokens") === 4L)
+    // hello , world ! 42 tests → 6 subword tokens
+    assert(r.getAs[Long]("subword_tokens") === 6L)
+  }
+
+  test("quality features: empty text is all-zero, long clean text scores high") {
+    val empty = one(struct(TextAnalysis.qualityColumns(col("t")): _*), "")
+      .getStruct(0)
+    assert(empty.getAs[Long]("n_tokens") === 0L)
+    assert(empty.getAs[Double]("quality") <= 0.5)
+    val good = (1 to 120).map(i => s"word$i is in the text and of it").mkString(" ")
+    val g = one(struct(TextAnalysis.qualityColumns(col("t")): _*), good)
+      .getStruct(0)
+    assert(g.getAs[Double]("quality") > 0.8)
+  }
+
+  test("rolling fingerprint: deterministic and shift-robust") {
+    import spark.implicits._
+    val body = "a long shared document body that dominates the gram set " * 4
+    val df = Seq(("base", body), ("shifted", "PREFIX " + body),
+      ("other", "completely different content with nothing in common here ok"))
+      .toDF("name", "t")
+      .select(col("name"), Fingerprints.rollingFingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // prefix-shifting keeps every original 8-gram, so the min-hash survives
+    assert(fps("base") === fps("shifted"))
+    assert(fps("base") !== fps("other"))
+    // determinism across plans
+    val again = Seq(body).toDF("t")
+      .select(Fingerprints.rollingFingerprint(col("t"))).first().getLong(0)
+    assert(again === fps("base"))
+  }
+}
