@@ -3,14 +3,19 @@ package graft.functions
 import scala.util.matching.Regex
 
 /** T5 — the reference's alternative reformatter + splitter
-  * (enem_pdf_extractor.py:116-175).
+  * (enem_pdf_extractor.py:116-175), byte-exact.
   *
-  * PDF text extraction doubles each alternative letter ("A\nA body…");
-  * the reference rewrites those markers to "A) ", counting substitutions,
-  * with a two-space fallback pattern for 2020-era PDFs, then slices the
-  * question body at the 5 markers. Questions with fewer than 5 marker
-  * substitutions, or any empty alternative body (image alternatives), are
-  * "non-standard" and dropped downstream (F4: :129-149, consumers :457-460).
+  * PDF text extraction doubles each alternative letter ("A\nA body…"); the
+  * reference rewrites those markers to "A)" (no trailing space), counting
+  * substitutions; fewer than 5 triggers the 2020-era two-space fallback ON
+  * THE ALREADY-SUBSTITUTED text, and fewer than 5 again ⇒ "non-standard
+  * alternatives" (dropped downstream, F4). The question text KEEPS the
+  * reformatted alternatives; the alternatives list is re-derived from every
+  * `[A-E])` occurrence — slice from each marker start to the next marker
+  * start (so entries look like "A)body\n") — and any EMPTY body between a
+  * marker end and the next marker start (an image alternative) also ⇒
+  * non-standard. Verified byte-exact against the reference's committed
+  * golden records (GoldenParitySpec).
   *
   * Pure Scala function: registered as a UDF in the extract pipeline (the
   * stateful two-pass regex logic doesn't decompose into built-in
@@ -19,29 +24,27 @@ import scala.util.matching.Regex
 object Alternatives {
   private val doubled: Regex = "([A-E])\\s*\\n\\1\\s*".r
   private val fallback: Regex = "([A-E])\\s{2}".r
-  private val letters = Seq("A)", "B)", "C)", "D)", "E)")
+  private val altMarker: Regex = "([A-E])\\)".r
 
   final case class Parsed(question_text: String, alternatives: Seq[String],
       standard: Boolean)
 
   def parse(raw: String): Parsed = {
     if (raw == null) return Parsed(null, Seq.empty, standard = false)
-    var count = 0
-    var text = doubled.replaceAllIn(raw, m => { count += 1; m.group(1) + ") " })
-    if (count < 5) {
-      count = 0
-      text = fallback.replaceAllIn(raw, m => { count += 1; m.group(1) + ") " })
+    var n1 = 0
+    var text = doubled.replaceAllIn(raw, m => { n1 += 1; m.group(1) + ")" })
+    if (n1 < 5) {
+      var n2 = 0
+      text = fallback.replaceAllIn(text, m => { n2 += 1; m.group(1) + ")" })
+      if (n2 < 5) return Parsed(text, Seq.empty, standard = false)
     }
-    val idxs = letters.map(text.indexOf)
-    if (count < 5 || idxs.exists(_ < 0) || idxs != idxs.sorted)
-      return Parsed(text.trim, Seq.empty, standard = false)
-    val bounds = idxs :+ text.length
-    val alts = letters.indices.map { i =>
-      text.substring(bounds(i), bounds(i + 1)).trim
+    val ms = altMarker.findAllMatchIn(text).toVector
+    val bounds = ms.map(_.start) :+ text.length
+    val anyEmpty = ms.indices.exists { i =>
+      text.substring(ms(i).end, bounds(i + 1)).isEmpty
     }
-    val body = text.substring(0, idxs.head).trim
-    // empty body after the "X)" marker (2 chars) ⇒ image alternative.
-    val anyEmpty = alts.exists(_.length <= 2)
-    Parsed(body, alts, standard = !anyEmpty)
+    if (anyEmpty) return Parsed(text, Seq.empty, standard = false)
+    val alts = ms.indices.map(i => text.substring(ms(i).start, bounds(i + 1)))
+    Parsed(text, alts, standard = true)
   }
 }

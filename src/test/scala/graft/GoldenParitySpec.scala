@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators.{ExtractPipeline, Pairing}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Extraction parity against the reference's own committed golden records
+  * (BASELINE.md target 3): the 2023_D1_ and 2023_D2_ question JSONs under
+  * /root/reference/pdf_content_to_files.
+  *
+  * The container has no PDF parser, so the raw page text is RECONSTRUCTED
+  * from the golden records by inverting the reference's only lossy text
+  * transform — the alternative reformat "X\nX body" → "X)body" — and
+  * re-concatenating the slices in booklet order with non-standard filler
+  * questions occupying the question numbers the reference dropped (the
+  * numbering must count them, W1). Running our extract pipeline over the
+  * reconstruction must reproduce every golden record byte-exactly:
+  * question_text, alternatives, correct_answer, ID, year, day,
+  * question_num, subject.
+  */
+class GoldenParitySpec extends SparkSpec {
+
+  private val refBase = "/root/reference/pdf_content_to_files"
+
+  private def available: Boolean = new java.io.File(refBase).isDirectory
+
+  /** Golden record as (displayedNum, text, alternatives, answer, id). */
+  private case class Golden(num: Int, text: String, alts: Seq[String],
+      answer: String, id: String, subject: String)
+
+  private def loadGolden(day: String, files: Map[String, String]): Seq[Golden] = {
+    files.toSeq.flatMap { case (subject, path) =>
+      val f = s"$refBase/$path"
+      if (!new java.io.File(f).exists()) Seq.empty
+      else {
+        val df = spark.read.option("multiLine", "true").json(f)
+        if (!df.columns.contains("question_num")) Seq.empty
+        else df.select(col("question_num").cast("int"), col("question_text"),
+            col("alternatives"), col("correct_answer"), col("ID"))
+          .collect().map { r =>
+            Golden(r.getInt(0), r.getString(1), r.getSeq[String](2),
+              r.getString(3), r.getString(4), subject)
+          }.toSeq
+      }
+    }
+  }
+
+  /** Invert the reformat: a substitution site "X)" is never followed by
+    * whitespace (the pattern's trailing \s* ate it), so only those invert
+    * to "X\nX"; an in-body "(C) foo" (reference-untouched) stays as-is.
+    * substitute(invert(text)) == text for every golden record. */
+  private def invertAlternatives(text: String): String =
+    text.replaceAll("([A-E])\\)(?!\\s)", "$1\n$1")
+
+  private def filler: String =
+    "QUESTÃO filler não-padrão\nA\nA um\nB\nB dois\n"
+
+  /** Pack raw-numbered slices into pages so every page ends on a filler
+    * (the reference's end-of-page sentinel adds a trailing space to the
+    * last slice of each page; a dropped filler absorbs it). Page ends are
+    * derived from the dropped numbers: close a page at any missing raw
+    * number at least 8 questions after the previous page break; the
+    * booklet's last raw number must itself be missing. */
+  private def buildPages(file: String, byRaw: Map[Int, Golden],
+      maxRaw: Int): Seq[(String, Int, String, Boolean)] = {
+    assert(!byRaw.contains(maxRaw),
+      s"last raw number $maxRaw must be a dropped question")
+    val pageEnds = {
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var start = 1
+      (1 to maxRaw).foreach { raw =>
+        if (!byRaw.contains(raw) && (raw == maxRaw || raw - start >= 8)) {
+          ends += raw; start = raw + 1
+        }
+      }
+      if (ends.isEmpty || ends.last != maxRaw) ends += maxRaw
+      ends.toSeq
+    }
+    val cover = (file, 0, "INSTRUÇÕES — capa sem questões", false)
+    var start = 1
+    val pages = pageEnds.zipWithIndex.map { case (end, i) =>
+      val slices = (start to end).map { raw =>
+        byRaw.get(raw).map(g => invertAlternatives(g.text)).getOrElse(filler)
+      }
+      start = end + 1
+      (file, i + 1, "ENEM 2023 cabeçalho\n" + slices.mkString(""), false)
+    }
+    cover +: pages
+  }
+
+  private def keyText(header: String, entries: Seq[(Int, String)]): String =
+    header + "\n" + entries.map { case (n, a) => s"$n\n$a" }.mkString("\n")
+
+  private def runExtract(pages: Seq[(String, Int, String, Boolean)],
+      keys: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val pagesDf = pages.toDF("file_name", "page_idx", "page_text", "has_images")
+    val keysDf = keys.toDF("file_name", "key_text")
+    val pairs = Pairing.pair(pagesDf.select(col("file_name"))
+      .union(keysDf.select(col("file_name"))).distinct())
+    ExtractPipeline.extract(pagesDf, keysDf, pairs)
+  }
+
+  private def assertParity(out: DataFrame, golden: Seq[Golden]): Unit = {
+    val got = out.select("question_num", "question_text", "alternatives",
+        "correct_answer", "id", "subject")
+      .collect().map { r =>
+        (r.getInt(0), r.getString(5)) ->
+          (r.getString(1), r.getSeq[String](2), r.getString(3), r.getString(4))
+      }.toMap
+    assert(got.size === golden.size,
+      s"row count: got ${got.size}, golden ${golden.size}")
+    golden.foreach { g =>
+      val (text, alts, answer, id) = got((g.num, g.subject))
+      assert(text === g.text, s"question_text mismatch at ${g.id}")
+      assert(alts === g.alts, s"alternatives mismatch at ${g.id}")
+      assert(answer === g.answer, s"answer mismatch at ${g.id}")
+      assert(id === g.id, s"id mismatch at ${g.id}")
+    }
+  }
+
+  test("D2 2023: math+natu golden records reproduce byte-exactly " +
+    "(72 records)") {
+    assume(available, "reference golden artifacts not present")
+    val golden = loadGolden("D2", Map(
+      "natu" -> "2023_D2_/2023_natu_questions.json",
+      "math" -> "2023_D2_/2023_math_questions.json"))
+    assert(golden.size === 72)
+    // displayed = raw + 90; booklet raw 1..90.
+    val byRaw = golden.map(g => (g.num - 90) -> g).toMap
+    val pages = buildPages(TestBooklet.d2File, byRaw, 90)
+    val key = keyText("CONFIRA O GABARITO DO ENEM 2023 D2",
+      (91 to 180).map(d => d -> golden.find(_.num == d).map(_.answer)
+        .getOrElse("A")))
+    val out = runExtract(pages, Seq(TestBooklet.d2KeyFile -> key))
+      .filter(col("day") === "D2")
+    assertParity(out, golden)
+  }
+
+  test("D1 2023: spani+lang+huma golden records reproduce byte-exactly " +
+    "(63 records; eng is empty in the golden run)") {
+    assume(available, "reference golden artifacts not present")
+    val golden = loadGolden("D1", Map(
+      "eng" -> "2023_D1_/2023_eng_questions.json",
+      "spani" -> "2023_D1_/2023_spani_questions.json",
+      "lang" -> "2023_D1_/2023_lang_questions.json",
+      "huma" -> "2023_D1_/2023_huma_questions.json"))
+    assert(golden.size === 63)
+    // raw = displayed for 1..5 (eng); spanish displayed 1-5 = raw 6-10;
+    // lang/huma displayed = raw - 5 (raw > 5).
+    val byRaw = golden.map { g =>
+      val raw = g.subject match {
+        case "eng"   => g.num
+        case "spani" => g.num + 5
+        case _       => g.num + 5
+      }
+      raw -> g
+    }.toMap
+    val pages = buildPages(TestBooklet.d1File, byRaw, 95)
+    // key: english block 1-5, spanish block 1-5, then 6-90.
+    val engBlock = (1 to 5).map(d => d -> "A")
+    val spaBlock = (1 to 5).map(d =>
+      d -> golden.filter(_.subject == "spani").find(_.num == d)
+        .map(_.answer).getOrElse("B"))
+    val rest = (6 to 90).map(d => d -> golden
+      .filter(g => g.subject == "lang" || g.subject == "huma")
+      .find(_.num == d).map(_.answer).getOrElse("C"))
+    val key = keyText("CONFIRA O GABARITO DO ENEM 2023 D1",
+      engBlock ++ spaBlock ++ rest)
+    val out = runExtract(pages, Seq(TestBooklet.d1KeyFile -> key))
+      .filter(col("day") === "D1")
+    assertParity(out, golden)
+  }
+}
