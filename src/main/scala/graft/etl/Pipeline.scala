@@ -90,4 +90,29 @@ object Pipeline {
     questions.unpersist()
     LoadReport(nPairs, 0L, attempted, added)
   }
+
+  /** E3 — `file_to_vectorDB` (qdrant_text_loader.py:144-240): load one
+    * TXT questions file into the collection. Whole-file read (S4), T7
+    * chunk split, T15 embed, id-offset append (W2), count reconcile (A3).
+    * Returns (attempted, added). Empty text ⇒ (0, 0) without touching the
+    * collection (F5, :194-196). */
+  def loadTxtFile(spark: SparkSession, txtPath: String,
+      collectionRoot: String, collection: String, subject: String,
+      year: Int, dim: Int = 64): (Long, Long) = {
+    val txt = spark.read.option("wholetext", "true").text(txtPath)
+      .filter(length(col("value")) > 0)
+    val chunks = txt.select(
+      posexplode(TF.answerChunks(col("value"))).as(Seq("pos", "page_content")))
+    if (chunks.isEmpty) return (0L, 0L)
+    val existing = VectorCollection.count(spark, collectionRoot, collection)
+    val points = VectorCollection.assignIdsOrdered(
+        chunks.withColumn("vector",
+            Fingerprints.hashEmbed(col("page_content"), dim))
+          .select(col("pos"), col("vector"), col("page_content"),
+            lit(subject).as("materia"), lit(year).as("ano")),
+        existing, Seq("pos"))
+      .select(col("id"), col("vector"), col("page_content"), col("materia"),
+        col("ano"))
+    VectorCollection.append(spark, collectionRoot, collection, points)
+  }
 }

@@ -41,17 +41,32 @@ object TextFunctions {
     slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
   }
 
-  /** T7 — split loaded text into question chunks at `(RESPOSTA CORRETA)` +
-    * a small lookahead buffer that keeps the answer letter inside the chunk
-    * (qdrant_text_loader.py:66-76, BUFFER :28, :71). Implemented as
-    * split-keeping-delimiter: inject  after marker + 4 chars
-    * (": X\n"), then split. */
-  def answerChunks(text: Column): Column = {
-    val sep = ""
-    val marked =
-      regexp_replace(text, "(?s)(\\(RESPOSTA CORRETA\\).{0,4})", "$1" + sep)
-    filter(transform(split(marked, sep), trim(_)), s => length(s) > 0)
+  /** T7 — split loaded text into question chunks at `(RESPOSTA CORRETA)`
+    * with the reference's 22-char buffer that keeps ": X\n" inside the
+    * chunk (qdrant_text_loader.py:66-76, buffer :71): chunk i runs from the
+    * end of chunk i-1 to key-position + 22, so chunks after the first carry
+    * the record separator's leading newline — byte-exact with the
+    * reference's generator (verified against the golden TXT artifacts).
+    * Once-per-file work, off the hot path, so the Column form is a UDF. */
+  val AnswerKeyStr = "(RESPOSTA CORRETA)"
+  private val AnswerBuffer = 22
+
+  def chunkSplit(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var cur = 0
+    var pos = text.indexOf(AnswerKeyStr, cur)
+    while (pos != -1) {
+      val end = math.min(pos + AnswerBuffer, text.length)
+      out += text.substring(cur, end)
+      cur = end
+      pos = text.indexOf(AnswerKeyStr, cur)
+    }
+    out.result()
   }
+
+  def answerChunks(text: Column): Column =
+    udf((s: String) => chunkSplit(s)).apply(text)
 
   /** T8 — filename field extraction (enem_pdf_extractor.py:40-49, :979-980;
     * qdrant_text_loader.py:26-27; pdf_to_qdrant_etl.py:50-51). */

@@ -171,4 +171,59 @@ class GoldenParitySpec extends SparkSpec {
       .filter(col("day") === "D1")
     assertParity(out, golden)
   }
+
+  test("TXT mode: toTxtRecords concatenation equals the committed golden " +
+    "TXT byte-for-byte; T7 chunk split recovers every record") {
+    assume(available, "reference golden artifacts not present")
+    val goldenTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$refBase/2023_D2_/2023_math_questions.txt")), "UTF-8")
+
+    // rebuild the booklet, project TXT records for math, concatenate.
+    val golden = loadGolden("D2", Map(
+      "natu" -> "2023_D2_/2023_natu_questions.json",
+      "math" -> "2023_D2_/2023_math_questions.json"))
+    val byRaw = golden.map(g => (g.num - 90) -> g).toMap
+    val pages = buildPages(TestBooklet.d2File, byRaw, 90)
+    val key = keyText("CONFIRA O GABARITO DO ENEM 2023 D2",
+      (91 to 180).map(d => d -> golden.find(_.num == d).map(_.answer)
+        .getOrElse("A")))
+    val out = runExtract(pages, Seq(TestBooklet.d2KeyFile -> key))
+      .filter(col("subject") === "math")
+    val rebuilt = ExtractPipeline.toTxtRecords(out
+        .orderBy(col("question_num")))
+      .select("record").collect().map(_.getString(0)).mkString("")
+    assert(rebuilt === goldenTxt)
+
+    // T7: chunk-splitting the golden TXT yields one chunk per record, each
+    // ending in the answer line the 22-char buffer captures.
+    val chunks = graft.functions.TextFunctions.chunkSplit(goldenTxt)
+    assert(chunks.size === 35)
+    assert(chunks.forall(_.contains("(RESPOSTA CORRETA)")))
+    assert(chunks.head.startsWith("(Enem/2023)  QUESTÃO 136"))
+    assert(chunks.forall(c => c.takeRight(3).matches(": [A-E]") ||
+      c.takeRight(3).endsWith("\n") ))
+  }
+
+  test("E3: loadTxtFile loads the golden TXT into the collection " +
+    "(35 chunks, ids dense from the existing offset)") {
+    assume(available, "reference golden artifacts not present")
+    val root = java.nio.file.Files.createTempDirectory("graft_golden").toString
+    graft.sources.VectorCollection.recreate(spark, root, "enem", dim = 32)
+    val (attempted, added) = graft.etl.Pipeline.loadTxtFile(spark,
+      s"$refBase/2023_D2_/2023_math_questions.txt", root, "enem",
+      subject = "math", year = 2023, dim = 32)
+    assert(attempted === 35)
+    assert(added === 35)
+    val coll = graft.sources.VectorCollection.read(spark, root, "enem")
+    assert(coll.select("id").collect().map(_.getLong(0)).sorted
+      === (0L until 35L).toArray)
+    // empty TXT (golden 2023 eng) loads nothing — F5.
+    val engTxt = s"$refBase/2023_D1_/2023_eng_questions.txt"
+    if (new java.io.File(engTxt).exists()) {
+      val (a2, d2) = graft.etl.Pipeline.loadTxtFile(spark, engTxt, root,
+        "enem", subject = "eng", year = 2023, dim = 32)
+      assert(a2 === 0L && d2 === 0L)
+    }
+  }
 }
