@@ -42,6 +42,69 @@ object Hashing {
 
   def hash64(s: String, seed: Long): Long =
     hash64(UTF8String.fromString(s), seed)
+
+  val MinHashSeedStep = 0x9e3779b97f4a7c15L
+  val SimHashSeed = 0x5deece66dL
+  val EmbedSeed = 0x9e3779b97f4a7c15L
+
+  /** MinHash signature of a shingle set: base hash per shingle, k cheap
+    * seeded remixes, elementwise min. Order-independent; and
+    * minhash(A ∪ B) == elementwise-min(minhash(A), minhash(B)) — the
+    * mergeability LSH banding relies on (property-tested). */
+  def minhash(shingles: IterableOnce[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.iterator.foreach { s =>
+      val base = hash64(s, 0L)
+      var j = 0
+      while (j < k) {
+        val h = mix64(base ^ (MinHashSeedStep * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    sig
+  }
+
+  /** 64-bit SimHash of a token sequence: per-token hash, bitwise ±1 vote,
+    * sign → bit. Multiset-order-independent. */
+  def simhash(tokens: IterableOnce[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.iterator.foreach { tok =>
+      val h = hash64(tok, SimHashSeed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Feature-hash embedding: lowercase whitespace tokens → signed bucket
+    * contributions → L2 normalize (all-zero stays all-zero). */
+  def hashEmbedVec(text: String, dim: Int): Array[Double] = {
+    val vec = new Array[Double](dim)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = hash64(tok, EmbedSeed)
+        val bucket = java.lang.Math.floorMod(h >>> 1, dim.toLong).toInt
+        val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+        vec(bucket) += sign
+      }
+    }
+    var norm2 = 0.0
+    var i = 0
+    while (i < dim) { norm2 += vec(i) * vec(i); i += 1 }
+    if (norm2 > 0) {
+      val inv = 1.0 / math.sqrt(norm2)
+      i = 0
+      while (i < dim) { vec(i) *= inv; i += 1 }
+    }
+    vec
+  }
 }
 
 /** Feature-hash a text into a `dim`-dimensional unit-norm ARRAY<DOUBLE>:
@@ -55,27 +118,9 @@ case class HashEmbed(child: Expression, dim: Int)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
-    val vec = new Array[Double](dim)
-    var norm2 = 0.0
-    text.split("\\s+").foreach { tok =>
-      if (tok.nonEmpty) {
-        val h = Hashing.hash64(tok, 0x9e3779b97f4a7c15L)
-        val bucket = java.lang.Math.floorMod(h >>> 1, dim.toLong).toInt
-        val sign = if ((h & 1L) == 0L) 1.0 else -1.0
-        vec(bucket) += sign
-      }
-    }
-    var i = 0
-    while (i < dim) { norm2 += vec(i) * vec(i); i += 1 }
-    if (norm2 > 0) {
-      val inv = 1.0 / math.sqrt(norm2)
-      i = 0
-      while (i < dim) { vec(i) *= inv; i += 1 }
-    }
-    new GenericArrayData(vec)
-  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Hashing.hashEmbedVec(input.asInstanceOf[UTF8String].toString, dim))
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -92,23 +137,9 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = Hashing.hash64(arr.getUTF8String(i), 0x5deece66dL)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
+    val toks = (0 until arr.numElements())
+      .iterator.filterNot(arr.isNullAt).map(arr.getUTF8String(_).toString)
+    java.lang.Long.valueOf(Hashing.simhash(toks))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -128,21 +159,9 @@ case class MinHashSignature(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val base = Hashing.hash64(arr.getUTF8String(i), 0L)
-        var j = 0
-        while (j < k) {
-          val h = Hashing.mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
-          if (h < sig(j)) sig(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
+    val shs = (0 until arr.numElements())
+      .iterator.filterNot(arr.isNullAt).map(arr.getUTF8String(_).toString)
+    new GenericArrayData(Hashing.minhash(shs, k))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -59,22 +59,7 @@ object Dedup {
           val shs = toks.sliding(n).map(_.mkString(" ")).toArray.distinct
           val sig =
             if (!withSig) Array.emptyLongArray
-            else {
-              val s = Array.fill(k)(Long.MaxValue)
-              var i = 0
-              while (i < shs.length) {
-                val base = graft.functions.Hashing.hash64(shs(i), 0L)
-                var j = 0
-                while (j < k) {
-                  val h = graft.functions.Hashing.mix64(
-                    base ^ (0x9e3779b97f4a7c15L * (j + 1)))
-                  if (h < s(j)) s(j) = h
-                  j += 1
-                }
-                i += 1
-              }
-              s
-            }
+            else graft.functions.Hashing.minhash(shs, k)
           Iterator.single((id, shs, sig))
         }
       }
@@ -171,21 +156,9 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val votes = new Array[Int](64)
-          text.toLowerCase.split("\\s+").foreach { tok =>
-            if (tok.nonEmpty) {
-              val h = graft.functions.Hashing.hash64(tok, 0x5deece66dL)
-              var b = 0
-              while (b < 64) {
-                if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-                b += 1
-              }
-            }
-          }
-          var out = 0L
-          var b = 0
-          while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-          (id, out)
+          val toks = text.toLowerCase.split("\\s+").iterator
+            .filter(_.nonEmpty)
+          (id, graft.functions.Hashing.simhash(toks))
         }
       }.toDF("id", "sig")
     }

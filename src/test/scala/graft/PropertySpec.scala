@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.{Alternatives, Hashing, TextFunctions}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** ScalaCheck properties for the pure kernels (SURVEY.md §5): splitter
+  * reassembly, sketch invariants, alternative-parse round trips. Spark-side
+  * plumbing is covered by the ScalaTest specs; these pin the algebra the
+  * distributed operators rely on. */
+object GraftProperties extends Properties("graft") {
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(12))
+  private val words: Gen[List[String]] = Gen.listOf(word)
+  private val someWords: Gen[List[String]] = Gen.nonEmptyListOf(word)
+
+  // ── MinHash algebra ────────────────────────────────────────────────────
+  property("minhash is order-independent") = forAll(someWords) { ws =>
+    Hashing.minhash(ws, 16).toSeq == Hashing.minhash(ws.reverse, 16).toSeq
+  }
+
+  property("minhash(A ∪ B) = elementwise min(minhash(A), minhash(B))") =
+    forAll(words, words) { (a, b) =>
+      val k = 16
+      val union = Hashing.minhash((a ++ b).distinct, k)
+      val mins = Hashing.minhash(a.distinct, k)
+        .zip(Hashing.minhash(b.distinct, k)).map { case (x, y) => math.min(x, y) }
+      // empty-input signatures are all Long.MaxValue, so this holds
+      // degenerate cases included.
+      union.toSeq == mins.toSeq
+    }
+
+  property("identical shingle sets give identical signatures regardless " +
+    "of multiplicity") = forAll(someWords) { ws =>
+    Hashing.minhash(ws.distinct, 8).toSeq ==
+      Hashing.minhash((ws ++ ws).distinct, 8).toSeq
+  }
+
+  // ── SimHash ────────────────────────────────────────────────────────────
+  property("simhash is permutation-invariant") = forAll(someWords) { ws =>
+    Hashing.simhash(ws.iterator) ==
+      Hashing.simhash(scala.util.Random.shuffle(ws).iterator)
+  }
+
+  // ── hash embedding ─────────────────────────────────────────────────────
+  property("hashEmbedVec is unit-norm for non-empty token input, zero " +
+    "otherwise") = forAll(words, Gen.choose(2, 64)) { (ws, dim) =>
+    val v = Hashing.hashEmbedVec(ws.mkString(" "), dim)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    if (ws.isEmpty) norm == 0.0 else math.abs(norm - 1.0) < 1e-9
+  }
+
+  property("hashEmbedVec is case-insensitive") =
+    forAll(someWords, Gen.choose(2, 32)) { (ws, dim) =>
+      Hashing.hashEmbedVec(ws.mkString(" ").toUpperCase, dim).toSeq ==
+        Hashing.hashEmbedVec(ws.mkString(" "), dim).toSeq
+    }
+
+  // ── T7 chunk splitter ──────────────────────────────────────────────────
+  private val record: Gen[String] = for {
+    body <- someWords
+    ans <- Gen.oneOf("A", "B", "C", "D", "E")
+  } yield s"(Enem/2023)  QUESTÃO\n${body.mkString(" ")}\n" +
+    s"${TextFunctions.AnswerKeyStr}: $ans\n\n"
+
+  property("chunkSplit yields one chunk per record and reassembles the " +
+    "prefix byte-exactly") = forAll(Gen.nonEmptyListOf(record)) { recs =>
+    val text = recs.mkString("")
+    val chunks = TextFunctions.chunkSplit(text)
+    val reassembled = chunks.mkString("")
+    Prop.all(
+      (chunks.size == recs.size) :| s"count ${chunks.size} vs ${recs.size}",
+      text.startsWith(reassembled) :| "chunks are a prefix of the input",
+      // what's left after the chunks is the tail of the last record
+      // separator (the second newline the 22-char buffer doesn't reach).
+      (text.length - reassembled.length ==
+        text.length - (text.lastIndexOf(TextFunctions.AnswerKeyStr) + 22))
+        :| "remainder starts right after the last buffered answer")
+  }
+
+  // ── T5 alternatives round trip ─────────────────────────────────────────
+  private val altBody: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaLowerChar, Gen.numChar))
+      .map(_.mkString.take(20))
+
+  property("parse(reformat-inverse) recovers the five alternatives") =
+    forAll(someWords, altBody, altBody, altBody, altBody, altBody) {
+      (body, a, b, c, d, e) =>
+        val raw = s"QUESTÃO\n${body.mkString(" ")}\n" +
+          s"A\nA $a\nB\nB $b\nC\nC $c\nD\nD $d\nE\nE $e\n"
+        val p = Alternatives.parse(raw)
+        Prop.all(
+          p.standard :| "standard",
+          (p.alternatives.size == 5) :| s"5 alts, got ${p.alternatives.size}",
+          (p.alternatives.head == s"A)$a\n") :| "A body",
+          (p.alternatives.last == s"E)$e\n") :| "E body")
+    }
+
+  property("fewer than five markers is always non-standard") =
+    forAll(someWords, altBody, altBody) { (body, a, b) =>
+      val raw = s"QUESTÃO\n${body.mkString(" ")}\nA\nA $a\nB\nB $b\n"
+      !Alternatives.parse(raw).standard
+    }
+}
