@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for heavy-key workloads (100 TB posture:
+  * SURVEY.md §7.1-8 scale design — "skewed keys → salting or AQE
+  * skew-join").
+  *
+  * AQE's skew-join split (on by default in Spark 4) handles sort-merge-join
+  * partition skew at runtime; what it can NOT fix is (a) a single hot GROUP
+  * BY key funneling into one reducer before AQE can split it, and (b) a
+  * broadcast-impossible join against a hot-keyed build side. These
+  * operators implement the classic salting patterns, output-identical to
+  * their unsalted forms (oracle-checkable).
+  */
+object Skew {
+
+  /** Two-level aggregation for skewed groupBy keys: partial-aggregate on
+    * (key, salt) then final-aggregate on key. Hot keys spread over `salts`
+    * reducers in stage 1; stage 2 combines `salts` rows per key — bounded,
+    * tiny. Supports algebraic aggregates (sum/count/min/max — pass the
+    * merge expressions). */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_psum")).as("sum_" + valueCol),
+        sum(col("_pcnt")).as("cnt"))
+  }
+
+  /** Salted inner equi-join for a skewed LEFT side against a small-but-not-
+    * broadcastable RIGHT side: left rows get a random salt in [0, salts),
+    * the right side is replicated `salts` times, and the join key becomes
+    * (key, salt) — a hot left key now lands on `salts` different reducers.
+    * Output equals the plain inner join (row multiset). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltsDf = (0 until salts).toDF("_salt")
+    val replicatedRight = right.crossJoin(saltsDf)
+    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Skew diagnosis: per-key row counts with share-of-total — run on a
+    * sample before choosing a mitigation. */
+  def keyHistogram(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).first().getLong(0).toDouble
+    counts.withColumn("share", round(col("n") / total, 6))
+      .orderBy(desc("n"), col("key")).limit(topK)
+  }
+}

@@ -148,6 +148,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── skew: salted two-level aggregation (== plain groupBy, oracle) ─────
+    "skew_salted_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedSumCount(t(s, d, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", salts = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── skew: salted replicated join (== plain inner join, oracle) ────────
+    "skew_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_quantity"))
+      val part = t(s, d, "part").select(col("p_partkey").as("pk"),
+        col("p_name"))
+      graft.operators.Skew.saltedJoin(li, part, "pk", salts = 8)
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+          min(col("p_name")).as("p_name"))
+        .orderBy(col("pk"))
+    }),
+
     // ── multimodal: opaque binary column + deterministic feature stub ─────
     "multimodal_features" -> ((s, d) => {
       graft.operators.Multimodal
@@ -230,6 +252,17 @@ object ExtensionQueries {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT l_partkey AS pk, count(*) AS n,
+        |round(sum(l_quantity), 2) AS qty, min(p_name) AS p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "docs_token_counts" ->
       """SELECT doc_id,
