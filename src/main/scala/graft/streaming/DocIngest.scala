@@ -31,6 +31,31 @@ object DocIngest {
       }
       .start()
 
+  /** Event-time windowed ingest statistics with a watermark: per
+    * (window, subject) document counts — the streaming form of the A3/A4
+    * load-stats aggregation. Late rows beyond the watermark are dropped;
+    * state for closed windows is reclaimed (the requirement for an
+    * unbounded stream at scale). Append mode emits each window once, on
+    * close. */
+  def windowedCounts(spark: SparkSession, inDir: String, schema: String,
+      outDir: String, checkpoint: String, window: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"),
+        window).as("win"), col("subject"))
+      .count()
+      .select(col("win.start").as("window_start"), col("subject"),
+        col("count"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

@@ -35,6 +35,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(size(col("vector")) =!= 16).count() === 0)
   }
 
+  test("watermarked windowed counts: closed windows emit once, late rows " +
+    "beyond the watermark are dropped") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = Files.createTempDirectory("graft_win_in").toString
+    val out = Files.createTempDirectory("graft_win_out").toString + "/agg"
+    val ckpt = Files.createTempDirectory("graft_win_ck").toString
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: two hours of events.
+    Seq((ts(10, 5), "math"), (ts(10, 40), "math"), (ts(11, 10), "natu"))
+      .toDF("event_time", "subject").write.mode("append").parquet(in)
+    val q = DocIngest.windowedCounts(spark, in,
+      "event_time TIMESTAMP, subject STRING", out, ckpt,
+      window = "1 hour", watermark = "1 hour")
+    try {
+      q.processAllAvailable()
+      // batch 2: advances the watermark past 11:00 (13:30 - 1h) so the
+      // 10:00 and 11:00 windows close; includes one too-late row (9:15).
+      Seq((ts(13, 30), "natu"), (ts(9, 15), "math"))
+        .toDF("event_time", "subject").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    // closed windows emitted; the 9:15 late row never appears; the 13:00
+    // window is still open (not emitted yet).
+    assert(got === Set(
+      ("2024-01-01 10:00:00.0", "math", 2L),
+      ("2024-01-01 11:00:00.0", "natu", 1L)))
+  }
+
   test("stateful dedup-on-ingest drops cross-batch exact duplicates") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream2_in").toString
