@@ -38,41 +38,69 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID: argmax marker-hit count with a fixed priority
-    * tie-break (en > es > de > fr > zh), 'und' when nothing matches. */
+    * tie-break (en > es > de > fr > zh), 'und' when nothing matches.
+    *
+    * Implemented as ONE `aggregate` pass with the argmax decode in the
+    * finish lambda. The naive form (5 × `langScore` + total + greatest +
+    * a when-chain) re-expands the tokenize chain at every reference —
+    * ~17 copies in the optimized plan, which blows up generated-code size
+    * and, under a many-query JVM, JIT budget. Here `tokens` appears once
+    * and every later reference is to the finish lambda's accumulator
+    * VARIABLE (evaluated once per row). */
   def langId(text: Column): Column = {
     val toks = Fingerprints.tokens(text)
-    val scores = langMarkers.map { case (l, _) => l -> langScore(toks, l) }
-    val total = scores.map(_._2).reduce(_ + _)
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((l, s), els) =>
-      when(total > 0 && s === best, lit(l)).otherwise(els)
-    }
+    val zero = array(langMarkers.map(_ => lit(0)): _*)
+    val step = (acc: Column, t: Column) =>
+      array(langMarkers.zipWithIndex.map { case ((_, ms), i) =>
+        acc.getItem(i) + when(t.isin(ms.map(lit): _*), 1).otherwise(0)
+      }: _*)
+    aggregate(toks, zero, step, acc => {
+      val scores = langMarkers.indices.map(acc.getItem)
+      val total = scores.reduce(_ + _)
+      val best = greatest(scores: _*)
+      langMarkers.map(_._1).zip(scores).foldRight(lit("und")) {
+        case ((l, s), els) => when(total > 0 && s === best, lit(l))
+          .otherwise(els)
+      }
+    })
   }
 
   /** Quality-score feature block: length, punctuation ratio, stopword ratio,
     * mean token length, and a composite [0,1] quality score — the standard
-    * pre-filter features for corpus curation. */
+    * pre-filter features for corpus curation.
+    *
+    * Each output column runs ONE `aggregate` pass over the tokens,
+    * counting (n_tokens, stopword hits) together and deriving the feature
+    * in the finish lambda (same generated-code-size rationale as langId:
+    * no re-expansion of the tokenize chain per reference). */
   def qualityColumns(text: Column): Seq[Column] = {
-    val toks = Fingerprints.tokens(text)
-    val nTok = size(toks)
+    val enMarkers = langMarkers.toMap.apply("en")
+    def withTokStats(f: (Column, Column) => Column): Column =
+      aggregate(Fingerprints.tokens(text), array(lit(0), lit(0)),
+        (acc, t) => array(
+          acc.getItem(0) + 1,
+          acc.getItem(1) +
+            when(t.isin(enMarkers.map(lit): _*), 1).otherwise(0)),
+        acc => f(acc.getItem(0), acc.getItem(1)))
     val nChars = length(text)
     val punct = length(regexp_replace(text, "[^.,;:!?'\"()]", ""))
-    val stop = langScore(toks, "en")
-    val meanTokLen =
-      when(nTok > 0, (nChars - (nTok - 1)).cast("double") / nTok).otherwise(0.0)
     val punctRatio =
       when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0)
-    val stopRatio =
-      when(nTok > 0, stop.cast("double") / nTok).otherwise(0.0)
-    val lengthScore = least(nTok.cast("double") / 100.0, lit(1.0))
-    val quality = round(
-      (lengthScore + least(stopRatio * 5.0, lit(1.0)) +
-        (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))) / 3.0, 4)
-    Seq(nTok.cast("long").as("n_tokens"),
-      round(meanTokLen, 4).as("mean_token_len"),
+    Seq(
+      withTokStats((n, _) => n.cast("long")).as("n_tokens"),
+      round(withTokStats((n, _) =>
+        when(n > 0, (nChars - (n - 1)).cast("double") / n).otherwise(0.0)),
+        4).as("mean_token_len"),
       round(punctRatio, 4).as("punct_ratio"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      quality.as("quality"))
+      round(withTokStats((n, stop) =>
+        when(n > 0, stop.cast("double") / n).otherwise(0.0)), 4)
+        .as("stopword_ratio"),
+      withTokStats { (n, stop) =>
+        val stopRatio = when(n > 0, stop.cast("double") / n).otherwise(0.0)
+        val lengthScore = least(n.cast("double") / 100.0, lit(1.0))
+        round((lengthScore + least(stopRatio * 5.0, lit(1.0)) +
+          (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))) / 3.0, 4)
+      }.as("quality"))
   }
 
   /** Content fingerprints: exact (md5 — oracle-verifiable) and shift-robust
