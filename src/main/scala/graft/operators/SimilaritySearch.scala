@@ -63,17 +63,25 @@ object SimilaritySearch {
       if (sample.isEmpty) Array.empty[Array[Double]]
       else lloydPass(sample.map(_.toArray), init)
 
-    val cents = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-
-    // 2. assign each corpus vector to its nearest centroid (broadcast).
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("d", vectorDot(col(vecCol), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(desc("d"), col("cell").asc)))
-      .filter(col("rk") === 1)
-      .select(col(idCol), asDouble(col(vecCol)).as("v"), col("cell"))
+    // 2. assign each corpus vector to its nearest centroid: the argmax is
+    // ONE aggregate over a centroid-array literal inside a single
+    // projection — no crossJoin row blowup, no per-id window shuffle; the
+    // corpus streams through one codegen stage (the form that survives a
+    // 100 TB scan). The accumulator is a (best-dot, best-cell) struct;
+    // lambda variables evaluate once per element.
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val assigned = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell",
+        aggregate(
+          sequence(lit(0), lit(math.max(centroids.length - 1, 0))),
+          struct(lit(Double.NegativeInfinity).as("d"), lit(-1).as("i")),
+          (acc, i) => {
+            val d = vectorDot(col("v"), element_at(centLit, i + 1))
+            when(d > acc.getField("d"),
+              struct(d.as("d"), i.as("i"))).otherwise(acc)
+          },
+          acc => acc.getField("i")))
 
     // 3. probe the nprobe cells nearest to the query.
     val probeCells = centroids.zipWithIndex
