@@ -43,6 +43,71 @@ object SimilaritySearch {
       .filter($"rank" <= k)
   }
 
+  /** Batch top-k with per-partition bounded heaps — the scale form of
+    * `topKForQueries`. The window form sorts EVERY (query, corpus) score
+    * through a shuffle; here each partition keeps only the k best
+    * candidates per query in a bounded heap, so the shuffle carries
+    * ≤ partitions·queries·k rows and the final exact re-rank is tiny.
+    * Output contract identical (rank ≤ k, score desc, id tiebreak). */
+  def topKForQueriesHeap(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(queries)
+    val cand = corpus
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        // max of this ordering = WORST kept candidate (lowest score,
+        // then highest id) — what a full heap evicts first.
+        val evictFirst =
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) =>
+            (-s, id)
+          }
+        val heaps = qs.map { case (qid, _) =>
+          qid -> scala.collection.mutable.PriorityQueue
+            .empty[(Double, Long)](evictFirst)
+        }
+        it.foreach { case (id, v) =>
+          val arr = v.toArray
+          qs.foreach { case (qid, qv) =>
+            val s = localCosine(arr, qv)
+            if (!s.isNaN) {
+              val h = heaps.find(_._1 == qid).get._2
+              if (h.size < k) h.enqueue((s, id))
+              else {
+                val worst = h.head
+                if (s > worst._1 || (s == worst._1 && id < worst._2)) {
+                  h.dequeue(); h.enqueue((s, id))
+                }
+              }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (s, id) => (qid, id, s) }
+        }
+      }
+      .toDF("query_id", "id", "score")
+    // final exact re-rank over ≤ partitions·queries·k rows.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  private def localCosine(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** IVF-style approximate search: centroids from a deterministic sample
     * (k-means|| would be the production path; here a single Lloyd pass over
     * a seeded sample keeps it dependency-free and deterministic), corpus

@@ -45,6 +45,20 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── K1 batch, heap form: per-partition bounded top-k (scale shape;
+    //    output contract equals the window form → same oracle) ────────────
+    "k1_topk_heap" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      SimilaritySearch.topKForQueriesHeap(emb, "vec_id", "embedding",
+          queries, k = 3)
+        .select(col("query_id"), col("id"), round(col("score"), 6).as("score"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── ANN scale path: IVF probe (approximate → rows-only check) ─────────
     "ann_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -222,6 +236,22 @@ object ExtensionQueries {
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "k1_topk_per_query" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |  list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS raw
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT query_id, id, raw,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY raw DESC, id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, id, round(raw, 6) AS score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "k1_topk_heap" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
         |scored AS (

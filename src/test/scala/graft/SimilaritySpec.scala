@@ -56,6 +56,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("heap batch top-k equals the window form") {
+    import spark.implicits._
+    import graft.functions.Fingerprints
+    val corpus = (0L until 40L)
+      .map(i => (i, s"documento número $i sobre tema${i % 7} e assunto${i % 3}"))
+      .toDF("id", "text")
+      .select(col("id"), Fingerprints.hashEmbed(col("text"), 32).as("v"))
+      .repartition(4)
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val windowForm = graft.operators.SimilaritySearch.topKForQueries(
+        corpus, corpus.filter(col("id") < 3)
+          .select(col("id").as("qid"), col("v").as("qv")),
+        "id", "v", "qid", "qv", k = 5)
+      .select(col("query_id"), col("id"),
+        round(col("score"), 9).as("s"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val heapForm = graft.operators.SimilaritySearch.topKForQueriesHeap(
+        corpus, "id", "v", queries, k = 5)
+      .select(col("query_id"), col("id"),
+        round(col("score"), 9).as("s"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(heapForm === windowForm)
+  }
+
   test("IVF top-k finds the exact top-1 (self) when probing its cell") {
     import spark.implicits._
     val vecs = (0 until 64).map { i =>
