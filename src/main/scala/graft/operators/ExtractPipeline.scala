@@ -100,6 +100,23 @@ object ExtractPipeline {
         col("question_num"), col("subject"), col("file_name"))
   }
 
+  /** Typed boundary: the extract output as Dataset[Question] (fixed
+    * schema, nullable page_images — SURVEY.md §1.2's normalization of the
+    * reference's variant JSON records). */
+  def extractTyped(pages: DataFrame, keyTexts: DataFrame, pairs: DataFrame,
+      imagesMode: Boolean = false)
+      : org.apache.spark.sql.Dataset[graft.model.Question] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    extract(pages, keyTexts, pairs, imagesMode)
+      .withColumn("page_images",
+        lit(null).cast("array<string>"))
+      .select(col("question_text"), col("correct_answer"),
+        col("alternatives"), col("page_images"), col("id"), col("year"),
+        col("day"), col("question_num"), col("subject"))
+      .as[graft.model.Question]
+  }
+
   /** T13: TXT-mode projection of extracted questions. */
   def toTxtRecords(questions: DataFrame): DataFrame =
     questions.select(col("year"), col("subject"),

@@ -51,4 +51,25 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions(decodeBatch)
   }
+
+  /** S3 sink — write a binary column out as one file per row (the
+    * reference saves each page image as `{name}.png`,
+    * enem_pdf_extractor.py:297-335). foreachPartition: no driver
+    * involvement, no collect; executors write their partitions in
+    * parallel. File names must be unique across the frame (caller's
+    * contract, as in the reference's `{year}_{day}_page{i}_{j}` names). */
+  def writeBinaryFiles(df: DataFrame, dir: String, nameCol: String,
+      bytesCol: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(nameCol).cast("string"), col(bytesCol))
+      .foreachPartition { (it: Iterator[Row]) =>
+        it.foreach { r =>
+          val name = r.getString(0)
+          require(!name.contains("/") && !name.contains(".."),
+            s"unsafe file name: $name")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, name), r.getAs[Array[Byte]](1))
+        }
+      }
+  }
 }

@@ -76,6 +76,15 @@ class ExtractPipelineSpec extends SparkSpec {
     assert(withImages.filter(col("day") === "D1").count() === 12 - 1) // Q12 still non-standard
   }
 
+  test("extractTyped: Dataset[Question] boundary round-trips the rows") {
+    val typed = ExtractPipeline.extractTyped(pages, keys, pairs)
+    val qs = typed.collect()
+    assert(qs.length === out.count())
+    assert(qs.forall(q => q.alternatives.size >= 5))
+    assert(qs.map(_.id).toSet ===
+      out.select("id").collect().map(_.getString(0)).toSet)
+  }
+
   test("T13: TXT-mode template matches the reference format") {
     val txt = ExtractPipeline.toTxtRecords(
       out.filter(col("id") === "2023_D1_N1"))

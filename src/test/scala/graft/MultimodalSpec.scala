@@ -24,6 +24,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("writeBinaryFiles: one file per row, bytes intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    val rows = Seq(("a.png", "alpha".getBytes("UTF-8")),
+      ("b.png", "bravo".getBytes("UTF-8")))
+    Multimodal.writeBinaryFiles(rows.toDF("name", "bytes").repartition(2),
+      dir, "name", "bytes")
+    rows.foreach { case (name, bytes) =>
+      val got = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, name))
+      assert(got.toSeq === bytes.toSeq)
+    }
+  }
+
   test("typed per-partition decode keeps one output row per input record") {
     import spark.implicits._
     val ds = (0L until 20L)
