@@ -56,6 +56,41 @@ object DocIngest {
       .option("path", outDir)
       .start()
 
+  /** Custom-state streaming form of the A2 running counter
+    * (enem_pdf_extractor.py:248-251 — the cross-page question count):
+    * per-subject totals maintained in explicit keyed state with
+    * mapGroupsWithState, emitting the updated running total once per
+    * subject per micro-batch. State is one long per key — bounded by the
+    * subject domain, no watermark needed. */
+  def runningCounts(spark: SparkSession, inDir: String, schema: String,
+      outDir: String, checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .selectExpr("subject")
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (subject: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (subject, total)
+      }
+      .toDF("subject", "running_total")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

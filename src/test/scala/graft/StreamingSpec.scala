@@ -70,6 +70,36 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "natu", 1L)))
   }
 
+  test("mapGroupsWithState running counter accumulates across batches " +
+    "(streaming A2)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_rc_in").toString
+    val out = Files.createTempDirectory("graft_rc_out").toString + "/counts"
+    val ckpt = Files.createTempDirectory("graft_rc_ck").toString
+
+    Seq("math", "math", "natu").toDF("subject")
+      .write.mode("append").parquet(in)
+    val q = DocIngest.runningCounts(spark, in, "subject STRING", out, ckpt)
+    try {
+      q.processAllAvailable()
+      Seq("math", "natu", "natu").toDF("subject")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // latest batch carries the accumulated totals.
+    val latest = got.filter(_._3 == got.map(_._3).max)
+      .map(t => t._1 -> t._2).toMap
+    assert(latest === Map("math" -> 3L, "natu" -> 3L))
+    // first batch saw only its own rows.
+    val first = got.filter(_._3 == got.map(_._3).min)
+      .map(t => t._1 -> t._2).toMap
+    assert(first === Map("math" -> 2L, "natu" -> 1L))
+  }
+
   test("stateful dedup-on-ingest drops cross-batch exact duplicates") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream2_in").toString
