@@ -230,6 +230,38 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── sessionization: gap-based session windows over the event stream
+    //    (lag-diff → cumulative session ids → per-session rollup) ──────────
+    "events_sessionize" -> ((s, d) => {
+      val gapMinutes = 30
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > gapMinutes * 60L ||
+          lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L)
+      t(s, d, "events")
+        .withColumn("new_s", newSession)
+        .withColumn("session_id",
+          sum(col("new_s")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ── rollup: hierarchical totals (event_type ⊂ grand total) ────────────
+    "events_rollup" -> ((s, d) => {
+      t(s, d, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── time bucketing (events → hourly rollup; streaming-adjacent) ───────
     "events_hourly" -> ((s, d) => {
       t(s, d, "events")
@@ -380,6 +412,29 @@ object CoreQueries {
         |max(l_quantity) AS max_qty, round(avg(l_quantity), 4) AS avg_qty,
         |count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM lagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |round(sum(value), 4) AS session_value,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY ROLLUP (event_type) ORDER BY 1""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
