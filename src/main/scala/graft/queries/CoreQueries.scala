@@ -230,6 +230,32 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── as-of join: latest prior click for each purchase, per user ────────
+    "j_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOfBackward(purchases, clicks,
+          "user_id", "ts", Seq("click_value"), prefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          round(col("click_click_value"), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── exact percentiles (median / p90, linear interpolation) ────────────
+    "a_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ── sessionization: gap-based session windows over the event stream
     //    (lag-diff → cumulative session ids → per-session rollup) ──────────
     "events_sessionize" -> ((s, d) => {
@@ -411,6 +437,27 @@ object CoreQueries {
       """SELECT l_returnflag, min(l_quantity) AS min_qty,
         |max(l_quantity) AS max_qty, round(avg(l_quantity), 4) AS avg_qty,
         |count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |round(c.click_value, 4) AS click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "a_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_sessionize" ->

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of: latest prior row attaches; equal-ts matches " +
+    "inclusively; no-prior yields null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq((1L, ts(0), 10.0), (1L, ts(10), 11.0), (2L, ts(5), 20.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq(
+      (100L, 1L, ts(10)), // equal ts → inclusive match (11.0)
+      (101L, 1L, ts(15)), // latest prior = 11.0
+      (102L, 1L, ts(5)),  // between quotes → 10.0
+      (103L, 2L, ts(1)),  // before any quote → null
+      (104L, 3L, ts(30))) // key with no quotes at all → null
+      .toDF("trade_id", "key", "ts")
+
+    val got = AsOfJoin.asOfBackward(trades, quotes, "key", "ts", Seq("px"))
+      .select(col("trade_id"), col("asof_px"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(
+      100L -> Some(11.0), 101L -> Some(11.0), 102L -> Some(10.0),
+      103L -> None, 104L -> None))
+  }
+}
