@@ -110,4 +110,75 @@ object TextAnalysis {
     sha2(text, 256).as("fp_sha256"),
     Fingerprints.rollingFingerprint(text).as("fp_rolling")
   )
+
+  // ── typed kernel forms ──────────────────────────────────────────────────
+  // The Column forms above are the SQL surface; for corpus-wide passes the
+  // queries route through these mapPartitions kernels instead. Rationale
+  // (measured, see PLANS.md): higher-order-function expression trees run
+  // interpreted, and in a JVM that has compiled many queries' generated
+  // classes the interpreter's Expression.eval chains lose JIT compilation
+  // — observed 27× degradation. A scalac-compiled kernel is immune, and
+  // per-row text analytics have no relational structure for Catalyst to
+  // optimize anyway.
+
+  private def tokensOf(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Kernel semantics of `langId` (identical output, oracle-pinned). */
+  def langIdOf(text: String): String = {
+    val toks = tokensOf(text)
+    val sets = langMarkers.map { case (l, ms) => (l, ms.toSet) }
+    val scores = sets.map { case (l, s) => (l, toks.count(s.contains)) }
+    val total = scores.map(_._2).sum
+    // maxBy keeps the FIRST max — same priority order as the when-chain.
+    if (total == 0) "und" else scores.maxBy(_._2)._1
+  }
+
+  def langIdFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, langIdOf(t)) })
+      .toDF("doc_id", "lang_pred")
+  }
+
+  /** Kernel semantics of `qualityColumns` (identical output). n_chars is
+    * the code-point count (matches SQL `length`). */
+  def qualityOf(text: String): (Long, Double, Double, Double, Double) = {
+    val toks = tokensOf(text)
+    val nTok = toks.length
+    val nChars = text.codePointCount(0, text.length)
+    val punctSet = ".,;:!?'\"()".toSet
+    val punct = text.count(punctSet.contains)
+    val stopSet = langMarkers.toMap.apply("en").toSet
+    val stop = toks.count(stopSet.contains)
+    val meanTokLen =
+      if (nTok > 0) (nChars - (nTok - 1)).toDouble / nTok else 0.0
+    val punctRatio = if (nChars > 0) punct.toDouble / nChars else 0.0
+    val stopRatio = if (nTok > 0) stop.toDouble / nTok else 0.0
+    val lengthScore = math.min(nTok / 100.0, 1.0)
+    val quality = (lengthScore + math.min(stopRatio * 5.0, 1.0) +
+      (1.0 - math.min(punctRatio * 10.0, 1.0))) / 3.0
+    (nTok.toLong, round4(meanTokLen), round4(punctRatio), round4(stopRatio),
+      round4(quality))
+  }
+
+  def qualityFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (n, mtl, pr, sr, q) = qualityOf(t)
+        (id, n, mtl, pr, sr, q)
+      })
+      .toDF("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality")
+  }
 }

@@ -122,17 +122,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── text analysis: heuristic language ID ──────────────────────────────
+    // ── text analysis: heuristic language ID (typed kernel form) ──────────
     "docs_lang_id" -> ((s, d) => {
-      t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.langIdFrame(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
-    // ── text analysis: quality scoring ────────────────────────────────────
+    // ── text analysis: quality scoring (typed kernel form) ────────────────
     "docs_quality" -> ((s, d) => {
-      val doc = t(s, d, "documents")
-      doc.select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+      TextAnalysis.qualityFrame(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
