@@ -200,26 +200,41 @@ object Dedup {
     val dim = embs.select(size(col(vecCol))).first().getInt(0)
     val bits = planes / bands
     val hyper = randomHyperplanes(planes, dim, seed)
-    val e = spread(embs).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val withBits = hyper.zipWithIndex.foldLeft(e) { case (df, (plane, i)) =>
-      df.withColumn(s"_b$i",
-        when(vectorDot($"v", typedLit(plane)) >= 0, lit(1L)).otherwise(lit(0L)))
+    // sign bits + band keys in one typed kernel (same rationale as
+    // shingleFrame: concrete columns, no plane-literal expression volume,
+    // no cache leak). ONLY (id, bucket) rides the self-join shuffle — at
+    // scale the embedding column dwarfs the key, so keeping it out of the
+    // exchange is the difference between shuffling ids and shuffling the
+    // whole corpus.
+    val vecs = {
+      val spark = embs.sparkSession
+      import spark.implicits._
+      spread(embs)
+        .select(col(idCol).cast("long").as("id"),
+          asDouble(col(vecCol)).as("v"))
+        .as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          it.map { case (id, v) =>
+            val arr = v.toArray
+            val bandKeys = Array.tabulate(bands) { b =>
+              var key = 0L
+              var j = 0
+              while (j < bits) {
+                val plane = hyper(b * bits + j)
+                var d = 0.0
+                var i = 0
+                val n = math.min(arr.length, plane.length)
+                while (i < n) { d += arr(i) * plane(i); i += 1 }
+                key = (key << 1) | (if (d >= 0) 1L else 0L)
+                j += 1
+              }
+              s"${b}_$key"
+            }
+            (id, v, bandKeys)
+          }
+        }.toDF("id", "v", "bands")
     }
-    val bandCols = (0 until bands).map { b =>
-      val bandBits = (0 until bits).map(j => b * bits + j)
-      val key = bandBits.foldLeft(lit(0L)) { (acc, i) =>
-        shiftleft(acc, 1) + col(s"_b$i")
-      }
-      concat_ws("_", lit(b), key).as(s"_band$b")
-    }
-    // vectors persist once; ONLY (id, bucket) rides the self-join shuffle —
-    // at scale the embedding column dwarfs the key, so keeping it out of
-    // the exchange is the difference between shuffling ids and shuffling
-    // the whole corpus.
-    val vecs = withBits
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = vecs.select(($"id" +: bandCols): _*)
-      .select($"id", explode(array((0 until bands).map(b => col(s"_band$b")): _*)).as("bucket"))
+    val buckets = vecs.select($"id", explode($"bands").as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -234,9 +249,10 @@ object Dedup {
       .filter($"cosine" >= threshold)
   }
 
-  private def randomHyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private def randomHyperplanes(planes: Int, dim: Int,
+      seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
-    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   private implicit class ColName(private val sc: StringContext) {

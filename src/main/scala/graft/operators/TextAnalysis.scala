@@ -181,4 +181,63 @@ object TextAnalysis {
       .toDF("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stopword_ratio", "quality")
   }
+
+  private val subwordPattern =
+    java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+  /** Kernel semantics of `tokenCounts` (identical output — java.util.regex
+    * on both sides). */
+  def tokenCountsOf(text: String): (Long, Long) = {
+    val ws = tokensOf(text).length.toLong
+    val m = subwordPattern.matcher(text.toLowerCase)
+    var sub = 0L
+    while (m.find()) sub += 1
+    (ws, sub)
+  }
+
+  def tokenCountsFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (ws, sub) = tokenCountsOf(t)
+        (id, ws, sub)
+      })
+      .toDF("doc_id", "ws_tokens", "subword_tokens")
+  }
+
+  /** Kernel semantics of `Fingerprints.rollingFingerprint` — identical
+    * values (Spark's own XXH64 over each char 8-gram's UTF-8 bytes, seed
+    * 42; grams by code point like SQL substr). */
+  def rollingFingerprintOf(text: String, gram: Int = 8): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+    val len = u.numChars()
+    val last = math.max(len - (gram - 1), 1)
+    var best = Long.MaxValue
+    var i = 1
+    while (i <= last) {
+      val g = u.substringSQL(i, gram)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(g, org.apache.spark.sql.types.StringType, 42L)
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
+  def rollingFingerprintFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, rollingFingerprintOf(t))
+      })
+      .toDF("doc_id", "fp_rolling")
+  }
 }

@@ -115,10 +115,9 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ── text analysis: token counting ─────────────────────────────────────
+    // ── text analysis: token counting (typed kernel form) ─────────────────
     "docs_token_counts" -> ((s, d) => {
-      val doc = t(s, d, "documents")
-      doc.select((col("doc_id") +: TextAnalysis.tokenCounts(col("text"))): _*)
+      TextAnalysis.tokenCountsFrame(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -142,10 +141,10 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── shift-robust rolling fingerprint (hash-defined → rows-only) ───────
+    // ── shift-robust rolling fingerprint (typed kernel form; rows-only) ───
     "docs_fingerprint_rolling" -> ((s, d) => {
-      t(s, d, "documents").select(col("doc_id"),
-          Fingerprints.rollingFingerprint(col("text")).as("fp_rolling"))
+      TextAnalysis.rollingFingerprintFrame(t(s, d, "documents"),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 

@@ -39,6 +39,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(g.getAs[Double]("quality") > 0.8)
   }
 
+  test("kernel frames agree with the Column expressions exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog of the house is a pet, truly!"),
+      (1L, "el perro y la casa de los gatos"),
+      (2L, ""),
+      (3L, "Zürich café ünïcode — test 123 ok?"),
+      (4L, (1 to 150).map(i => s"w$i of the and").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val colLang = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kerLang = TextAnalysis.langIdFrame(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kerLang === colLang)
+
+    val colQ = docs.select((col("doc_id") +:
+        TextAnalysis.qualityColumns(col("text"))): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val kerQ = TextAnalysis.qualityFrame(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(kerQ === colQ)
+
+    val colT = docs.select((col("doc_id") +:
+        TextAnalysis.tokenCounts(col("text"))): _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val kerT = TextAnalysis.tokenCountsFrame(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kerT === colT)
+
+    val colF = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        Fingerprints.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kerF = TextAnalysis.rollingFingerprintFrame(
+        docs.filter(length(col("text")) > 0), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kerF === colF)
+  }
+
   test("rolling fingerprint: deterministic and shift-robust") {
     import spark.implicits._
     val body = "a long shared document body that dominates the gram set " * 4
