@@ -66,6 +66,63 @@ object Dedup {
     }.toDF("id", "shs", "sig")
   }
 
+  /** Public signature table: (id, sig ARRAY<BIGINT> length k) per doc. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame =
+    shingleFrame(docs, idCol, textCol, n, k).select($"id", $"sig")
+
+  /** Typed UDAF (SURVEY.md §2.9): merge MinHash signatures by elementwise
+    * min — because minhash(A ∪ B) = min(minhash(A), minhash(B))
+    * (property-tested in GraftProperties), aggregating per-doc signatures
+    * yields the signature of the GROUP's unioned shingle set. Enables
+    * corpus/source-level overlap estimation without touching raw text
+    * again: Jaccard(A, B) ≈ fraction of agreeing slots. */
+  class MinHashUnion(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < k && i < a.length) {
+        if (a(i) < b(i)) b(i) = a(i); i += 1
+      }
+      b
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Per-group MinHash signatures (one map-side-combinable aggregation),
+    * e.g. groupCol = source: the signature of each source's unioned
+    * shingle set. */
+  def groupSignatures(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3, k: Int = 64): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(new MinHashUnion(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val sigs = shingleFrame(docs, idCol, textCol, n, k)
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        col(groupCol).as("grp")), "id")
+    sigs.groupBy($"grp").agg(agg($"sig").as("group_sig"))
+  }
+
+  /** Estimated pairwise Jaccard between groups from their union
+    * signatures: fraction of agreeing slots. */
+  def groupOverlap(groupSigs: DataFrame): DataFrame =
+    groupSigs.as("a").join(groupSigs.as("b"),
+        col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        (size(filter(zip_with(col("a.group_sig"), col("b.group_sig"),
+            (x, y) => x === y), eq => eq)).cast("double") /
+          size(col("a.group_sig"))).as("est_jaccard"))
+
   /** Exact duplicate groups by content fingerprint: one row per distinct
     * text with the lowest id as the canonical representative. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

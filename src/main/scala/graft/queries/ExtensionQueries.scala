@@ -115,6 +115,17 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── per-source corpus overlap via MinHash-union UDAF (sketch-defined
+    //    → rows-only; the union law is property- and spec-tested) ──────────
+    "dedup_source_overlap" -> ((s, d) => {
+      val sigs = Dedup.groupSignatures(t(s, d, "documents"),
+        "doc_id", "text", "source", n = 3, k = 64)
+      Dedup.groupOverlap(sigs)
+        .select(col("grp_a"), col("grp_b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    }),
+
     // ── text analysis: token counting (typed kernel form) ─────────────────
     "docs_token_counts" -> ((s, d) => {
       TextAnalysis.tokenCountsFrame(t(s, d, "documents"), "doc_id", "text")

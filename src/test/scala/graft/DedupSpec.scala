@@ -56,6 +56,40 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((2L, 3L))) // unrelated texts stay apart
   }
 
+  test("MinHashUnion aggregator: group signature equals the signature of " +
+    "the union, and overlap estimates order correctly") {
+    import spark.implicits._
+    val base = "o rato roeu a roupa do rei de roma e depois fugiu para o campo"
+    val shared = (0L until 6L).map(i => (i, s"$base variante $i", "src_a")) ++
+      (6L until 12L).map(i => (i, s"$base variante ${i - 6}", "src_b")) ++
+      (12L until 18L).map(i =>
+        (i, s"texto completamente diferente numero $i sobre outro assunto " +
+          "sem nada em comum aqui", "src_c"))
+    val docs = shared.toDF("doc_id", "text", "source").repartition(4)
+
+    // aggregator result == kernel minhash of the group's unioned shingles
+    val groupSigs = Dedup.groupSignatures(docs, "doc_id", "text", "source",
+      n = 3, k = 64)
+    val sigA = groupSigs.filter(col("grp") === "src_a")
+      .first().getSeq[Long](1)
+    val expected = {
+      val texts = shared.filter(_._3 == "src_a").map(_._2)
+      val shingles = texts.flatMap(t =>
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .sliding(3).map(_.mkString(" "))).distinct
+      graft.functions.Hashing.minhash(shingles, 64).toSeq
+    }
+    assert(sigA === expected)
+
+    // overlap: a↔b nearly identical corpora, c disjoint.
+    val overlaps = Dedup.groupOverlap(groupSigs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(overlaps(("src_a", "src_b")) > 0.8)
+    assert(overlaps(("src_a", "src_c")) < 0.2)
+    assert(overlaps(("src_b", "src_c")) < 0.2)
+  }
+
   test("embedding-cosine near-dup (brute) flags hash-embedded near-dups") {
     import graft.functions.Fingerprints
     val embs = docs.select(col("doc_id"),
