@@ -230,6 +230,18 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── unpivot: wide per-flag sums back to long (melt) ───────────────────
+    "a_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+      wide.unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "flag", "qty")
+        .filter(col("qty").isNotNull)
+        .orderBy(col("l_linestatus"), col("flag"))
+    }),
+
     // ── as-of join: latest prior click for each purchase, per user ────────
     "j_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -438,6 +450,16 @@ object CoreQueries {
         |max(l_quantity) AS max_qty, round(avg(l_quantity), 4) AS avg_qty,
         |count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_unpivot" ->
+      """SELECT l_linestatus, flag, qty FROM (
+        |  SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |  FROM lineitem GROUP BY 1)
+        |UNPIVOT (qty FOR flag IN ("A", "N", "R"))
+        |ORDER BY l_linestatus, flag""".stripMargin,
 
     "j_asof" ->
       """WITH clicks AS (
