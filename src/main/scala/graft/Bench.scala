@@ -27,13 +27,21 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Dozens of queries compile hundreds of generated classes; once the
+      // JVM code cache fills, JIT stops compiling and late queries degrade
+      // 10-30×. Each generated class has its own classloader, so a GC after
+      // the plan is dropped lets the JVM unload them and reclaim cache.
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
