@@ -230,6 +230,38 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── set ops: EXCEPT (load diffing, SURVEY §2.7) and INTERSECT ─────────
+    "set_except" -> ((s, d) => {
+      val all = t(s, d, "customer").select(col("c_custkey"))
+      val bigSpenders = t(s, d, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("c_custkey"))
+      all.except(bigSpenders).orderBy(col("c_custkey"))
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val bigSpenders = t(s, d, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      val recent = t(s, d, "orders")
+        .filter(year(col("o_orderdate")) >= 1997)
+        .select(col("o_custkey").as("c_custkey"))
+      bigSpenders.intersect(recent).orderBy(col("c_custkey"))
+    }),
+
+    // ── window navigation: lag/lead/first_value over event streams ────────
+    "w_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          first(col("event_type")).over(w
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── unpivot: wide per-flag sums back to long (melt) ───────────────────
     "a_unpivot" -> ((s, d) => {
       val wide = t(s, d, "lineitem")
@@ -450,6 +482,28 @@ object CoreQueries {
         |max(l_quantity) AS max_qty, round(avg(l_quantity), 4) AS avg_qty,
         |count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1997
+        |ORDER BY c_custkey""".stripMargin,
+
+    "w_lag_lead" ->
+      """SELECT event_id,
+        |lag(event_type) OVER w AS prev_type,
+        |lead(event_type) OVER w AS next_type,
+        |first_value(event_type) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "a_unpivot" ->
       """SELECT l_linestatus, flag, qty FROM (
