@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * The reference loops file-pairs in Python and crosses the network once
   * per question for embeddings; here the whole folder is one lineage and
-  * embedding is a deterministic in-plan expression (swap `HashEmbed` for a
-  * batched `mapPartitions` client to use a real model — see
-  * graft.functions.Fingerprints T15 notes).
+  * embedding is either the deterministic in-plan expression (default) or
+  * any [[Embedder]] implementation driven through the batched
+  * `mapPartitions` client (`Embedder.embedColumn`) — pass `embedder =
+  * Some(...)` to use a real model.
   */
 object Pipeline {
 
@@ -28,7 +29,9 @@ object Pipeline {
   def processFolder(spark: SparkSession, pages: DataFrame,
       keyTexts: DataFrame, collectionRoot: String, collection: String,
       dim: Int = 64, statsCsv: Option[String] = None,
-      imagesMode: Boolean = false): LoadReport = {
+      imagesMode: Boolean = false,
+      embedder: Option[Embedder] = None,
+      embedBatchSize: Int = 64): LoadReport = {
 
     // J1 pairing over the distinct file inventory; abort on unpaired.
     val files = pages.select(col("file_name"))
@@ -51,8 +54,22 @@ object Pipeline {
         .as("page_content"),
       col("subject").as("materia"), col("year").as("ano"),
       col("id").as("qid"))
-    val embedded = chunks.withColumn("vector",
-      Fingerprints.hashEmbed(col("page_content"), dim))
+    // Two embedding paths behind one seam: an external client goes through
+    // the batched mapPartitions driver (one embedBatch call per batch, with
+    // retries); the deterministic default stays an in-plan codegen'd
+    // expression. Both produce the same `vector` column contract.
+    // The client path is PERSISTED: the load below takes several actions
+    // (id-offset count, reconcile count, write), and without a cache each
+    // one would re-drive the external API over the whole corpus.
+    val embedded = embedder match {
+      case Some(e) =>
+        Embedder.embedColumn(chunks, "page_content", e,
+            outCol = "vector", batchSize = embedBatchSize)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None =>
+        chunks.withColumn("vector",
+          Fingerprints.hashEmbed(col("page_content"), dim))
+    }
 
     // W2 id assignment continuing from the existing collection size.
     val existing = VectorCollection.count(spark, collectionRoot, collection)
@@ -69,14 +86,18 @@ object Pipeline {
       VectorCollection.append(spark, collectionRoot, collection, points)
 
     // A4 stats merge (todas questoes = attempted per (year, subject);
-    // questoes add = actually inserted — equal here by construction,
-    // reconciled from the collection itself).
+    // questoes add = rows inserted THIS run — ids continue from the
+    // pre-append offset, so `id >= existing` selects exactly this batch;
+    // re-counting the whole collection would record cumulative totals on
+    // a second run into a non-empty collection (the reference writes the
+    // per-run added_questions, qdrant_text_loader.__etl_metadata_saving).
     statsCsv.foreach { csv =>
       val attemptedCounts = questions.groupBy(col("year"), col("subject"))
         .agg(count(lit(1)).as("n"))
         .withColumn("kind", lit("todas questoes"))
       val addedCounts = VectorCollection
         .read(spark, collectionRoot, collection)
+        .filter(col("id") >= existing)
         .groupBy(col("ano").as("year"), col("materia").as("subject"))
         .agg(count(lit(1)).as("n"))
         .withColumn("kind", lit("questoes add"))
@@ -87,6 +108,7 @@ object Pipeline {
     }
 
     val nPairs = pairs.count()
+    embedded.unpersist()
     questions.unpersist()
     LoadReport(nPairs, 0L, attempted, added)
   }

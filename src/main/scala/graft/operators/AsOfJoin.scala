@@ -31,6 +31,12 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(_.startsWith(prefix)),
       s"left side already has $prefix-prefixed columns")
+    // _ts/_side/_r_* are internal working names in the union frame; an
+    // input column with one of those names would silently shadow them.
+    val reserved = (c: String) => c == "_ts" || c == "_side" || c.startsWith("_r_")
+    require(!leftCols.exists(reserved) && !right.columns.exists(reserved),
+      "input columns may not be named _ts/_side or start with _r_ " +
+        "(internal as-of working columns)")
 
     val taggedRight = right.select(
       (Seq(col(keyCol), col(tsCol).as("_ts"), lit(0).as("_side"),

@@ -66,16 +66,18 @@ object SimilaritySearch {
           Ordering.by[(Double, Long), (Double, Long)] { case (s, id) =>
             (-s, id)
           }
-        val heaps = qs.map { case (qid, _) =>
+        // keyed map, not a list scanned per row — lookup must be O(1) or
+        // the kernel degrades to O(rows · queries²) on large query batches.
+        val heaps = scala.collection.mutable.LongMap(qs.map { case (qid, _) =>
           qid -> scala.collection.mutable.PriorityQueue
             .empty[(Double, Long)](evictFirst)
-        }
+        }: _*)
         it.foreach { case (id, v) =>
           val arr = v.toArray
           qs.foreach { case (qid, qv) =>
             val s = localCosine(arr, qv)
             if (!s.isNaN) {
-              val h = heaps.find(_._1 == qid).get._2
+              val h = heaps(qid)
               if (h.size < k) h.enqueue((s, id))
               else {
                 val worst = h.head

@@ -23,8 +23,11 @@ object Skew {
     * merge expressions). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
+    // salt from the row's own content, not monotonically_increasing_id():
+    // a task retry re-hashes to the SAME salt, so speculative execution and
+    // stage retries cannot double-count a row into two salt groups.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
@@ -42,8 +45,9 @@ object Skew {
       salts: Int = 8): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
+    // content-derived salt (see saltedSumCount): retry-deterministic.
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
     val saltsDf = (0 until salts).toDF("_salt")
     val replicatedRight = right.crossJoin(saltsDf)
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")

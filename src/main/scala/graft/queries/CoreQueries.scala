@@ -191,12 +191,15 @@ object CoreQueries {
     }),
 
     // ── W2/T16 global id assignment with collection offset ────────────────
-    // Correctness form (global window). The scale form is per-partition
-    // offsets (see graft.sources.VectorCollection.assignIds).
+    // Scale form: range-partitioned sort + per-partition offsets
+    // (zipWithIndex semantics) — no single-partition global window. Output
+    // contract identical to `row_number() OVER (ORDER BY ts, event_id) +
+    // 1000`, which remains the oracle.
     "w2_offset_ids" -> ((s, d) => {
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      t(s, d, "events").select(col("event_id"),
-          (row_number().over(w).cast("long") + 1000L).as("point_id"))
+      graft.sources.VectorCollection.assignIdsOrdered(
+          t(s, d, "events").select(col("event_id"), col("ts")),
+          offset = 1001L, orderCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("id").as("point_id"))
         .orderBy(col("event_id"))
     }),
 
@@ -546,8 +549,10 @@ object CoreQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  -- DuckDB's sum(INTEGER) yields HUGEINT; cast to match Spark's BIGINT
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
         |  FROM lagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |round(sum(value), 4) AS session_value,

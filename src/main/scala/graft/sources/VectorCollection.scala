@@ -89,13 +89,32 @@ object VectorCollection {
   }
 
   /** S8: batched upsert-append; returns (attempted, added) — the
-    * reference's per-file reconciliation pair (A3). */
+    * reference's per-file reconciliation pair (A3).
+    *
+    * `added` is derived from the part files THIS write created (snapshot
+    * the directory listing before/after, count only the delta), so the
+    * reconcile cost is O(batch), not two O(collection) scans per load —
+    * at 100 TB a full-collection count per append is the difference
+    * between a metadata read and re-listing the world. Parquet `count()`
+    * over the new files reads only footers. A full-collection audit is
+    * still available as `count(...)` for callers that want it. */
   def append(spark: SparkSession, root: String, name: String,
       points: DataFrame): (Long, Long) = {
-    val before = count(spark, root, name)
+    val dir = new org.apache.hadoop.fs.Path(path(root, name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(): Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).iterator
+        .filter(_.isFile).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).toSet
+    val before = partFiles()
     val attempted = points.count()
     points.write.mode(SaveMode.Append).parquet(path(root, name))
-    val added = count(spark, root, name) - before
+    val newFiles = (partFiles() -- before).toSeq.sorted
+      .map(n => s"${path(root, name)}/$n")
+    val added =
+      if (newFiles.isEmpty) 0L
+      else spark.read.parquet(newFiles: _*).count()
     (attempted, added)
   }
 

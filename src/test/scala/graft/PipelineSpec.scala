@@ -42,6 +42,37 @@ class PipelineSpec extends SparkSpec {
     assert(ids2 === (0L until 26L).toArray)
   }
 
+  test("E1: external-embedder path — batched client, same collection") {
+    CountingEmbedder.reset()
+    val root = Files.createTempDirectory("graft_etl3").toString
+    VectorCollection.recreate(spark, root, "enem", dim = 64)
+    val report = Pipeline.processFolder(spark,
+      TestBooklet.pagesDf(spark), TestBooklet.keysDf(spark),
+      root, "enem", dim = 64,
+      embedder = Some(new CountingEmbedder(64)), embedBatchSize = 4)
+    assert(report.attempted === 13)
+    assert(report.added === 13)
+    // 13 chunks in batches of ≥1 → strictly fewer client calls than rows
+    // (the reference: 1 call per chunk).
+    val calls = CountingEmbedder.calls.get()
+    assert(calls > 0 && calls < 13, s"expected batched calls, got $calls")
+    assert(CountingEmbedder.batchSizes.toArray(Array.empty[Integer])
+      .map(_.toInt).sum === 13)
+
+    // the client path must land the SAME vectors as the in-plan expression.
+    val rootExpr = Files.createTempDirectory("graft_etl4").toString
+    VectorCollection.recreate(spark, rootExpr, "enem", dim = 64)
+    Pipeline.processFolder(spark, TestBooklet.pagesDf(spark),
+      TestBooklet.keysDf(spark), rootExpr, "enem", dim = 64)
+    val a = VectorCollection.read(spark, root, "enem")
+      .select("page_content", "vector").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val b = VectorCollection.read(spark, rootExpr, "enem")
+      .select("page_content", "vector").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(a === b)
+  }
+
   test("E1: unpaired test aborts the folder (reference IOError semantics)") {
     import spark.implicits._
     val pagesNoKey = TestBooklet.pagesDf(spark)
