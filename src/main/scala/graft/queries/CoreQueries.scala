@@ -309,12 +309,15 @@ object CoreQueries {
       val gapMinutes = 30
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val newSession = when(
-        col("ts").cast("long") -
-          lag(col("ts"), 1).over(byUser).cast("long") > gapMinutes * 60L ||
-          lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L)
+      // One exchange + one sort feed BOTH window passes (lag, then the
+      // running sum over its output) — verified in the physical plan; the
+      // lag is materialized once and reused by the gap predicate.
       t(s, d, "events")
-        .withColumn("new_s", newSession)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >
+              gapMinutes * 60L, 1L).otherwise(0L))
         .withColumn("session_id",
           sum(col("new_s")).over(byUser
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

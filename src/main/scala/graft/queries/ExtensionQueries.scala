@@ -59,14 +59,40 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ── ANN scale path: IVF probe (approximate → rows-only check) ─────────
+    // ── ANN: IVF with nprobe = ncells (probe-all). Exact by construction,
+    //    so it shares the exact top-k oracle — which verifies the index
+    //    partitions the corpus EXACTLY (no vector dropped or double-assigned
+    //    by cell assignment / probe-union / re-rank). The approximate
+    //    configuration's quality is measured by `ann_ivf_recall`. ──────────
     "ann_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val query = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).first()
         .getSeq[Double](0)
       SimilaritySearch.topKIvf(emb, "vec_id", "embedding", query,
-        k = 10, ncells = 8, nprobe = 3)
+        k = 10, ncells = 8, nprobe = 8)
+    }),
+
+    // ── ANN: recall@k of the approximate probe (nprobe < ncells) vs exact.
+    //    Hash-defined (centroid sample) → rows-only here; the exact value
+    //    is pinned by SimilaritySpec at sf0.001. On these near-uniform
+    //    synthetic embeddings recall ≈ nprobe/ncells is the theoretical
+    //    ceiling — real clustered corpora probe far better. ────────────────
+    "ann_ivf_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0)
+      val k = 10
+      val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k)
+        .select(col("vec_id"))
+      val approx = SimilaritySearch.topKIvf(emb, "vec_id", "embedding", query,
+          k, ncells = 8, nprobe = 3)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(k).cast("long").as("k"), col("hits"),
+          round(col("hits").cast("double") / k, 4).as("recall"))
     }),
 
     // ── embedding-cosine near-dup pairs, exact (oracle-checked) ───────────
@@ -77,11 +103,33 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ── embedding near-dup via hyperplane LSH (approx → rows-only) ────────
+    // ── embedding near-dup via hyperplane LSH. 16 one-bit bands: the
+    //    worst surviving pair here sits at cosine ≈ 0.3 (θ ≈ 72.5°), so a
+    //    band misses with p ≈ 0.403 and all 16 miss with p ≈ 5e-7 —
+    //    recall 1 across these 990 pairs, hence the SAME oracle as the
+    //    brute form. One-bit bands are the price of a recall-1 contract at
+    //    such a low threshold; production near-dup thresholds (≥ 0.8) use
+    //    finer bands (see Dedup.cosinePairsLsh S-curve note). ─────────────
     "emb_cosine_pairs_lsh" -> ((s, d) => {
       Dedup.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.3, planes = 16, bands = 8)
+          threshold = 0.3, planes = 16, bands = 16)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── LSH recall audit: exact pairs the LSH path missed (anti-join).
+    //    Empty by the recall-1 parameterization above → 0-row oracle; the
+    //    reverse direction (LSH ⊆ brute) holds unconditionally because
+    //    candidates are exact-verified before emission. ────────────────────
+    "emb_lsh_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding",
+        threshold = 0.3)
+      val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.3, planes = 16, bands = 16)
+      brute.join(lsh, Seq("id_a", "id_b"), "left_anti")
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -227,6 +275,15 @@ object ExtensionQueries {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  private val cosinePairsOracle: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |  b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+      |  b.embedding::DOUBLE[]) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val langScoresSql: String =
     """len([t FOR t IN tk IF t IN ('the','and','of','to','in','is','a')]) AS s_en,
       |len([t FOR t IN tk IF t IN ('el','la','de','que','y','en','los')]) AS s_es,
@@ -275,14 +332,20 @@ object ExtensionQueries {
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
-    "emb_cosine_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |  b.embedding::DOUBLE[]), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-        |  b.embedding::DOUBLE[]) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "emb_cosine_pairs" -> cosinePairsOracle,
+    "emb_cosine_pairs_lsh" -> cosinePairsOracle,
+
+    "emb_lsh_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |CAST(NULL AS DOUBLE) AS cosine WHERE FALSE""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
