@@ -113,31 +113,49 @@ object SimilaritySearch {
   /** IVF-style approximate search: centroids from a deterministic sample
     * (k-means|| would be the production path; here a single Lloyd pass over
     * a seeded sample keeps it dependency-free and deterministic), corpus
-    * bucketed by nearest centroid, queries probe `nprobe` nearest cells. */
+    * bucketed by nearest centroid, queries probe `nprobe` nearest cells.
+    *
+    * This form recomputes the assignment per call — fine for one-off
+    * queries; a query WORKLOAD should `IvfIndex.build` once and probe the
+    * persisted, cell-partitioned index (partition-pruned reads). */
   def topKIvf(corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, ncells: Int = 16, nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
+    val centroids = computeCentroids(corpus, vecCol, ncells, seed)
+    val assigned = assignCells(corpus, idCol, vecCol, centroids)
+    val probed = nearestCells(centroids, query, nprobe)
+    assigned.filter(col("cell").isin(probed: _*))
+      .select(col(idCol),
+        round(cosineSimilarity(col("v"), typedLit(query)), 6).as("score"))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic sample → one Lloyd refinement pass (k-means|| would be
+    * the production path; this keeps it dependency-free and seeded). */
+  private[operators] def computeCentroids(corpus: DataFrame, vecCol: String,
+      ncells: Int, seed: Long): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-
-    // 1. deterministic sample → centroids (one Lloyd refinement pass).
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
       .orderBy(xxhash64(col("v").cast("string"), lit(seed)))
       .limit(ncells * 8)
       .as[Seq[Double]].collect()
     val init = sample.take(ncells).map(_.toArray)
-    val centroids =
-      if (sample.isEmpty) Array.empty[Array[Double]]
-      else lloydPass(sample.map(_.toArray), init)
+    if (sample.isEmpty) Array.empty[Array[Double]]
+    else lloydPass(sample.map(_.toArray), init)
+  }
 
-    // 2. assign each corpus vector to its nearest centroid: the argmax is
-    // ONE aggregate over a centroid-array literal inside a single
-    // projection — no crossJoin row blowup, no per-id window shuffle; the
-    // corpus streams through one codegen stage (the form that survives a
-    // 100 TB scan). The accumulator is a (best-dot, best-cell) struct;
-    // lambda variables evaluate once per element.
+  /** Assign each corpus vector to its nearest centroid: the argmax is ONE
+    * aggregate over a centroid-array literal inside a single projection —
+    * no crossJoin row blowup, no per-id window shuffle; the corpus streams
+    * through one codegen stage (the form that survives a 100 TB scan). The
+    * accumulator is a (best-dot, best-cell) struct; lambda variables
+    * evaluate once per element. Returns (idCol, v, cell). */
+  private[operators] def assignCells(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
-    val assigned = corpus
+    corpus
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("cell",
         aggregate(
@@ -149,21 +167,19 @@ object SimilaritySearch {
               struct(d.as("d"), i.as("i"))).otherwise(acc)
           },
           acc => acc.getField("i")))
-
-    // 3. probe the nprobe cells nearest to the query.
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (i, dot(c, query.toArray)) }
-      .sortBy { case (i, d) => (-d, i) }
-      .take(nprobe).map(_._1).toSeq
-
-    assigned.filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol),
-        round(cosineSimilarity(col("v"), typedLit(query)), 6).as("score"))
-      .orderBy(desc("score"), col(idCol).asc)
-      .limit(k)
   }
 
-  private def dot(a: Array[Double], b: Array[Double]): Double = {
+  /** The nprobe cells whose centroids are nearest the query (by dot). */
+  private[operators] def nearestCells(centroids: Array[Array[Double]],
+      query: Seq[Double], nprobe: Int): Seq[Int] = {
+    val q = query.toArray
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, dot(c, q)) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
+  private[operators] def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
     s

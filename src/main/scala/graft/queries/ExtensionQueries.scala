@@ -73,6 +73,25 @@ object ExtensionQueries {
         k = 10, ncells = 8, nprobe = 8)
     }),
 
+    // ── ANN index path: build the persisted cell-partitioned IVF index,
+    //    then probe ALL cells — exact by construction (same oracle as
+    //    ann_ivf_topk), which verifies the build→partitioned-write→probe
+    //    roundtrip loses/duplicates nothing. Partition PRUNING (nprobe <
+    //    ncells touching only probed directories) is plan-asserted in
+    //    SimilaritySpec. ──────────────────────────────────────────────────
+    "ann_ivf_index_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+        Integer.toHexString(d.hashCode)
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding", path,
+        ncells = 8)
+      graft.operators.IvfIndex.probe(s, path, "vec_id", query,
+        k = 10, nprobe = 8)
+    }),
+
     // ── ANN: recall@k of the approximate probe (nprobe < ncells) vs exact.
     //    Hash-defined (centroid sample) → rows-only here; the exact value
     //    is pinned by SimilaritySpec at sf0.001. On these near-uniform
@@ -340,6 +359,14 @@ object ExtensionQueries {
         |CAST(NULL AS DOUBLE) AS cosine WHERE FALSE""".stripMargin,
 
     "ann_ivf_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivf_index_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
         |  WHERE vec_id = 0)
         |SELECT e.vec_id,

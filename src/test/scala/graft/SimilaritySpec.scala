@@ -95,4 +95,48 @@ class SimilaritySpec extends SparkSpec {
       k = 3, ncells = 4, nprobe = 4) // nprobe = ncells ⇒ exact
     assert(got.collect().head.getLong(0) === 11L)
   }
+
+  test("persisted IVF index: probe scans only the probed cell partitions") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 17 + j * 3 + 1)))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", path, ncells = 4)
+    assert(IvfIndex.ncells(spark, path) === 4)
+
+    val query = vecs.filter(col("vec_id") === 11)
+      .select(col("embedding")).first().getSeq[Double](0)
+    val probed = IvfIndex.probe(spark, path, "vec_id", query,
+      k = 3, nprobe = 2)
+    val rows = probed.collect()
+    assert(rows.head.getLong(0) === 11L) // self lives in the nearest cell
+
+    // partition pruning: the executed scan must have touched only the
+    // files under the 2 probed cell=N/ directories, not all 4.
+    val scan = probed.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec in the probe plan")
+    val filesRead = scan.map(_.metrics("numFiles").value).sum
+    val allFiles = new java.io.File(s"$path/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"probe read $filesRead of $allFiles files — pruning did not happen")
+
+    // probe-all equals exact brute-force top-k.
+    val cells = spark.read.parquet(s"$path/cells")
+    val exact = SimilaritySearch.topK(vecs, "vec_id", "embedding", query, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probeAll = IvfIndex.probe(spark, path, "vec_id", query,
+        k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAll === exact)
+    assert(cells.count() === 200) // no vector dropped by the build
+  }
 }
