@@ -205,6 +205,116 @@ class GoldenParitySpec extends SparkSpec {
       c.takeRight(3).endsWith("\n") ))
   }
 
+  /** 2022 parity (BASELINE.md row 1): the reference commits no 2022 golden
+    * records, only the per-subject counts of its 2022 ETL run
+    * (extraction_metadata/test_extraction_metadata.csv rows 2-3:
+    * math 37, natu 29, spani 3, lang 24, huma 26 — 119 total,
+    * tests/etl_test_result.md:23). A 2022 D1+D2 booklet pair is
+    * reconstructed with non-standard fillers occupying every dropped raw
+    * position, so the extract must land on EXACTLY those counts, and the
+    * stats pivot must reproduce the committed CSV row. */
+  private def buildCountBooklet(file: String, keepRaws: Set[Int],
+      maxRaw: Int, year: Int): Seq[(String, Int, String, Boolean)] = {
+    def standardQ(raw: Int): String =
+      s"QUESTÃO\nenunciado $year raw$raw\n" +
+        (1 to 5).zip(Seq("A", "B", "C", "D", "E")).map {
+          case (i, l) => s"$l\n$l alternativa $i"
+        }.mkString("\n") + "\n"
+    val cover = (file, 0, s"INSTRUÇÕES — capa $year", false)
+    val pages = (1 to maxRaw).grouped(12).zipWithIndex.map {
+      case (raws, i) =>
+        val body = raws.map { raw =>
+          if (keepRaws(raw)) standardQ(raw) else filler
+        }.mkString("")
+        (file, i + 1, s"ENEM $year cabeçalho\n" + body, false)
+    }.toSeq
+    cover +: pages
+  }
+
+  test("2022 D1+D2: extraction count parity with the reference's committed " +
+    "metadata (math 37, natu 29, spani 3, lang 24, huma 26 — 119 total)") {
+    val metaCsv = new java.io.File(
+      "/root/reference/extraction_metadata/test_extraction_metadata.csv")
+    assume(metaCsv.exists(), "reference extraction metadata not present")
+    // the committed 2022 counts, straight from the artifact.
+    val lines = scala.io.Source.fromFile(metaCsv).getLines().toSeq
+    val cols = lines.head.split(",").drop(1) // math,natu,spani,lang,huma
+    val todas = lines.find(_.startsWith("2022 todas questoes")).get
+      .split(",").drop(1).map(_.toDouble.toLong)
+    val refCounts = cols.zip(todas).toMap
+    assert(refCounts.values.sum === 119L)
+
+    val d1File = "2022_PV_impresso_D1_CD1.pdf"
+    val d1Key = "2022_GB_impresso_D1_CD1.pdf"
+    val d2File = "2022_PV_impresso_D2_CD7.pdf"
+    val d2Key = "2022_GB_impresso_D2_CD7.pdf"
+
+    // D1 raw layout: eng 1-5, spani 6-10, lang 11-50, huma 51-95. Keep
+    // exactly the reference's surviving counts (eng is never loaded).
+    val d1Keep = Set.empty[Int] ++
+      Seq(6, 8, 9).take(refCounts("spani").toInt) ++
+      (11 to 50).take(refCounts("lang").toInt) ++
+      (51 to 95).take(refCounts("huma").toInt)
+    // D2: natu 1-45, math 46-90.
+    val d2Keep = Set.empty[Int] ++
+      (1 to 45).take(refCounts("natu").toInt) ++
+      (46 to 90).take(refCounts("math").toInt)
+
+    val pages = buildCountBooklet(d1File, d1Keep, 95, 2022) ++
+      buildCountBooklet(d2File, d2Keep, 90, 2022)
+    val d1KeyTxt = keyText("CONFIRA O GABARITO DO ENEM 2022 D1",
+      (1 to 5).map(d => d -> "A") ++ (1 to 5).map(d => d -> "B") ++
+        (6 to 90).map(d => d -> "C"))
+    val d2KeyTxt = keyText("CONFIRA O GABARITO DO ENEM 2022 D2",
+      (91 to 180).map(d => d -> "D"))
+
+    val out = runExtract(pages, Seq(d1Key -> d1KeyTxt, d2Key -> d2KeyTxt))
+    val got = out.groupBy(col("subject")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refCounts.filter(_._2 > 0),
+      s"2022 per-subject counts diverge: got $got, reference $refCounts")
+    assert(got.values.sum === 119L)
+    // every surviving record carries a key answer and a 2022 id.
+    assert(out.filter(col("correct_answer").isNull).count() === 0)
+    assert(out.filter(!col("id").startsWith("2022_")).count() === 0)
+  }
+
+  test("2022 stats pivot reproduces the committed metadata CSV row") {
+    val metaCsv = new java.io.File(
+      "/root/reference/extraction_metadata/test_extraction_metadata.csv")
+    assume(metaCsv.exists(), "reference extraction metadata not present")
+    import spark.implicits._
+    // the 2022 per-(year, subject) counts as the pipeline's A4 input.
+    val counts = Seq(
+      (2022, "math", "todas questoes", 37L),
+      (2022, "natu", "todas questoes", 29L),
+      (2022, "spani", "todas questoes", 3L),
+      (2022, "lang", "todas questoes", 24L),
+      (2022, "huma", "todas questoes", 26L),
+      (2022, "math", "questoes add", 37L),
+      (2022, "natu", "questoes add", 29L),
+      (2022, "spani", "questoes add", 3L),
+      (2022, "lang", "questoes add", 24L),
+      (2022, "huma", "questoes add", 26L)
+    ).toDF("year", "subject", "kind", "n")
+    val pivoted = graft.stats.LoadStats.pivot(counts)
+      .collect().map(r => r.getString(0) ->
+        graft.stats.LoadStats.Subjects.zipWithIndex
+          .map { case (s, i) => s -> r.getLong(i + 1) }.toMap).toMap
+
+    val refLines = scala.io.Source.fromFile(metaCsv).getLines().toSeq
+    val refCols = refLines.head.split(",").drop(1)
+    Seq("todas questoes", "questoes add").foreach { kind =>
+      val refRow = refLines.find(_.startsWith(s"2022 $kind")).get
+        .split(",").drop(1).map(_.toDouble.toLong)
+      val ours = pivoted(s"2022 $kind")
+      refCols.zip(refRow).foreach { case (subj, n) =>
+        assert(ours(subj) === n, s"2022 $kind $subj: ours ${ours(subj)}, ref $n")
+      }
+      assert(ours("eng") === 0L) // the reference CSV has no eng column
+    }
+  }
+
   test("E3: loadTxtFile loads the golden TXT into the collection " +
     "(35 chunks, ids dense from the existing offset)") {
     assume(available, "reference golden artifacts not present")
