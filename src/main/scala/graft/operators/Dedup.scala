@@ -27,7 +27,11 @@ object Dedup {
     * extra shuffle. */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd peeks at the physical partitioning without building the extra
+    // row-deserializing RDD lineage that `.rdd` would attach per call.
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** (id, shs[, sig]) signature table via ONE typed mapPartitions kernel.
