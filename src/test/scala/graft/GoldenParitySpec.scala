@@ -279,6 +279,53 @@ class GoldenParitySpec extends SparkSpec {
     assert(out.filter(!col("id").startsWith("2022_")).count() === 0)
   }
 
+  /** 2020 degraded-encoding behavior (enem_pdf_extractor.py:6-13, :123):
+    * 2020 PDFs do NOT double the alternative letters — the reference falls
+    * back to the single-letter-plus-two-spaces pattern. No golden records
+    * exist (the reference cannot extract 2020 text at all), so the pinned
+    * contract is the fallback reformat semantics end-to-end through
+    * extract. */
+  test("2020 D1: single-letter alternatives parse via the two-space " +
+    "fallback, end-to-end") {
+    val file = "2020_PV_impresso_D1_CD1.pdf"
+    val keyF = "2020_GB_impresso_D1_CD1.pdf"
+    def q2020(i: Int): String =
+      s"QUESTÃO\nenunciado 2020 número $i\n" +
+        s"A  alternativa um\nB  alternativa dois\nC  alternativa três\n" +
+        s"D  alternativa quatro\nE  alternativa cinco\n"
+    // raw 1-5 eng, 6-10 spani, 11-13 lang; booklet truncated after 13.
+    val pages = Seq(
+      (file, 0, "INSTRUÇÕES — capa 2020", false),
+      (file, 1, "ENEM 2020 cabeçalho\n" + (1 to 6).map(q2020).mkString(""),
+        false),
+      (file, 2, (7 to 13).map(q2020).mkString(""), false))
+    val key = keyText("CONFIRA O GABARITO DO ENEM 2020 D1",
+      (1 to 5).map(d => d -> "A") ++ (1 to 5).map(d => d -> "B") ++
+        (6 to 90).map(d => d -> "C"))
+    val out = runExtract(pages, Seq(keyF -> key)).collect()
+    assert(out.length === 13)
+    val first = out.minBy(_.getAs[Int]("question_num"))
+    // the fallback reformat replaces "A  " with "A)" (two spaces consumed,
+    // no trailing space) — byte-exact contract of the reference's
+    // replace_match on the single_letter_pattern.
+    assert(first.getAs[String]("question_text").contains(
+      "A)alternativa um\nB)alternativa dois\nC)alternativa três\n" +
+        "D)alternativa quatro\nE)alternativa cinco\n"))
+    assert(first.getAs[Seq[String]]("alternatives") === Seq(
+      "A)alternativa um\n", "B)alternativa dois\n", "C)alternativa três\n",
+      "D)alternativa quatro\n", "E)alternativa cinco\n"))
+    // 2020 ids + key answers resolve through the same J2 join.
+    assert(out.forall(_.getAs[String]("id").startsWith("2020_D1_")))
+    assert(out.forall(_.getAs[String]("correct_answer") != null))
+    // a MIXED corpus (2020-style + 2023-style booklets in one folder)
+    // parses each question by its own shape.
+    val mixed = runExtract(pages ++ TestBooklet.d1Pages,
+      Seq(keyF -> key,
+        TestBooklet.d1KeyFile -> TestBooklet.d1KeyText)).collect()
+    assert(mixed.count(_.getAs[String]("id").startsWith("2020_")) === 13)
+    assert(mixed.count(_.getAs[String]("id").startsWith("2023_")) > 0)
+  }
+
   test("2022 stats pivot reproduces the committed metadata CSV row") {
     val metaCsv = new java.io.File(
       "/root/reference/extraction_metadata/test_extraction_metadata.csv")
