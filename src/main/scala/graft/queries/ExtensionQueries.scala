@@ -73,6 +73,22 @@ object ExtensionQueries {
         k = 10, ncells = 8, nprobe = 8)
     }),
 
+    // ── K1 batch at scale-in-Q: 100 broadcast queries through the heap
+    //    kernel (the form whose per-row lookup must be O(1) — this entry
+    //    exists to keep that property measured). Same oracle shape as the
+    //    3-query form. ──────────────────────────────────────────────────
+    "k1_topk_heap_100q" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      SimilaritySearch.topKForQueriesHeap(emb, "vec_id", "embedding",
+          queries, k = 5)
+        .select(col("query_id"), col("id"), round(col("score"), 6).as("score"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── ANN index path: build the persisted cell-partitioned IVF index,
     //    then probe ALL cells — exact by construction (same oracle as
     //    ann_ivf_topk), which verifies the build→partitioned-write→probe
@@ -349,6 +365,22 @@ object ExtensionQueries {
         |  FROM scored)
         |SELECT query_id, id, round(raw, 6) AS score, rank
         |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "k1_topk_heap_100q" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 100),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |  list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS raw
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT query_id, id, raw,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY raw DESC, id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, id, round(raw, 6) AS score, rank
+        |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "emb_cosine_pairs" -> cosinePairsOracle,
