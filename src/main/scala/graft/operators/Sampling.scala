@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here derives from a content hash, never from `rand()`:
+  *  - re-runs, task retries, and different cluster layouts produce the
+  *    SAME split (a training pipeline must never leak val rows into train
+  *    because a stage got recomputed);
+  *  - the split is reproducible from the data alone — no seed files, no
+  *    persisted row tags;
+  *  - md5 is available in every engine, so splits taken here agree with
+  *    splits audited elsewhere (the DuckDB oracles check exactly that).
+  *
+  * The hash space is the first two hex chars of md5 → 256 buckets; split
+  * fractions quantize to 1/256 (±0.4%), which is the documented contract
+  * (at training scale the per-bucket population is millions of rows, so
+  * the quantization is the only error — there is no sampling variance).
+  */
+object Sampling {
+
+  /** 256-bucket deterministic bucket id from the row's key content. */
+  def hashBucket(key: Column): Column = substring(md5(key), 1, 2)
+
+  private def hexThreshold(frac: Double): String =
+    f"${math.round(frac * 256).toInt.min(256).max(0)}%02x"
+
+  /** Add a `split` column ∈ {train, val, test}: trainFrac/valFrac quantized
+    * to 1/256; the remainder is test. Keyed on `key` (typically the text or
+    * a stable id) so identical content always lands in the same split —
+    * which also means exact duplicates can never straddle train/val. */
+  def hashSplit(df: DataFrame, key: Column, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "fractions must be non-negative and sum to at most 1")
+    val b = hashBucket(key)
+    df.withColumn("split",
+      when(b < lit(hexThreshold(trainFrac)), "train")
+        .when(b < lit(hexThreshold(trainFrac + valFrac)), "val")
+        .otherwise(lit("test")))
+  }
+
+  /** Keep a deterministic ~`frac` of rows (quantized to 1/256), keyed on
+    * content. One narrow filter — no shuffle, no state. */
+  def deterministicSample(df: DataFrame, key: Column,
+      frac: Double): DataFrame =
+    df.filter(hashBucket(key) < lit(hexThreshold(frac)))
+
+  /** Exactly `n` rows per group, chosen by hash order (deterministic
+    * reservoir): one shuffle on the group key; rank by md5(key) so the
+    * choice is stable across runs and machines. */
+  def perGroupSample(df: DataFrame, groupCol: String, key: Column,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(md5(key), key)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+}

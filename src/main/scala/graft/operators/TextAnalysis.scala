@@ -21,6 +21,20 @@ object TextAnalysis {
       .cast("long").as("subword_tokens")
   )
 
+  /** PII/noise scrubbing: URLs, e-mail addresses, and digit runs collapse
+    * to typed placeholder tokens — the standard redaction pass before
+    * training. Order matters (URLs first: they contain dots/digits that
+    * the later patterns would otherwise shred); patterns stay in the
+    * RE2-compatible subset so any engine applies the same transform (the
+    * DuckDB oracle runs these verbatim). Pure regexp_replace chain —
+    * codegen'd, one scan pass. */
+  def scrub(text: Column): Column = {
+    val url = regexp_replace(text, "https?://[^\\s]+", "<url>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>")
+    regexp_replace(email, "[0-9]+", "<num>")
+  }
+
   /** Per-language marker lexicons for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: broadcast as literals into codegen. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -253,6 +253,52 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── deterministic train/val/test split (hash-keyed on content) ───────
+    "sample_hash_split" -> ((s, d) => {
+      graft.operators.Sampling.hashSplit(t(s, d, "documents"), col("text"),
+          trainFrac = 0.8, valFrac = 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── deterministic per-group sample (exactly 3 per source) ─────────────
+    "sample_per_group" -> ((s, d) => {
+      graft.operators.Sampling.perGroupSample(t(s, d, "documents"),
+          "source", col("text"), n = 3)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // ── GPT-style sequence packing (doc → occupied training sequences);
+    //    scale form = two-pass partition prefix sums, oracle = the global
+    //    window formulation ─────────────────────────────────────────────
+    "pack_sequences" -> ((s, d) => {
+      val withTokens = t(s, d, "documents").select(col("doc_id"),
+        size(graft.functions.Fingerprints.tokens(col("text")))
+          .cast("long").as("tok"))
+      graft.operators.Packing.packSequences(withTokens, "doc_id", "tok",
+          Seq("doc_id"), seqLen = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── benchmark decontamination: corpus docs sharing ≥5 trigrams with
+    //    the (broadcast) benchmark vocabulary ────────────────────────────
+    "decontaminate_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Decontaminate.overlaps(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "doc_id", "text",
+          n = 3, minOverlap = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── PII/noise scrub: URL → email → digit-run placeholders ────────────
+    "docs_scrub" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+          graft.operators.TextAnalysis.scrub(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── skew: salted two-level aggregation (== plain groupBy, oracle) ─────
     "skew_salted_agg" -> ((s, d) => {
       graft.operators.Skew.saltedSumCount(t(s, d, "lineitem"),
@@ -412,6 +458,67 @@ object ExtensionQueries {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    "sample_hash_split" ->
+      """SELECT doc_id,
+        |CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train'
+        |     WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_per_group" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(text), text) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id FROM r WHERE rk <= 3
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |  CAST(len([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |  CAST(sum(tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM t)
+        |SELECT doc_id, tokens,
+        |(cum - tokens) // 512 AS start_seq,
+        |CASE WHEN tokens = 0 THEN (cum - tokens) // 512
+        |     ELSE (cum - 1) // 512 END AS end_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+        |    AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, sg FROM (
+        |    SELECT doc_id, source,
+        |    unnest([array_to_string(tk[i:i+2], ' ')
+        |            FOR i IN range(1, len(tk) - 1)]) AS sg
+        |    FROM toks WHERE len(tk) >= 3)),
+        |bench AS (SELECT DISTINCT sg FROM sh WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, sg FROM sh WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM corp JOIN bench USING (sg)
+        |GROUP BY 1 HAVING count(*) >= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "docs_scrub" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(text,
+        |  'https?://[^\s]+', '<url>', 'g'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |  '[0-9]+', '<num>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

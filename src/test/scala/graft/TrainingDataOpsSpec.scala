@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Decontaminate, Packing, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class TrainingDataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = (0 until n)
+    .map(i => (i.toLong, s"documento exemplo número $i com palavras variadas tema${i % 9}"))
+    .toDF("id", "text")
+
+  test("hashSplit: deterministic, content-keyed, fractions ~80/10/10") {
+    val d = docs(2000)
+    val a = Sampling.hashSplit(d, col("text")).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1/256 quantization → generous tolerance at n=2000.
+    assert(math.abs(a("train") / 2000.0 - 0.8) < 0.05, a.toString)
+    assert(math.abs(a("val") / 2000.0 - 0.1) < 0.04, a.toString)
+    assert(math.abs(a("test") / 2000.0 - 0.1) < 0.04, a.toString)
+    // re-run == same assignment, row by row.
+    val run1 = Sampling.hashSplit(d, col("text"))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    val run2 = Sampling.hashSplit(d.repartition(7), col("text"))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(run1.toMap === run2.toMap)
+    // identical content can never straddle splits (dedup-safety).
+    val dup = Seq((1L, "mesmo texto"), (2L, "mesmo texto")).toDF("id", "text")
+    assert(Sampling.hashSplit(dup, col("text"))
+      .select("split").distinct().count() === 1)
+  }
+
+  test("perGroupSample: exactly n per group, stable across layouts") {
+    val d = (0 until 300).map(i => (i.toLong, s"grp${i % 5}", s"texto $i"))
+      .toDF("id", "grp", "text")
+    val s1 = Sampling.perGroupSample(d, "grp", col("text"), 4)
+    assert(s1.groupBy("grp").count().collect()
+      .forall(_.getLong(1) === 4L))
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.perGroupSample(d.repartition(11), "grp",
+      col("text"), 4).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
+  test("packSequences: equals the global-window formulation; straddle and " +
+    "zero-token docs handled") {
+    val d = Seq((1L, 100L), (2L, 500L), (3L, 0L), (4L, 1200L), (5L, 1L))
+      .toDF("id", "tok")
+    val packed = Packing.packSequences(d, "id", "tok", Seq("id"), seqLen = 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap // id -> (start_seq, end_seq)
+    // cum: 100, 600, 600, 1800, 1801
+    assert(packed(1L) === (0L, 0L))   // tokens 0..99
+    assert(packed(2L) === (0L, 1L))   // 100..599 straddles seq 0→1
+    assert(packed(3L) === (1L, 1L))   // zero-token pins at position 600
+    assert(packed(4L) === (1L, 3L))   // 600..1799 spans seqs 1..3
+    assert(packed(5L) === (3L, 3L))   // 1800
+    assert(Packing.sequenceCount(
+      Packing.packSequences(d, "id", "tok", Seq("id"), 512), 512) === 4L)
+
+    // against the naive window form on a larger frame.
+    val big = (0 until 500).map(i => (i.toLong, (i * 37 % 700).toLong))
+      .toDF("id", "tok")
+    val scale = Packing.packSequences(big, "id", "tok", Seq("id"), 512)
+      .select("id", "start_seq", "end_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = big.withColumn("cum", sum(col("tok")).over(w))
+      .select(col("id"), ((col("cum") - col("tok")) / 512).cast("long")
+          .as("start_seq"),
+        when(col("tok") === 0, ((col("cum") - col("tok")) / 512).cast("long"))
+          .otherwise(((col("cum") - 1) / 512).cast("long")).as("end_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(scale === naive)
+  }
+
+  test("decontaminate: planted contamination flagged; clean docs survive") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a sleepy cat today"), // 5 shared trigrams
+      (2L, "completely unrelated text about spark query planning"),
+      (3L, "the quick brown fox jumps over the lazy dog verbatim copy here")
+    ).toDF("id", "text")
+    val flagged = Decontaminate.overlaps(corpus, "id", "text",
+        bench, "id", "text", n = 3, minOverlap = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 3L))
+    val clean = Decontaminate.removeContaminated(corpus, "id", "text",
+      bench, "id", "text", n = 3, minOverlap = 4)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("scrub: urls, emails, digit runs collapse to placeholders in order") {
+    val d = Seq((1L,
+      "contact me@example.com or https://a.example.com/p?x=12 room 42")
+    ).toDF("id", "text")
+    val got = d.select(TextAnalysis.scrub(col("text"))).first().getString(0)
+    assert(got === "contact <email> or <url> room <num>")
+  }
+}
