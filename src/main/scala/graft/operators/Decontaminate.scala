@@ -15,26 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  private def shingleSet(df: DataFrame, idCol: String, textCol: String,
+  private def shingleStream(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(graft.functions.Fingerprints.shingles(
-          graft.functions.Fingerprints.tokens(col(textCol)), n)).as("sg"))
-      .distinct()
+      explode(graft.functions.Fingerprints.shingles(
+        graft.functions.Fingerprints.tokens(col(textCol)), n)).as("sg"))
 
   /** (doc_id, n_overlap): corpus docs sharing at least `minOverlap`
     * DISTINCT n-grams with the benchmark set (any benchmark doc — the
-    * union of benchmark shingles is the contamination vocabulary). */
+    * union of benchmark shingles is the contamination vocabulary).
+    *
+    * The corpus side is NOT pre-deduplicated: a distinct before the join
+    * would shuffle every corpus shingle; instead the broadcast join filters
+    * first (only contamination-vocabulary hits survive — typically a tiny
+    * fraction) and `countDistinct` dedups what remains. The only corpus
+    * shuffle carries matched (id, shingle) pairs. */
   def overlaps(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 3, minOverlap: Int = 5): DataFrame = {
-    val corpusSh = shingleSet(corpus, idCol, textCol, n)
+    val corpusSh = shingleStream(corpus, idCol, textCol, n)
     // benchmark vocabulary: distinct shingles only — the small broadcast side.
-    val benchSh = shingleSet(benchmark, benchIdCol, benchTextCol, n)
+    val benchSh = shingleStream(benchmark, benchIdCol, benchTextCol, n)
       .select(col("sg")).distinct()
     corpusSh.join(broadcast(benchSh), Seq("sg"))
       .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(countDistinct(col("sg")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
 
