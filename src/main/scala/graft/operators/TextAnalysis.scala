@@ -209,6 +209,46 @@ object TextAnalysis {
     (ws, sub)
   }
 
+  /** Gopher-style repetition counts per document (the standard boilerplate
+    * signals a pretraining quality filter computes): line counts, distinct
+    * line counts, word-bigram counts, and the multiplicity of the most
+    * frequent bigram. Counts only — exact longs; callers derive the
+    * fractions with `round()` expressions so both engines round the same
+    * doubles (oracle: `docs_repetition`). Typed kernel per PLANS.md
+    * lesson 7. */
+  def repetitionCountsOf(text: String): (Long, Long, Long, Long) = {
+    val lines = text.split("\n", -1)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val nBigrams = math.max(toks.length - 1, 0)
+    var top = 0L
+    if (nBigrams > 0) {
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < toks.length - 1) {
+        val bg = toks(i) + " " + toks(i + 1)
+        val c = counts.merge(bg, 1L, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    (lines.length.toLong, lines.distinct.length.toLong, nBigrams.toLong, top)
+  }
+
+  def repetitionFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (nl, dl, nb, tc) = repetitionCountsOf(t)
+        (id, nl, dl, nb, tc)
+      })
+      .toDF("doc_id", "n_lines", "n_distinct_lines", "n_bigrams",
+        "top_bigram_cnt")
+  }
+
   def tokenCountsFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val spark = docs.sparkSession

@@ -292,6 +292,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Gopher-style repetition signals (boilerplate detection) ──────────
+    "docs_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionFrame(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"),
+          round(lit(1.0) - col("n_distinct_lines") * 1.0 / col("n_lines"), 4)
+            .as("dup_line_frac"),
+          when(col("n_bigrams") > 0,
+            round(col("top_bigram_cnt") * 1.0 / col("n_bigrams"), 4))
+            .otherwise(0.0).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── PII/noise scrub: URL → email → digit-run placeholders ────────────
     "docs_scrub" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -511,6 +523,31 @@ object ExtensionQueries {
         |FROM corp JOIN bench USING (sg)
         |GROUP BY 1 HAVING count(*) >= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "docs_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+        |    AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lines,
+        |  CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]
+        |    ELSE [] END AS bg
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, len(lines) AS nl, len(list_distinct(lines)) AS dl,
+        |  len(bg) AS nb,
+        |  CASE WHEN len(bg) > 0
+        |    THEN len([x FOR x IN bg IF x = list_aggregate(bg, 'mode')])
+        |    ELSE 0 END AS tc
+        |  FROM b)
+        |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+        |round(1 - dl * 1.0 / nl, 4) AS dup_line_frac,
+        |CASE WHEN nb > 0 THEN round(tc * 1.0 / nb, 4) ELSE 0.0 END
+        |  AS top_bigram_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "docs_scrub" ->
       """SELECT doc_id,

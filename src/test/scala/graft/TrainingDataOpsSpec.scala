@@ -93,6 +93,19 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(clean.select("id").collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("repetition counts: duplicated lines and dominant bigrams") {
+    import TextAnalysis.repetitionCountsOf
+    // 4 lines, one duplicate; "spam ham" bigram appears 3×, 7 bigrams total.
+    val t = "spam ham spam ham spam ham again\nline two\nline two\nend"
+    val (nl, dl, nb, tc) = repetitionCountsOf(t)
+    assert(nl === 4L && dl === 3L)
+    // tokens: spam ham spam ham spam ham again | line two | line two | end
+    assert(nb === 11L)
+    assert(tc === 3L) // "ham spam" = 2, "spam ham" = 3
+    assert(repetitionCountsOf("") === ((1L, 1L, 0L, 0L)))
+    assert(repetitionCountsOf("solo") === ((1L, 1L, 0L, 0L)))
+  }
+
   test("scrub: urls, emails, digit runs collapse to placeholders in order") {
     val d = Seq((1L,
       "contact me@example.com or https://a.example.com/p?x=12 room 42")
