@@ -209,6 +209,32 @@ object TextAnalysis {
     (ws, sub)
   }
 
+  /** TF-IDF keyword extraction: top-k terms per document by
+    * tf · ln(N/df), ties broken by term. Three shuffles, all keyed and
+    * map-side combinable: (doc, term) counts, term document-frequencies,
+    * and the per-doc top-k window. At 100 TB the document-frequency table
+    * is vocabulary-sized — AQE broadcasts it when small; a hot-term skew
+    * (stopwords) is bounded because df rows are one per term, not per
+    * occurrence. Scores rank unrounded and round only for output. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Fingerprints.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(lit(n.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"),
+        col("rank"))
+  }
+
   /** Gopher-style repetition counts per document (the standard boilerplate
     * signals a pretraining quality filter computes): line counts, distinct
     * line counts, word-bigram counts, and the multiplicity of the most

@@ -292,6 +292,12 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── TF-IDF keyword extraction (top-3 terms per doc) ──────────────────
+    "docs_tfidf_top3" -> ((s, d) => {
+      TextAnalysis.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ── Gopher-style repetition signals (boilerplate detection) ──────────
     "docs_repetition" -> ((s, d) => {
       TextAnalysis.repetitionFrame(t(s, d, "documents"), "doc_id", "text")
@@ -523,6 +529,25 @@ object ExtensionQueries {
         |FROM corp JOIN bench USING (sg)
         |GROUP BY 1 HAVING count(*) >= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "docs_tfidf_top3" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |  unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term,
+        |  tf * ln(n * 1.0 / df) AS raw,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * ln(n * 1.0 / df) DESC, tf.term) AS INT) AS rank
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |SELECT doc_id, term, round(raw, 4) AS tfidf, rank
+        |FROM scored WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "docs_repetition" ->
       """WITH t AS (
