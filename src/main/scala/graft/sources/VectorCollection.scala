@@ -118,6 +118,38 @@ object VectorCollection {
     (attempted, added)
   }
 
+  /** Maintenance: compact the collection's accumulated small append files
+    * into ~`targetRowsPerFile`-row files. Incremental loads (one parquet
+    * file per append batch per partition) eventually drown a reader in
+    * file-open overhead — at 100 TB the file COUNT, not the byte count,
+    * becomes the scan bottleneck. Rewrites into a temp dir first and swaps
+    * only after success, so a crashed compaction never loses the
+    * collection. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, root: String, name: String,
+      targetRowsPerFile: Long = 1000000L): (Int, Int) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val dir = new org.apache.hadoop.fs.Path(path(root, name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(s => s.isFile &&
+        s.getPath.getName.startsWith("part-"))
+    val before = partFiles(dir)
+    val rows = count(spark, root, name)
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1)
+      / targetRowsPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path(root, name) + "._compact")
+    fs.delete(tmp, true)
+    read(spark, root, name).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val after = partFiles(tmp)
+    val bak = new org.apache.hadoop.fs.Path(path(root, name) + "._old")
+    fs.delete(bak, true)
+    fs.rename(dir, bak)
+    fs.rename(tmp, dir)
+    fs.delete(bak, true)
+    (before, after)
+  }
+
   /** K1: cosine top-k search with the reference's dimension guard
     * (qdrant_text_loader.py:134-135). */
   def search(spark: SparkSession, root: String, name: String,

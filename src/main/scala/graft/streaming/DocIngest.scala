@@ -91,6 +91,76 @@ object DocIngest {
       .start()
   }
 
+  /** Streaming sessionization — the streaming form of the batch
+    * `events_sessionize` query: gap-based sessions per user maintained in
+    * explicit keyed state with flatMapGroupsWithState. A user's open
+    * session lives in state as (start, last ts, count, value sum); an
+    * event past the gap closes it (emitting one session row) and opens the
+    * next. Pass `idleTimeout = Some(...)` in production to flush idle
+    * users on a processing-time timeout so state stays bounded on an
+    * unbounded stream; the default (no timeout) keeps the query testable
+    * with `processAllAvailable`, which never settles once wall-clock
+    * timeouts keep scheduling no-data batches. Emitted rows match the
+    * batch rollup's columns. */
+  def sessionize(spark: SparkSession, inDir: String, schema: String,
+      outDir: String, checkpoint: String, gapSeconds: Long = 1800L,
+      idleTimeout: Option[String] = None): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    // state: (sessionStartEpoch, lastEpoch, nEvents, valueSum)
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .selectExpr("user_id", "CAST(ts AS LONG) AS epoch", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Double),
+        (Long, Long, Long, Long, Double)](
+        OutputMode.Append(), timeoutConf) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[(Long, Long, Long, Double)]) =>
+          if (state.hasTimedOut) {
+            // idle user: close and emit whatever session is open.
+            val out = state.getOption.map { case (s0, s1, n, v) =>
+              (user, s0, s1, n, v)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            val closed = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+            var cur = state.getOption
+            sorted.foreach { case (_, ep, value) =>
+              cur = cur match {
+                case Some((s0, s1, n, v)) if ep - s1 <= gapSeconds =>
+                  Some((s0, ep, n + 1, v + value))
+                case Some((s0, s1, n, v)) =>
+                  closed += ((user, s0, s1, n, v))
+                  Some((ep, ep, 1L, value))
+                case None =>
+                  Some((ep, ep, 1L, value))
+              }
+            }
+            cur.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events",
+        "session_value")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

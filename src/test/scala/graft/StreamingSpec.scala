@@ -100,6 +100,38 @@ class StreamingSpec extends SparkSpec {
     assert(first === Map("math" -> 2L, "natu" -> 1L))
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap " +
+    "across batches (streaming events_sessionize)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString + "/sess"
+    val ckpt = Files.createTempDirectory("graft_sess_ck").toString
+
+    // user 1: two events 10 min apart (one session), then a 2h gap event.
+    // user 2: one event.
+    Seq((1L, 1000L, 1.0), (1L, 1600L, 2.0), (2L, 5000L, 5.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(in)
+    val q = DocIngest.sessionize(spark, in,
+      "user_id LONG, ts LONG, value DOUBLE", out, ckpt, gapSeconds = 1800L)
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 comes back past the gap → closes session 1 and
+      // opens session 2; then another within-gap event extends session 2.
+      Seq((1L, 9000L, 3.0), (1L, 9300L, 4.0))
+        .toDF("user_id", "ts", "value").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    // only user 1's FIRST session has closed (gap exceeded); the open
+    // sessions (user 1's second, user 2's only) stay in state.
+    assert(got === Set((1L, 1000L, 1600L, 2L, 3.0)))
+  }
+
   test("stateful dedup-on-ingest drops cross-batch exact duplicates") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream2_in").toString

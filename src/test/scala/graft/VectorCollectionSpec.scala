@@ -53,6 +53,40 @@ class VectorCollectionSpec extends SparkSpec {
     assert(math.abs(hit.getAs[Double]("score") - 1.0) < 1e-9)
   }
 
+  test("compact: many append files collapse, contents identical, " +
+    "search still works") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString
+    VectorCollection.recreate(spark, root, "c", dim = 4)
+    // 6 append batches, each fanned over partitions → many part files.
+    (0 until 6).foreach { b =>
+      val pts = (0 until 10).map { i =>
+        (b * 10L + i, Seq(1.0, 0.0, 0.0, 0.0), s"doc ${b * 10 + i}",
+          "math", 2023)
+      }.toDF("id", "vector", "page_content", "materia", "ano")
+        .repartition(4)
+      VectorCollection.append(spark, root, "c", pts)
+    }
+    val before = VectorCollection.read(spark, root, "c")
+      .collect().map(_.getLong(0)).sorted
+    val (filesBefore, filesAfter) =
+      VectorCollection.compact(spark, root, "c", targetRowsPerFile = 30)
+    assert(filesBefore > filesAfter,
+      s"expected fewer files, got $filesBefore -> $filesAfter")
+    assert(filesAfter === 2) // 60 rows / 30 per file
+    val after = VectorCollection.read(spark, root, "c")
+      .collect().map(_.getLong(0)).sorted
+    assert(after === before)
+    // the temp/backup dirs are gone; the collection is still searchable.
+    assert(!new java.io.File(
+      VectorCollection.path(root, "c") + "._compact").exists())
+    assert(!new java.io.File(
+      VectorCollection.path(root, "c") + "._old").exists())
+    assert(VectorCollection.search(spark, root, "c",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 1).count() === 1)
+  }
+
   test("A4: stats pivot merge matches the golden CSV shape") {
     import spark.implicits._
     val counts = Seq(
