@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HashEmbed, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, HashEmbed, L2Normalize, MinHashSignature, QuantizeInt8, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -57,7 +57,15 @@ object GraftExtensions {
         info("minhash_signature",
           "minhash_signature(shingles, k) - k-hash MinHash signature"),
         (args: Seq[Expression]) =>
-          MinHashSignature(args(0), litInt(args(1), "minhash_signature k"))))
+          MinHashSignature(args(0), litInt(args(1), "minhash_signature k"))),
+      (FunctionIdentifier("l2_normalize"),
+        info("l2_normalize",
+          "l2_normalize(v) - unit-normalize an ARRAY<DOUBLE> vector"),
+        (args: Seq[Expression]) => L2Normalize(args(0))),
+      (FunctionIdentifier("quantize_int8"),
+        info("quantize_int8",
+          "quantize_int8(v) - symmetric int8 quantization (scale = max|x|/127)"),
+        (args: Seq[Expression]) => QuantizeInt8(args(0))))
 
   /** Register on an already-running session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -127,6 +127,137 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Array-in, array-out preprocessing kernels. A `transform(e, x -> x /
+  * l2_norm(e))` lambda form would re-evaluate the norm subtree once PER
+  * ELEMENT (codegen does not hoist loop-invariant subtrees out of higher-
+  * order functions), turning an O(dim) operator into O(dim²); these are
+  * single-pass natives instead. */
+abstract class VectorMap extends org.apache.spark.sql.catalyst.expressions
+    .UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<DOUBLE>, got ${other.sql}")
+    }
+}
+
+/** Unit L2 normalization — the first step of every cosine-ANN pipeline
+  * (post-normalization, cosine similarity reduces to a dot product, and
+  * int8 quantization bounds are tightest). Zero vectors → null. */
+case class L2Normalize(child: Expression) extends VectorMap {
+  override def prettyName: String = "l2_normalize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
+    if (ss == 0.0) null
+    else {
+      val inv = 1.0 / math.sqrt(ss)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) * inv; i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $x.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double v = $x.getDouble($i); $ss += v * v;
+         |}
+         |if ($ss == 0.0) { ${ev.isNull} = true; }
+         |else {
+         |  final double $inv = 1.0 / Math.sqrt($ss);
+         |  final double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $x.getDouble($i) * $inv;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+  * round(x_i/scale) — an 8× memory cut for ANN serving with dequantization
+  * error ≤ scale/2 per component. All-zero vectors → null (no scale). */
+case class QuantizeInt8(child: Expression) extends VectorMap {
+  override def prettyName: String = "quantize_int8"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(x.getDouble(i)); if (v > m) m = v; i += 1 }
+    if (m == 0.0) null
+    else {
+      val inv = 127.0 / m
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.round(x.getDouble(i) * inv).toByte
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val inv = ctx.freshName("inv")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $x.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double v = Math.abs($x.getDouble($i));
+         |  if (v > $m) $m = v;
+         |}
+         |if ($m == 0.0) { ${ev.isNull} = true; }
+         |else {
+         |  final double $inv = 127.0 / $m;
+         |  final byte[] $out = new byte[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) Math.round($x.getDouble($i) * $inv);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -142,9 +273,19 @@ object VectorFunctions {
 
   def l2Norm(c: Column): Column = sqrt(vectorDot(c, c))
 
-  /** Unit-normalize an array<double> column (null-safe: zero vectors → null). */
-  def l2Normalize(c: Column): Column = {
-    val d = asDouble(c)
-    transform(d, x => x / l2Norm(d))
-  }
+  /** Unit-normalize an array<double> column (null-safe: zero vectors → null).
+    * Native single-pass expression — see the VectorMap scaladoc for why this
+    * is not a `transform` lambda. */
+  def l2Normalize(c: Column): Column =
+    column(L2Normalize(expression(asDouble(c))))
+
+  /** Symmetric int8 quantization of an embedding column (→ array<tinyint>). */
+  def quantizeInt8(c: Column): Column =
+    column(QuantizeInt8(expression(asDouble(c))))
+
+  /** The quantization scale quantizeInt8 uses: max|x| / 127. Builtin
+    * composition (one pass) — exposed separately so callers can persist the
+    * scale next to the quantized vector for dequantization. */
+  def quantScale(c: Column): Column =
+    array_max(transform(asDouble(c), x => abs(x))) / lit(127.0)
 }

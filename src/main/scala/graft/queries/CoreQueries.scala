@@ -345,6 +345,61 @@ object CoreQueries {
           "yyyy-MM-dd HH:mm").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ── approximate distinct (HLL++): the 100 TB scale form of A3's exact
+    //    countDistinct — fixed-size sketch, no per-key shuffle of values.
+    //    HLL estimates are data-deterministic (hash-based, not sampled), so
+    //    the 5%-of-exact contract below is a stable oracle surface; the
+    //    exact count rides along as the checked value. ──────────────────────
+    "a_approx_distinct" -> ((s, d) => {
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── approximate percentiles (Greenwald-Khanna): the scale form of
+    //    a_percentiles' exact sort-accumulate — bounded-memory sketch with
+    //    rank error ≤ 1/accuracy. Deterministic for a given dataset; the
+    //    0.1%-rank-accuracy estimate must land within 5% of the exact
+    //    median (generous: the checked guarantee is on rank, the contract
+    //    here is on value). ──────────────────────────────────────────────────
+    "a_approx_quantiles" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            .as("approx_p50"))
+        .select(col("l_returnflag"), round(col("exact_p50"), 4).as("p50"),
+          (abs(col("approx_p50") - col("exact_p50")) <=
+            abs(col("exact_p50")) * 0.05 + lit(0.001)).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── cube: all (type × hour-of-day) slices + both marginals + grand
+    //    total in one pass (rollup's bigger sibling) ────────────────────────
+    "events_cube" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+        .cube(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("hod"), lit(-1)).as("hod"),
+          col("n"), col("sum_value"))
+        .orderBy(col("event_type"), col("hod"))
+    }),
+
+    // ── quantile bucketing: ntile deciles per event type (the window form
+    //    of train/eval stratification) ──────────────────────────────────────
+    "w_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, d, "events").select(col("event_id"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -570,6 +625,32 @@ object CoreQueries {
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the sketch queries' oracle surface: exact value + the tolerance
+    // verdict (TRUE = the engine's estimate must sit within the contract)
+    "a_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_cube" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hod, value FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |coalesce(hod, -1) AS hod,
+        |count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM base GROUP BY CUBE (event_type, hod) ORDER BY 1, 2""".stripMargin,
+
+    "w_ntile" ->
+      """SELECT event_id, ntile(10) OVER
+        |(PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.Fingerprints
+import graft.functions.{Fingerprints, VectorFunctions}
 import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -166,6 +166,39 @@ object ExtensionQueries {
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── embedding preprocessing: unit L2 normalization (the first step of
+    //    every cosine-ANN pipeline — after it, cosine reduces to a dot
+    //    product). Native single-pass expression (a transform-lambda norm
+    //    would re-evaluate the norm per element); rounded in-plan for the
+    //    exact-value oracle. ────────────────────────────────────────────────
+    "emb_normalize" -> ((s, d) => {
+      t(s, d, "embeddings").select(col("vec_id"),
+          transform(VectorFunctions.l2Normalize(col("embedding")),
+            x => round(x, 4)).as("unit_vec"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── embedding preprocessing: symmetric int8 quantization (scale =
+    //    max|x|/127 — 8× memory cut for ANN serving). The oracle checks the
+    //    scale exactly; the dequantization bound |x − q·scale| ≤ scale/2
+    //    (+fp slack) is asserted in-plan over the real quantized array.
+    //    The bound expression re-references `scale` per element — fine
+    //    here because it is the CHECK, not the operator (quantizeInt8
+    //    itself is the single-pass native). ─────────────────────────────────
+    "emb_quantize" -> ((s, d) => {
+      val e = VectorFunctions.asDouble(col("embedding"))
+      val scale = VectorFunctions.quantScale(col("embedding"))
+      val deq = VectorFunctions.quantizeInt8(col("embedding"))
+        .cast("array<double>")
+      val maxErr = aggregate(
+        zip_with(e, deq, (x, q) => abs(x - q * scale)),
+        lit(0.0), (a, b) => greatest(a, b))
+      t(s, d, "embeddings").select(col("vec_id"),
+          round(scale, 6).as("scale"),
+          (maxErr <= scale / 2 + lit(1e-9)).as("within_bound"))
+        .orderBy(col("vec_id"))
     }),
 
     // ── exact dedup groups by content hash ────────────────────────────────
@@ -449,6 +482,19 @@ object ExtensionQueries {
 
     "emb_cosine_pairs" -> cosinePairsOracle,
     "emb_cosine_pairs_lsh" -> cosinePairsOracle,
+
+    "emb_normalize" ->
+      """SELECT vec_id,
+        |[round(x / sqrt(list_sum([y*y FOR y IN embedding::DOUBLE[]])), 4)
+        |  FOR x IN embedding::DOUBLE[]] AS unit_vec
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "emb_quantize" ->
+      """SELECT vec_id,
+        |round(list_max([abs(x) FOR x IN embedding::DOUBLE[]]) / 127, 6)
+        |  AS scale,
+        |TRUE AS within_bound
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "emb_lsh_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
