@@ -161,6 +161,67 @@ object DocIngest {
       .start()
   }
 
+  /** Commit one micro-batch into its own `batch=<id>` directory: write to
+    * a temp dir, atomically rename into place, and SKIP if the directory
+    * already exists. Returns true if this call wrote the batch, false if a
+    * previous attempt already had.
+    *
+    * This closes the at-least-once window of a blind `mode("append")`
+    * foreachBatch sink: if the job dies between the sink write and the
+    * checkpoint commit, Structured Streaming replays the batch with the
+    * SAME batchId — the replay finds the directory and writes nothing, so
+    * the sink is exactly-once end-to-end. Readers see the collection as
+    * ordinary partitioned parquet (`batch` becomes a partition column). */
+  def commitBatch(batch: DataFrame, batchId: Long, outDir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$outDir/batch=$batchId")
+    if (fs.exists(live)) false
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_tmp_batch=$batchId")
+      fs.delete(tmp, true)
+      batch.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(live)) { fs.delete(tmp, true); false }
+      else { fs.mkdirs(live.getParent); fs.rename(tmp, live) }
+    }
+  }
+
+  /** `start` with the exactly-once sink — the form a production ingest
+    * runs (the plain append in `start` documents the basic shape). */
+  def startIdempotent(spark: SparkSession, inDir: String, schema: String,
+      collectionPath: String, checkpoint: String, dim: Int = 64,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withColumn("vector", Fingerprints.hashEmbed(col("text"), dim))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, collectionPath); ()
+      }
+      .start()
+
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (broadcast — the dim is read once per batch from its
+    * source, never shuffled against the stream). The streaming analogue of
+    * the batch J2 answer-key lookup: unmatched stream rows keep flowing
+    * with nulls (left join), matching the batch default-on-miss shape. */
+  def enriched(spark: SparkSession, inDir: String, schema: String,
+      dim: DataFrame, joinCol: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .join(broadcast(dim), Seq(joinCol), "left")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, outDir); ()
+      }
+      .start()
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

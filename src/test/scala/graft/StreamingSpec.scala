@@ -154,4 +154,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("doc_id").collect().map(_.getLong(0)).sorted
       === Array(0L, 1L, 3L))
   }
+
+  test("idempotent sink: a replayed batchId writes nothing twice") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_idem_in").toString
+    val out = Files.createTempDirectory("graft_idem_out").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_idem_ck").toString
+
+    Seq((0L, "doc zero"), (1L, "doc one"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val q = DocIngest.startIdempotent(spark, in, schema, out, ckpt, dim = 16,
+      pollInterval = "200 milliseconds")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // simulate the crash-replay: the sink function re-invoked with an
+    // already-committed batchId must detect the directory and skip.
+    val replay = Seq((0L, "doc zero"), (1L, "doc one")).toDF("doc_id", "text")
+    assert(!DocIngest.commitBatch(replay, 0L, out))
+    assert(spark.read.parquet(out).count() === 2)
+    // a NEW batchId commits normally.
+    assert(DocIngest.commitBatch(
+      Seq((2L, "doc two")).toDF("doc_id", "text"), 99L, out))
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("stream-static enrichment broadcasts the dim and left-joins " +
+      "(unmatched rows keep flowing with nulls)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_enr_in").toString
+    val out = Files.createTempDirectory("graft_enr_out").toString + "/enr"
+    val ckpt = Files.createTempDirectory("graft_enr_ck").toString
+    val dim = Seq((0L, "news"), (1L, "web")).toDF("doc_id", "source_kind")
+
+    Seq((0L, "from the news"), (5L, "orphan doc"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val q = DocIngest.enriched(spark, in, schema, dim, "doc_id", out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("source_kind"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("∅")).toMap
+    assert(got === Map(0L -> "news", 5L -> "∅"))
+  }
 }
