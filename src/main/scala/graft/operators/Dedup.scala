@@ -316,6 +316,58 @@ object Dedup {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Non-empty (doc_id, pos, line) rows of each document — the explode the
+    * line-level ops share. Whitespace-only lines are dropped (a blank line
+    * is structure, not content; deduping it corpus-wide would strip one
+    * copy of every paragraph break). */
+  private def lineRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+
+  /** Corpus-wide line-level exact dedup (C4-style boilerplate removal):
+    * a line's first occurrence — ordered by (doc_id, pos) — survives,
+    * every later copy anywhere in the corpus drops. Returns per-document
+    * (n_lines, n_kept).
+    *
+    * Scale shape: the only shuffle keys on xxhash64(line) and carries
+    * (hash, doc_id, pos) — the line TEXT never leaves its scan task, so at
+    * 100 TB the exchange moves ~20 bytes per line, not the corpus. */
+  def lineDedupCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val hashed = lineRows(docs, idCol, textCol)
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
+    val winners = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"))
+    val total = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val kept = winners.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    total.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** The rewrite form: documents with their duplicate lines removed (first
+    * corpus occurrence kept, original line order preserved; documents whose
+    * every line was a duplicate disappear). One extra shuffle vs the counts
+    * form — the surviving lines regroup by doc_id to rebuild the text,
+    * which any rewrite must pay. */
+  def dropDuplicateLines(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = lineRows(docs, idCol, textCol)
+    val winners = lines
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    lines.join(winners, Seq("doc_id", "pos"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("line")))),
+        r => r.getField("line")), "\n").as("text"))
+  }
+
   private implicit class ColName(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -320,4 +320,41 @@ object TextAnalysis {
       })
       .toDF("doc_id", "fp_rolling")
   }
+
+  /** The assembled pretraining quality filter: every per-document signal
+    * (token count, Gopher repetition fractions, composite quality, language
+    * ID) computed in ONE kernel pass, folded into a keep/drop verdict with
+    * the first failing rule as the reason — the shape a production cleaning
+    * pipeline actually runs, rather than four separate scans of the corpus
+    * joined after the fact. Thresholds compare the ROUNDED fractions (4
+    * decimals, same rounding as the individual signal queries) so the
+    * verdict is bit-identical across engines. Rule order: too_short →
+    * repetitive_lines → repetitive_bigrams → low_quality → wrong_lang. */
+  def cleanVerdictFrame(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxDupLineFrac: Double, maxTopBigramFrac: Double,
+      minQuality: Double, requiredLang: Option[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (nTok, _, _, _, quality) = qualityOf(t)
+        val lang = langIdOf(t)
+        val (nl, dl, nb, tc) = repetitionCountsOf(t)
+        val dupLineFrac = round4(1.0 - dl.toDouble / nl)
+        val topBigramFrac = if (nb > 0) round4(tc.toDouble / nb) else 0.0
+        val reason =
+          if (nTok < minTokens) "too_short"
+          else if (dupLineFrac > maxDupLineFrac) "repetitive_lines"
+          else if (topBigramFrac > maxTopBigramFrac) "repetitive_bigrams"
+          else if (quality < minQuality) "low_quality"
+          else if (requiredLang.exists(_ != lang)) "wrong_lang"
+          else "ok"
+        (id, nTok, quality, lang, dupLineFrac, topBigramFrac,
+          reason == "ok", reason)
+      })
+      .toDF("doc_id", "n_tokens", "quality", "lang_pred", "dup_line_frac",
+        "top_bigram_frac", "keep", "reason")
+  }
 }

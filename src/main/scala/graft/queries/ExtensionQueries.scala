@@ -350,6 +350,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── corpus-wide line-level exact dedup (C4-style): first occurrence
+    //    by (doc, pos) survives. Counts form — the oracle groups by line
+    //    TEXT where the engine groups by xxhash64(line); identical groups
+    //    (collision odds ~n²/2⁶⁴), but only 20-byte keys shuffle. ──────────
+    "docs_line_dedup" -> ((s, d) => {
+      Dedup.lineDedupCounts(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── the assembled cleaning pipeline: every quality signal in one
+    //    kernel pass, folded to keep/drop + first-failing-rule reason ──────
+    "docs_clean_verdict" -> ((s, d) => {
+      TextAnalysis.cleanVerdictFrame(t(s, d, "documents"), "doc_id", "text",
+          minTokens = 30L, maxDupLineFrac = 0.2, maxTopBigramFrac = 0.2,
+          minQuality = 0.5, requiredLang = Some("en"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── skew: salted two-level aggregation (== plain groupBy, oracle) ─────
     "skew_salted_agg" -> ((s, d) => {
       graft.operators.Skew.saltedSumCount(t(s, d, "lineitem"),
@@ -627,6 +645,91 @@ object ExtensionQueries {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
         |  '[0-9]+', '<num>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // groups by line TEXT where the engine groups by xxhash64(line) —
+    // identical winners absent a 64-bit collision
+    "docs_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS pos, line FROM (
+        |    SELECT doc_id,
+        |      unnest(range(len(string_split(text, chr(10))))) AS pos,
+        |      unnest(string_split(text, chr(10))) AS line
+        |    FROM documents)
+        |  WHERE length(trim(line)) > 0),
+        |w AS (
+        |  SELECT doc_id,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+        |k AS (SELECT doc_id, count(*) AS n_kept FROM w WHERE rn = 1
+        |  GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_lines, coalesce(k.n_kept, 0) AS n_kept
+        |FROM tot LEFT JOIN k USING (doc_id) ORDER BY 1""".stripMargin,
+
+    // recomposes the PROVEN docs_quality / docs_lang_id / docs_repetition
+    // fragments and folds the same rule chain the kernel applies
+    "docs_clean_verdict" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |  [x FOR x IN string_split_regex(lower(text), '\\s+') IF len(x) > 0]
+         |    AS tk,
+         |  length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct,
+         |  string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_chars, punct, tk, lines, len(tk) AS n_tok,
+         |  len([t FOR t IN tk
+         |    IF t IN ('the','and','of','to','in','is','a')]) AS stop
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |  round((least(n_tok / 100.0, 1.0) +
+         |    least((CASE WHEN n_tok > 0 THEN stop * 1.0 / n_tok
+         |      ELSE 0.0 END) * 5.0, 1.0) +
+         |    (1.0 - least((CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars
+         |      ELSE 0.0 END) * 10.0, 1.0))) / 3.0, 4) AS quality
+         |  FROM g),
+         |scores AS (SELECT doc_id, $langScoresSql FROM g),
+         |best AS (
+         |  SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         |  greatest(s_en, s_es, s_de, s_fr, s_zh) AS b,
+         |  s_en + s_es + s_de + s_fr + s_zh AS total FROM scores),
+         |lang AS (
+         |  SELECT doc_id,
+         |  CASE WHEN total > 0 AND s_en = b THEN 'en'
+         |       WHEN total > 0 AND s_es = b THEN 'es'
+         |       WHEN total > 0 AND s_de = b THEN 'de'
+         |       WHEN total > 0 AND s_fr = b THEN 'fr'
+         |       WHEN total > 0 AND s_zh = b THEN 'zh'
+         |       ELSE 'und' END AS lang_pred FROM best),
+         |bg0 AS (
+         |  SELECT doc_id, lines,
+         |  CASE WHEN len(tk) >= 2
+         |    THEN [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]
+         |    ELSE [] END AS bg
+         |  FROM g),
+         |rep AS (
+         |  SELECT doc_id,
+         |  round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
+         |    AS dup_line_frac,
+         |  CASE WHEN len(bg) > 0
+         |    THEN round(len([x FOR x IN bg IF x = list_aggregate(bg, 'mode')])
+         |      * 1.0 / len(bg), 4)
+         |    ELSE 0.0 END AS top_bigram_frac
+         |  FROM bg0),
+         |v AS (
+         |  SELECT q.doc_id, q.n_tokens, q.quality, lang.lang_pred,
+         |  rep.dup_line_frac, rep.top_bigram_frac,
+         |  CASE WHEN q.n_tokens < 30 THEN 'too_short'
+         |       WHEN rep.dup_line_frac > 0.2 THEN 'repetitive_lines'
+         |       WHEN rep.top_bigram_frac > 0.2 THEN 'repetitive_bigrams'
+         |       WHEN q.quality < 0.5 THEN 'low_quality'
+         |       WHEN lang.lang_pred <> 'en' THEN 'wrong_lang'
+         |       ELSE 'ok' END AS reason
+         |  FROM q JOIN lang USING (doc_id) JOIN rep USING (doc_id))
+         |SELECT doc_id, n_tokens, quality, lang_pred, dup_line_frac,
+         |top_bigram_frac, reason = 'ok' AS keep, reason
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

@@ -100,4 +100,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((2L, 3L)))
   }
+
+  test("dropDuplicateLines keeps first corpus occurrence, preserves " +
+      "order, drops blank lines and fully-duplicate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\n\nshared line"),
+      (3L, "shared line")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "alpha\nshared line\nbeta")
+    assert(out(2L) === "gamma")
+    assert(!out.contains(3L))
+
+    // counts form agrees with the rewrite
+    val counts = Dedup.lineDedupCounts(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts === Set((1L, 3L, 3L), (2L, 3L, 1L), (3L, 1L, 0L)))
+  }
 }

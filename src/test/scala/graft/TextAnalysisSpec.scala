@@ -96,4 +96,30 @@ class TextAnalysisSpec extends SparkSpec {
       .select(Fingerprints.rollingFingerprint(col("t"))).first().getLong(0)
     assert(again === fps("base"))
   }
+
+  test("cleanVerdictFrame fires every rule in declared order") {
+    import spark.implicits._
+    val good = ("the and of to in is a " * 20).trim  // stopword-rich English
+    val docs = Seq(
+      (1L, good),                                    // ok
+      (2L, "tiny"),                                  // too_short
+      (3L, Array.fill(12)(good.take(40)).mkString("\n")), // repetitive_lines
+      (4L, good.split(" ").take(35).mkString(" ") + " " +
+        ("spam ham " * 200).trim),                   // repetitive_bigrams
+      (5L, (1 to 40).map(i => s"w$i.").mkString(" ")), // low_quality (punct-heavy, stopword-free, non-repetitive)
+      (6L, "el la los las de que una " * 10)         // wrong_lang (es)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanVerdictFrame(docs, "doc_id", "text",
+        minTokens = 30L, maxDupLineFrac = 0.2, maxTopBigramFrac = 0.45,
+        minQuality = 0.5, requiredLang = Some("en"))
+      .select(col("doc_id"), col("reason"), col("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L) === (("ok", true)))
+    assert(got(2L) === (("too_short", false)))
+    assert(got(3L) === (("repetitive_lines", false)))
+    assert(got(4L) === (("repetitive_bigrams", false)))
+    assert(got(5L) === (("low_quality", false)))
+    assert(got(6L) === (("wrong_lang", false)))
+  }
 }
