@@ -37,6 +37,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL l2_normalize and quantize_int8 agree with the Column API " +
+      "and null out degenerate vectors") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    Seq((Seq(3.0, 0.0, -4.0)), (Seq(0.0, 0.0, 0.0)))
+      .toDF("v").createOrReplaceTempView("unitvecs")
+    val rows = spark.sql(
+      """SELECT transform(l2_normalize(v), x -> round(x, 9)) AS u,
+        |quantize_int8(v) AS q
+        |FROM unitvecs""".stripMargin).collect()
+    assert(rows(0).getSeq[Double](0) === Seq(0.6, 0.0, -0.8))
+    assert(rows(0).getSeq[Byte](1) === Seq[Byte](95, 0, -127))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    // interpreted eval path (no codegen) produces identical values
+    val viaCol = Seq(Seq(3.0, 0.0, -4.0)).toDF("v")
+      .select(transform(VectorFunctions.l2Normalize(col("v")),
+          x => round(x, 9)).as("u"),
+        VectorFunctions.quantizeInt8(col("v")).as("q"))
+      .first()
+    assert(viaCol.getSeq[Double](0) === Seq(0.6, 0.0, -0.8))
+    assert(viaCol.getSeq[Byte](1) === Seq[Byte](95, 0, -127))
+  }
+
   test("SQL simhash64 and minhash_signature run and are deterministic") {
     val df = spark.sql(
       """SELECT simhash64(array('a', 'b', 'c')) AS sh,
