@@ -15,7 +15,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object DocIngest {
 
   /** Stream parquet document batches from `inDir`, hash-embed, append to
-    * the collection dir. Exactly-once per file via checkpointing. */
+    * the collection dir. Each file is processed once per the checkpoint,
+    * but the blind append leaves an at-least-once window on crash-replay —
+    * `startIdempotent` is the exactly-once form. */
   def start(spark: SparkSession, inDir: String, schema: String,
       collectionPath: String, checkpoint: String, dim: Int = 64,
       pollInterval: String = "1 second"): StreamingQuery =
@@ -221,6 +223,38 @@ object DocIngest {
         commitBatch(batch, batchId, outDir); ()
       }
       .start()
+
+  /** Stream-stream interval join: pair each right-stream event with
+    * left-stream events for the same key whose timestamps lie within
+    * `intervalSeconds` BEFORE it (the streaming form of the batch as-of
+    * join's candidate window). Both sides carry watermarks so the join
+    * state is reclaimable — without them a stream-stream join buffers
+    * forever; with them Spark drops left rows older than (right watermark −
+    * interval), which is the bound that makes this runnable on an unbounded
+    * 100 TB/day stream. Emits one row per qualifying pair in append mode. */
+  def intervalJoin(spark: SparkSession, leftDir: String, rightDir: String,
+      schema: String, keyCol: String, tsCol: String, outDir: String,
+      checkpoint: String, intervalSeconds: Long = 3600L,
+      watermark: String = "2 hours"): StreamingQuery = {
+    val left = spark.readStream.schema(schema).parquet(leftDir)
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol), col(tsCol).as("l_ts"))
+    val right = spark.readStream.schema(schema).parquet(rightDir)
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"))
+    left.join(right,
+        col(keyCol) === col("r_key") &&
+          col("l_ts") <= col("r_ts") &&
+          col("l_ts") >= col("r_ts") - expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .select(col(keyCol), col("l_ts"), col("r_ts"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, outDir); ()
+      }
+      .start()
+  }
 
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */

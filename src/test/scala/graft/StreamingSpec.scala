@@ -198,4 +198,35 @@ class StreamingSpec extends SparkSpec {
         Option(r.getString(1)).getOrElse("∅")).toMap
     assert(got === Map(0L -> "news", 5L -> "∅"))
   }
+
+  test("stream-stream interval join pairs events within the window " +
+      "per key and not beyond it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val lDir = Files.createTempDirectory("graft_ij_l").toString
+    val rDir = Files.createTempDirectory("graft_ij_r").toString
+    val out = Files.createTempDirectory("graft_ij_out").toString + "/j"
+    val ckpt = Files.createTempDirectory("graft_ij_ck").toString
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val sch = "user_id LONG, ts TIMESTAMP"
+
+    // left: clicks at 10:00 and 10:50 (user 1), 09:00 (user 2)
+    Seq((1L, ts(10, 0)), (1L, ts(10, 50)), (2L, ts(9, 0)))
+      .toDF("user_id", "ts").write.mode("append").parquet(lDir)
+    // right: purchases at 10:30 (user 1) and 10:30 (user 2)
+    Seq((1L, ts(10, 30)), (2L, ts(10, 30)))
+      .toDF("user_id", "ts").write.mode("append").parquet(rDir)
+
+    val q = DocIngest.intervalJoin(spark, lDir, rDir, sch, "user_id", "ts",
+      out, ckpt, intervalSeconds = 3600L)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("l_ts"), col("r_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    // user 1: only the 10:00 click precedes the 10:30 purchase within 1h
+    // (10:50 is AFTER it); user 2's 09:00 click is 90 min before — outside.
+    assert(got === Set((1L, ts(10, 0), ts(10, 30))))
+  }
 }
