@@ -14,7 +14,8 @@ object PrintPlans {
     val interesting = Seq("q1_agg", "s2_scan_pushdown", "j1_equi_join",
       "j_multiway", "j3_range_join", "w1_row_number", "k1_cosine_topk",
       "dedup_exact", "a4_pivot_stats", "events_hourly", "events_sessionize",
-      "decontaminate_overlap", "sample_hash_split", "docs_scrub")
+      "decontaminate_overlap", "sample_hash_split", "docs_scrub",
+      "emb_normalize", "emb_quantize", "docs_line_dedup", "a_approx_distinct")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir)

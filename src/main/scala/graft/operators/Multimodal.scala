@@ -52,6 +52,55 @@ object Multimodal {
     ds.mapPartitions(decodeBatch)
   }
 
+  /** Size-aware repartition for decode workloads. Media payloads are
+    * heavy-tailed (a 2 GB video next to 40 kB thumbnails), so hashing ids
+    * into tasks yields decode times that differ by orders of magnitude —
+    * the straggler problem that dominates multimodal wall clock at 100 TB.
+    *
+    * Rows are laid out in a deterministic (size desc, id) order and packed
+    * into partitions of ≈`targetBytes` via a global byte prefix sum — the
+    * same two-pass shape as `VectorCollection.assignIds` / `Packing`
+    * (per-partition sums to the driver, O(partitions) traffic, then a
+    * local emit pass; data never leaves its partition until the final
+    * exact bucket→partition placement). Guarantees: a partition's payload
+    * stays under targetBytes + its last row's size, and a row larger than
+    * targetBytes sits alone. Returns the input columns + `task_bucket`,
+    * with one bucket per output partition (some buckets may be empty when
+    * an oversize row skips bucket ids — harmless no-op tasks). */
+  def balancedBySize(df: DataFrame, idCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("_sz", octet_length(col(bytesCol)).cast("long"))
+      .orderBy(desc("_sz"), col(idCol))
+    val rdd = sorted.rdd
+    val szIdx = sorted.schema.fieldIndex("_sz")
+
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(szIdx))
+      Iterator.single((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val nBuckets = math.max(1L, (total - 1) / targetBytes + 1).toInt
+
+    val keyed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.map { r =>
+        val bucket = (cum / targetBytes).toInt
+        cum += r.getLong(szIdx)
+        (bucket, Row.fromSeq(r.toSeq.dropRight(1) :+ bucket))
+      }
+    }.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nBuckets
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).values
+    spark.createDataFrame(keyed, StructType(df.schema.fields :+
+      StructField("task_bucket", IntegerType, nullable = false)))
+  }
+
   /** S3 sink — write a binary column out as one file per row (the
     * reference saves each page image as `{name}.png`,
     * enem_pdf_extractor.py:297-335). foreachPartition: no driver

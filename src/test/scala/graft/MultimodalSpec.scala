@@ -50,4 +50,46 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decode(ds).collect().sortBy(_.id)
     assert(out.sortBy(_.id).toSeq === again.toSeq)
   }
+
+  test("balancedBySize bounds every partition's payload and isolates " +
+      "oversize rows") {
+    import spark.implicits._
+    // heavy-tailed: one 2500-byte "video", some mid, many small
+    val sizes = Seq(2500, 700, 650, 300) ++ Seq.fill(20)(100)
+    val df = sizes.zipWithIndex
+      .map { case (sz, i) => (i.toLong, Array.fill(sz)('x'.toByte)) }
+      .toDF("id", "bytes").repartition(5)
+    val target = 1000L
+    val out = Multimodal.balancedBySize(df, "id", "bytes", target)
+
+    // row preservation
+    assert(out.count() === sizes.length)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      === sizes.indices.map(_.toLong).toArray)
+
+    // per-PARTITION byte budget: ≤ target + that partition's last row
+    val perPart = out.select(col("bytes"))
+      .rdd.mapPartitions { it =>
+        val szs = it.map(_.getAs[Array[Byte]](0).length.toLong).toSeq
+        if (szs.isEmpty) Iterator.empty
+        else Iterator.single((szs.sum, szs.last))
+      }.collect()
+    perPart.foreach { case (sum, last) =>
+      assert(sum <= target + last, s"partition holds $sum bytes")
+    }
+
+    // the oversize row sits alone in its partition
+    val oversizeAlone = out.select(col("bytes"))
+      .rdd.mapPartitions { it =>
+        val szs = it.map(_.getAs[Array[Byte]](0).length).toSeq
+        Iterator.single(szs.contains(2500) && szs.length == 1)
+      }.collect()
+    assert(oversizeAlone.count(identity) === 1)
+
+    // one bucket per partition (placement is exact, not hashed)
+    val bucketsPerPart = out.select(col("task_bucket"))
+      .rdd.mapPartitions(it => Iterator.single(it.map(_.getInt(0)).toSet))
+      .collect()
+    bucketsPerPart.foreach(b => assert(b.size <= 1))
+  }
 }
