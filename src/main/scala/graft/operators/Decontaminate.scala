@@ -15,21 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** (id, sg) rows, one per DISTINCT shingle per document — a typed
+    * mapPartitions kernel (PLANS.md lesson 7: corpus-pass analytics through
+    * interpreted higher-order expressions degrade in a saturated JVM; the
+    * kernel is scalac-compiled once). Per-doc distinct happens in-memory
+    * here, shrinking the join input before anything moves. Tokenization
+    * matches `Fingerprints.tokens`/`shingles` exactly (lowercase,
+    * whitespace split, space-joined n-grams). */
   private def shingleStream(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(graft.functions.Fingerprints.shingles(
-        graft.functions.Fingerprints.tokens(col(textCol)), n)).as("sg"))
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Dedup.spread(df)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet.iterator
+          .map((sg: String) => (id, sg))
+      })
+      .toDF("id", "sg")
+  }
 
   /** (doc_id, n_overlap): corpus docs sharing at least `minOverlap`
     * DISTINCT n-grams with the benchmark set (any benchmark doc — the
     * union of benchmark shingles is the contamination vocabulary).
     *
-    * The corpus side is NOT pre-deduplicated: a distinct before the join
-    * would shuffle every corpus shingle; instead the broadcast join filters
-    * first (only contamination-vocabulary hits survive — typically a tiny
-    * fraction) and `countDistinct` dedups what remains. The only corpus
-    * shuffle carries matched (id, shingle) pairs. */
+    * The corpus side is never globally deduplicated — that distinct would
+    * shuffle every corpus shingle. Per-DOC dedup happens in-memory inside
+    * the shingle kernel (free), the broadcast join filters to
+    * contamination-vocabulary hits (typically a tiny fraction), and the
+    * only corpus shuffle carries matched (id, shingle) pairs into a
+    * map-side-combinable count. */
   def overlaps(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 3, minOverlap: Int = 5): DataFrame = {
@@ -38,8 +56,10 @@ object Decontaminate {
     val benchSh = shingleStream(benchmark, benchIdCol, benchTextCol, n)
       .select(col("sg")).distinct()
     corpusSh.join(broadcast(benchSh), Seq("sg"))
+      // (id, sg) is unique by the kernel's per-doc distinct, so the
+      // distinct-overlap count is a plain map-side-combinable count.
       .groupBy(col("id").as(idCol))
-      .agg(countDistinct(col("sg")).as("n_overlap"))
+      .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
 

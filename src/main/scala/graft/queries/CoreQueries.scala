@@ -400,6 +400,32 @@ object CoreQueries {
       t(s, d, "events").select(col("event_id"),
           ntile(10).over(w).as("decile"))
         .orderBy(col("event_id"))
+    }),
+
+    // ── full outer join: reconciliation shape (rows surviving on either
+    //    side with defaults) — completes the join-type family ──────────────
+    "j_full_outer" -> ((s, d) => {
+      val custSample = t(s, d, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), col("c_name"))
+      val bigOrders = t(s, d, "orders")
+        .filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_big"))
+      custSample.join(bigOrders, Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("c_name"), lit("?")).as("c_name"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("k"))
+    }),
+
+    // ── dispersion statistics: stddev + correlation per group ─────────────
+    "a_dispersion" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -651,6 +677,24 @@ object CoreQueries {
     "w_ntile" ->
       """SELECT event_id, ntile(10) OVER
         |(PARTITION BY event_type ORDER BY value, event_id) AS decile
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "j_full_outer" ->
+      """WITH cs AS (
+        |  SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey % 3 = 0),
+        |bo AS (
+        |  SELECT o_custkey AS k, count(*) AS n_big FROM orders
+        |  WHERE o_totalprice > 250000 GROUP BY 1)
+        |SELECT coalesce(cs.k, bo.k) AS k,
+        |coalesce(c_name, '?') AS c_name,
+        |coalesce(n_big, 0) AS n_big
+        |FROM cs FULL JOIN bo ON cs.k = bo.k ORDER BY 1""".stripMargin,
+
+    "a_dispersion" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

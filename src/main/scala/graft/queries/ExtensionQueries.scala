@@ -168,6 +168,19 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── K1 filtered search: top-k restricted by metadata (the vector-DB
+    //    query_filter form). The predicate composes into the scan BEFORE
+    //    scoring — qualifying vectors only reach the similarity heap, and
+    //    at 100 TB the filter prunes row groups via parquet min/max. ───────
+    "k1_filtered_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0)
+      SimilaritySearch.topK(emb.filter(col("label") === 1),
+        "vec_id", "embedding", query, 10)
+    }),
+
     // ── embedding preprocessing: unit L2 normalization (the first step of
     //    every cosine-ANN pipeline — after it, cosine reduces to a dot
     //    product). Native single-pass expression (a transform-lambda norm
@@ -500,6 +513,14 @@ object ExtensionQueries {
 
     "emb_cosine_pairs" -> cosinePairsOracle,
     "emb_cosine_pairs_lsh" -> cosinePairsOracle,
+
+    "k1_filtered_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+        |FROM embeddings e, q WHERE e.label = 1
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "emb_normalize" ->
       """SELECT vec_id,
