@@ -316,6 +316,49 @@ object Dedup {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Connected components over a near-dup pair list: collapses pairwise
+    * evidence (from any of the pair generators — n-gram Jaccard, MinHash
+    * LSH, SimHash, cosine) into dedup GROUPS, labeling every member with
+    * the smallest id reachable from it. This is the step that turns "A~B,
+    * B~C" into one keep-decision for {A, B, C} even though A and C were
+    * never directly compared.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds (near-dup clusters are shallow: at
+    * the thresholds dedup runs, diameter is small even when clusters are
+    * large). Each round is one shuffle keyed by node id; labels are (id,
+    * long) pairs — no text, no vectors. The driver only sees the
+    * converged/changed COUNT per round, never data. maxIter bounds
+    * pathological chain-shaped graphs. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
+      .unionByName(pairs.select($"id_b".as("a"), $"id_a".as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select($"a".as("id")).distinct()
+      .withColumn("comp", $"id")
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // neighbor-min pass: node ← min(own, min over incoming neighbor labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "a"), "a")
+        .groupBy($"b".as("id"))
+        .agg(min($"comp").as("ncomp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select($"id", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter($"comp" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Non-empty (doc_id, pos, line) rows of each document — the explode the
     * line-level ops share. Whitespace-only lines are dropped (a blank line
     * is structure, not content; deduping it corpus-wide would strip one

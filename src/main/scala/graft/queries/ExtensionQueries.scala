@@ -237,6 +237,16 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── dedup clusters: connected components over the verified near-dup
+    //    pairs — "A~B, B~C" becomes one keep-decision for {A,B,C}. Oracle
+    //    closes the SAME pair SQL transitively with a recursive CTE. ───────
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = JaccardThreshold)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }),
+
     // ── SimHash near-dup pairs (hash-defined → rows-only) ─────────────────
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -413,8 +423,10 @@ object ExtensionQueries {
     })
   )
 
-  private val ngramJaccardOracle: String =
-    """WITH toks AS (
+  // shared by the pair oracle and the clusters oracle (which closes the
+  // same pairs transitively with a recursive CTE)
+  private val ngramPairCtes: String =
+    """toks AS (
       |  SELECT doc_id,
       |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
       |    AS tk
@@ -429,7 +441,10 @@ object ExtensionQueries {
       |common AS (
       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
       |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $ngramPairCtes
       |SELECT ida AS id_a, idb AS id_b,
       |round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
       |FROM common
@@ -437,6 +452,21 @@ object ExtensionQueries {
       |JOIN sizes sb ON idb = sb.doc_id
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
+
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |pairs AS (
+      |  SELECT ida AS a, idb AS b FROM common
+      |  JOIN sizes sa ON ida = sa.doc_id
+      |  JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS id, least(a, min(b)) AS comp
+      |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
   private val cosinePairsOracle: String =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -561,6 +591,7 @@ object ExtensionQueries {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "dedup_clusters" -> dedupClustersOracle,
 
     "sample_hash_split" ->
       """SELECT doc_id,

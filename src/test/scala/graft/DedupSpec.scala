@@ -101,6 +101,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((2L, 3L)))
   }
 
+  test("connectedComponents closes multi-hop chains and keeps " +
+      "components separate") {
+    import spark.implicits._
+    // chain 1-2-3-4 (never directly compared end-to-end), pair 10-11,
+    // and a triangle 20-21-22 with a redundant edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("dropDuplicateLines keeps first corpus occurrence, preserves " +
       "order, drops blank lines and fully-duplicate docs") {
     import spark.implicits._
