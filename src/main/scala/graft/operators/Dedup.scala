@@ -359,6 +359,19 @@ object Dedup {
     labels
   }
 
+  /** The dedup ACTION: drop every non-representative member of each
+    * near-dup cluster (representative = smallest id — the deterministic
+    * keep-first policy; first-by-id matches the exact-dedup keep_id
+    * contract). Composes a pair generator → connectedComponents →
+    * anti-join; only ids travel in the final join. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter($"id" =!= $"comp")
+      .select($"id".as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Non-empty (doc_id, pos, line) rows of each document — the explode the
     * line-level ops share. Whitespace-only lines are dropped (a blank line
     * is structure, not content; deduping it corpus-wide would strip one

@@ -247,6 +247,18 @@ object ExtensionQueries {
         .orderBy(col("id"))
     }),
 
+    // ── the dedup ACTION: corpus minus non-representative cluster members
+    //    (keep-first policy). Survivor ids only — the oracle re-derives
+    //    them from the transitive closure. ──────────────────────────────────
+    "dedup_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── SimHash near-dup pairs (hash-defined → rows-only) ─────────────────
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -592,6 +604,25 @@ object ExtensionQueries {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_clusters" -> dedupClustersOracle,
+
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+        |pairs AS (
+        |  SELECT ida AS a, idb AS b FROM common
+        |  JOIN sizes sa ON ida = sa.doc_id
+        |  JOIN sizes sb ON idb = sb.doc_id
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |losers AS (
+        |  SELECT a AS id FROM reach GROUP BY a
+        |  HAVING least(a, min(b)) <> a)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_hash_split" ->
       """SELECT doc_id,

@@ -89,6 +89,7 @@ object BucketedCollection {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     merged.repartition(col("bucket"))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path)) // first-ever upsert
     buckets.foreach { b =>
       val live = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
       val fresh = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")

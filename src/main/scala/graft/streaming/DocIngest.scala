@@ -256,6 +256,34 @@ object DocIngest {
       .start()
   }
 
+  /** Streaming upsert ingestion: each micro-batch merges into a
+    * `BucketedCollection` by id — re-sent documents REPLACE their previous
+    * version instead of duplicating (the live form of a vector-DB's
+    * replace-by-id upsert). Combines with the CoW merge's locality: a
+    * micro-batch only rewrites the buckets its ids hash into. The upsert
+    * itself is idempotent per content (re-merging identical rows is a
+    * no-op in effect), so checkpoint replay cannot corrupt the
+    * collection. */
+  def startUpsert(spark: SparkSession, inDir: String, schema: String,
+      collectionPath: String, checkpoint: String, idCol: String,
+      nBuckets: Int, dim: Int = 64,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withColumn("vector", Fingerprints.hashEmbed(col("text"), dim))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates(idCol) // a batch may re-send an id
+        if (!b.isEmpty)
+          graft.sources.BucketedCollection.upsert(
+            batch.sparkSession, collectionPath, b, idCol, nBuckets)
+        ()
+      }
+      .start()
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

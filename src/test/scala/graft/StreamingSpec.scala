@@ -229,4 +229,33 @@ class StreamingSpec extends SparkSpec {
     // (10:50 is AFTER it); user 2's 09:00 click is 90 min before — outside.
     assert(got === Set((1L, ts(10, 0), ts(10, 30))))
   }
+
+  test("streaming upsert ingestion replaces re-sent ids instead of " +
+      "duplicating") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ups_in").toString
+    val coll = Files.createTempDirectory("graft_ups_out").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_ups_ck").toString
+
+    Seq((0L, "version one of doc zero"), (1L, "doc one"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val q = DocIngest.startUpsert(spark, in, schema, coll, ckpt,
+      idCol = "doc_id", nBuckets = 8, dim = 16,
+      pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      // batch 2 re-sends doc 0 with new content + a new doc
+      Seq((0L, "version TWO of doc zero"), (2L, "doc two"))
+        .toDF("doc_id", "text").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(coll)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 3)
+    assert(got(0L) === "version TWO of doc zero")
+    assert(got(1L) === "doc one")
+    assert(got(2L) === "doc two")
+  }
 }
