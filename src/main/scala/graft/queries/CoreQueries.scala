@@ -426,6 +426,24 @@ object CoreQueries {
             .as("corr_qty_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ── outlier detection: per-group z-score flags (the data-quality
+    //    screen a pipeline runs before training on numeric signals).
+    //    Group stats broadcast back over the rows — two passes, no window
+    //    over the whole table. ──────────────────────────────────────────────
+    "a_outliers" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"),
+          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+        // filter on the ROUNDED z: both engines compare identical values,
+        // so the 3.0 boundary cannot flip on accumulation-order noise
+        .filter(abs(col("z")) > 3.0)
+        .orderBy(col("event_id"))
     })
   )
 
@@ -695,6 +713,16 @@ object CoreQueries {
         |round(stddev_samp(l_extendedprice), 4) AS sd_price,
         |round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, z FROM (
+        |  SELECT event_id, round((value - mu) / sigma, 4) AS z
+        |  FROM events JOIN s USING (event_type))
+        |WHERE abs(z) > 3.0
+        |ORDER BY event_id""".stripMargin
   )
 }
