@@ -177,11 +177,12 @@ case class L2Normalize(child: Expression) extends VectorMap {
       val ss = ctx.freshName("ss")
       val inv = ctx.freshName("inv")
       val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
       s"""
          |final int $n = $x.numElements();
          |double $ss = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double v = $x.getDouble($i); $ss += v * v;
+         |  final double $v = $x.getDouble($i); $ss += $v * $v;
          |}
          |if ($ss == 0.0) { ${ev.isNull} = true; }
          |else {
@@ -234,12 +235,13 @@ case class QuantizeInt8(child: Expression) extends VectorMap {
       val m = ctx.freshName("m")
       val inv = ctx.freshName("inv")
       val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
       s"""
          |final int $n = $x.numElements();
          |double $m = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double v = Math.abs($x.getDouble($i));
-         |  if (v > $m) $m = v;
+         |  final double $v = Math.abs($x.getDouble($i));
+         |  if ($v > $m) $m = $v;
          |}
          |if ($m == 0.0) { ${ev.isNull} = true; }
          |else {

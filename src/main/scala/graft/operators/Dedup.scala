@@ -331,13 +331,22 @@ object Dedup {
     * long) pairs — no text, no vectors. The driver only sees the
     * converged/changed COUNT per round, never data. maxIter bounds
     * pathological chain-shaped graphs. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      strict: Boolean = true): DataFrame = {
+    // localCheckpoint (eager) rather than cache: it TRUNCATES the lineage,
+    // so each iteration's plan is a 2-join tree over materialized blocks
+    // instead of a tree that re-embeds the (possibly very expensive) pair
+    // generator plus every previous round — without it, driver-side
+    // re-analysis grows per round and a lost executor would recompute the
+    // whole pair pipeline. (Production clusters with churn would use
+    // reliable `checkpoint` to a durable dir; same structure.)
     val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
       .unionByName(pairs.select($"id_b".as("a"), $"id_a".as("b")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select($"a".as("id")).distinct()
       .withColumn("comp", $"id")
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -346,16 +355,28 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "a"), "a")
         .groupBy($"b".as("id"))
         .agg(min($"comp").as("ncomp"))
+      val prev = labels
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select($"id", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .localCheckpoint()
+      changed = next.join(prev.withColumnRenamed("comp", "old"), "id")
         .filter($"comp" =!= $"old").count()
-      labels.unpersist()
+      prev.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      // min-label propagation moves one hop per round: a component whose
+      // diameter exceeds maxIter is still UNCONVERGED here, and silently
+      // returning would make dropNearDuplicates keep near-duplicates with
+      // no signal. Fail loudly (or warn when the caller opted out).
+      val msg = s"connectedComponents did not converge after $maxIter " +
+        s"iterations ($changed labels still changing) — raise maxIter " +
+        "(components deeper than maxIter hops exist)"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

@@ -25,8 +25,17 @@ object Sampling {
   /** 256-bucket deterministic bucket id from the row's key content. */
   def hashBucket(key: Column): Column = substring(md5(key), 1, 2)
 
-  private def hexThreshold(frac: Double): String =
-    f"${math.round(frac * 256).toInt.min(256).max(0)}%02x"
+  /** The bucket as an INT in [0, 256) — thresholds compare numerically.
+    * (A lexicographic compare against a formatted hex threshold breaks at
+    * frac = 1.0, where round(256) formats as the 3-char '100' and the
+    * 2-char-vs-3-char string compare is almost always false — silently
+    * emptying the val split of hashSplit(0.9, 0.1) and keeping ~6.6% for
+    * deterministicSample(_, 1.0).) */
+  private def bucketInt(key: Column): Column =
+    conv(hashBucket(key), 16, 10).cast("int")
+
+  private def threshold(frac: Double): Int =
+    math.round(frac * 256).toInt.min(256).max(0)
 
   /** Add a `split` column ∈ {train, val, test}: trainFrac/valFrac quantized
     * to 1/256; the remainder is test. Keyed on `key` (typically the text or
@@ -36,10 +45,10 @@ object Sampling {
       valFrac: Double = 0.1): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       "fractions must be non-negative and sum to at most 1")
-    val b = hashBucket(key)
+    val b = bucketInt(key)
     df.withColumn("split",
-      when(b < lit(hexThreshold(trainFrac)), "train")
-        .when(b < lit(hexThreshold(trainFrac + valFrac)), "val")
+      when(b < lit(threshold(trainFrac)), "train")
+        .when(b < lit(threshold(trainFrac + valFrac)), "val")
         .otherwise(lit("test")))
   }
 
@@ -47,7 +56,7 @@ object Sampling {
     * content. One narrow filter — no shuffle, no state. */
   def deterministicSample(df: DataFrame, key: Column,
       frac: Double): DataFrame =
-    df.filter(hashBucket(key) < lit(hexThreshold(frac)))
+    df.filter(bucketInt(key) < lit(threshold(frac)))
 
   /** Exactly `n` rows per group, chosen by hash order (deterministic
     * reservoir): one shuffle on the group key; rank by md5(key) so the

@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Per-row salt in [0, salts): hash of the row's content MIXED with
+    * `monotonically_increasing_id()` (a pure function of partition id ×
+    * row position). Content alone would send exact-duplicate rows — the
+    * common shape of real hot keys — to ONE salt group, defeating the
+    * mitigation; position alone would be the mix that spreads them. The
+    * combination stays retry-deterministic: a retried task replays the
+    * same input partition in the same order, so every row re-hashes to
+    * the SAME salt and speculative execution cannot double-count. (This
+    * holds for deterministic sources — file scans, shuffles with fixed
+    * partitioning — which is also the precondition for Spark's own retry
+    * correctness.) */
+  private def saltOf(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(salts))
+
   /** Two-level aggregation for skewed groupBy keys: partial-aggregate on
     * (key, salt) then final-aggregate on key. Hot keys spread over `salts`
     * reducers in stage 1; stage 2 combines `salts` rows per key — bounded,
@@ -23,11 +38,7 @@ object Skew {
     * merge expressions). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
-    // salt from the row's own content, not monotonically_increasing_id():
-    // a task retry re-hashes to the SAME salt, so speculative execution and
-    // stage retries cannot double-count a row into two salt groups.
-    val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+    val salted = df.withColumn("_salt", saltOf(df, salts))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
@@ -45,9 +56,8 @@ object Skew {
       salts: Int = 8): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    // content-derived salt (see saltedSumCount): retry-deterministic.
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+      saltOf(left, salts).cast("int"))
     val saltsDf = (0 until salts).toDF("_salt")
     val replicatedRight = right.crossJoin(saltsDf)
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")

@@ -185,12 +185,15 @@ object ExtensionQueries {
     //    every cosine-ANN pipeline — after it, cosine reduces to a dot
     //    product). Native single-pass expression (a transform-lambda norm
     //    would re-evaluate the norm per element); rounded in-plan for the
-    //    exact-value oracle. ────────────────────────────────────────────────
+    //    exact-value oracle. Exploded to (vec_id, pos, x) scalar rows so
+    //    every element is value-checked — the driver's compare cannot sort
+    //    array columns. ─────────────────────────────────────────────────────
     "emb_normalize" -> ((s, d) => {
       t(s, d, "embeddings").select(col("vec_id"),
-          transform(VectorFunctions.l2Normalize(col("embedding")),
-            x => round(x, 4)).as("unit_vec"))
-        .orderBy(col("vec_id"))
+          posexplode(transform(VectorFunctions.l2Normalize(col("embedding")),
+            x => round(x, 4))))
+        .toDF("vec_id", "pos", "x")
+        .orderBy(col("vec_id"), col("pos"))
     }),
 
     // ── embedding preprocessing: symmetric int8 quantization (scale =
@@ -565,10 +568,13 @@ object ExtensionQueries {
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "emb_normalize" ->
-      """SELECT vec_id,
-        |[round(x / sqrt(list_sum([y*y FOR y IN embedding::DOUBLE[]])), 4)
-        |  FOR x IN embedding::DOUBLE[]] AS unit_vec
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id, CAST(pos AS INT) AS pos, x FROM (
+        |  SELECT vec_id,
+        |  unnest(range(len(embedding))) AS pos,
+        |  unnest([round(x / sqrt(list_sum([y*y FOR y IN embedding::DOUBLE[]])),
+        |    4) FOR x IN embedding::DOUBLE[]]) AS x
+        |  FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "emb_quantize" ->
       """SELECT vec_id,

@@ -42,8 +42,35 @@ object BucketedCollection {
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** Heal a crash inside `upsert`'s per-bucket swap: a `bucket=N._old`
+    * backup whose live sibling is MISSING means the JVM died between the
+    * two renames — roll the backup forward; a backup next to a live dir is
+    * stale (crash after the forward rename) and is dropped. Buckets are
+    * swapped independently, so after healing the collection is a
+    * consistent mix of pre- and post-batch buckets; re-running the same
+    * idempotent upsert batch converges it (documented contract — parquet
+    * directories have no cross-directory atomic commit without a table
+    * format's manifest). */
+  private def recoverInterruptedSwap(spark: SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("bucket=") && nm.endsWith("._old")) {
+        val live = new org.apache.hadoop.fs.Path(root,
+          nm.stripSuffix("._old"))
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        else fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    recoverInterruptedSwap(spark, path)
     spark.read.parquet(path)
+  }
 
   /** (buckets touched, rows inserted, rows replaced). */
   final case class UpsertReport(bucketsTouched: Int, inserted: Long,
@@ -55,6 +82,7 @@ object BucketedCollection {
     * dense counter; a batch with duplicate ids has no well-defined winner). */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       idCol: String, nBuckets: Int): UpsertReport = {
+    recoverInterruptedSwap(spark, path)
     val staged = updates
       .withColumn("bucket", bucketOf(col(idCol), nBuckets))
     val nUpdates = updates.count()

@@ -50,8 +50,28 @@ object VectorCollection {
     create(spark, root, name, dim)
   }
 
-  def read(spark: SparkSession, root: String, name: String): DataFrame =
+  /** `compact`'s directory swap (live → `._old`, tmp → live) has a crash
+    * window in which the live path is briefly absent while the data sits
+    * intact in `._old`. Readers heal it: if the live dir is missing but a
+    * backup exists, roll the backup forward before reading; a leftover
+    * backup NEXT TO a live dir (crash after the second rename) is stale
+    * and is dropped. Called from `read` and `compact`, so no manual
+    * recovery step exists. */
+  private def recoverInterruptedSwap(spark: SparkSession, root: String,
+      name: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path(root, name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(path(root, name) + "._old")
+    if (fs.exists(bak)) {
+      if (!fs.exists(dir)) fs.rename(bak, dir)
+      else fs.delete(bak, true)
+    }
+  }
+
+  def read(spark: SparkSession, root: String, name: String): DataFrame = {
+    recoverInterruptedSwap(spark, root, name)
     spark.read.parquet(path(root, name))
+  }
 
   def count(spark: SparkSession, root: String, name: String): Long =
     read(spark, root, name).count()
@@ -124,10 +144,15 @@ object VectorCollection {
     * file-open overhead — at 100 TB the file COUNT, not the byte count,
     * becomes the scan bottleneck. Rewrites into a temp dir first and swaps
     * only after success, so a crashed compaction never loses the
-    * collection. Returns (filesBefore, filesAfter). */
+    * collection: a failure before the swap leaves the live dir untouched,
+    * and a failure INSIDE the swap (live renamed away, tmp not yet renamed
+    * in) is healed by `recoverInterruptedSwap` on the next read/compact —
+    * the data is never absent AND unrecoverable. Returns
+    * (filesBefore, filesAfter). */
   def compact(spark: SparkSession, root: String, name: String,
       targetRowsPerFile: Long = 1000000L): (Int, Int) = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    recoverInterruptedSwap(spark, root, name)
     val dir = new org.apache.hadoop.fs.Path(path(root, name))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partFiles(p: org.apache.hadoop.fs.Path): Int =

@@ -99,4 +99,24 @@ class BucketedCollectionSpec extends SparkSpec {
       BucketedCollection.upsert(spark, path, dup, "id", 4)
     }
   }
+
+  test("upsert crash window: a read after a crash mid-bucket-swap heals " +
+      "from the bucket's ._old backup") {
+    import spark.implicits._
+    val path = tmpDir()
+    val base = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "payload")
+    BucketedCollection.write(base, path, "id", 8)
+    // pick a real bucket dir and simulate the crash: live renamed to
+    // ._old, replacement never renamed in
+    val b = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    val bak = new java.io.File(b.getParent, b.getName + "._old")
+    assert(b.renameTo(bak))
+    assert(BucketedCollection.read(spark, path).count() === 100)
+    assert(!bak.exists() && b.exists())
+    // stale backup next to a live bucket is dropped
+    assert(bak.mkdirs())
+    assert(BucketedCollection.read(spark, path).count() === 100)
+    assert(!bak.exists())
+  }
 }

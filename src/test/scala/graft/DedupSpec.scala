@@ -114,6 +114,27 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents surfaces non-convergence instead of silently " +
+      "returning partial labels") {
+    import spark.implicits._
+    // a 6-hop chain: min-label propagation needs 5 rounds to converge
+    val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // opt-out returns the partial labels (and warns) instead of throwing
+    val partial = Dedup.connectedComponents(chain, maxIter = 2,
+        strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.size === 6)
+    // with enough rounds the same chain converges to one component
+    val full = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet === Set(1L))
+  }
+
   test("dropDuplicateLines keeps first corpus occurrence, preserves " +
       "order, drops blank lines and fully-duplicate docs") {
     import spark.implicits._

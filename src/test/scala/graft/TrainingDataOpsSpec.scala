@@ -31,6 +31,21 @@ class TrainingDataOpsSpec extends SparkSpec {
       .select("split").distinct().count() === 1)
   }
 
+  test("hashSplit/deterministicSample: frac-sum-1.0 boundary (threshold " +
+      "256 must cover every bucket, not format as 3-char hex)") {
+    val d = docs(2000)
+    // trainFrac + valFrac == 1.0 → NO test rows, val ≈ 10%.
+    val b = Sampling.hashSplit(d, col("text"), trainFrac = 0.9,
+        valFrac = 0.1).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!b.contains("test"), b.toString)
+    assert(math.abs(b("val") / 2000.0 - 0.1) < 0.04, b.toString)
+    // frac = 1.0 keeps EVERY row.
+    assert(Sampling.deterministicSample(d, col("text"), 1.0).count() === 2000)
+    // frac = 0.0 keeps none.
+    assert(Sampling.deterministicSample(d, col("text"), 0.0).count() === 0)
+  }
+
   test("perGroupSample: exactly n per group, stable across layouts") {
     val d = (0 until 300).map(i => (i.toLong, s"grp${i % 5}", s"texto $i"))
       .toDF("id", "grp", "text")

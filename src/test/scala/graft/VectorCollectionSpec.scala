@@ -87,6 +87,33 @@ class VectorCollectionSpec extends SparkSpec {
       Seq(1.0, 0.0, 0.0, 0.0), k = 1).count() === 1)
   }
 
+  test("compact crash window: a read after a crash mid-swap heals the " +
+    "collection from the ._old backup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_heal")
+      .toString
+    VectorCollection.recreate(spark, root, "c", dim = 4)
+    val pts = (0 until 10).map { i =>
+      (i.toLong, Seq(1.0, 0.0, 0.0, 0.0), s"doc $i", "math", 2023)
+    }.toDF("id", "vector", "page_content", "materia", "ano")
+    VectorCollection.append(spark, root, "c", pts)
+    // simulate the crash: live dir renamed to ._old, replacement never
+    // renamed in (the window between compact's two renames)
+    val live = new java.io.File(VectorCollection.path(root, "c"))
+    val bak = new java.io.File(VectorCollection.path(root, "c") + "._old")
+    assert(live.renameTo(bak))
+    assert(!live.exists())
+    val ids = VectorCollection.read(spark, root, "c")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids === (0L until 10L).toArray)
+    assert(!bak.exists())
+    // stale backup NEXT TO a live dir (crash after the forward rename)
+    // is dropped, live data wins
+    assert(bak.mkdirs())
+    assert(VectorCollection.read(spark, root, "c").count() === 10)
+    assert(!bak.exists())
+  }
+
   test("A4: stats pivot merge matches the golden CSV shape") {
     import spark.implicits._
     val counts = Seq(
