@@ -127,6 +127,38 @@ object Dedup {
             (x, y) => x === y), eq => eq)).cast("double") /
           size(col("a.group_sig"))).as("est_jaccard"))
 
+  /** EXACT pairwise shingle-set Jaccard between groups — the audit twin of
+    * `groupOverlap`'s sketch estimate. Shuffles the full distinct
+    * (group, shingle) set, so it is a VERIFICATION operator: at 100 TB the
+    * sketch (one k-slot signature per group) is the production path, and
+    * this exact form runs on samples/SF-scale data to certify the
+    * estimator's error bound. Shingle construction matches
+    * `shingleFrame`'s kernel (lowercase whitespace tokens, space-joined
+    * n-grams, per-doc distinct → per-group union via `distinct`). Emits
+    * every group pair (grp_a < grp_b), including zero-overlap ones. */
+  def groupOverlapExact(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(groupCol).as("grp"),
+        explode(shingles(tokens(col(textCol)), n)).as("sg"))
+      .distinct()
+    val sizes = sh.groupBy($"grp").agg(count(lit(1)).as("n_sh"))
+    val grps = sizes.select($"grp")
+    val allPairs = grps.as("a").join(grps.as("b"),
+        col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("c"))
+    allPairs
+      .join(common, Seq("grp_a", "grp_b"), "left")
+      .join(sizes.select($"grp".as("grp_a"), $"n_sh".as("na")), "grp_a")
+      .join(sizes.select($"grp".as("grp_b"), $"n_sh".as("nb")), "grp_b")
+      .select($"grp_a", $"grp_b",
+        (coalesce($"c", lit(0L)).cast("double") /
+          ($"na" + $"nb" - coalesce($"c", lit(0L)))).as("jaccard"))
+  }
+
   /** Exact duplicate groups by content fingerprint: one row per distinct
     * text with the lowest id as the canonical representative. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

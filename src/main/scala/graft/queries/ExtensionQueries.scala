@@ -130,6 +130,32 @@ object ExtensionQueries {
           round(col("hits").cast("double") / k, 4).as("recall"))
     }),
 
+    // ── ANN dominance audit: an approximate probe searches a SUBSET of
+    //    the corpus, so its rank-r score can never exceed the exact
+    //    search's rank-r score — violations are emitted, making the
+    //    contract a 0-row oracle that holds for ANY centroid seed or
+    //    nprobe (unlike the recall VALUE, which is hash-defined and
+    //    pinned in GoldenValuesSpec). ───────────────────────────────────────
+    "ann_ivf_dominance" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0)
+      val k = 10
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), col("vec_id"))
+      val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("score").as("exact_score"))
+      val approx = SimilaritySearch.topKIvf(emb, "vec_id", "embedding",
+          query, k, ncells = 8, nprobe = 3)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("score").as("approx_score"))
+      exact.join(approx, Seq("rank"))
+        .filter(col("approx_score") > col("exact_score"))
+        .orderBy(col("rank"))
+    }),
+
     // ── embedding-cosine near-dup pairs, exact (oracle-checked) ───────────
     "emb_cosine_pairs" -> ((s, d) => {
       Dedup.cosinePairsBrute(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -270,7 +296,8 @@ object ExtensionQueries {
     }),
 
     // ── per-source corpus overlap via MinHash-union UDAF (sketch-defined
-    //    → rows-only; the union law is property- and spec-tested) ──────────
+    //    → rows-only; the union law is property- and spec-tested, and the
+    //    estimator's error is oracle-certified by dedup_overlap_audit) ──────
     "dedup_source_overlap" -> ((s, d) => {
       val sigs = Dedup.groupSignatures(t(s, d, "documents"),
         "doc_id", "text", "source", n = 3, k = 64)
@@ -278,6 +305,51 @@ object ExtensionQueries {
         .select(col("grp_a"), col("grp_b"),
           round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("grp_a"), col("grp_b"))
+    }),
+
+    // ── sketch-estimator audit: EXACT per-source-pair shingle Jaccard
+    //    (oracle-checkable) + a bound on the MinHash estimate's error.
+    //    k = 64 slots → stderr ≈ √(J(1−J)/64) ≤ 0.0625; 0.15 ≈ 2.4σ at the
+    //    worst point, and the estimate is DETERMINISTIC (fixed hash
+    //    family), so the flag is a stable, replayable contract — the
+    //    exact values hash-match DuckDB and certify the sketch the scale
+    //    path relies on. ─────────────────────────────────────────────────
+    "dedup_overlap_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val est = Dedup.groupOverlap(Dedup.groupSignatures(docs,
+        "doc_id", "text", "source", n = 3, k = 64))
+      val exact = Dedup.groupOverlapExact(docs, "doc_id", "text", "source",
+        n = 3)
+      est.join(exact, Seq("grp_a", "grp_b"))
+        .select(col("grp_a"), col("grp_b"),
+          round(col("jaccard"), 4).as("exact_jaccard"),
+          (abs(col("est_jaccard") - col("jaccard")) <= 0.15)
+            .as("within_tol"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    }),
+
+    // ── SimHash signature audit: every ground-truth near-dup pair (exact
+    //    n-gram Jaccard ≥ 0.8) must land within simhash hamming ≤ 10 —
+    //    pairs outside the radius are emitted, so the contract is a 0-row
+    //    oracle (same pattern as emb_lsh_recall). This certifies the
+    //    property that makes simhash usable AT ALL (similar token
+    //    multisets → close signatures; observed max hamming on this
+    //    corpus family is 8). dedup_simhash's own operating point stays
+    //    hamming ≤ 3 — the 4-chunk pigeonhole with 16-bit buckets that
+    //    scales (radius-10 pigeonhole would need 11 chunks of ~6 bits →
+    //    quadratic candidate blowup at 100 TB), trading recall at the
+    //    0.9-Jaccard margin for bounded candidates; its exact pair set is
+    //    pinned in GoldenValuesSpec. ──────────────────────────────────────
+    "dedup_simhash_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = JaccardThreshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+      val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+        .select(col("id_a"), col("id_b"))
+      truth.join(sim, Seq("id_a", "id_b"), "left_anti")
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ── text analysis: token counting (typed kernel form) ─────────────────
@@ -306,10 +378,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── shift-robust rolling fingerprint (typed kernel form; rows-only) ───
+    // ── shift-robust rolling fingerprint (typed kernel form; rows-only —
+    //    values pinned by GoldenValuesSpec, dual-implementation agreement
+    //    oracle-gated by docs_rolling_audit) ────────────────────────────────
     "docs_fingerprint_rolling" -> ((s, d) => {
       TextAnalysis.rollingFingerprintFrame(t(s, d, "documents"),
           "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── rolling-fingerprint dual-implementation audit: the typed kernel
+    //    and the Catalyst expression form must agree on EVERY document —
+    //    disagreements are emitted, so the contract is a 0-row oracle.
+    //    (Two independent code paths over the same hash definition; a
+    //    drift in either surfaces here at corpus scale, not just on the
+    //    spec's toy rows.) ──────────────────────────────────────────────────
+    "docs_rolling_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ker = TextAnalysis.rollingFingerprintFrame(docs, "doc_id", "text")
+      val expr = docs.select(col("doc_id").cast("long").as("doc_id"),
+        Fingerprints.rollingFingerprint(col("text")).as("fp_expr"))
+      ker.join(expr, "doc_id")
+        .filter(col("fp_rolling") =!= col("fp_expr"))
         .orderBy(col("doc_id"))
     }),
 
@@ -586,6 +676,46 @@ object ExtensionQueries {
     "emb_lsh_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |CAST(NULL AS DOUBLE) AS cosine WHERE FALSE""".stripMargin,
+
+    "dedup_simhash_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |CAST(NULL AS DOUBLE) AS jaccard WHERE FALSE""".stripMargin,
+
+    "docs_rolling_audit" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
+        |CAST(NULL AS BIGINT) AS fp_rolling, CAST(NULL AS BIGINT) AS fp_expr
+        |WHERE FALSE""".stripMargin,
+
+    "ann_ivf_dominance" ->
+      """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS DOUBLE) AS exact_score,
+        |CAST(NULL AS DOUBLE) AS approx_score WHERE FALSE""".stripMargin,
+
+    "dedup_overlap_audit" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+        |    AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, sg FROM (
+        |    SELECT source,
+        |    unnest([array_to_string(tk[i:i+2], ' ')
+        |            FOR i IN range(1, len(tk) - 1)]) AS sg
+        |    FROM toks WHERE len(tk) >= 3)),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b, a.n AS na, b.n AS nb
+        |  FROM sizes a JOIN sizes b ON a.source < b.source),
+        |common AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b,
+        |round(coalesce(c, 0) * 1.0 / (na + nb - coalesce(c, 0)), 4)
+        |  AS exact_jaccard,
+        |TRUE AS within_tol
+        |FROM pairs LEFT JOIN common USING (grp_a, grp_b)
+        |ORDER BY grp_a, grp_b""".stripMargin,
 
     "ann_ivf_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
