@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequential / cohort analytics over an event stream — the classic OLAP
+  * companions to the engine's windowed aggregations (events_hourly /
+  * events_sessionize). Both operators reduce to per-user aggregations and
+  * tiny result tables, so their scale shape is "shuffle keyed by user_id,
+  * then counts": no event-level data ever converges on the driver.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: how many users reached stage i by performing
+    * `stages(0)`, then `stages(1)` STRICTLY LATER, and so on. One
+    * conditional-aggregation pass per user computes the earliest
+    * qualifying timestamp of each stage (min(ts of stage i after the
+    * stage-i−1 timestamp)); a user counts toward stage i only if the
+    * whole chain is non-null. Implementation: one groupBy(user) with a
+    * per-stage chained min — stage timestamps are columns of ONE
+    * aggregated row per user, so the sequential dependency costs one
+    * shuffle total, not one per stage.
+    *
+    * Returns (stage INT, stage_name STRING, users BIGINT), stages
+    * 1-indexed, monotonically non-increasing in `users`. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // t1: earliest first-stage event per user (one event-scale shuffle).
+    var chain = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("t1"))
+    // t_i: earliest stage-i event AFTER t_{i-1}. The stage's global min
+    // per user is not enough — the qualifying min depends on the
+    // previous timestamp — so each later stage re-aggregates its events
+    // constrained by the (tiny, one-row-per-user) chain frame; AQE
+    // broadcasts the chain side. LEFT joins keep users who stalled at an
+    // earlier stage counted there.
+    for ((stage, idx) <- stages.tail.zipWithIndex) {
+      val i = idx + 2
+      val prevT = s"t${i - 1}"
+      val qualified = events.filter(col(typeCol) === stage)
+        .join(chain.select(col("u").as("_u"), col(prevT)),
+          events(userCol) === col("_u") && col(tsCol) > col(prevT))
+        .groupBy(col("_u").as("u2"))
+        .agg(min(col(tsCol)).as(s"t$i"))
+      chain = chain.join(qualified, chain("u") === qualified("u2"), "left")
+        .drop("u2")
+    }
+    // one action over the per-user chain: non-null t_i = reached stage i.
+    val aggs = (1 to stages.length).map(s => count(col(s"t$s")).as(s"c$s"))
+    val row = chain.agg(aggs.head, aggs.tail: _*).first()
+    (1 to stages.length).map(s => (s, stages(s - 1), row.getLong(s - 1)))
+      .toDF("stage", "stage_name", "users")
+  }
+
+  /** Cohort retention: users grouped by first-seen day; for each (cohort
+    * day, day offset ≥ 0) the number of DISTINCT cohort users active that
+    * day. Two user-keyed shuffles (first-seen, then distinct activity) —
+    * both partial-aggregable. Returns
+    * (cohort_day STRING, day_offset INT, users BIGINT). */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol).as("u"))
+      .agg(to_date(min(col(tsCol))).as("cohort"))
+    events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .join(firstSeen, "u")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over an embedding column — the clustering primitive
+  * behind semantic curation of training corpora (cluster-then-sample topic
+  * balancing, SemDeDup-style semantic dedup, cluster-local near-dup
+  * search). The reference delegates vector organization to its vector DB;
+  * this is the engine-native form.
+  *
+  * Spark-first, 100 TB posture:
+  *  - **Init** is a deterministic hash-ordered sample (no RNG — the same
+  *    corpus always yields the same model, and executors agree without a
+  *    seed broadcast), matching `SimilaritySearch.computeCentroids`.
+  *  - **Assignment** is one codegen'd projection per iteration: centroids
+  *    travel as a broadcast literal and
+  *    argmin ‖x − c‖² = argmax (x·c − ‖c‖²/2), so the inner loop is the
+  *    same `vectorDot` expression the search operators use — no crossJoin,
+  *    no UDF, no shuffle of vectors.
+  *  - **Update** is one map-side-combinable aggregation: a typed
+  *    elementwise vector-sum UDAF + count per cell. Each executor emits at
+  *    most k partial sums per partition; only k×dim doubles reach the
+  *    driver — centroids are driver-sized BY DEFINITION, so this is not a
+  *    collect-of-data anti-pattern.
+  *  - **Convergence** is discrete and exact: iterate until the per-cell
+  *    (sum, count) pair — and hence the assignment — stops changing, not
+  *    until a float tolerance flips. Guarantees the fixed-point property
+  *    (centroid == mean of its members) that `emb_kmeans_audit` checks
+  *    with a 0-row oracle.
+  */
+object KMeansCluster {
+
+  /** Elementwise vector sum with map-side partial aggregation (the array
+    * analogue of `sum`): per-partition partials merge associatively, so a
+    * 100 TB update step shuffles k rows per partition, not the corpus. */
+  class VectorSum(dim: Int) extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](dim)
+    override def reduce(acc: Array[Double], v: Seq[Double]): Array[Double] = {
+      var i = 0
+      val n = math.min(acc.length, v.length)
+      while (i < n) { acc(i) += v(i); i += 1 }
+      acc
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(acc: Array[Double]): Seq[Double] = acc.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      Encoders.javaSerialization[Array[Double]]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  final case class Model(centroids: Array[Array[Double]], iterations: Int,
+      converged: Boolean)
+
+  /** Nearest-centroid cell id for a vector column, as ONE projection over
+    * a centroid literal: argmax of (x·c_i − ‖c_i‖²/2) with first-wins tie
+    * break (deterministic). */
+  private[operators] def cellOf(vec: Column,
+      centroids: Array[Array[Double]]): Column = {
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val halfNorms = typedLit(centroids.map(c => c.map(x => x * x).sum / 2.0).toSeq)
+    aggregate(
+      sequence(lit(0), lit(math.max(centroids.length - 1, 0))),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("i")),
+      (acc, i) => {
+        val s = vectorDot(vec, element_at(centLit, i + 1)) -
+          element_at(halfNorms, i + 1)
+        when(s > acc.getField("s"), struct(s.as("s"), i.as("i")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("i"))
+  }
+
+  /** Deterministic init, no RNG: a hash-ordered sample (machine-
+    * independent), then greedy furthest-first (max-min distance) seeding
+    * over it — the classic guard against two seeds landing in one
+    * cluster, which strands Lloyd in an obvious local optimum.
+    * Driver-side work is O(sample × k) on ≤ 8k sampled vectors. */
+  private def initCentroids(df: DataFrame, vecCol: String,
+      k: Int): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) > 0)
+      .orderBy(xxhash64(col("v").cast("string")))
+      .limit(math.max(k * 8, k))
+      .as[Seq[Double]].collect().map(_.toArray)
+    if (sample.isEmpty) return Array.empty
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (chosen.length < math.min(k, sample.length)) {
+      // maxBy keeps the FIRST maximum → deterministic under ties.
+      chosen += sample.maxBy(p => chosen.map(c => dist2(p, c)).min)
+    }
+    // fewer distinct points than k: pad by repeating the first seed (its
+    // duplicate cells stay empty and keep their centroid).
+    while (chosen.length < k) chosen += chosen.head
+    chosen.toArray
+  }
+
+  /** Lloyd's algorithm to an exact assignment fixed point (or maxIter).
+    * Convergence is decided on the DISCRETE assignment — "no vector
+    * changed cell this round" — which is a pure per-row function of
+    * (vector, centroids), immune to the low-bit float jitter that
+    * aggregation merge order can put into the centroid sums. On
+    * convergence the returned centroids ARE the member means of the final
+    * assignment (the last update used exactly that membership), which is
+    * the fixed-point contract `emb_kmeans_audit` verifies. Empty cells
+    * keep their previous centroid. The working set is localCheckpointed
+    * per round (same rationale as `Dedup.connectedComponents`). */
+  def fit(df: DataFrame, vecCol: String, k: Int,
+      maxIter: Int = 50): Model = {
+    require(k > 0, "k must be positive")
+    var centroids = initCentroids(df, vecCol, k)
+    require(centroids.nonEmpty, "cannot fit k-means on an empty corpus")
+    val dim = centroids.head.length
+    val vecSum = udaf(new VectorSum(dim))
+    var cur = df.select(asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) > 0)
+      .withColumn("cell", cellOf(col("v"), centroids))
+      .localCheckpoint()
+    var iter = 1 // cur already holds the first assignment
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val stats = cur.groupBy(col("cell"))
+        .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getSeq[Double](1), r.getLong(2)))).toMap
+      val updated = centroids.zipWithIndex.map { case (old, i) =>
+        stats.get(i) match {
+          case Some((s, n)) => s.map(_ / n).toArray
+          case None => old
+        }
+      }
+      val next = cur.withColumn("cell2", cellOf(col("v"), updated))
+      val changed = next.filter(col("cell2") =!= col("cell")).count()
+      centroids = updated
+      if (changed == 0) converged = true
+      else {
+        val prev = cur
+        cur = next.select(col("v"), col("cell2").as("cell"))
+          .localCheckpoint()
+        prev.unpersist()
+        iter += 1
+      }
+    }
+    cur.unpersist()
+    Model(centroids, iter, converged)
+  }
+
+  /** (original columns…, cell) — assignment against a fitted model; one
+    * codegen'd projection, suitable for writing partitioned by cell (the
+    * same layout `IvfIndex` uses for probe pruning). */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("cell", cellOf(asDouble(col(vecCol)), model.centroids))
+
+  /** Fixed-point audit frame: cells whose centroid differs from the mean
+    * of its assigned members by more than `tol` in any component. For a
+    * CONVERGED model this is empty by Lloyd's invariant (the final update
+    * used exactly the final membership) — `tol` absorbs only the
+    * aggregation-merge-order float jitter between fit's update pass and
+    * this recomputation. Returns (cell INT, max_err DOUBLE). */
+  def fixedPointViolations(df: DataFrame, vecCol: String, model: Model,
+      tol: Double = 1e-9): DataFrame = {
+    val dim = model.centroids.head.length
+    val vecSum = udaf(new VectorSum(dim))
+    val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+    assign(df, vecCol, model)
+      .select(asDouble(col(vecCol)).as("v"), col("cell"))
+      .filter(size(col("v")) > 0)
+      .groupBy(col("cell"))
+      .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"),
+        aggregate(
+          zip_with(col("s"), element_at(centLit, col("cell") + 1),
+            (si, ci) => abs(si / col("n") - ci)),
+          lit(0.0), (a, b) => greatest(a, b)).as("max_err"))
+      .filter(col("max_err") > tol)
+  }
+}

@@ -70,4 +70,26 @@ object Packing {
       .first().getLong(0)
     (total + seqLen - 1) / seqLen
   }
+
+  /** Length-bucketed micro-batching (the padding-efficiency layout for
+    * non-packed fine-tuning): docs bucket by token count
+    * (bucket = min(tokens / binSize, maxBucket)) and split into batches
+    * of `batchSize` docs per bucket in deterministic id order, so batch
+    * peers differ by at most binSize tokens and per-batch padding waste
+    * is bounded. One shuffle keyed by bucket (the per-bucket window);
+    * bucket counts are balanced by construction for any non-degenerate
+    * length distribution, and a finer binSize both tightens padding AND
+    * spreads the shuffle — the knobs move together at 100 TB. Returns
+    * (idCol, tokens, bucket, batch_idx). */
+  def lengthBuckets(docs: DataFrame, idCol: String, tokenCol: String,
+      binSize: Int, batchSize: Int, maxBucket: Int = 64): DataFrame = {
+    require(binSize > 0 && batchSize > 0, "binSize/batchSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    docs.select(col(idCol), col(tokenCol).cast("long").as("tokens"))
+      .withColumn("bucket",
+        least(floor(col("tokens") / binSize), lit(maxBucket)).cast("int"))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - lit(1)) / lit(batchSize)).cast("long"))
+  }
 }

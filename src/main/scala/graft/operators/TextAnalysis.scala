@@ -235,6 +235,28 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Corpus vocabulary: the `topN` terms by total occurrence count (ties
+    * broken lexicographically) with document frequency and a dense id in
+    * rank order — the tokenizer-building / stopword-discovery primitive.
+    * Two map-side-combinable aggregations ((doc, term) counts, then term
+    * totals) followed by a bounded top-N (`TakeOrderedAndProject` keeps
+    * topN rows per partition, so no full sort of the vocabulary); the
+    * final dense id is a row_number over topN rows only — driver-sized,
+    * not corpus-sized. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Fingerprints.tokens(col(textCol))).as("term"))
+    val perDoc = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = perDoc.groupBy(col("term"))
+      .agg(sum(col("tf")).as("tf_total"), count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("tf_total"), col("term"))
+    byTerm.orderBy(desc("tf_total"), col("term")).limit(topN)
+      .withColumn("vocab_id", (row_number().over(w) - 1).cast("int"))
+  }
+
   /** Gopher-style repetition counts per document (the standard boilerplate
     * signals a pretraining quality filter computes): line counts, distinct
     * line counts, word-bigram counts, and the multiplicity of the most

@@ -496,6 +496,56 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── corpus vocabulary: top-100 terms with counts, doc frequency, and
+    //    dense rank-order ids (tokenizer building / stopword discovery) ─────
+    "vocab_top_terms" -> ((s, d) => {
+      TextAnalysis.vocabulary(t(s, d, "documents"), "doc_id", "text",
+          topN = 100)
+        .orderBy(col("vocab_id"))
+    }),
+
+    // ── length-bucketed micro-batching: similar-length docs batch
+    //    together so padding waste is bounded by the bin width ──────────────
+    "pack_length_buckets" -> ((s, d) => {
+      val withTokens = t(s, d, "documents").select(col("doc_id"),
+        size(graft.functions.Fingerprints.tokens(col("text")))
+          .cast("long").as("tok"))
+      graft.operators.Packing.lengthBuckets(withTokens, "doc_id", "tok",
+          binSize = 32, batchSize = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── ordered funnel: users reaching view → click-after-view →
+    //    purchase-after-that-click (strict event-time ordering) ─────────────
+    "events_funnel" -> ((s, d) => {
+      graft.operators.EventAnalytics.funnel(t(s, d, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
+    // ── cohort retention: first-seen-day cohorts × active-day offsets ─────
+    "events_retention" -> ((s, d) => {
+      graft.operators.EventAnalytics.retention(t(s, d, "events"),
+          "user_id", "ts")
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // ── k-means fixed-point audit: fit to the exact assignment fixed
+    //    point, then emit cells whose centroid is NOT the mean of its
+    //    members (Lloyd's invariant) — 0-row oracle. A non-converged fit
+    //    emits a marker row so the gate fails loudly instead of passing
+    //    vacuously. Cluster sizes/inertia are hash-defined and pinned in
+    //    KMeansSpec. ────────────────────────────────────────────────────────
+    "emb_kmeans_audit" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.KMeansCluster.fit(emb, "embedding", k = 8)
+      if (!model.converged) Seq((-1, -1.0)).toDF("cell", "max_err")
+      else graft.operators.KMeansCluster
+        .fixedPointViolations(emb, "embedding", model)
+        .orderBy(col("cell"))
+    }),
+
     // ── skew: salted two-level aggregation (== plain groupBy, oracle) ─────
     "skew_salted_agg" -> ((s, d) => {
       graft.operators.Skew.saltedSumCount(t(s, d, "lineitem"),
@@ -949,6 +999,74 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, quality, lang_pred, dup_line_frac,
          |top_bigram_frac, reason = 'ok' AS keep, reason
          |FROM v ORDER BY doc_id""".stripMargin,
+
+    "vocab_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |  unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS tf_total,
+        |  count(*) AS df FROM tf GROUP BY 1)
+        |SELECT term, tf_total, df,
+        |CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
+        |  AS vocab_id
+        |FROM agg ORDER BY tf_total DESC, term LIMIT 100""".stripMargin,
+
+    "pack_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |  CAST(len([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS BIGINT) AS tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tokens,
+        |  CAST(least(tokens // 32, 64) AS INT) AS bucket FROM t),
+        |r AS (
+        |  SELECT doc_id, tokens, bucket,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |  FROM b)
+        |SELECT doc_id, tokens, bucket, CAST((rn - 1) // 8 AS BIGINT)
+        |  AS batch_idx
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), 'view', (SELECT count(*) FROM s1)),
+        |  (CAST(2 AS INT), 'click', (SELECT count(*) FROM s2)),
+        |  (CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s3)))
+        |  AS t(stage, stage_name, users)
+        |ORDER BY stage""".stripMargin,
+
+    "events_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id AS u, CAST(min(ts) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+        |count(*) AS users
+        |FROM act JOIN fs USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_kmeans_audit" ->
+      """SELECT CAST(NULL AS INT) AS cell, CAST(NULL AS DOUBLE) AS max_err
+        |WHERE FALSE""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
