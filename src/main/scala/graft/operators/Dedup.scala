@@ -128,35 +128,56 @@ object Dedup {
           size(col("a.group_sig"))).as("est_jaccard"))
 
   /** EXACT pairwise shingle-set Jaccard between groups — the audit twin of
-    * `groupOverlap`'s sketch estimate. Shuffles the full distinct
-    * (group, shingle) set, so it is a VERIFICATION operator: at 100 TB the
-    * sketch (one k-slot signature per group) is the production path, and
-    * this exact form runs on samples/SF-scale data to certify the
-    * estimator's error bound. Shingle construction matches
+    * `groupOverlap`'s sketch estimate, for up to 62 groups. Instead of a
+    * shingle self-join (quadratic in per-shingle group frequency), each
+    * distinct shingle is reduced to the BITMASK of groups containing it —
+    * two map-side-combinable aggregations keyed by shingle then by mask —
+    * and every pairwise intersection/union falls out of the collected
+    * (mask, count) table, whose size is the number of distinct
+    * co-occurrence PATTERNS (≪ distinct shingles; ≤ 2^groups in theory,
+    * dozens in practice), not data. Shingle construction matches
     * `shingleFrame`'s kernel (lowercase whitespace tokens, space-joined
-    * n-grams, per-doc distinct → per-group union via `distinct`). Emits
-    * every group pair (grp_a < grp_b), including zero-overlap ones. */
+    * n-grams, per-doc distinct → per-group union). Emits every group pair
+    * (grp_a < grp_b) where both groups have ≥ 1 shingle, including
+    * zero-overlap ones. */
   def groupOverlapExact(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(groupCol).as("grp"),
-        explode(shingles(tokens(col(textCol)), n)).as("sg"))
-      .distinct()
-    val sizes = sh.groupBy($"grp").agg(count(lit(1)).as("n_sh"))
-    val grps = sizes.select($"grp")
-    val allPairs = grps.as("a").join(grps.as("b"),
-        col("a.grp") < col("b.grp"))
-      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.sg") === col("b.sg") && col("a.grp") < col("b.grp"))
-      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
-      .agg(count(lit(1)).as("c"))
-    allPairs
-      .join(common, Seq("grp_a", "grp_b"), "left")
-      .join(sizes.select($"grp".as("grp_a"), $"n_sh".as("na")), "grp_a")
-      .join(sizes.select($"grp".as("grp_b"), $"n_sh".as("nb")), "grp_b")
-      .select($"grp_a", $"grp_b",
-        (coalesce($"c", lit(0L)).cast("double") /
-          ($"na" + $"nb" - coalesce($"c", lit(0L)))).as("jaccard"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val groups = docs.select(col(groupCol).cast("string")).distinct()
+      .as[String].collect().sorted
+    require(groups.length <= 62,
+      s"groupOverlapExact supports at most 62 groups, got ${groups.length}")
+    val gidx = typedLit(groups.zipWithIndex.toMap)
+    // shingles come from the typed kernel (shingleFrame; the shingles()
+    // expression tree runs interpreted — PLANS.md lesson 6) and no
+    // distinct precedes the aggregation: bit_or is idempotent, so
+    // duplicate (group, shingle) occurrences cost nothing — one map-side-
+    // combinable shuffle keyed by shingle replaces distinct + self-join.
+    val maskCnt = shingleFrame(docs, idCol, textCol, n, k = 0)
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        col(groupCol).cast("string").as("grp")), "id")
+      .select(col("grp"), explode(col("shs")).as("sg"))
+      .withColumn("_gidx", element_at(gidx, col("grp")))
+      .withColumn("m", expr("shiftleft(CAST(1 AS BIGINT), _gidx)"))
+      .groupBy(col("sg")).agg(expr("bit_or(m)").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect()
+    val k = groups.length
+    val sizes = Array.tabulate(k) { i =>
+      maskCnt.collect { case (m, c) if ((m >> i) & 1L) == 1L => c }.sum
+    }
+    val rows = for {
+      a <- 0 until k
+      b <- (a + 1) until k
+      if sizes(a) > 0 && sizes(b) > 0
+    } yield {
+      val c = maskCnt.collect {
+        case (m, cnt) if ((m >> a) & 1L) == 1L && ((m >> b) & 1L) == 1L => cnt
+      }.sum
+      (groups(a), groups(b), c.toDouble / (sizes(a) + sizes(b) - c))
+    }
+    rows.toDF("grp_a", "grp_b", "jaccard")
   }
 
   /** Exact duplicate groups by content fingerprint: one row per distinct
@@ -237,14 +258,16 @@ object Dedup {
     * collisions, verified by bit_count. The 64 bits are partitioned into
     * maxHamming+1 chunks — by pigeonhole, any pair within the distance must
     * agree exactly on at least one chunk, so candidate recall is 1. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // typed kernel, same rationale as shingleFrame: concrete sig column,
-    // nothing for CollapseProject to inline into the chunk expressions.
-    val sig = {
-      val spark = docs.sparkSession
-      import spark.implicits._
-      spread(docs)
+  /** (id, sig) 64-bit SimHash signature table — typed kernel, same
+    * rationale as `shingleFrame`: a concrete sig column that nothing
+    * inlines into downstream chunk expressions. Shared by `simhashPairs`
+    * and the radius audits (which join this table directly instead of
+    * regenerating candidates). */
+  def simhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spread(docs)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -254,7 +277,11 @@ object Dedup {
           (id, graft.functions.Hashing.simhash(toks))
         }
       }.toDF("id", "sig")
-    }
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol)
     val numChunks = math.min(maxHamming + 1, 64)
     val chunks = sig.select($"id", $"sig",
       explode(array((0 until numChunks).map { i =>

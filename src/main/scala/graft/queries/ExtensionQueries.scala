@@ -346,9 +346,16 @@ object ExtensionQueries {
           n = 3, threshold = JaccardThreshold)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 4).as("jaccard"))
-      val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
-        .select(col("id_a"), col("id_b"))
-      truth.join(sim, Seq("id_a", "id_b"), "left_anti")
+      // radius check by joining the signature TABLE against the (tiny)
+      // truth pair set — no candidate generation: a radius-10 pigeonhole
+      // (11 chunks of ~6 bits) would explode candidates quadratically,
+      // and the audit doesn't need it.
+      val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      truth
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) > 10)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
