@@ -288,6 +288,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the dedup ACTION on the SCALE pair generator: MinHash-LSH
+    //    candidates (sub-quadratic) → connected components → keep-first.
+    //    Because LSH recall is 1 at this threshold gap (banding S-curve,
+    //    verified candidates), the survivor set EQUALS the exact form's —
+    //    same oracle as dedup_apply, proving the 100 TB path end-to-end,
+    //    not just its pair stage. ───────────────────────────────────────────
+    "dedup_apply_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = JaccardThreshold)
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── SimHash near-dup pairs (hash-defined → rows-only) ─────────────────
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -630,6 +645,25 @@ object ExtensionQueries {
       |SELECT a AS id, least(a, min(b)) AS comp
       |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
+  private val dedupApplyOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |pairs AS (
+      |  SELECT ida AS a, idb AS b FROM common
+      |  JOIN sizes sa ON ida = sa.doc_id
+      |  JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |losers AS (
+      |  SELECT a AS id FROM reach GROUP BY a
+      |  HAVING least(a, min(b)) <> a)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   private val cosinePairsOracle: String =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -798,24 +832,10 @@ object ExtensionQueries {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_clusters" -> dedupClustersOracle,
 
-    "dedup_apply" ->
-      s"""WITH RECURSIVE $ngramPairCtes,
-        |pairs AS (
-        |  SELECT ida AS a, idb AS b FROM common
-        |  JOIN sizes sa ON ida = sa.doc_id
-        |  JOIN sizes sb ON idb = sb.doc_id
-        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |losers AS (
-        |  SELECT a AS id FROM reach GROUP BY a
-        |  HAVING least(a, min(b)) <> a)
-        |SELECT doc_id, source FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM losers)
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_apply" -> dedupApplyOracle,
+    // LSH candidates are exact-verified and recall-1 at the threshold gap,
+    // so the scale path's survivors equal the exact form's.
+    "dedup_apply_lsh" -> dedupApplyOracle,
 
     "sample_hash_split" ->
       """SELECT doc_id,
