@@ -213,13 +213,25 @@ class GoldenParitySpec extends SparkSpec {
     * reconstructed with non-standard fillers occupying every dropped raw
     * position, so the extract must land on EXACTLY those counts, and the
     * stats pivot must reproduce the committed CSV row. */
+  /** Doubled-letter question (2022/2023-era PDF text shape). */
+  private def doubledQ(year: Int)(raw: Int): String =
+    s"QUESTÃO\nenunciado $year raw$raw\n" +
+      (1 to 5).zip(Seq("A", "B", "C", "D", "E")).map {
+        case (i, l) => s"$l\n$l alternativa $i"
+      }.mkString("\n") + "\n"
+
+  /** Single-letter + two-space question (the 2020-era shape that only the
+    * fallback regex `([A-E])\s{2}` recognizes —
+    * enem_pdf_extractor.py:123). */
+  private def singleLetterQ(year: Int)(raw: Int): String =
+    s"QUESTÃO\nenunciado $year raw$raw\n" +
+      (1 to 5).zip(Seq("A", "B", "C", "D", "E")).map {
+        case (i, l) => s"$l  alternativa $i"
+      }.mkString("\n") + "\n"
+
   private def buildCountBooklet(file: String, keepRaws: Set[Int],
-      maxRaw: Int, year: Int): Seq[(String, Int, String, Boolean)] = {
-    def standardQ(raw: Int): String =
-      s"QUESTÃO\nenunciado $year raw$raw\n" +
-        (1 to 5).zip(Seq("A", "B", "C", "D", "E")).map {
-          case (i, l) => s"$l\n$l alternativa $i"
-        }.mkString("\n") + "\n"
+      maxRaw: Int, year: Int,
+      standardQ: Int => String): Seq[(String, Int, String, Boolean)] = {
     val cover = (file, 0, s"INSTRUÇÕES — capa $year", false)
     val pages = (1 to maxRaw).grouped(12).zipWithIndex.map {
       case (raws, i) =>
@@ -260,8 +272,8 @@ class GoldenParitySpec extends SparkSpec {
       (1 to 45).take(refCounts("natu").toInt) ++
       (46 to 90).take(refCounts("math").toInt)
 
-    val pages = buildCountBooklet(d1File, d1Keep, 95, 2022) ++
-      buildCountBooklet(d2File, d2Keep, 90, 2022)
+    val pages = buildCountBooklet(d1File, d1Keep, 95, 2022, doubledQ(2022)) ++
+      buildCountBooklet(d2File, d2Keep, 90, 2022, doubledQ(2022))
     val d1KeyTxt = keyText("CONFIRA O GABARITO DO ENEM 2022 D1",
       (1 to 5).map(d => d -> "A") ++ (1 to 5).map(d => d -> "B") ++
         (6 to 90).map(d => d -> "C"))
@@ -277,6 +289,66 @@ class GoldenParitySpec extends SparkSpec {
     // every surviving record carries a key answer and a 2022 id.
     assert(out.filter(col("correct_answer").isNull).count() === 0)
     assert(out.filter(!col("id").startsWith("2022_")).count() === 0)
+  }
+
+  /** 2020 parity (BASELINE.md row 2): the single-letter-alternative era —
+    * the shape only T5's fallback regex recognizes. Counts come from the
+    * reference's committed qdrant load metadata
+    * (extraction_metadata/qdrant_extraction_data.csv rows 4-5: lang 14,
+    * huma 34, math 18, eng 3, spani 5 — 74 total; natu EMPTY, matching the
+    * reference's note that 2020 D2's unusual character encoding defeats
+    * text extraction, enem_pdf_extractor.py:12 — modeled here as every
+    * natu slot non-standard). */
+  test("2020 D1+D2: single-letter-era extraction count parity with the " +
+    "reference's committed qdrant metadata (lang 14, huma 34, math 18, " +
+    "eng 3, spani 5 — 74 total; natu unextractable)") {
+    val metaCsv = new java.io.File(
+      "/root/reference/extraction_metadata/qdrant_extraction_data.csv")
+    assume(metaCsv.exists(), "reference qdrant metadata not present")
+    val lines = scala.io.Source.fromFile(metaCsv).getLines().toSeq
+    val cols = lines.head.split(",", -1).drop(1) // lang,huma,math,eng,spani,natu
+    val todas = lines.find(_.startsWith("2020 todas questoes")).get
+      .split(",", -1).drop(1)
+      .map(s => if (s.trim.isEmpty) 0L else s.toDouble.toLong)
+    val refCounts = cols.zip(todas).toMap
+    assert(refCounts.values.sum === 74L)
+    assert(refCounts("natu") === 0L)
+
+    val d1File = "2020_PV_impresso_D1_CD1.pdf"
+    val d1Key = "2020_GB_impresso_D1_CD1.pdf"
+    val d2File = "2020_PV_impresso_D2_CD5.pdf"
+    val d2Key = "2020_GB_impresso_D2_CD5.pdf"
+
+    // D1 raw layout: eng 1-5, spani 6-10, lang 11-50, huma 51-95.
+    val d1Keep = Set.empty[Int] ++
+      (1 to 5).take(refCounts("eng").toInt) ++
+      (6 to 10).take(refCounts("spani").toInt) ++
+      (11 to 50).take(refCounts("lang").toInt) ++
+      (51 to 95).take(refCounts("huma").toInt)
+    // D2: natu 1-45 (all unextractable → kept empty), math 46-90.
+    val d2Keep = Set.empty[Int] ++
+      (46 to 90).take(refCounts("math").toInt)
+
+    val pages =
+      buildCountBooklet(d1File, d1Keep, 95, 2020, singleLetterQ(2020)) ++
+      buildCountBooklet(d2File, d2Keep, 90, 2020, singleLetterQ(2020))
+    val d1KeyTxt = keyText("CONFIRA O GABARITO DO ENEM 2020 D1",
+      (1 to 5).map(d => d -> "A") ++ (1 to 5).map(d => d -> "B") ++
+        (6 to 90).map(d => d -> "C"))
+    val d2KeyTxt = keyText("CONFIRA O GABARITO DO ENEM 2020 D2",
+      (91 to 180).map(d => d -> "D"))
+
+    val out = runExtract(pages, Seq(d1Key -> d1KeyTxt, d2Key -> d2KeyTxt))
+    val got = out.groupBy(col("subject")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refCounts.filter(_._2 > 0),
+      s"2020 per-subject counts diverge: got $got, reference $refCounts")
+    assert(got.values.sum === 74L)
+    // every record parsed through the FALLBACK path with all 5
+    // alternatives recovered, carries a key answer, and a 2020 id.
+    assert(out.filter(size(col("alternatives")) =!= 5).count() === 0)
+    assert(out.filter(col("correct_answer").isNull).count() === 0)
+    assert(out.filter(!col("id").startsWith("2020_")).count() === 0)
   }
 
   /** 2020 degraded-encoding behavior (enem_pdf_extractor.py:6-13, :123):
