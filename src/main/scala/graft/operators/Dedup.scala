@@ -310,6 +310,31 @@ object Dedup {
       .filter($"cosine" >= threshold)
   }
 
+  /** SemDeDup-style cluster-local semantic near-dup pairs: k-means the
+    * embedding space, then compare only WITHIN each cluster — the other
+    * sub-quadratic path besides `cosinePairsLsh`, and the one that adapts
+    * to data geometry (LSH buckets are random; clusters follow density).
+    * Candidates are exact-verified, so PRECISION is 1 by construction
+    * (every emitted pair is a true ≥-threshold pair — the containment
+    * `emb_semantic_precision` gates with a 0-row oracle); recall is the
+    * probability that a near-dup pair co-clusters, which is high exactly
+    * when clusters are meaningful (pinned per-corpus in DedupSpec). Per-
+    * cell work is quadratic in CELL size — ncells is the knob that trades
+    * recall for bounded candidates at 100 TB, and the cell join carries
+    * (id, vector) only after the cell shuffle. */
+  def cosinePairsSemantic(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, ncells: Int, maxIter: Int = 50): DataFrame = {
+    val model = KMeansCluster.fit(embs, vecCol, ncells, maxIter)
+    val a = KMeansCluster.assign(
+        spread(embs).select(col(idCol).cast("long").as("id"),
+          asDouble(col(vecCol)).as("v")), "v", model)
+    a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosineSimilarity(col("x.v"), col("y.v")).as("cosine"))
+      .filter($"cosine" >= threshold)
+  }
+
   /** Embedding near-dup via sign-random-projection LSH: bucket on bands of
     * hyperplane-sign bits, verify candidates exactly. Sub-quadratic; recall
     * depends on bands/bits at the threshold. */

@@ -127,30 +127,54 @@ object KMeansCluster {
     require(centroids.nonEmpty, "cannot fit k-means on an empty corpus")
     val dim = centroids.head.length
     val vecSum = udaf(new VectorSum(dim))
-    var cur = df.select(asDouble(col(vecCol)).as("v"))
+    val src = df.select(asDouble(col(vecCol)).as("v"))
       .filter(size(col("v")) > 0)
+    // Size the iteration parallelism to the WORKING SET: Lloyd's runs
+    // dozens of tiny jobs, and scheduling a full session's worth of tasks
+    // per round dominates wall-clock when the corpus (or sample) is small.
+    // ≥ ~20k vectors per partition keeps a 100 TB fit at full cluster
+    // parallelism while a sample-sized fit degenerates to 1 task/round.
+    val spark = df.sparkSession
+    val maxPar = spark.sparkContext.defaultParallelism
+    val n = src.count()
+    val target = math.max(1L, math.min(maxPar.toLong, n / 20000L)).toInt
+    val sized =
+      if (src.queryExecution.toRdd.getNumPartitions > target)
+        src.repartition(target)
+      else src
+    // Loop state: (v, cell_prev, cell) — the row's assignment under the
+    // previous AND current centroids. Two jobs per round: ONE aggregation
+    // yields the per-cell sums/counts AND the changed-assignment count,
+    // then ONE checkpoint pass materializes the next assignment. When
+    // changed == 0, the centroids just produced were computed over
+    // exactly the membership they now induce — the fixed point holds
+    // without a final extra pass.
+    var cur = sized
+      .withColumn("cell_prev", lit(-1))
       .withColumn("cell", cellOf(col("v"), centroids))
       .localCheckpoint()
     var iter = 1 // cur already holds the first assignment
     var converged = false
     while (!converged && iter < maxIter) {
-      val stats = cur.groupBy(col("cell"))
-        .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"))
+      val rows = cur.groupBy(col("cell"))
+        .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"),
+          sum(when(col("cell") =!= col("cell_prev"), 1L).otherwise(0L))
+            .as("chg"))
         .collect()
-        .map(r => (r.getInt(0), (r.getSeq[Double](1), r.getLong(2)))).toMap
-      val updated = centroids.zipWithIndex.map { case (old, i) =>
-        stats.get(i) match {
-          case Some((s, n)) => s.map(_ / n).toArray
-          case None => old
-        }
-      }
-      val next = cur.withColumn("cell2", cellOf(col("v"), updated))
-      val changed = next.filter(col("cell2") =!= col("cell")).count()
-      centroids = updated
-      if (changed == 0) converged = true
+      val changed = rows.map(_.getLong(3)).sum
+      if (iter > 1 && changed == 0) converged = true
       else {
+        val stats = rows
+          .map(r => (r.getInt(0), (r.getSeq[Double](1), r.getLong(2)))).toMap
+        centroids = centroids.zipWithIndex.map { case (old, i) =>
+          stats.get(i) match {
+            case Some((s, n)) => s.map(_ / n).toArray
+            case None => old
+          }
+        }
         val prev = cur
-        cur = next.select(col("v"), col("cell2").as("cell"))
+        cur = cur.select(col("v"), col("cell").as("cell_prev"))
+          .withColumn("cell", cellOf(col("v"), centroids))
           .localCheckpoint()
         prev.unpersist()
         iter += 1

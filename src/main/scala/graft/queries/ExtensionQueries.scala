@@ -194,6 +194,22 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── SemDeDup precision audit: cluster-local semantic pairs are exact-
+    //    verified, so every emitted pair must also be a brute-force pair —
+    //    the anti-join is empty for ANY clustering (0-row oracle). Recall
+    //    (co-clustering probability of near-dup pairs) is hash-defined and
+    //    pinned in DedupSpec. ───────────────────────────────────────────────
+    "emb_semantic_precision" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val sem = Dedup.cosinePairsSemantic(emb, "vec_id", "embedding",
+        threshold = 0.3, ncells = 8)
+      val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding",
+        threshold = 0.3)
+      sem.join(brute, Seq("id_a", "id_b"), "left_anti")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── K1 filtered search: top-k restricted by metadata (the vector-DB
     //    query_filter form). The predicate composes into the scan BEFORE
     //    scoring — qualifying vectors only reach the similarity heap, and
@@ -771,6 +787,10 @@ object ExtensionQueries {
     "dedup_simhash_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |CAST(NULL AS DOUBLE) AS jaccard WHERE FALSE""".stripMargin,
+
+    "emb_semantic_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |CAST(NULL AS DOUBLE) AS cosine WHERE FALSE""".stripMargin,
 
     "docs_rolling_audit" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id,
