@@ -606,6 +606,35 @@ object ExtensionQueries {
         .orderBy(col("pk"))
     }),
 
+    // ── Bloom-pre-filtered semi join: output == plain semi join (the
+    //    filter's false positives are removed by the exact join), but the
+    //    probe-side shuffle carries only survivors ──────────────────────────
+    "j_bloom_semi" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val smallParts = t(s, d, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
+      graft.operators.BloomJoin.semiJoin(
+          li.select(col("l_partkey").as("p_partkey"), col("l_quantity")),
+          smallParts, "p_partkey", expectedKeys = 100000L)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── semi-structured extraction: JSON props column → typed fields,
+    //    aggregated (get_json_object is codegen'd; the scan still prunes
+    //    to the two referenced columns) ─────────────────────────────────────
+    "events_props_json" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── multimodal: opaque binary column + deterministic feature stub ─────
     "multimodal_features" -> ((s, d) => {
       graft.operators.Multimodal
@@ -1193,6 +1222,22 @@ object ExtensionQueries {
     "docs_hash_embed" ->
       """SELECT doc_id, 64 AS dim, 1.0 AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j_bloom_semi" ->
+      """SELECT l_partkey AS p_partkey, count(*) AS n,
+        |round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_props_json" ->
+      """SELECT event_type,
+        |count(CAST(json_extract_string(props, '$.k') AS INT)) AS n,
+        |round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+        |  AS avg_k,
+        |min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,
