@@ -257,6 +257,21 @@ object TextAnalysis {
       .withColumn("vocab_id", (row_number().over(w) - 1).cast("int"))
   }
 
+  /** Encode documents as token-id sequences against a learned vocabulary
+    * (the apply side of `vocabulary`): one posexplode + one broadcast join
+    * on term (the vocab is top-N-sized by construction), out-of-vocabulary
+    * tokens map to -1 (the UNK id). Returns (doc_id, pos, token_id) —
+    * exploded scalar rows, the layout a training-data writer shards
+    * directly. */
+  def encodeWithVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(Fingerprints.tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select(col("term"), col("vocab_id"))),
+        Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("vocab_id"), lit(-1)).as("token_id"))
+
   /** Gopher-style repetition counts per document (the standard boilerplate
     * signals a pretraining quality filter computes): line counts, distinct
     * line counts, word-bigram counts, and the multiplicity of the most

@@ -542,6 +542,30 @@ object ExtensionQueries {
         .orderBy(col("vocab_id"))
     }),
 
+    // ── vocab APPLY: documents encoded as token-id sequences against the
+    //    learned top-100 vocabulary (OOV → -1); broadcast vocab join ────────
+    "docs_encode_vocab" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // topN = 20 so rarer terms actually exercise the OOV → -1 path
+      val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", topN = 20)
+      TextAnalysis.encodeWithVocab(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ── corpus-relative quality gate: documents strictly above the corpus
+    //    MEDIAN quality — the exact-percentile scalar broadcasts into a
+    //    one-pass filter (2 corpus passes total; at 100 TB swap in
+    //    approx_percentile, contract-checked like a_approx_quantiles) ───────
+    "docs_quality_gate" -> ((s, d) => {
+      val q = TextAnalysis.qualityFrame(t(s, d, "documents"),
+        "doc_id", "text")
+      val med = q.agg(percentile(col("quality"), lit(0.5)))
+        .first().getDouble(0)
+      q.filter(col("quality") > med)
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── length-bucketed micro-batching: similar-length docs batch
     //    together so padding waste is bounded by the bin width ──────────────
     "pack_length_buckets" -> ((s, d) => {
@@ -559,6 +583,19 @@ object ExtensionQueries {
       graft.operators.EventAnalytics.funnel(t(s, d, "events"),
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy(col("stage"))
+    }),
+
+    // ── arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    //    (type), (day), and grand total in ONE pass — Spark expands to a
+    //    single Expand + aggregation, not three scans ───────────────────────
+    "events_grouping_sets" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_gs")
+      s.sql("""
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
+        ORDER BY event_type NULLS FIRST, day NULLS FIRST""")
     }),
 
     // ── cohort retention: first-seen-day cohorts × active-day offsets ─────
@@ -1090,6 +1127,59 @@ object ExtensionQueries {
         |CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
         |  AS vocab_id
         |FROM agg ORDER BY tf_total DESC, term LIMIT 100""".stripMargin,
+
+    "docs_encode_vocab" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+        |    AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(unnest(range(len(t))) AS INT) AS pos,
+        |  unnest(t) AS term FROM tk),
+        |tf0 AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS tf_total, count(*) AS df
+        |  FROM tf0 GROUP BY 1),
+        |vocab AS (
+        |  SELECT term,
+        |  CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
+        |    AS vocab_id
+        |  FROM agg ORDER BY tf_total DESC, term LIMIT 20)
+        |SELECT t.doc_id, t.pos, coalesce(v.vocab_id, -1) AS token_id
+        |FROM toks t LEFT JOIN vocab v USING (term)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "docs_quality_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+        |    AS tk,
+        |  length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars, punct, len(tk) AS n_tok,
+        |  len([t FOR t IN tk
+        |    IF t IN ('the','and','of','to','in','is','a')]) AS stop
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id,
+        |  round((least(n_tok / 100.0, 1.0) +
+        |    least((CASE WHEN n_tok > 0 THEN stop * 1.0 / n_tok
+        |      ELSE 0.0 END) * 5.0, 1.0) +
+        |    (1.0 - least((CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars
+        |      ELSE 0.0 END) * 10.0, 1.0))) / 3.0, 4) AS quality
+        |  FROM g),
+        |m AS (SELECT quantile_cont(quality, 0.5) AS med FROM q)
+        |SELECT doc_id, quality FROM q, m WHERE quality > med
+        |ORDER BY doc_id""".stripMargin,
+
+    "events_grouping_sets" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
     "pack_length_buckets" ->
       """WITH t AS (
