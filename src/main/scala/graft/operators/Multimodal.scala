@@ -52,6 +52,36 @@ object Multimodal {
     ds.mapPartitions(decodeBatch)
   }
 
+  final case class FrameRecord(id: Long, frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  /** STUB frame sampling (video → every-kth frame): the fake "codec"
+    * treats the payload as `nFrames` contiguous slices (nFrames matching
+    * the decode stub's metadata) and emits every `every`-th one. The
+    * Spark-side contract is the production one — a per-partition flatMap
+    * whose output is one row PER FRAME (frames of one medium stay within
+    * the producing task; no array-of-frames column to blow row size), id +
+    * frame_idx keys for downstream joins, bytes as an opaque payload. A
+    * real implementation replaces the slicing with the codec's keyframe
+    * iterator. Frames with every = 1 reassemble to the exact payload
+    * (spec-checked); the index/length arithmetic is oracle-checked. */
+  def sampleFrames(ds: Dataset[MediaRecord], every: Int): Dataset[FrameRecord] = {
+    require(every > 0, "every must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      val len = rec.bytes.length
+      val n = len % 8 + 1 // stub's nFrames (matches decodeBatch)
+      val sliceLen = math.max(len / n, 1)
+      (0 until n by every).iterator.map { f =>
+        val from = math.min(len, f.toLong * sliceLen).toInt
+        val until = if (f == n - 1) len
+          else math.min(len, from + sliceLen)
+        FrameRecord(rec.id, f,
+          java.util.Arrays.copyOfRange(rec.bytes, from, until))
+      }
+    })
+  }
+
   /** Size-aware repartition for decode workloads. Media payloads are
     * heavy-tailed (a 2 GB video next to 40 kB thumbnails), so hashing ids
     * into tasks yields decode times that differ by orders of magnitude —

@@ -679,6 +679,21 @@ object ExtensionQueries {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
           "doc_id", "bytes")
         .orderBy(col("doc_id"))
+    }),
+
+    // ── multimodal frame sampling: one row per sampled frame (stub codec,
+    //    real per-partition flatMap plumbing); the slicing arithmetic is
+    //    oracle-checked, slice CONTENT re-assembly is spec-checked ──────────
+    "multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[graft.operators.Multimodal.MediaRecord]
+      graft.operators.Multimodal.sampleFrames(media, every = 2)
+        .toDF("doc_id", "frame_idx", "frame_bytes")
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).as("n_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -1334,6 +1349,20 @@ object ExtensionQueries {
         |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |md5(text) AS content_md5,
         |CAST(octet_length(encode(text)) % 8 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |p AS (
+        |  SELECT doc_id, len, len % 8 + 1 AS n,
+        |  greatest(len // (len % 8 + 1), 1) AS sl FROM m),
+        |fr AS (
+        |  SELECT doc_id, len, n, sl, unnest(range(0, n, 2)) AS f FROM p)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |CAST(CASE WHEN f = n - 1 THEN len - least(len, f * sl)
+        |     ELSE least(len, least(len, f * sl) + sl) - least(len, f * sl)
+        |     END AS INT) AS n_bytes
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

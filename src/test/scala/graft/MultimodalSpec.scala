@@ -92,4 +92,31 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     bucketsPerPart.foreach(b => assert(b.size <= 1))
   }
+
+  test("sampleFrames: every=1 frames reassemble the exact payload; " +
+      "every=2 keeps the even frame indices") {
+    import spark.implicits._
+    val payloads = Seq(
+      1L -> "short",
+      2L -> "a considerably longer payload with many bytes inside it",
+      3L -> "x")
+    val media = payloads
+      .map { case (id, s) => Multimodal.MediaRecord(id, s.getBytes("UTF-8")) }
+      .toDS()
+    val all = Multimodal.sampleFrames(media, every = 1).collect()
+      .groupBy(_.id)
+    payloads.foreach { case (id, s) =>
+      val reassembled = all(id).sortBy(_.frame_idx)
+        .flatMap(_.frame_bytes)
+      assert(reassembled === s.getBytes("UTF-8").toSeq,
+        s"payload $id did not reassemble")
+    }
+    val sampled = Multimodal.sampleFrames(media, every = 2).collect()
+    assert(sampled.forall(_.frame_idx % 2 === 0))
+    // sampled frames are byte-identical to their every=1 counterparts
+    sampled.foreach { f =>
+      val full = all(f.id).find(_.frame_idx == f.frame_idx).get
+      assert(f.frame_bytes.toSeq === full.frame_bytes.toSeq)
+    }
+  }
 }
