@@ -45,6 +45,32 @@ class KMeansSpec extends SparkSpec {
     assert(a1 === a2)
   }
 
+  test("cellOf assignment equals a local argmin-distance computation") {
+    // the in-plan argmax(x·c − ‖c‖²/2) must equal argmin ‖x − c‖² with
+    // first-wins tie-breaks — checked against a plain Scala evaluation
+    // over deterministic pseudo-random points and centroids.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centroids = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    def localCell(v: Seq[Double]): Int = {
+      val scores = centroids.map { c =>
+        var d = 0.0; var i = 0
+        while (i < dim) { d += v(i) * c(i); i += 1 }
+        d - c.map(x => x * x).sum / 2.0
+      }
+      scores.indexOf(scores.max) // first max, like the expression
+    }
+    val model = KMeansCluster.Model(centroids, 0, converged = true)
+    val got = KMeansCluster.assign(pts.toDF("id", "vec"), "vec", model)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pts.foreach { case (id, v) =>
+      assert(got(id) === localCell(v), s"id=$id")
+    }
+  }
+
   test("empty cells keep their previous centroid (k > distinct points)") {
     val d = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
       .toDF("id", "vec")
