@@ -585,6 +585,17 @@ object ExtensionQueries {
         .orderBy(col("stage"))
     }),
 
+    // ── Z-order key: the Morton interleave of (user_id, hour) — the sort
+    //    key `ZOrder.layoutByZ` lays files out by; pure bit arithmetic,
+    //    value-checked against the same mask chain in SQL. The layout's
+    //    pruning effect is spec-asserted (ZOrderSpec scan metrics). ─────────
+    "events_zorder" -> ((s, d) => {
+      t(s, d, "events").select(col("event_id"),
+          graft.operators.ZOrder.morton16(col("user_id"),
+            hour(col("ts")).cast("long")).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
     //    (type), (day), and grand total in ONE pass — Spark expands to a
     //    single Expand + aggregation, not three scans ───────────────────────
@@ -1188,6 +1199,21 @@ object ExtensionQueries {
         |m AS (SELECT quantile_cont(quality, 0.5) AS med FROM q)
         |SELECT doc_id, quality FROM q, m WHERE quality > med
         |ORDER BY doc_id""".stripMargin,
+
+    "events_zorder" ->
+      """WITH s0 AS (
+        |  SELECT event_id, user_id & 65535 AS a,
+        |  CAST(extract(hour FROM ts) AS BIGINT) & 65535 AS b FROM events),
+        |s1 AS (SELECT event_id, (a | (a << 8)) & 16711935 AS a,
+        |  (b | (b << 8)) & 16711935 AS b FROM s0),
+        |s2 AS (SELECT event_id, (a | (a << 4)) & 252645135 AS a,
+        |  (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT event_id, (a | (a << 2)) & 858993459 AS a,
+        |  (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT event_id, (a | (a << 1)) & 1431655765 AS a,
+        |  (b | (b << 1)) & 1431655765 AS b FROM s3)
+        |SELECT event_id, a | (b << 1) AS z FROM s4
+        |ORDER BY event_id""".stripMargin,
 
     "events_grouping_sets" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
