@@ -542,6 +542,31 @@ object ExtensionQueries {
         .orderBy(col("vocab_id"))
     }),
 
+    // ── CMS heavy-hitter audit: a Count-Min-Sketch built in one pass
+    //    estimates each top-20 term's frequency; CMS guarantees estimate ≥
+    //    exact (always) and ≤ exact + ε·N (w.h.p., deterministic here via
+    //    the fixed seed) — both folded into a value-checked flag next to
+    //    the exact counts the oracle recomputes. ───────────────────────────
+    "vocab_cms_audit" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val toks = docs.select(
+        explode(graft.functions.Fingerprints.tokens(col("text"))).as("term"))
+      val eps = 0.001
+      val cms = graft.operators.CmsSketch.build(toks, col("term"), eps = eps)
+      val slack = math.ceil(eps * toks.count()).toLong
+      val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", topN = 20)
+        .select(col("term"), col("tf_total"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val est = graft.operators.CmsSketch
+        .estimateFor(cms, vocab.map(_._1).toSeq)
+      vocab.toSeq.map { case (term, exact) =>
+        (term, exact,
+          est(term) >= exact && est(term) <= exact + slack)
+      }.toDF("term", "tf_total", "within_bounds")
+        .orderBy(col("term"))
+    }),
+
     // ── vocab APPLY: documents encoded as token-id sequences against the
     //    learned top-100 vocabulary (OOV → -1); broadcast vocab join ────────
     "docs_encode_vocab" -> ((s, d) => {
@@ -1153,6 +1178,20 @@ object ExtensionQueries {
         |CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
         |  AS vocab_id
         |FROM agg ORDER BY tf_total DESC, term LIMIT 100""".stripMargin,
+
+    "vocab_cms_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |  unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS term
+        |  FROM documents),
+        |tf0 AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS tf_total,
+        |  row_number() OVER (ORDER BY sum(c) DESC, term) AS rk
+        |  FROM tf0 GROUP BY term)
+        |SELECT term, tf_total, TRUE AS within_bounds
+        |FROM agg WHERE rk <= 20 ORDER BY term""".stripMargin,
 
     "docs_encode_vocab" ->
       """WITH tk AS (
