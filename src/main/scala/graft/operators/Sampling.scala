@@ -58,6 +58,30 @@ object Sampling {
       frac: Double): DataFrame =
     df.filter(bucketInt(key) < lit(threshold(frac)))
 
+  /** Deterministic source-mixing resample — the data-mixing step of a
+    * pretraining pipeline ("wiki ×2.5, common-crawl ×0.25"): each row of
+    * group g appears floor(w_g) times, plus once more with probability
+    * frac(w_g) quantized to 1/256 and keyed on content hash (same
+    * determinism contract as hashSplit: re-runs, retries and other
+    * engines reproduce the exact row multiset). Pure narrow ops — a
+    * per-row copies expression and one explode; no shuffle, no state.
+    * Downsampling is the w < 1 case (floor 0 + fractional keep);
+    * `copy_id` (1-based) distinguishes the duplicates downstream. */
+  def weightedMix(df: DataFrame, groupCol: String, key: Column,
+      weights: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(_ >= 0),
+      "weights must be non-negative")
+    val w = coalesce(element_at(typedLit(weights), col(groupCol)),
+      lit(default))
+    val copies = (floor(w).cast("int") +
+      when(bucketInt(key) < round((w - floor(w)) * 256), 1).otherwise(0))
+    // sequence(1, 0) would generate the DESCENDING [1, 0] — guard the
+    // zero-copies case with an explicit empty array so explode drops it.
+    df.withColumn("copy_id",
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Exactly `n` rows per group, chosen by hash order (deterministic
     * reservoir): one shuffle on the group key; rank by md5(key) so the
     * choice is stable across runs and machines. */

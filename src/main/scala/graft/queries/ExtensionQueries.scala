@@ -542,6 +542,16 @@ object ExtensionQueries {
         .orderBy(col("vocab_id"))
     }),
 
+    // ── source-mixing resample: per-source weights (src0 ×2.5, src1
+    //    ×0.25, rest ×1) as floor copies + a hash-keyed fractional copy —
+    //    the pretraining data-mixing step, fully deterministic ──────────────
+    "sample_weighted_mix" -> ((s, d) => {
+      graft.operators.Sampling.weightedMix(t(s, d, "documents"), "source",
+          col("text"), Map("src0" -> 2.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"), col("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))
+    }),
+
     // ── CMS heavy-hitter audit: a Count-Min-Sketch built in one pass
     //    estimates each top-20 term's frequency; CMS guarantees estimate ≥
     //    exact (always) and ≤ exact + ε·N (w.h.p., deterministic here via
@@ -1178,6 +1188,25 @@ object ExtensionQueries {
         |CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
         |  AS vocab_id
         |FROM agg ORDER BY tf_total DESC, term LIMIT 100""".stripMargin,
+
+    "sample_weighted_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+        |    ELSE 1.0 END AS wt,
+        |  CAST(('0x' || substring(md5(text), 1, 2))::BIGINT AS INT)
+        |    AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |  CAST(floor(wt) AS INT) +
+        |  CASE WHEN bucket < round((wt - floor(wt)) * 256) THEN 1 ELSE 0 END
+        |    AS copies
+        |  FROM w)
+        |SELECT doc_id, source,
+        |CAST(unnest(range(1, copies + 1)) AS INT) AS copy_id
+        |FROM c WHERE copies >= 1
+        |ORDER BY doc_id, copy_id""".stripMargin,
 
     "vocab_cms_audit" ->
       """WITH toks AS (

@@ -46,6 +46,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(Sampling.deterministicSample(d, col("text"), 0.0).count() === 0)
   }
 
+  test("weightedMix: floor copies + hash-keyed fractional copy, " +
+      "deterministic across layouts") {
+    val d = (0 until 900).map(i => (i.toLong, s"grp${i % 3}", s"texto $i"))
+      .toDF("id", "grp", "text")
+    val mixed = Sampling.weightedMix(d, "grp", col("text"),
+      Map("grp0" -> 3.0, "grp1" -> 0.5, "grp2" -> 1.3))
+    val counts = mixed.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer weight → EXACT multiplicity; fractional → ±1/256 quantized.
+    assert(counts("grp0") === 900L) // 300 × 3 exactly
+    assert(math.abs(counts("grp1") / 300.0 - 0.5) < 0.1, counts.toString)
+    assert(math.abs(counts("grp2") / 300.0 - 1.3) < 0.1, counts.toString)
+    // every kept row's copy_ids are dense 1..n.
+    val perRow = mixed.groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mixed.select("id", "copy_id").collect().foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= perRow(r.getLong(0)))
+    }
+    // layout-independent (retry/engine determinism).
+    val again = Sampling.weightedMix(d.repartition(13), "grp", col("text"),
+        Map("grp0" -> 3.0, "grp1" -> 0.5, "grp2" -> 1.3))
+      .select("id", "copy_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(again === mixed.select("id", "copy_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted)
+  }
+
   test("perGroupSample: exactly n per group, stable across layouts") {
     val d = (0 until 300).map(i => (i.toLong, s"grp${i % 5}", s"texto $i"))
       .toDF("id", "grp", "text")
