@@ -129,19 +129,19 @@ object KMeansCluster {
     val vecSum = udaf(new VectorSum(dim))
     val src = df.select(asDouble(col(vecCol)).as("v"))
       .filter(size(col("v")) > 0)
-    // Size the iteration parallelism to the WORKING SET: Lloyd's runs
-    // dozens of tiny jobs, and scheduling a full session's worth of tasks
-    // per round dominates wall-clock when the corpus (or sample) is small.
-    // ≥ ~20k vectors per partition keeps a 100 TB fit at full cluster
-    // parallelism while a sample-sized fit degenerates to 1 task/round.
+    // Size the iteration parallelism to the WORKING SET, in BOTH
+    // directions: Lloyd's runs dozens of tiny jobs, so a sample-sized fit
+    // should not schedule a full session's worth of tasks per round (cap
+    // at ~20k vectors/partition), while an under-partitioned large corpus
+    // (one giant parquet file) must spread UP to the session's
+    // parallelism or every round runs single-task. The sizing count() is
+    // one cheap column-pruned pass before the loop's dozens of rounds.
     val spark = df.sparkSession
     val maxPar = spark.sparkContext.defaultParallelism
     val n = src.count()
     val target = math.max(1L, math.min(maxPar.toLong, n / 20000L)).toInt
-    val sized =
-      if (src.queryExecution.toRdd.getNumPartitions > target)
-        src.repartition(target)
-      else src
+    val have = src.queryExecution.toRdd.getNumPartitions
+    val sized = if (have == target) src else src.repartition(target)
     // Loop state: (v, cell_prev, cell) — the row's assignment under the
     // previous AND current centroids. Two jobs per round: ONE aggregation
     // yields the per-cell sums/counts AND the changed-assignment count,

@@ -16,20 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Per-row salt in [0, salts): hash of the row's content MIXED with
-    * `monotonically_increasing_id()` (a pure function of partition id ×
-    * row position). Content alone would send exact-duplicate rows — the
-    * common shape of real hot keys — to ONE salt group, defeating the
-    * mitigation; position alone would be the mix that spreads them. The
-    * combination stays retry-deterministic: a retried task replays the
-    * same input partition in the same order, so every row re-hashes to
-    * the SAME salt and speculative execution cannot double-count. (This
-    * holds for deterministic sources — file scans, shuffles with fixed
-    * partitioning — which is also the precondition for Spark's own retry
-    * correctness.) */
-  private def saltOf(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col) :+ monotonically_increasing_id(): _*),
-      lit(salts))
+  /** Per-row salt in [0, salts). Default: hash of the row's CONTENT only —
+    * a task retry re-hashes every row to the same salt regardless of row
+    * order, so speculative execution / fetch-failure replays can never
+    * double-count a row into two salt groups (the property plain salting
+    * by position forfeits: after a shuffle, replayed partitions may
+    * iterate in a different order). Tradeoff: a hot key consisting of
+    * exact-DUPLICATE rows lands on one salt group — for that shape, pass
+    * `positional = true` to mix `monotonically_increasing_id()` (partition
+    * × row position) into the hash. Positional salting is only retry-safe
+    * when the input's per-partition row order is itself deterministic
+    * (file scans, sorted shuffles) — the caller asserts that by opting
+    * in. */
+  private def saltOf(df: DataFrame, salts: Int,
+      positional: Boolean): Column = {
+    val parts: Seq[Column] =
+      if (positional) df.columns.toSeq.map(col) :+ monotonically_increasing_id()
+      else df.columns.toSeq.map(col)
+    pmod(xxhash64(parts: _*), lit(salts))
+  }
 
   /** Two-level aggregation for skewed groupBy keys: partial-aggregate on
     * (key, salt) then final-aggregate on key. Hot keys spread over `salts`
@@ -37,8 +42,8 @@ object Skew {
     * tiny. Supports algebraic aggregates (sum/count/min/max — pass the
     * merge expressions). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
-      salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", saltOf(df, salts))
+      salts: Int = 16, positional: Boolean = false): DataFrame = {
+    val salted = df.withColumn("_salt", saltOf(df, salts, positional))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
@@ -53,11 +58,11 @@ object Skew {
     * (key, salt) — a hot left key now lands on `salts` different reducers.
     * Output equals the plain inner join (row multiset). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salts: Int = 8): DataFrame = {
+      salts: Int = 8, positional: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     val saltedLeft = left.withColumn("_salt",
-      saltOf(left, salts).cast("int"))
+      saltOf(left, salts, positional).cast("int"))
     val saltsDf = (0 until salts).toDF("_salt")
     val replicatedRight = right.crossJoin(saltsDf)
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")

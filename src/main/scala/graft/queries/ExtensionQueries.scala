@@ -564,7 +564,8 @@ object ExtensionQueries {
         explode(graft.functions.Fingerprints.tokens(col("text"))).as("term"))
       val eps = 0.001
       val cms = graft.operators.CmsSketch.build(toks, col("term"), eps = eps)
-      val slack = math.ceil(eps * toks.count()).toLong
+      // the sketch already carries N — no second tokenize pass for it
+      val slack = math.ceil(eps * cms.totalCount()).toLong
       val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", topN = 20)
         .select(col("term"), col("tf_total"))
         .collect().map(r => (r.getString(0), r.getLong(1)))

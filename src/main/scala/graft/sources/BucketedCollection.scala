@@ -61,8 +61,11 @@ object BucketedCollection {
       if (nm.startsWith("bucket=") && nm.endsWith("._old")) {
         val live = new org.apache.hadoop.fs.Path(root,
           nm.stripSuffix("._old"))
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
-        else fs.delete(st.getPath, true)
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"failed to heal interrupted swap: ${st.getPath} -> $live")
+        } else fs.delete(st.getPath, true)
       }
     }
   }
@@ -123,8 +126,13 @@ object BucketedCollection {
       val fresh = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
       val bak = new org.apache.hadoop.fs.Path(s"$path/bucket=$b._old")
       fs.delete(bak, true)
-      if (fs.exists(live)) fs.rename(live, bak)
-      fs.rename(fresh, live)
+      def renameOrThrow(a: org.apache.hadoop.fs.Path,
+          c: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(a, c))
+          throw new java.io.IOException(
+            s"upsert swap: rename $a -> $c failed")
+      if (fs.exists(live)) renameOrThrow(live, bak)
+      renameOrThrow(fresh, live)
       fs.delete(bak, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

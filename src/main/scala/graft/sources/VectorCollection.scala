@@ -57,14 +57,23 @@ object VectorCollection {
     * backup NEXT TO a live dir (crash after the second rename) is stale
     * and is dropped. Called from `read` and `compact`, so no manual
     * recovery step exists. */
+  /** Single-writer assumption (standard for bare parquet directories —
+    * cross-process atomicity needs a table format's manifest): no reader
+    * heals WHILE a compact is mid-swap in another process. Rename results
+    * are checked — a false return here means the filesystem refused the
+    * heal and silently proceeding could misclassify the backup as stale
+    * on a later pass. */
   private def recoverInterruptedSwap(spark: SparkSession, root: String,
       name: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(path(root, name))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new org.apache.hadoop.fs.Path(path(root, name) + "._old")
     if (fs.exists(bak)) {
-      if (!fs.exists(dir)) fs.rename(bak, dir)
-      else fs.delete(bak, true)
+      if (!fs.exists(dir)) {
+        if (!fs.rename(bak, dir))
+          throw new java.io.IOException(
+            s"failed to heal interrupted swap: rename $bak -> $dir")
+      } else fs.delete(bak, true)
     }
   }
 
@@ -120,6 +129,11 @@ object VectorCollection {
     * still available as `count(...)` for callers that want it. */
   def append(spark: SparkSession, root: String, name: String,
       points: DataFrame): (Long, Long) = {
+    // heal BEFORE appending: if a crashed compact left the live dir
+    // absent, SaveMode.Append would quietly recreate it with only this
+    // batch, and the next read would then drop the '._old' backup holding
+    // every pre-crash row as "stale".
+    recoverInterruptedSwap(spark, root, name)
     val dir = new org.apache.hadoop.fs.Path(path(root, name))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partFiles(): Set[String] =
@@ -169,8 +183,12 @@ object VectorCollection {
     val after = partFiles(tmp)
     val bak = new org.apache.hadoop.fs.Path(path(root, name) + "._old")
     fs.delete(bak, true)
-    fs.rename(dir, bak)
-    fs.rename(tmp, dir)
+    def renameOrThrow(a: org.apache.hadoop.fs.Path,
+        b: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(a, b))
+        throw new java.io.IOException(s"compact swap: rename $a -> $b failed")
+    renameOrThrow(dir, bak)
+    renameOrThrow(tmp, dir)
     fs.delete(bak, true)
     (before, after)
   }

@@ -114,6 +114,30 @@ class VectorCollectionSpec extends SparkSpec {
     assert(!bak.exists())
   }
 
+  test("append during the crash window heals FIRST — pre-crash rows are " +
+    "not orphaned into a 'stale' backup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_heal2")
+      .toString
+    VectorCollection.recreate(spark, root, "c", dim = 4)
+    def batch(from: Int, n: Int) = (from until from + n).map { i =>
+      (i.toLong, Seq(1.0, 0.0, 0.0, 0.0), s"doc $i", "math", 2023)
+    }.toDF("id", "vector", "page_content", "materia", "ano")
+    VectorCollection.append(spark, root, "c", batch(0, 10))
+    // crash mid-swap: live dir renamed away
+    val live = new java.io.File(VectorCollection.path(root, "c"))
+    val bak = new java.io.File(VectorCollection.path(root, "c") + "._old")
+    assert(live.renameTo(bak))
+    // the loader's next batch arrives BEFORE any read: without healing,
+    // Append would recreate the live dir with only the new batch and the
+    // 10 pre-crash rows would later be deleted as a stale backup.
+    VectorCollection.append(spark, root, "c", batch(10, 5))
+    val ids = VectorCollection.read(spark, root, "c")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids === (0L until 15L).toArray)
+    assert(!bak.exists())
+  }
+
   test("A4: stats pivot merge matches the golden CSV shape") {
     import spark.implicits._
     val counts = Seq(
