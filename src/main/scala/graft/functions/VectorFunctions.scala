@@ -161,10 +161,13 @@ case class L2Normalize(child: Expression) extends VectorMap {
     while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
     if (ss == 0.0) null
     else {
-      val inv = 1.0 / math.sqrt(ss)
+      // Divide by the norm rather than multiplying by its reciprocal: the
+      // reciprocal form differs from `x / sqrt(ss)` by 1 ulp on some inputs,
+      // which flips round(x, 4) at bucket boundaries vs a division oracle.
+      val norm = math.sqrt(ss)
       val out = new Array[Double](n)
       i = 0
-      while (i < n) { out(i) = x.getDouble(i) * inv; i += 1 }
+      while (i < n) { out(i) = x.getDouble(i) / norm; i += 1 }
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(out)
     }
@@ -186,10 +189,10 @@ case class L2Normalize(child: Expression) extends VectorMap {
          |}
          |if ($ss == 0.0) { ${ev.isNull} = true; }
          |else {
-         |  final double $inv = 1.0 / Math.sqrt($ss);
+         |  final double $inv = Math.sqrt($ss);
          |  final double[] $out = new double[$n];
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $out[$i] = $x.getDouble($i) * $inv;
+         |    $out[$i] = $x.getDouble($i) / $inv;
          |  }
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
          |    .UnsafeArrayData.fromPrimitiveArray($out);
