@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~95 queries compile thousands of generated classes; the default 240 MB
+  // code cache fills mid-suite, the JIT stops compiling, and late queries
+  // degrade 10-30x (measured: dedup_apply 65 s in-suite vs 8 s isolated).
+  "-XX:ReservedCodeCacheSize=1g",
 )
