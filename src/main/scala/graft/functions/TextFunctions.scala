@@ -68,6 +68,34 @@ object TextFunctions {
   def answerChunks(text: Column): Column =
     udf((s: String) => chunkSplit(s)).apply(text)
 
+  /** Overlapping sliding-window chunks — the RAG/embedding chunker shape
+    * (fixed window `size`, stride < size ⇒ consecutive chunks share
+    * size − stride chars of context, so no retrieval-relevant span is cut
+    * at a hard boundary like T7's delimiter chunks). Starts are
+    * 0, stride, 2·stride, …, clamped so the LAST chunk ends exactly at the
+    * text end (full coverage, no short tail); a text shorter than `size`
+    * is one chunk. Pure codegen'd expression tree — sequence + transform +
+    * substr, no UDF — so it inlines into whole-stage codegen next to the
+    * embed/id columns that consume it. */
+  def slidingChunks(text: Column, size: Int, stride: Int): Column = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val len = length(text)
+    val n = when(len <= size, lit(1)).otherwise(
+      floor((len - size + lit(stride - 1)).cast("double") / stride)
+        .cast("int") + 1)
+    transform(sequence(lit(0), n - 1), i =>
+      text.substr(greatest(least(i * stride, len - size), lit(0)) + 1,
+        lit(size)))
+  }
+
+  /** Start offset of sliding chunk `idx` — the companion of
+    * [[slidingChunks]] for provenance columns (byte ranges back into the
+    * source document). */
+  def slidingChunkStart(text: Column, idx: Column, size: Int,
+      stride: Int): Column =
+    greatest(least(idx * stride, length(text) - size), lit(0))
+
   /** T8 — filename field extraction (enem_pdf_extractor.py:40-49, :979-980;
     * qdrant_text_loader.py:26-27; pdf_to_qdrant_etl.py:50-51). */
   def yearOf(fileName: Column): Column =

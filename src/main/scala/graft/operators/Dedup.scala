@@ -529,6 +529,83 @@ object Dedup {
         r => r.getField("line")), "\n").as("text"))
   }
 
+  /** Exact duplicated-substring spans (the fixed-window form of
+    * suffix-array substring dedup — "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022, §4.1): a character position
+    * is DUPLICATED when its `winLen`-char window occurs byte-identically
+    * anywhere else in the corpus (including elsewhere in the same
+    * document). Returns per-document
+    * (doc_id, total_windows, dup_windows, dup_frac).
+    *
+    * Scale shape (100 TB posture):
+    *  - Pass 1 is a typed kernel computing a ROLLING 64-bit polynomial hash
+    *    — O(chars) per document, not O(chars × winLen) like a
+    *    substring-per-position expression — and the only corpus-sized
+    *    shuffle moves (hash, doc_id, pos) at ~24 bytes/position; window
+    *    TEXT never leaves its scan task.
+    *  - Only positions whose hash repeats ("candidates" — rare in clean
+    *    corpora) re-join their document to extract the real window, and a
+    *    final text-equality count kills hash collisions, so the result is
+    *    EXACT, not hash-defined: a true duplicate's occurrences all share
+    *    one hash, so every one of them reaches the verify stage.
+    *  - A pathological corpus (one phrase everywhere) concentrates one hash
+    *    key; the verify join replicates only those positions — same skew
+    *    posture as `lineDedupCounts`. */
+  def duplicateSpanCounts(docs: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val src = spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val wins = src.as[(Long, String)].mapPartitions { it =>
+      // rolling polynomial hash: h(i+1) = (h(i) - s(i)·B^(L-1))·B + s(i+L)
+      // over Long wraparound arithmetic (mod 2^64)
+      val B = 1099511628211L // FNV prime — odd, so ·B is invertible mod 2^64
+      it.flatMap { case (id, text) =>
+        val n = text.length
+        if (n < winLen) Iterator.empty
+        else {
+          var top = 1L // B^(winLen-1)
+          var j = 1
+          while (j < winLen) { top *= B; j += 1 }
+          var h = 0L
+          var i = 0
+          while (i < winLen) { h = h * B + text.charAt(i); i += 1 }
+          val out = new Array[(Long, Int, Long)](n - winLen + 1)
+          out(0) = (id, 0, h)
+          var p = 1
+          while (p <= n - winLen) {
+            h = (h - text.charAt(p - 1) * top) * B + text.charAt(p + winLen - 1)
+            out(p) = (id, p, h)
+            p += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("doc_id", "pos", "h")
+    val candHash = wins.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+      .filter(col("hc") > 1).select(col("h"))
+    val candPos = wins.join(candHash, Seq("h")).select(col("doc_id"), col("pos"))
+    val candWin = candPos.join(src, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos") + 1, lit(winLen)).as("win"))
+    // text-equality verification: occurrences of the REAL window among
+    // candidates = its occurrences in the whole corpus (see scaladoc)
+    val winCount = candWin.groupBy(col("win")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") > 1).select(col("win"))
+    val dups = candWin.join(winCount, Seq("win"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+    src.select(col("doc_id"),
+        greatest(length(col("text")) - (winLen - 1), lit(0)).cast("long")
+          .as("total_windows"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_frac",
+        when(col("total_windows") > 0,
+          round(col("dup_windows").cast("double") / col("total_windows"), 4)))
+  }
+
   private implicit class ColName(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

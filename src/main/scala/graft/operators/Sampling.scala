@@ -92,4 +92,28 @@ object Sampling {
       .filter(col("_rk") <= n)
       .drop("_rk")
   }
+
+  /** EXACT-proportion stratified split: within every stratum, precisely
+    * floor(n_stratum · trainFrac) rows go to train (the rest to test),
+    * chosen by md5 hash order so the choice is deterministic across runs,
+    * retries, and engines. This is the eval-set form of hashSplit: when
+    * strata are small (per-language or per-source eval slices), hashSplit's
+    * ±0.4% binomial scatter can leave a rare stratum with zero test rows —
+    * here the per-stratum proportion is exact by construction.
+    *
+    * Scale: one shuffle keyed on the stratum (a window per stratum, NOT a
+    * global window); a pathologically dominant stratum serializes into one
+    * task — for corpus-sized strata use hashSplit, whose quantized
+    * proportions are indistinguishable at that population. */
+  def stratifiedSplit(df: DataFrame, strataCol: String, key: Column,
+      trainFrac: Double = 0.8): DataFrame = {
+    require(trainFrac >= 0 && trainFrac <= 1.0, "trainFrac must be in [0,1]")
+    val w = Window.partitionBy(col(strataCol)).orderBy(md5(key), key)
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+      .withColumn("split",
+        when(col("_rk") <= floor(col("_n") * lit(trainFrac)), "train")
+          .otherwise(lit("test")))
+      .drop("_rk", "_n")
+  }
 }

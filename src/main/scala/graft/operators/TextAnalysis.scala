@@ -394,4 +394,44 @@ object TextAnalysis {
       .toDF("doc_id", "n_tokens", "quality", "lang_pred", "dup_line_frac",
         "top_bigram_frac", "keep", "reason")
   }
+
+  /** Corpus-trained bigram language-model surprisal per document — the
+    * CCNet-style perplexity quality signal (docs whose word sequences are
+    * improbable under the corpus's own statistics are noise/outliers; docs
+    * that are too probable are boilerplate). Model: add-one-smoothed
+    * bigram MLE, p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with c(w1) counted
+    * over bigram contexts and V = corpus distinct-word count. Returns
+    * (doc_id, n_bigrams, avg_nll) where avg_nll is the mean negative
+    * natural log-probability, rounded in-plan.
+    *
+    * Scale shape: bigrams pre-aggregate per (doc, w1, w2) BEFORE joining
+    * the count tables (the multiplicity-weighted sum is algebraically the
+    * row-level mean), so the two joins move distinct-bigram rows, not
+    * corpus positions; both count tables are vocabulary-sized; V rides in
+    * as a broadcast 1-row crossJoin — no driver collect anywhere. */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val bigrams = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+            element_at(col("ws"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val perDoc = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val c12 = perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c12"))
+    val c1 = perDoc.groupBy(col("w1")).agg(sum(col("m")).as("c1"))
+    val vocabSize = base
+      .select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val nll = -log((col("c12") + lit(1.0)) / (col("c1") + col("v")))
+    perDoc.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * nll) / sum(col("m")), 4).as("avg_nll"))
+  }
 }

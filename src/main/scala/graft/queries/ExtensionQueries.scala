@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Fingerprints, VectorFunctions}
+import graft.functions.{Fingerprints, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -550,6 +550,51 @@ object ExtensionQueries {
           col("text"), Map("src0" -> 2.5, "src1" -> 0.25))
         .select(col("doc_id"), col("source"), col("copy_id"))
         .orderBy(col("doc_id"), col("copy_id"))
+    }),
+
+    // ── exact-proportion stratified split: within every source exactly
+    //    floor(n·0.8) rows train, the rest test, by md5 hash order — the
+    //    eval-slice splitter where hashSplit's ±0.4% scatter could empty a
+    //    small stratum. Key carries doc_id so the order has no ties. ───────
+    "sample_stratified" -> ((s, d) => {
+      graft.operators.Sampling.stratifiedSplit(t(s, d, "documents"),
+          "source", concat_ws("|", col("text"), col("doc_id")),
+          trainFrac = 0.8)
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── exact duplicated-substring spans (fixed 32-char window form of
+    //    Lee et al. 2022 suffix-array dedup): rolling-hash candidates,
+    //    text-verified — EXACT result, plain substring-window oracle ───────
+    "dedup_substring" -> ((s, d) => {
+      Dedup.duplicateSpanCounts(t(s, d, "documents"), "doc_id", "text",
+          winLen = 32)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── overlapping sliding-window chunking (RAG/embedding chunker):
+    //    window 120, stride 80 ⇒ consecutive chunks share 40 chars; last
+    //    chunk clamps to the text end; start offsets are provenance ─────────
+    "docs_chunk_overlap" -> ((s, d) => {
+      val (size, stride) = (120, 80)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          posexplode(TextFunctions.slidingChunks(col("text"), size, stride))
+            .as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("idx"),
+          TextFunctions.slidingChunkStart(col("text"), col("idx"),
+            size, stride).as("start"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // ── corpus-trained bigram LM surprisal (CCNet-style perplexity
+    //    quality signal): add-one-smoothed p(w2|w1), per-doc mean negative
+    //    log-prob; count tables are vocabulary-sized, V broadcasts ──────────
+    "docs_bigram_nll" -> ((s, d) => {
+      TextAnalysis.bigramSurprisal(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // ── CMS heavy-hitter audit: a Count-Min-Sketch built in one pass
@@ -1189,6 +1234,72 @@ object ExtensionQueries {
         |CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
         |  AS vocab_id
         |FROM agg ORDER BY tf_total DESC, term LIMIT 100""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(text || '|' || CAST(doc_id AS VARCHAR)),
+        |             text || '|' || CAST(doc_id AS VARCHAR)) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
+        |  ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |  unnest(range(greatest(length(text) - 31, 0))) AS i
+        |  FROM documents),
+        |w AS (SELECT doc_id, substr(text, CAST(i AS INT) + 1, 32) AS win
+        |      FROM pos),
+        |c AS (SELECT win, count(*) AS cnt FROM w GROUP BY 1),
+        |d AS (SELECT w.doc_id, count(*) AS dup_windows
+        |      FROM w JOIN c USING (win) WHERE c.cnt > 1 GROUP BY 1)
+        |SELECT doc_id, greatest(length(text) - 31, 0) AS total_windows,
+        |coalesce(d.dup_windows, 0) AS dup_windows,
+        |CASE WHEN length(text) >= 32 THEN
+        |  round(coalesce(d.dup_windows, 0) /
+        |    CAST(length(text) - 31 AS DOUBLE), 4)
+        |END AS dup_frac
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "docs_chunk_overlap" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |  CASE WHEN length(text) <= 120 THEN 1
+        |    ELSE CAST((length(text) - 120 + 79) // 80 AS INT) + 1
+        |  END AS n_chunks
+        |  FROM documents),
+        |e AS (SELECT doc_id, text, len,
+        |      CAST(unnest(range(n_chunks)) AS INT) AS idx FROM n)
+        |SELECT doc_id, idx,
+        |CAST(greatest(least(idx * 80, len - 120), 0) AS INT) AS start,
+        |substr(text,
+        |  CAST(greatest(least(idx * 80, len - 120), 0) AS INT) + 1, 120)
+        |  AS chunk
+        |FROM e ORDER BY doc_id, idx""".stripMargin,
+
+    "docs_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+        |  unnest(ws[2:len(ws)]) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |bd AS (SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY ALL),
+        |c12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12
+        |        FROM bd GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(m) AS BIGINT) AS c1 FROM bd GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM toks))
+        |SELECT bd.doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |round(sum(m * -ln((c12 + 1.0) / (c1 + v))) / sum(m), 4) AS avg_nll
+        |FROM bd JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_weighted_mix" ->
       """WITH w AS (

@@ -174,4 +174,37 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(counts === Set((1L, 3L, 3L), (2L, 3L, 1L), (3L, 1L, 0L)))
   }
+
+  test("duplicateSpanCounts: cross-doc and same-doc repeated windows, " +
+      "short docs, exact fractions") {
+    import spark.implicits._
+    val shared = "0123456789abcdefghijklmnopqrstuv" // exactly 32 chars
+    val docs = Seq(
+      // doc 0 and 1 share a 32-char run embedded in distinct noise
+      (0L, "XX" + shared + "YYYYYYYYYYYY"),
+      (1L, "QQQQ" + shared + "ZZ"),
+      // doc 2 repeats ITS OWN window (same-doc duplication counts)
+      (2L, shared + "-----" + shared),
+      // doc 3 is shorter than the window: zero windows, null frac
+      (3L, "tiny"),
+      // doc 4 has no repeats anywhere
+      (4L, "wwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwww")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanCounts(docs, "doc_id", "text", winLen = 32)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3)))))
+      .toMap
+    // doc 0: 46 chars -> 15 windows; only the exact `shared` window (at
+    // pos 2) also occurs elsewhere (doc 1 pos 4, doc 2 pos 0 and 37).
+    assert(out(0L)._1 === 15L)
+    assert(out(0L)._2 === 1L)
+    assert(out(0L)._3.contains(0.0667)) // round(1/15, 4)
+    assert(out(1L)._2 === 1L)
+    // doc 2: both copies of `shared` are duplicated positions.
+    assert(out(2L)._2 === 2L)
+    assert(out(3L) === ((0L, 0L, None)))
+    // doc 4: homogeneous run -> its 9 windows are all the SAME text, so
+    // every position duplicates (window repeats within the doc).
+    assert(out(4L)._1 === 9L && out(4L)._2 === 9L)
+  }
 }

@@ -122,4 +122,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) === (("low_quality", false)))
     assert(got(6L) === (("wrong_lang", false)))
   }
+
+  test("bigramSurprisal: add-one-smoothed bigram NLL matches hand computation") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a b c". bigram contexts: c(a)=3, c(b)=2 (from
+    // "b a", "b c"); wait -- contexts count FIRST positions: doc1 bigrams
+    // (a,b),(b,a),(a,b); doc2 (a,b),(b,c). c(a,b)=3, c(b,a)=1, c(b,c)=1;
+    // c1(a)=3, c1(b)=2; V=3 (a,b,c).
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val pAB = (3 + 1.0) / (3 + 3) // 2/3
+    val pBA = (1 + 1.0) / (2 + 3) // 2/5
+    val pBC = (1 + 1.0) / (2 + 3) // 2/5
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === r4(-(2 * math.log(pAB) + math.log(pBA)) / 3))
+    assert(out(2L)._1 === 2L)
+    assert(out(2L)._2 === r4(-(math.log(pAB) + math.log(pBC)) / 2))
+  }
 }

@@ -155,4 +155,54 @@ class TrainingDataOpsSpec extends SparkSpec {
     val got = d.select(TextAnalysis.scrub(col("text"))).first().getString(0)
     assert(got === "contact <email> or <url> room <num>")
   }
+
+  test("stratifiedSplit: exact floor(n*frac) per stratum, deterministic " +
+      "across layouts") {
+    val d = (0 until 37).map(i => (i.toLong, s"s${i % 3}", s"text $i"))
+      .toSeq.toDF("id", "stratum", "text")
+    val out = Sampling.stratifiedSplit(d, "stratum",
+      concat_ws("|", col("text"), col("id")), trainFrac = 0.8)
+    val counts = out.groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // strata sizes: s0=13, s1=12, s2=12 -> train 10, 9, 9 exactly.
+    assert(counts(("s0", "train")) === 10L && counts(("s0", "test")) === 3L)
+    assert(counts(("s1", "train")) === 9L && counts(("s1", "test")) === 3L)
+    assert(counts(("s2", "train")) === 9L && counts(("s2", "test")) === 3L)
+    val a = out.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.stratifiedSplit(d.repartition(11), "stratum",
+        concat_ws("|", col("text"), col("id")), trainFrac = 0.8)
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
+  test("slidingChunks: full coverage, overlap = size - stride, clamped tail") {
+    import graft.functions.TextFunctions
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars
+    val d = Seq(Tuple1(text)).toDF("text")
+    val chunks = d.select(TextFunctions.slidingChunks(col("text"), 10, 6))
+      .first().getSeq[String](0)
+    // starts 0,6,12,18,26(clamped from 24? no: ceil((36-10)/6)+1 = 6 chunks;
+    // starts 0,6,12,18,24,26 (last clamps to len-size=26).
+    assert(chunks.length === 6)
+    assert(chunks.head === text.substring(0, 10))
+    assert(chunks(4) === text.substring(24, 34))
+    assert(chunks.last === text.substring(26, 36))
+    // chunk i is exactly text.substring(start_i, start_i + size) for the
+    // expected clamped starts — consecutive overlap falls out (>= 4 chars)
+    val starts = Seq(0, 6, 12, 18, 24, 26)
+    chunks.zip(starts).foreach { case (c, st) =>
+      assert(c === text.substring(st, st + 10))
+    }
+    // short text -> single whole-text chunk
+    val one = d.select(TextFunctions.slidingChunks(col("text"), 100, 60))
+      .first().getSeq[String](0)
+    assert(one === Seq(text))
+    // reconstruction: stitching chunk[i][0..stride) + last chunk covers text
+    val stitched = chunks.dropRight(1).zipWithIndex
+      .map { case (c, i) => c.take(math.min(6, 26 - i * 6).max(0)) }
+      .mkString + chunks.last
+    assert(stitched === text)
+  }
 }
