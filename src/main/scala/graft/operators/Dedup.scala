@@ -223,6 +223,17 @@ object Dedup {
     * so the OUTPUT contract equals `ngramJaccardPairs` whenever banding
     * recall is 1 at the threshold (choose bands so that
     * (1/bands)^(k/bands·…) — standard S-curve — is well left of it). */
+  /** (id, bucket) band keys from a signature table: bucket = hash of
+    * (band index, the band's signature slice). Content-derived and
+    * machine-independent, so bucket tables built on different runs — or
+    * persisted from a previous snapshot — collide correctly. */
+  private def bandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select($"id",
+      explode(array((0 until bands).map { b =>
+        xxhash64(concat_ws("_", lit(b), concat_ws(",",
+          transform(slice($"sig", b * rows + 1, rows), _.cast("string")))))
+      }: _*)).as("bucket"))
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
@@ -232,11 +243,7 @@ object Dedup {
 
     // (band_idx, hash(band slice)) bucket keys; one row per band — ids only,
     // shingle arrays do NOT ride through the shuffle.
-    val buckets = sig.select($"id",
-      explode(array((0 until bands).map { b =>
-        xxhash64(concat_ws("_", lit(b), concat_ws(",",
-          transform(slice($"sig", b * rows + 1, rows), _.cast("string")))))
-      }: _*)).as("bucket"))
+    val buckets = bandBuckets(sig, bands, rows)
 
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -249,6 +256,40 @@ object Dedup {
       .join(sig.select($"id".as("id_a"), $"shs".as("sha")), "id_a")
       .join(sig.select($"id".as("id_b"), $"shs".as("shb")), "id_b")
       .select($"id_a", $"id_b",
+        (size(array_intersect($"sha", $"shb")).cast("double") /
+          size(array_union($"sha", $"shb"))).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** Incremental near-dup: which NEW documents near-duplicate an EXISTING
+    * corpus document — the nightly-crawl-vs-snapshot production shape.
+    * Returns (new_id, corpus_id, jaccard) for verified pairs at/above the
+    * threshold; new×new and corpus×corpus pairs never form (dedup WITHIN
+    * the new batch is a separate `minhashLshPairs` call if wanted).
+    *
+    * Scale design: band bucket keys are content hashes (`bandBuckets`), so
+    * the corpus side's signatures and (id, bucket) table can be computed
+    * ONCE, persisted with the snapshot, and reused every run — per-run cost
+    * is then signing the new batch plus one bucket-keyed join against the
+    * persisted table (partition the persisted table by bucket and the join
+    * prunes). Candidate verification re-attaches shingle arrays by id on
+    * each side, never crossing them through the bucket shuffle. */
+  def incrementalLshPairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val rows = k / bands
+    val sigNew = shingleFrame(newDocs, idCol, textCol, n, k)
+    val sigOld = shingleFrame(corpus, idCol, textCol, n, k)
+    val cand = bandBuckets(sigNew, bands, rows).as("a")
+      .join(bandBuckets(sigOld, bands, rows).as("b"), Seq("bucket"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    cand
+      .join(sigNew.select($"id".as("new_id"), $"shs".as("sha")), "new_id")
+      .join(sigOld.select($"id".as("corpus_id"), $"shs".as("shb")),
+        "corpus_id")
+      .select($"new_id", $"corpus_id",
         (size(array_intersect($"sha", $"shb")).cast("double") /
           size(array_union($"sha", $"shb"))).as("jaccard"))
       .filter($"jaccard" >= threshold)
@@ -407,14 +448,16 @@ object Dedup {
     * B~C" into one keep-decision for {A, B, C} even though A and C were
     * never directly compared.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converges
-    * in O(component diameter) rounds (near-dup clusters are shallow: at
-    * the thresholds dedup runs, diameter is small even when clusters are
-    * large). Each round is one shuffle keyed by node id; labels are (id,
-    * long) pairs — no text, no vectors. The driver only sees the
-    * converged/changed COUNT per round, never data. maxIter bounds
-    * pathological chain-shaped graphs. */
+    * Algorithm: iterative min-label propagation with pointer-jumping —
+    * each round every node takes the min of its own and its neighbors'
+    * labels, then shortcuts to its label's label. The shortcut composes
+    * two hops per round, so convergence is O(log diameter) rounds, which
+    * holds up even on chain-shaped components (near-dup clusters are
+    * usually shallow, but corpus-scale dedup cannot assume it). Each round
+    * is two id-keyed shuffles; labels are (long, long) pairs — no text, no
+    * vectors. The driver only sees the converged/changed COUNT per round,
+    * never data. maxIter bounds the pathological residue (2^maxIter-deep
+    * chains). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       strict: Boolean = true): DataFrame = {
     // localCheckpoint (eager) rather than cache: it TRUNCATES the lineage,
@@ -440,9 +483,20 @@ object Dedup {
         .groupBy($"b".as("id"))
         .agg(min($"comp").as("ncomp"))
       val prev = labels
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select($"id", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
         .localCheckpoint()
+      // pointer-jumping shortcut: node ← label OF its label. Every comp
+      // value is itself a node id (the min id seen so far), so the self-join
+      // is total; composing the two hops halves the remaining depth each
+      // round — O(log diameter) rounds instead of O(diameter), which is
+      // what survives a chain-shaped component at corpus scale. Labels are
+      // still (long, long) rows; the extra join shuffles label pairs only.
+      val next = stepped.as("l")
+        .join(stepped.as("r"), col("l.comp") === col("r.id"))
+        .select(col("l.id").as("id"), col("r.comp").as("comp"))
+        .localCheckpoint()
+      stepped.unpersist()
       changed = next.join(prev.withColumnRenamed("comp", "old"), "id")
         .filter($"comp" =!= $"old").count()
       prev.unpersist()
@@ -457,7 +511,7 @@ object Dedup {
       // no signal. Fail loudly (or warn when the caller opted out).
       val msg = s"connectedComponents did not converge after $maxIter " +
         s"iterations ($changed labels still changing) — raise maxIter " +
-        "(components deeper than maxIter hops exist)"
+        "(with pointer jumping that means components ~2^maxIter hops deep)"
       if (strict) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }

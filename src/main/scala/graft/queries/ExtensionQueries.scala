@@ -282,6 +282,21 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── incremental dedup: the new batch (doc_id ≥ 400) against the
+    //    existing corpus (doc_id < 400) — only cross pairs form; the corpus
+    //    side's signatures/buckets are persistable across runs. Recall-1
+    //    banding at the testdata gap → exact cross-pair oracle. ────────────
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalLshPairs(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          "doc_id", "text", n = 3, k = 64, bands = 16,
+          threshold = JaccardThreshold)
+        .select(col("new_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // ── dedup clusters: connected components over the verified near-dup
     //    pairs — "A~B, B~C" becomes one keep-decision for {A,B,C}. Oracle
     //    closes the SAME pair SQL transitively with a recursive CTE. ───────
@@ -791,7 +806,7 @@ object ExtensionQueries {
 
   // shared by the pair oracle and the clusters oracle (which closes the
   // same pairs transitively with a recursive CTE)
-  private val ngramPairCtes: String =
+  private val ngramShingleCtes: String =
     """toks AS (
       |  SELECT doc_id,
       |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
@@ -803,11 +818,30 @@ object ExtensionQueries {
       |    unnest([array_to_string(tk[i:i+2], ' ')
       |            FOR i IN range(1, len(tk) - 1)]) AS sg
       |    FROM toks WHERE len(tk) >= 3)),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+      .stripMargin
+
+  private val ngramPairCtes: String =
+    s"""$ngramShingleCtes,
       |common AS (
       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
       |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  private val incrementalPairsOracle: String =
+    s"""WITH $ngramShingleCtes,
+      |common AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sg = b.sg
+      |  WHERE a.doc_id >= 400 AND b.doc_id < 400
+      |  GROUP BY 1, 2)
+      |SELECT ida AS new_id, idb AS corpus_id,
+      |round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON ida = sa.doc_id
+      |JOIN sizes sb ON idb = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+      |ORDER BY new_id, corpus_id""".stripMargin
 
   private val ngramJaccardOracle: String =
     s"""WITH $ngramPairCtes
@@ -1023,6 +1057,7 @@ object ExtensionQueries {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "dedup_incremental" -> incrementalPairsOracle,
     "dedup_clusters" -> dedupClustersOracle,
 
     "dedup_apply" -> dedupApplyOracle,

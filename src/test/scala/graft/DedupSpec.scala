@@ -207,4 +207,33 @@ class DedupSpec extends SparkSpec {
     // every position duplicates (window repeats within the doc).
     assert(out(4L)._1 === 9L && out(4L)._2 === 9L)
   }
+
+  test("incrementalLshPairs: only new-vs-corpus pairs form, verified exactly") {
+    // corpus = docs 0-2; new batch = docs 3-4. doc 4 duplicates corpus
+    // doc 0 exactly and near-dups corpus doc 1; doc 3 matches nothing.
+    // The 0~1 corpus-internal pair must NOT appear.
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val batch = docs.filter(col("doc_id") >= 3)
+    val got = Dedup.incrementalLshPairs(batch, corpus, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet === Set((4L, 0L), (4L, 1L)))
+    assert(got((4L, 0L)) === 1.0) // exact dup -> Jaccard 1
+    assert(got((4L, 1L)) < 1.0) // 1-token edit -> high but not 1
+  }
+
+  test("connectedComponents: pointer jumping converges a 300-hop chain " +
+      "within the default iteration budget") {
+    import spark.implicits._
+    // min-label propagation alone moves one hop per round and would need
+    // 299 rounds; with the label-of-label shortcut the depth halves per
+    // round, so the default maxIter = 20 (~2^20 hops) is ample.
+    val chain = (0L until 300L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 300)
+    assert(comp.values.toSet === Set(0L))
+  }
 }
