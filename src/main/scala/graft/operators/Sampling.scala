@@ -93,6 +93,26 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Per-group token-budget cap — "take at most `budget` tokens from each
+    * source", the data-mixing primitive that bounds a dominant source by
+    * VOLUME rather than document count. Rows are admitted in md5(key)
+    * order (deterministic across runs/engines) while the group's running
+    * token total stays within budget; the first row that would overflow is
+    * dropped, along with everything after it in hash order. A document
+    * larger than the whole budget can therefore never enter. One shuffle
+    * keyed on the group; the running sum is a per-group window, so skew
+    * concentrates in the biggest source — at corpus scale cap per
+    * (source, shard-of-hash) and budget/shards per shard instead. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, key: Column,
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = Window.partitionBy(col(groupCol)).orderBy(md5(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(tokensCol).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
   /** EXACT-proportion stratified split: within every stratum, precisely
     * floor(n_stratum · trainFrac) rows go to train (the rest to test),
     * chosen by md5 hash order so the choice is deterministic across runs,

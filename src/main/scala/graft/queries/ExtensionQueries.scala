@@ -579,6 +579,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── per-source token-budget cap: admit docs in hash order while the
+    //    source's running token total stays ≤ 800 — bounding a dominant
+    //    source by VOLUME, not doc count (the data-mixing primitive) ────────
+    "sample_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      graft.operators.Sampling.tokenBudgetSample(docs, "source",
+          concat_ws("|", col("text"), col("doc_id")), col("n_tokens"),
+          budget = 800L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── equi-width histogram of document lengths: broadcast (min, max)
+    //    bounds, one map-side-combinable bin groupBy, closed last bin ───────
+    "a_histogram" -> ((s, d) => {
+      graft.operators.Histogram.equiWidth(t(s, d, "documents"),
+          col("n_chars"), nBins = 12)
+        .orderBy(col("bin"))
+    }),
+
     // ── exact duplicated-substring spans (fixed 32-char window form of
     //    Lee et al. 2022 suffix-array dedup): rolling-hash candidates,
     //    text-verified — EXACT result, plain substring-window oracle ───────
@@ -1282,6 +1303,37 @@ object ExtensionQueries {
         |CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
         |  ELSE 'test' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  md5(text || '|' || CAST(doc_id AS VARCHAR)) AS h,
+        |  text || '|' || CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, k
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum <= 800 ORDER BY doc_id""".stripMargin,
+
+    "a_histogram" ->
+      """WITH b AS (
+        |  SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+        |  max(CAST(n_chars AS DOUBLE)) AS hi FROM documents),
+        |x AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(least(floor((n_chars - lo) / ((hi - lo) / 12)), 11)
+        |      AS INT)
+        |  END AS bin, lo, hi
+        |  FROM documents CROSS JOIN b)
+        |SELECT bin, count(*) AS cnt,
+        |round(lo + bin * ((hi - lo) / 12), 6) AS lo_edge,
+        |round(CASE WHEN bin = 11 THEN hi
+        |  ELSE lo + (bin + 1) * ((hi - lo) / 12) END, 6) AS hi_edge
+        |FROM x GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
 
     "dedup_substring" ->
       """WITH pos AS (

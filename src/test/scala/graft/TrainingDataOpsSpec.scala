@@ -205,4 +205,55 @@ class TrainingDataOpsSpec extends SparkSpec {
       .mkString + chunks.last
     assert(stitched === text)
   }
+
+  test("tokenBudgetSample: per-group running total stays within budget; " +
+      "oversize rows never enter") {
+    val d = Seq(
+      (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), (4L, "a", 9000L),
+      (5L, "b", 100L)
+    ).toDF("id", "grp", "toks")
+    val kept = Sampling.tokenBudgetSample(d, "grp",
+        concat_ws("|", col("id")), col("toks"), budget = 1000L)
+      .collect().map(r => r.getLong(0)).toSet
+    // group b fits whole; group a truncates to the longest hash-order
+    // PREFIX within budget (the contract: the first overflowing row and
+    // everything after it drop — here the 9000-token row hashes first,
+    // so nothing in group a is admitted).
+    assert(kept.contains(5L))
+    assert(!kept.contains(4L))
+    val hashOrder = d.filter(col("grp") === "a")
+      .select(col("id"), md5(concat_ws("|", col("id"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._2).map(_._1)
+    val toks = Map(1L -> 400L, 2L -> 400L, 3L -> 400L, 4L -> 9000L)
+    val expected = hashOrder
+      .scanLeft((0L, 0L)) { case ((_, cum), id) => (id, cum + toks(id)) }
+      .drop(1).takeWhile(_._2 <= 1000L).map(_._1).toSet
+    assert((kept - 5L) === expected)
+    // the admitted prefix never exceeds the budget
+    assert(expected.map(toks).sum <= 1000L)
+    // deterministic across layouts
+    val again = Sampling.tokenBudgetSample(d.repartition(5), "grp",
+        concat_ws("|", col("id")), col("toks"), budget = 1000L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again === kept)
+  }
+
+  test("Histogram.equiWidth: known bins, closed last bin, degenerate input") {
+    import graft.operators.Histogram
+    val d = Seq(0.0, 1.0, 2.5, 5.0, 7.5, 10.0, 10.0).toDF("x")
+    val bins = Histogram.equiWidth(d, col("x"), nBins = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // width 2.5: [0,2.5)->{0,1}, [2.5,5)->{2.5}, [5,7.5)->{5}, [7.5,10]->{7.5,10,10}
+    assert(bins(0) === ((2L, 0.0, 2.5)))
+    assert(bins(1) === ((1L, 2.5, 5.0)))
+    assert(bins(2) === ((1L, 5.0, 7.5)))
+    assert(bins(3) === ((3L, 7.5, 10.0)))
+    // all-equal values collapse into bin 0 without dividing by zero
+    val flat = Histogram.equiWidth(Seq(3.0, 3.0).toDF("x"), col("x"), 4)
+      .collect()
+    assert(flat.length === 1 && flat.head.getInt(0) === 0
+      && flat.head.getLong(1) === 2L)
+  }
 }
