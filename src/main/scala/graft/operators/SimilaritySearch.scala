@@ -100,6 +100,47 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Exact k-NN graph: every vector's `k` most-cosine-similar neighbors
+    * with dense rank — the SemDeDup / graph-dedup / diversity-sampling
+    * building block. Scores are rounded in-plan BEFORE ranking so the
+    * (score desc, dst) order is reproducible across engines. All-pairs:
+    * the labeled verification / small-corpus form — at corpus scale use
+    * [[knnGraphCells]] (cell-restricted candidates, audit-dominated by
+    * this exact form). */
+  def knnGraph(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val e = Dedup.spread(embs)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        round(cosineSimilarity(col("a.v"), col("b.v")), 6).as("score"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate k-NN graph, cell-restricted: candidates are limited to
+    * vectors sharing the node's IVF cell, so the join is per-cell
+    * (sum of cell² instead of n²) and embarrassingly parallel across
+    * cells. Neighbors living in other cells are missed — recall < 1 by
+    * design; every emitted score is dominated by the exact graph's score
+    * at the same (src, rank), which is the 0-row `knn_graph_dominance`
+    * audit. Same columns and ranking contract as [[knnGraph]]. */
+  def knnGraphCells(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, ncells: Int = 16, seed: Long = 42L): DataFrame = {
+    val centroids = computeCentroids(embs, vecCol, ncells, seed)
+    val cells = assignCells(embs, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("v"), col("cell"))
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        round(cosineSimilarity(col("a.v"), col("b.v")), 6).as("score"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   private def localCosine(a: Array[Double], b: Array[Double]): Double = {
     if (a.length != b.length) return Double.NaN
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -579,6 +579,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── exact k-NN graph (k=3): every vector's nearest neighbors with
+    //    rank — the SemDeDup/graph-dedup building block; all-pairs form,
+    //    the labeled verification baseline for knnGraphCells ────────────────
+    "knn_graph" -> ((s, d) => {
+      SimilaritySearch.knnGraph(t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 3)
+        .orderBy(col("src"), col("rank"))
+    }),
+
+    // ── cell-restricted k-NN graph audit: the approximate graph's score
+    //    at (src, rank) can never exceed the exact graph's — violations
+    //    would mean the candidate restriction invented a better neighbor
+    //    than exists. 0-row contract. ──────────────────────────────────────
+    "knn_graph_dominance" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val exact = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", 3)
+        .select(col("src"), col("rank"), col("score").as("exact_score"))
+      val approx = SimilaritySearch.knnGraphCells(emb, "vec_id",
+          "embedding", 3, ncells = 8)
+        .select(col("src"), col("rank"), col("score").as("approx_score"))
+      approx.join(exact, Seq("src", "rank"))
+        .filter(col("approx_score") > col("exact_score"))
+        .select(col("src"), col("rank"), col("exact_score"),
+          col("approx_score"))
+    }),
+
     // ── per-source token-budget cap: admit docs in hash order while the
     //    source's running token total stays ≤ 800 — bounding a dominant
     //    source by VOLUME, not doc count (the data-mixing primitive) ────────
@@ -1303,6 +1329,25 @@ object ExtensionQueries {
         |CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
         |  ELSE 'test' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "knn_graph" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS score
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, score,
+        |  CAST(row_number() OVER (PARTITION BY src
+        |    ORDER BY score DESC, dst) AS INT) AS rank
+        |  FROM p)
+        |SELECT src, dst, score, rank FROM r WHERE rank <= 3
+        |ORDER BY src, rank""".stripMargin,
+
+    "knn_graph_dominance" ->
+      """SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS INT) AS rank,
+        |CAST(NULL AS DOUBLE) AS exact_score,
+        |CAST(NULL AS DOUBLE) AS approx_score
+        |WHERE FALSE""".stripMargin,
 
     "sample_token_budget" ->
       """WITH d AS (

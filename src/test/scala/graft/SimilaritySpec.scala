@@ -139,4 +139,54 @@ class SimilaritySpec extends SparkSpec {
     assert(probeAll === exact)
     assert(cells.count() === 200) // no vector dropped by the build
   }
+
+  test("knnGraph: exact neighbors with rank; cell-restricted variant is " +
+      "dominated and self-edges never appear") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, graft.functions.Hashing.hashEmbedVec(s"texto numero $i", 16).toSeq)
+    }.toDF("vec_id", "embedding")
+    val g = SimilaritySearch.knnGraph(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    // every node emits exactly k ranked rows, no self-edges,
+    // scores non-increasing in rank
+    val bySrc = g.groupBy(_._1)
+    assert(bySrc.size === 40 && bySrc.values.forall(_.length === 3))
+    assert(g.forall { case (s0, d0, _, _) => s0 != d0 })
+    bySrc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall { case Array(x, y) => x._3 >= y._3 })
+    }
+    // rank-1 neighbor matches a local brute-force computation
+    val local = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val top1 = g.filter(_._4 == 1).map(t => t._1 -> t._2).toMap
+    // round like Spark's round(): exact binary->decimal then HALF_UP —
+    // math.round(x*1e6) would round a different (error-shifted) value
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    local.keys.foreach { src =>
+      // .toSeq first: mapping the Map to (score, id) would DEDUPE tied
+      // scores by map key and drop legitimate tie candidates
+      val best = (local - src).toSeq.map { case (id, v) =>
+        (r6(cos(local(src), v)), id)
+      }.maxBy { case (sc, id) => (sc, -id) }
+      assert(top1(src) === best._2, s"src=$src")
+    }
+    // the cell-restricted graph never beats the exact graph at any rank
+    val approx = SimilaritySearch.knnGraphCells(vecs, "vec_id", "embedding",
+        k = 3, ncells = 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getDouble(2)))
+      .toMap
+    val exact = g.map(t => ((t._1, t._4), t._3)).toMap
+    approx.foreach { case (key, sc) =>
+      assert(exact.contains(key) && sc <= exact(key), s"$key")
+    }
+  }
 }
