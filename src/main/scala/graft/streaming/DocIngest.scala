@@ -284,6 +284,53 @@ object DocIngest {
       }
       .start()
 
+  /** NEAR-dup-gated ingest: each micro-batch is deduplicated against the
+    * ALREADY-ACCEPTED corpus with MinHash-LSH (`Dedup.incrementalLshPairs`)
+    * before appending — the streaming form of snapshot dedup, where the
+    * "snapshot" is everything previous batches admitted. Batch-internal
+    * near-dups are dropped too (keep-first by id over the batch's own
+    * pairs). Exact-duplicate re-sends are also excluded by construction
+    * (an exact dup has Jaccard 1 with its original).
+    *
+    * Scale note: the corpus side here re-reads the collection per batch;
+    * a production deployment persists the corpus (id, bucket) table and
+    * signatures once (see incrementalLshPairs scaladoc) and appends to
+    * THAT incrementally, making per-batch cost O(batch + collisions),
+    * independent of corpus size. */
+  def startNearDupGated(spark: SparkSession, inDir: String, schema: String,
+      collectionPath: String, checkpoint: String, idCol: String,
+      threshold: Double = 0.8,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val ss = batch.sparkSession
+        if (!batch.isEmpty) {
+          // keep-first within the batch itself
+          val innerPairs = Dedup.minhashLshPairs(batch, idCol, "text",
+            threshold = threshold)
+          val batchClean =
+            Dedup.dropNearDuplicates(batch, idCol, innerPairs)
+          val accepted =
+            if (!new java.io.File(collectionPath).exists()) batchClean
+            else {
+              val corpus = ss.read.parquet(collectionPath)
+              val hits = Dedup.incrementalLshPairs(batchClean, corpus,
+                  idCol, "text", threshold = threshold)
+                .select(col("new_id").as(idCol)).distinct()
+              batchClean.join(hits, Seq(idCol), "left_anti")
+            }
+          accepted.write.mode("append").parquet(collectionPath)
+        }
+        ()
+      }
+      .start()
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

@@ -258,4 +258,38 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) === "doc one")
     assert(got(2L) === "doc two")
   }
+
+  test("near-dup-gated ingest: batch-internal and cross-batch near-dups " +
+      "are rejected; novel docs admitted") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ndg_in").toString
+    val out = Files.createTempDirectory("graft_ndg_out").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_ndg_ck").toString
+
+    val base = "o rato roeu a roupa do rei de roma e depois fugiu para o " +
+      "campo onde encontrou um queijo enorme perto do moinho antigo"
+    val other = "receita de pao caseiro com fermento natural agua farinha " +
+      "sal e tempo de descanso longo na geladeira durante a noite fria"
+    // batch 1: base, its near-dup (1-token edit -> dropped in-batch,
+    // keep-first by id), and one distinct doc
+    Seq((0L, base), (1L, base.replace("queijo", "bolo")), (2L, other))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+
+    val q = DocIngest.startNearDupGated(spark, in, schema, out, ckpt,
+      "doc_id", threshold = 0.5, pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      // batch 2: a near-dup of the ACCEPTED corpus doc (rejected), an
+      // exact re-send (rejected: Jaccard 1), and a novel doc (admitted)
+      Seq((10L, base.replace("campo", "prado")), (11L, other),
+          (12L, "um texto totalmente novo sobre processamento distribuido " +
+            "de documentos em spark com operadores de deduplicacao"))
+        .toDF("doc_id", "text").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 2L, 12L))
+  }
 }
