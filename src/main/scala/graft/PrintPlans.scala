@@ -15,7 +15,9 @@ object PrintPlans {
       "j_multiway", "j3_range_join", "w1_row_number", "k1_cosine_topk",
       "dedup_exact", "a4_pivot_stats", "events_hourly", "events_sessionize",
       "decontaminate_overlap", "sample_hash_split", "docs_scrub",
-      "emb_normalize", "emb_quantize", "docs_line_dedup", "a_approx_distinct")
+      "emb_normalize", "emb_quantize", "docs_line_dedup", "a_approx_distinct",
+      "dedup_substring", "knn_graph", "docs_bigram_nll", "sample_token_budget",
+      "a_histogram", "dedup_incremental")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir)
