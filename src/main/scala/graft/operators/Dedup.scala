@@ -607,10 +607,58 @@ object Dedup {
     *    posture as `lineDedupCounts`. */
   def duplicateSpanCounts(docs: DataFrame, idCol: String, textCol: String,
       winLen: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val src = spread(docs)
+    val src = normalizedDocs(docs, idCol, textCol)
+    val dups = duplicatedPositions(src, winLen)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
+    src.select(col("doc_id"),
+        greatest(length(col("text")) - (winLen - 1), lit(0)).cast("long")
+          .as("total_windows"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_frac",
+        when(col("total_windows") > 0,
+          round(col("dup_windows").cast("double") / col("total_windows"), 4)))
+  }
+
+  /** The ACTION form of [[duplicateSpanCounts]]: maximal merged character
+    * spans [span_start, span_end) of corpus-duplicated windows per
+    * document, with the number of duplicated windows each span merges —
+    * the unit a span-level rewriter cuts (Lee et al. 2022 drop the span
+    * from all-but-one occurrence). Adjacent/overlapping duplicated window
+    * positions coalesce via one islands pass (lag + running sum over the
+    * per-doc position order — a single (doc_id)-keyed window). */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 32): DataFrame = {
+    val src = normalizedDocs(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    duplicatedPositions(src, winLen)
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w) === col("pos") - 1, 0).otherwise(1))
+      .withColumn("span", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + winLen).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("span")
+  }
+
+  private def normalizedDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    spread(docs)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+
+  /** Verified corpus-duplicated (doc_id, pos) window positions — the shared
+    * candidate pipeline of the counts and spans forms (see
+    * [[duplicateSpanCounts]] scaladoc for the scale/exactness argument). */
+  private def duplicatedPositions(src: DataFrame, winLen: Int): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
     val wins = src.as[(Long, String)].mapPartitions { it =>
       // rolling polynomial hash: h(i+1) = (h(i) - s(i)·B^(L-1))·B + s(i+L)
       // over Long wraparound arithmetic (mod 2^64)
@@ -647,17 +695,7 @@ object Dedup {
     // candidates = its occurrences in the whole corpus (see scaladoc)
     val winCount = candWin.groupBy(col("win")).agg(count(lit(1)).as("wc"))
       .filter(col("wc") > 1).select(col("win"))
-    val dups = candWin.join(winCount, Seq("win"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_windows"))
-    src.select(col("doc_id"),
-        greatest(length(col("text")) - (winLen - 1), lit(0)).cast("long")
-          .as("total_windows"))
-      .join(dups, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("total_windows"),
-        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
-      .withColumn("dup_frac",
-        when(col("total_windows") > 0,
-          round(col("dup_windows").cast("double") / col("total_windows"), 4)))
+    candWin.join(winCount, Seq("win")).select(col("doc_id"), col("pos"))
   }
 
   private implicit class ColName(private val sc: StringContext) {

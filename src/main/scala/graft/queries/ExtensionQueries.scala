@@ -635,6 +635,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the ACTION form of substring dedup: maximal merged duplicated
+    //    character spans per doc (what a span-level rewriter cuts) ──────────
+    "dedup_substring_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          winLen = 32)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ── overlapping sliding-window chunking (RAG/embedding chunker):
     //    window 120, stride 80 ⇒ consecutive chunks share 40 chars; last
     //    chunk clamps to the text end; start offsets are provenance ─────────
@@ -1398,6 +1406,27 @@ object ExtensionQueries {
         |END AS dup_frac
         |FROM documents LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |  unnest(range(greatest(length(text) - 31, 0))) AS i
+        |  FROM documents),
+        |w AS (SELECT doc_id, CAST(i AS INT) AS p,
+        |      substr(text, CAST(i AS INT) + 1, 32) AS win FROM pos),
+        |c AS (SELECT win, count(*) AS cnt FROM w GROUP BY 1),
+        |d AS (SELECT w.doc_id, w.p FROM w JOIN c USING (win)
+        |      WHERE c.cnt > 1),
+        |s AS (SELECT doc_id, p,
+        |  CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+        |    THEN 0 ELSE 1 END AS brk FROM d),
+        |g AS (SELECT doc_id, p,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS span FROM s)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 32 AS span_end,
+        |count(*) AS n_windows
+        |FROM g GROUP BY doc_id, span
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "docs_chunk_overlap" ->
       """WITH n AS (

@@ -236,4 +236,28 @@ class DedupSpec extends SparkSpec {
     assert(comp.size === 300)
     assert(comp.values.toSet === Set(0L))
   }
+
+  test("duplicateSpans: adjacent duplicated positions merge into maximal " +
+      "character spans") {
+    import spark.implicits._
+    val shared = "0123456789abcdefghijklmnopqrstuv" // 32 chars
+    val docs = Seq(
+      (0L, "XX" + shared + "YYYYYYYYYYYY"),
+      (1L, "QQQQ" + shared + "ZZ"),
+      (2L, shared + "-----" + shared),
+      (3L, "tiny"),
+      (4L, "wwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwwww") // 40 w's
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", winLen = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(spans === Set(
+      (0L, 2, 34, 1L),   // the shared run inside doc 0
+      (1L, 4, 36, 1L),
+      (2L, 0, 32, 1L),   // both copies in doc 2: two separate spans
+      (2L, 37, 69, 1L),
+      (4L, 0, 40, 9L)    // 9 overlapping identical windows merge into one
+    ))
+  }
 }
