@@ -579,6 +579,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── binned interval-overlap self-join: concurrent shipment windows
+    //    per supplier — the equi-keyed (key, bin) form of a range
+    //    theta-join that would otherwise plan a nested loop; exactly-once
+    //    bin attribution, no dedup shuffle ─────────────────────────────────
+    "j_interval_overlap" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_suppkey") < 20)
+        .select(col("l_suppkey"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("item_id"),
+          (unix_timestamp(col("l_shipdate")) / 86400).cast("long")
+            .as("ship_day"),
+          ((unix_timestamp(col("l_shipdate")) / 86400).cast("long")
+            + col("l_linenumber")).as("end_day"))
+      graft.operators.Intervals.overlapSelfJoin(li, "l_suppkey", "item_id",
+          "ship_day", "end_day", binWidth = 7)
+        .orderBy(col("l_suppkey"), col("id_a"), col("id_b"))
+    }),
+
     // ── exact k-NN graph (k=3): every vector's nearest neighbors with
     //    rank — the SemDeDup/graph-dedup building block; all-pairs form,
     //    the labeled verification baseline for knnGraphCells ────────────────
@@ -1337,6 +1354,17 @@ object ExtensionQueries {
         |CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
         |  ELSE 'test' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "j_interval_overlap" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_orderkey * 100 + l_linenumber AS item_id,
+        |  CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS s,
+        |  CAST(epoch(l_shipdate) // 86400 AS BIGINT) + l_linenumber AS e
+        |  FROM lineitem WHERE l_suppkey < 20)
+        |SELECT a.l_suppkey, a.item_id AS id_a, b.item_id AS id_b
+        |FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
+        |AND a.item_id < b.item_id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "knn_graph" ->
       """WITH p AS (
