@@ -217,12 +217,6 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
-  /** MinHash + LSH near-duplicate pairs — the scale path. Signature of k
-    * hashes split into `bands`; docs sharing any band bucket become
-    * candidates; candidates are verified with the exact shingle-set Jaccard,
-    * so the OUTPUT contract equals `ngramJaccardPairs` whenever banding
-    * recall is 1 at the threshold (choose bands so that
-    * (1/bands)^(k/bands·…) — standard S-curve — is well left of it). */
   /** (id, bucket) band keys from a signature table: bucket = hash of
     * (band index, the band's signature slice). Content-derived and
     * machine-independent, so bucket tables built on different runs — or
@@ -234,6 +228,12 @@ object Dedup {
           transform(slice($"sig", b * rows + 1, rows), _.cast("string")))))
       }: _*)).as("bucket"))
 
+  /** MinHash + LSH near-duplicate pairs — the scale path. Signature of k
+    * hashes split into `bands`; docs sharing any band bucket become
+    * candidates; candidates are verified with the exact shingle-set Jaccard,
+    * so the OUTPUT contract equals `ngramJaccardPairs` whenever banding
+    * recall is 1 at the threshold (choose bands so that
+    * (1/bands)^(k/bands·…) — standard S-curve — is well left of it). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
@@ -625,9 +625,11 @@ object Dedup {
     * spans [span_start, span_end) of corpus-duplicated windows per
     * document, with the number of duplicated windows each span merges —
     * the unit a span-level rewriter cuts (Lee et al. 2022 drop the span
-    * from all-but-one occurrence). Adjacent/overlapping duplicated window
-    * positions coalesce via one islands pass (lag + running sum over the
-    * per-doc position order — a single (doc_id)-keyed window). */
+    * from all-but-one occurrence). Positions whose windows OVERLAP OR
+    * TOUCH (gap ≤ winLen — not merely adjacent positions) coalesce via one
+    * islands pass (lag + running sum over the per-doc position order — a
+    * single (doc_id)-keyed window), so emitted spans never share
+    * characters and are truly maximal. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       winLen: Int = 32): DataFrame = {
     val src = normalizedDocs(docs, idCol, textCol)
@@ -639,7 +641,8 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.currentRow)
     duplicatedPositions(src, winLen)
       .withColumn("brk",
-        when(lag(col("pos"), 1).over(w) === col("pos") - 1, 0).otherwise(1))
+        when(lag(col("pos"), 1).over(w) >= col("pos") - winLen, 0)
+          .otherwise(1))
       .withColumn("span", sum(col("brk")).over(run))
       .groupBy(col("doc_id"), col("span"))
       .agg(min(col("pos")).as("span_start"),
@@ -664,24 +667,33 @@ object Dedup {
       // over Long wraparound arithmetic (mod 2^64)
       val B = 1099511628211L // FNV prime — odd, so ·B is invertible mod 2^64
       it.flatMap { case (id, text) =>
-        val n = text.length
+        // hash CODE POINTS at code-point positions: Spark's substr()/
+        // length() and the DuckDB oracle are code-point based, so UTF-16
+        // char offsets would extract shifted windows in the verify join
+        // for any document with a supplementary-plane char.
+        val cps = text.codePoints().toArray
+        val n = cps.length
         if (n < winLen) Iterator.empty
         else {
           var top = 1L // B^(winLen-1)
           var j = 1
           while (j < winLen) { top *= B; j += 1 }
-          var h = 0L
+          var h0 = 0L
           var i = 0
-          while (i < winLen) { h = h * B + text.charAt(i); i += 1 }
-          val out = new Array[(Long, Int, Long)](n - winLen + 1)
-          out(0) = (id, 0, h)
-          var p = 1
-          while (p <= n - winLen) {
-            h = (h - text.charAt(p - 1) * top) * B + text.charAt(p + winLen - 1)
-            out(p) = (id, p, h)
-            p += 1
+          while (i < winLen) { h0 = h0 * B + cps(i); i += 1 }
+          // lazy per-position emission: no per-document tuple array (a
+          // 100 MB document must not hold ~n boxed tuples in one task)
+          new Iterator[(Long, Int, Long)] {
+            private var p = 0
+            private var h = h0
+            def hasNext: Boolean = p <= n - winLen
+            def next(): (Long, Int, Long) = {
+              val out = (id, p, h)
+              if (p < n - winLen) h = (h - cps(p) * top) * B + cps(p + winLen)
+              p += 1
+              out
+            }
           }
-          out.iterator
         }
       }
     }.toDF("doc_id", "pos", "h")

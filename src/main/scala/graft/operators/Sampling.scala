@@ -116,7 +116,11 @@ object Sampling {
   /** EXACT-proportion stratified split: within every stratum, precisely
     * floor(n_stratum · trainFrac) rows go to train (the rest to test),
     * chosen by md5 hash order so the choice is deterministic across runs,
-    * retries, and engines. This is the eval-set form of hashSplit: when
+    * retries, and engines. The floor is evaluated in IEEE-double
+    * arithmetic (so every engine reproduces it bit-for-bit); for
+    * non-representable fractions it can sit one below the rational floor
+    * at exact-integer products (e.g. 10 · 0.7 → 6.99…9 → 6) — the
+    * cross-engine determinism is the contract, the rational value is not. This is the eval-set form of hashSplit: when
     * strata are small (per-language or per-source eval slices), hashSplit's
     * ±0.4% binomial scatter can leave a rare stratum with zero test rows —
     * here the per-stratum proportion is exact by construction.

@@ -1446,7 +1446,7 @@ object ExtensionQueries {
         |d AS (SELECT w.doc_id, w.p FROM w JOIN c USING (win)
         |      WHERE c.cnt > 1),
         |s AS (SELECT doc_id, p,
-        |  CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+        |  CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) >= p - 32
         |    THEN 0 ELSE 1 END AS brk FROM d),
         |g AS (SELECT doc_id, p,
         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p

@@ -289,8 +289,11 @@ object DocIngest {
     * before appending — the streaming form of snapshot dedup, where the
     * "snapshot" is everything previous batches admitted. Batch-internal
     * near-dups are dropped too (keep-first by id over the batch's own
-    * pairs). Exact-duplicate re-sends are also excluded by construction
-    * (an exact dup has Jaccard 1 with its original).
+    * pairs). Exact-duplicate re-sends are excluded by an explicit
+    * fingerprint anti-join — NOT only by the LSH stage, because documents
+    * shorter than the shingle width produce no signature and would slip
+    * through it (and blind-append crash replay would otherwise duplicate
+    * them unboundedly).
     *
     * Scale note: the corpus side here re-reads the collection per batch;
     * a production deployment persists the corpus (id, bucket) table and
@@ -311,20 +314,35 @@ object DocIngest {
         import graft.operators.Dedup
         val ss = batch.sparkSession
         if (!batch.isEmpty) {
-          // keep-first within the batch itself
-          val innerPairs = Dedup.minhashLshPairs(batch, idCol, "text",
+          // keep-first within the batch itself: exact dups by fingerprint
+          // (covers sub-shingle-width docs), then near-dups by LSH
+          val exactClean = batch
+            .withColumn("_fp", md5(col("text")))
+            .dropDuplicates("_fp")
+          val innerPairs = Dedup.minhashLshPairs(exactClean, idCol, "text",
             threshold = threshold)
-          val batchClean =
-            Dedup.dropNearDuplicates(batch, idCol, innerPairs)
+          val batchClean = Dedup.dropNearDuplicates(exactClean, idCol,
+            innerPairs)
+          // driver-local File.exists would silently disable the gate on
+          // hdfs://, s3a://, file:/ URIs — resolve through the Hadoop FS
+          // of the path, like commitBatch.
+          val collDir = new org.apache.hadoop.fs.Path(collectionPath)
+          val fs = collDir
+            .getFileSystem(ss.sparkContext.hadoopConfiguration)
           val accepted =
-            if (!new java.io.File(collectionPath).exists()) batchClean
-            else {
-              val corpus = ss.read.parquet(collectionPath)
-              val hits = Dedup.incrementalLshPairs(batchClean, corpus,
-                  idCol, "text", threshold = threshold)
-                .select(col("new_id").as(idCol)).distinct()
-              batchClean.join(hits, Seq(idCol), "left_anti")
-            }
+            (if (!fs.exists(collDir)) batchClean
+             else {
+               val corpus = ss.read.parquet(collectionPath)
+               val exactHits = batchClean
+                 .join(corpus.select(md5(col("text")).as("_fp")).distinct(),
+                   Seq("_fp"), "left_semi")
+                 .select(col(idCol))
+               val nearHits = Dedup.incrementalLshPairs(batchClean, corpus,
+                   idCol, "text", threshold = threshold)
+                 .select(col("new_id").as(idCol)).distinct()
+               batchClean.join(exactHits.union(nearHits).distinct(),
+                 Seq(idCol), "left_anti")
+             }).drop("_fp")
           accepted.write.mode("append").parquet(collectionPath)
         }
         ()

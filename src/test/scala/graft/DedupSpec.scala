@@ -260,4 +260,23 @@ class DedupSpec extends SparkSpec {
       (4L, 0, 40, 9L)    // 9 overlapping identical windows merge into one
     ))
   }
+
+  test("duplicateSpans merges OVERLAPPING duplicated windows, not just " +
+      "adjacent positions") {
+    import spark.implicits._
+    val s34 = "0123456789abcdefghijklmnopqrstuvwx" // 34 distinct chars
+    val docs = Seq(
+      // doc 0's dup windows sit at positions 2 and 4 (gap 2 < winLen):
+      // their [2,34) and [4,36) char ranges overlap -> ONE merged span
+      (0L, "AA" + s34),
+      (1L, s34.substring(0, 32) + "####" + s34.substring(2, 34))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", winLen = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(spans === Set(
+      (0L, 2, 36, 2L),
+      (1L, 0, 32, 1L), (1L, 36, 68, 1L)))
+  }
 }
