@@ -261,6 +261,33 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Directed shingle-set CONTAINMENT pairs: containment(a in b) =
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| — the asymmetric dedup
+    * relation Jaccard misses: a short document quoted wholesale inside a
+    * long one has containment ≈ 1 but Jaccard ≈ |a|/|b| ≈ 0. Emits both
+    * directions of every qualifying ordered pair (id_a, id_b,
+    * containment of a in b ≥ threshold).
+    *
+    * Same scale shape as [[ngramJaccardPairs]] (one shingle-keyed shuffle,
+    * ids only; exact, verification-grade) — the LSH analogue at corpus
+    * scale buckets on the SMALLER side's signature only. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
+      .withColumn("n_sh", size($"shs"))
+    val sh = base.select($"id", explode($"shs").as("sg"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("c"))
+    val directed = common.select($"ida".as("id_a"), $"idb".as("id_b"), $"c")
+      .unionByName(common.select($"idb".as("id_a"), $"ida".as("id_b"), $"c"))
+    directed
+      .join(base.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
+      .select($"id_a", $"id_b", ($"c" / $"na").as("containment"))
+      .filter($"containment" >= threshold)
+  }
+
   /** Incremental near-dup: which NEW documents near-duplicate an EXISTING
     * corpus document — the nightly-crawl-vs-snapshot production shape.
     * Returns (new_id, corpus_id, jaccard) for verified pairs at/above the

@@ -297,6 +297,16 @@ object ExtensionQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // ── directed containment pairs: the asymmetric dup relation (short
+    //    doc quoted inside a long one — Jaccard-invisible) ──────────────────
+    "dedup_containment" -> ((s, d) => {
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── dedup clusters: connected components over the verified near-dup
     //    pairs — "A~B, B~C" becomes one keep-decision for {A,B,C}. Oracle
     //    closes the SAME pair SQL transitively with a recursive CTE. ───────
@@ -900,6 +910,16 @@ object ExtensionQueries {
       |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  private val containmentOracle: String =
+    s"""WITH $ngramPairCtes,
+      |dir AS (
+      |  SELECT ida AS id_a, idb AS id_b, c FROM common
+      |  UNION ALL SELECT idb, ida, c FROM common)
+      |SELECT id_a, id_b, round(c * 1.0 / sa.n, 4) AS containment
+      |FROM dir JOIN sizes sa ON id_a = sa.doc_id
+      |WHERE c * 1.0 / sa.n >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val incrementalPairsOracle: String =
     s"""WITH $ngramShingleCtes,
       |common AS (
@@ -1130,6 +1150,7 @@ object ExtensionQueries {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_incremental" -> incrementalPairsOracle,
+    "dedup_containment" -> containmentOracle,
     "dedup_clusters" -> dedupClustersOracle,
 
     "dedup_apply" -> dedupApplyOracle,

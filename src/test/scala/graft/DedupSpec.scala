@@ -279,4 +279,28 @@ class DedupSpec extends SparkSpec {
       (0L, 2, 36, 2L),
       (1L, 0, 32, 1L), (1L, 36, 68, 1L)))
   }
+
+  test("containmentPairs: a quoted subset is caught one-way where Jaccard " +
+      "misses it") {
+    import spark.implicits._
+    val quote = "a frase curta que alguem citou por inteiro sem mudar nada"
+    val host = "texto longo de abertura com muitas palavras diferentes " +
+      quote + " e depois continua com um fecho igualmente verboso cheio " +
+      "de conteudo original que dilui bastante a similaridade global"
+    val docs = Seq((1L, quote), (2L, host),
+      (3L, "documento sem relacao nenhuma com os outros dois aqui"))
+      .toDF("doc_id", "text")
+    // Jaccard at 0.5 must NOT pair them (the host dilutes the union)...
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+    // ...but containment of the quote inside the host is 1.0, one-way.
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cont.keySet === Set((1L, 2L)))
+    assert(cont((1L, 2L)) === 1.0)
+  }
 }
