@@ -42,6 +42,38 @@ class IntervalsSpec extends SparkSpec {
     assert(!expected.exists { case (_, a, b) => (a, b) == ((1L, 6L)) })
   }
 
+  test("the binned join plans as an equi-join; the naive theta form " +
+      "plans a nested loop") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => ("g" + i % 5, i, i % 40, i % 40 + 5))
+      .toDF("k", "id", "s", "e")
+    def hasBNLJ(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin")
+    val binned = Intervals.overlapSelfJoin(rows, "k", "id", "s", "e", 7)
+    assert(!hasBNLJ(binned),
+      "binned interval join must not degrade to a nested loop")
+    // the join it replaces: key equality + range predicates only — no
+    // equi-usable condition beyond k, so small tables broadcast and big
+    // ones go cartesian-per-key
+    val naive = rows.as("a").join(rows.as("b"),
+      col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    // Spark does use the k equi-key via SMJ/SHJ when present; strip the
+    // key to show the raw range join's fate
+    val keyless = rows.as("a").join(rows.as("b"),
+      col("a.id") < col("b.id") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+    assert(hasBNLJ(keyless),
+      s"expected the pure range join to plan a nested loop")
+    // and the binned result still matches the naive keyed join
+    assert(binned.collect().map(r => (r.getLong(1), r.getLong(2))).toSet ===
+      naive.select(col("a.id"), col("b.id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(naivePlan.nonEmpty)
+  }
+
   test("binWidth does not change the result, only the candidate shape") {
     import spark.implicits._
     val rows = (0L until 60L).map { i =>
