@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Sequential / cohort analytics over an event stream — the classic OLAP
   * companions to the engine's windowed aggregations (events_hourly /
@@ -70,5 +71,36 @@ object EventAnalytics {
       .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         datediff(col("day"), col("cohort")).as("day_offset"))
       .agg(count(lit(1)).as("users"))
+  }
+
+  /** Trailing-window anomaly score per hour: each hour's event count
+    * z-scored against the [baselineSecs, gapSecs] seconds BEFORE it (a
+    * RANGE frame over the epoch, so irregular / missing hours do not
+    * shift the baseline the way a row frame would). gapSecs excludes the
+    * current hour from its own baseline. Hours whose baseline frame is
+    * empty or constant emit null z — no silent zeros.
+    *
+    * Scale shape: the hourly rollup is one map-side-combinable groupBy;
+    * the single global-ordered window runs over HOURS, not events —
+    * thousands of rows regardless of corpus size, so the unpartitioned
+    * window is driver-era-sized and deliberate, not a scale hazard. */
+  def trailingZScore(events: DataFrame, tsCol: String,
+      baselineSecs: Long = 72 * 3600L, gapSecs: Long = 3600L): DataFrame = {
+    require(baselineSecs > gapSecs && gapSecs >= 0,
+      "need baselineSecs > gapSecs >= 0")
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("epoch", unix_timestamp(col("hour_ts")))
+    val w = Window.orderBy(col("epoch"))
+      .rangeBetween(-baselineSecs, -gapSecs)
+    val a = avg(col("n")).over(w)
+    val s = stddev_samp(col("n")).over(w)
+    hourly.select(
+      date_format(col("hour_ts"), "yyyy-MM-dd HH:mm").as("hour"),
+      col("n"),
+      round(a, 4).as("base_avg"),
+      round(s, 4).as("base_std"),
+      when(s > 0, round((col("n") - a) / s, 4)).as("z"))
   }
 }

@@ -589,6 +589,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── trailing-window anomaly detection: hourly counts z-scored against
+    //    the preceding 72h RANGE frame (epoch-keyed, so gaps in the hour
+    //    series don't shift the baseline); current hour excluded ───────────
+    "events_trailing_zscore" -> ((s, d) => {
+      graft.operators.EventAnalytics.trailingZScore(t(s, d, "events"), "ts")
+        .orderBy(col("hour"))
+    }),
+
     // ── binned interval-overlap self-join: concurrent shipment windows
     //    per supplier — the equi-keyed (key, bin) form of a range
     //    theta-join that would otherwise plan a nested loop; exactly-once
@@ -1375,6 +1383,23 @@ object ExtensionQueries {
         |CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
         |  ELSE 'test' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "events_trailing_zscore" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hour_ts, n,
+        |  avg(n) OVER win AS a,
+        |  stddev_samp(n) OVER win AS s
+        |  FROM h
+        |  WINDOW win AS (ORDER BY ep
+        |    RANGE BETWEEN 259200 PRECEDING AND 3600 PRECEDING))
+        |SELECT strftime(hour_ts, '%Y-%m-%d %H:%M') AS hour, n,
+        |round(a, 4) AS base_avg, round(s, 4) AS base_std,
+        |CASE WHEN s > 0 THEN round((n - a) / s, 4) END AS z
+        |FROM w ORDER BY hour""".stripMargin,
 
     "j_interval_overlap" ->
       """WITH li AS (

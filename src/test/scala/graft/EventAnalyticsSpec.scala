@@ -65,4 +65,48 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 2) -> 1L,
       ("2024-01-03", 0) -> 1L))
   }
+
+  test("trailingZScore: spike flags against the trailing RANGE baseline; " +
+      "hour gaps do not shift it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-0$d $h%02d:30:00")
+    // 10 steady hours of 2 events, a 3-hour GAP, then a 20-event spike.
+    val rows =
+      (0 until 10).flatMap(h => Seq.fill(2)(ts(1, h))) ++
+      Seq.fill(20)(ts(1, 13))
+    val events = rows.map(t => (1L, t)).toDF("user_id", "ts")
+    val out = graft.operators.EventAnalytics
+      .trailingZScore(events, "ts", baselineSecs = 24 * 3600L,
+        gapSecs = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(4)).map(_ => r.getDouble(4)))))
+      .toMap
+    // first hour: empty baseline -> null z
+    assert(out("2024-01-01 00:00") === ((2L, None)))
+    // steady hours: constant baseline -> std 0 -> null z (no fake signal)
+    assert(out("2024-01-01 05:00") === ((2L, None)))
+    // the spike hour's baseline is the 10 steady hours — the 3-hour gap
+    // sits inside the RANGE frame but contributes no rows; all-constant
+    // baseline still means std 0 -> null z even for the spike
+    assert(out("2024-01-01 13:00") === ((20L, None)))
+    // non-constant baseline: add one hour of 4 events and re-run
+    val rows2 = rows ++ Seq.fill(4)(ts(1, 10))
+    val out2 = graft.operators.EventAnalytics
+      .trailingZScore(rows2.map(t => (1L, t)).toDF("user_id", "ts"), "ts",
+        baselineSecs = 24 * 3600L, gapSecs = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(4)).map(_ => r.getDouble(4)))))
+      .toMap
+    // baseline for 13:00 = ten 2s + one 4: avg = 24/11, std_samp > 0,
+    // z = (20 - avg)/std -- large positive
+    val n = 11.0
+    val mean = 24.0 / n
+    val std = math.sqrt((10 * math.pow(2 - mean, 2)
+      + math.pow(4 - mean, 2)) / (n - 1))
+    val expectedZ = math.floor((20 - mean) / std * 10000 + 0.5) / 10000
+    assert(out2("2024-01-01 13:00")._1 === 20L)
+    assert(math.abs(out2("2024-01-01 13:00")._2.get - expectedZ) < 1e-9)
+    assert(out2("2024-01-01 13:00")._2.get > 10)
+  }
 }
