@@ -589,6 +589,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the SQL surface end-to-end: K1 expressed as a plain SQL string
+    //    over the registered native expressions (GraftExtensions) — proves
+    //    a SQL-only client of the library gets the same answers as the
+    //    DataFrame API. Same oracle family as k1_cosine_topk. ──────────────
+    "sql_cosine_topk" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_v")
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0)
+      val vec = q.map(x => s"${x}D").mkString("array(", ", ", ")")
+      s.sql(
+        s"""SELECT vec_id,
+           |round(cosine_similarity(CAST(embedding AS ARRAY<DOUBLE>),
+           |  $vec), 6) AS score
+           |FROM embeddings_v
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+    }),
+
     // ── trailing-window anomaly detection: hourly counts z-scored against
     //    the preceding 72h RANGE frame (epoch-keyed, so gaps in the hour
     //    series don't shift the baseline); current hour excluded ───────────
@@ -1005,6 +1024,14 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "k1_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sql_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
         |  WHERE vec_id = 0)
         |SELECT e.vec_id,
