@@ -589,6 +589,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the assembled TRAINING-DATA PIPELINE in one plan: token gate →
+    //    exact dedup (keep-first) → deterministic hash split → train-split
+    //    sequence packing. Each stage is an already-proven operator; this
+    //    query proves their COMPOSITION under one oracle. ──────────────────
+    "pipeline_train_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val gated = docs.filter(col("n_tokens") >= 30)
+      val deduped = Dedup.dropExactDuplicates(gated, "doc_id", "text")
+      val train = graft.operators.Sampling.hashSplit(deduped, col("text"),
+          trainFrac = 0.8, valFrac = 0.1)
+        .filter(col("split") === "train")
+      graft.operators.Packing.packSequences(train, "doc_id", "n_tokens",
+          Seq("doc_id"), seqLen = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── the SQL surface end-to-end: K1 expressed as a plain SQL string
     //    over the registered native expressions (GraftExtensions) — proves
     //    a SQL-only client of the library gets the same answers as the
@@ -1410,6 +1427,30 @@ object ExtensionQueries {
         |CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
         |  ELSE 'test' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "pipeline_train_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30),
+        |dedup AS (
+        |  SELECT doc_id, text, tokens FROM (
+        |    SELECT doc_id, text, tokens,
+        |    min(doc_id) OVER (PARTITION BY text) AS keep_id FROM toks)
+        |  WHERE doc_id = keep_id),
+        |train AS (
+        |  SELECT doc_id, tokens FROM dedup
+        |  WHERE substring(md5(text), 1, 2) < 'cd'),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |  sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM train)
+        |SELECT doc_id, tokens,
+        |CAST((cum - tokens) // 512 AS BIGINT) AS start_seq,
+        |CASE WHEN tokens = 0 THEN CAST((cum - tokens) // 512 AS BIGINT)
+        |  ELSE CAST((cum - 1) // 512 AS BIGINT) END AS end_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "events_trailing_zscore" ->
       """WITH h AS (
