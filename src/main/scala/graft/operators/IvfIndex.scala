@@ -63,4 +63,24 @@ object IvfIndex {
   /** Number of cells in a built index (sidecar row count). */
   def ncells(spark: SparkSession, path: String): Int =
     spark.read.parquet(centroidsPath(path)).count().toInt
+
+  /** Incremental append: assign NEW vectors with the index's EXISTING
+    * centroids and append only the `cell=N/` partitions they land in —
+    * the per-batch maintenance path (a full `build` re-clusters and
+    * rewrites everything; appends amortize until drift degrades cell
+    * balance, at which point the caller rebuilds). Probes see appended
+    * vectors immediately; cells untouched by the batch are not rewritten
+    * (dynamic partition overwrite is NOT used — plain append). */
+  def append(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = spark.read.parquet(centroidsPath(path))
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    SimilaritySearch.assignCells(newVecs, idCol, vecCol, centroids)
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .parquet(cellsPath(path))
+  }
 }

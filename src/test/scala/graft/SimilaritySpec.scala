@@ -189,4 +189,43 @@ class SimilaritySpec extends SparkSpec {
       assert(exact.contains(key) && sc <= exact(key), s"$key")
     }
   }
+
+  test("IvfIndex.append: new vectors land in existing cells; probe-all " +
+      "over the union equals brute force; untouched cells keep their files") {
+    import spark.implicits._
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 17 + j * 3 + 1)))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", path, ncells = 4)
+    def cellFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$path/cells").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = cellFiles()
+    val extra = (200 until 240).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 17 + j * 3 + 1)))
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(extra, "vec_id", "embedding", path)
+    val after = cellFiles()
+    // every pre-existing file survives untouched (append, not rewrite)
+    before.foreach { case (cell, files) =>
+      assert(files.subsetOf(after.getOrElse(cell, Set.empty)), cell)
+    }
+    assert(spark.read.parquet(s"$path/cells").count() === 240)
+    // probe-all on the appended index = exact brute top-k over the union
+    val union = vecs.unionByName(extra)
+    val query = Seq.tabulate(8)(j => math.cos(5 * 17 + j * 3 + 1))
+    val exact = SimilaritySearch.topK(union, "vec_id", "embedding",
+        query, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probed = IvfIndex.probe(spark, path, "vec_id", query,
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed === exact)
+  }
 }

@@ -256,4 +256,73 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(flat.length === 1 && flat.head.getInt(0) === 0
       && flat.head.getLong(1) === 2L)
   }
+
+  test("slidingChunks invariants over randomized texts: coverage, clamped " +
+      "tail, bounded stride") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 60).map { i =>
+      val len = 1 + rnd.nextInt(400)
+      (i.toLong, rnd.alphanumeric.take(len).mkString)
+    }
+    for ((size, stride) <- Seq((120, 80), (50, 50), (32, 7))) {
+      val rows = texts.toDF("id", "text")
+        .select(col("id"), col("text"),
+          TextFunctions.slidingChunks(col("text"), size, stride).as("cs"))
+        .collect()
+      rows.foreach { r =>
+        val text = r.getString(1)
+        val cs = r.getSeq[String](2)
+        assert(cs.nonEmpty)
+        assert(cs.head === text.take(size)) // starts at 0
+        if (text.length <= size) assert(cs === Seq(text))
+        else {
+          assert(cs.last === text.substring(text.length - size)) // exact tail
+          // reconstruct: chunk i at start_i; starts non-decreasing, gap <= stride
+          val starts = cs.indices.map(i =>
+            math.max(math.min(i * stride, text.length - size), 0))
+          starts.sliding(2).foreach { case Seq(a, b) =>
+            assert(b - a <= stride && b >= a)
+          }
+          cs.zip(starts).foreach { case (c, st) =>
+            assert(c === text.substring(st, st + size))
+          }
+        }
+      }
+    }
+  }
+
+  test("duplicateSpans/duplicateSpanCounts consistency on a randomized " +
+      "repetitive corpus: disjoint maximal spans, window counts add up") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val texts = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(30))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val winLen = 24
+    val counts = Dedup.duplicateSpanCounts(docs, "doc_id", "text", winLen)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", winLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    // at least some duplication must exist in a 5-word vocab corpus
+    assert(counts.values.sum > 0)
+    spans.foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // spans disjoint and ordered; each at least winLen long
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3, s"doc $doc overlap")
+        case _ =>
+      }
+      sorted.foreach { sp => assert(sp._3 - sp._2 >= winLen) }
+      // the spans' window counts add up to the counts form's dup_windows
+      assert(sorted.map(_._4).sum === counts(doc), s"doc $doc")
+    }
+    // every doc with dup windows has spans and vice versa
+    assert(spans.keySet === counts.filter(_._2 > 0).keySet)
+  }
 }
