@@ -199,16 +199,26 @@ object Dedup {
     * Set sizes come straight from `size(shs)` on the per-doc array — no
     * extra groupBy shuffle — and re-attach to the (small) pair frame via
     * equi-joins that AQE turns into broadcasts when pairs are few. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+  /** (base, common): the per-doc distinct-shingle table (with set sizes)
+    * and the shared-shingle count per (id_a < id_b) pair — the candidate
+    * core both the Jaccard and the containment pair generators divide
+    * into their respective denominators. Ids only ride the shingle
+    * shuffle; arrays stay columnar at rest. */
+  private def sharedShingleCounts(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): (DataFrame, DataFrame) = {
     val base = shingleFrame(docs, idCol, textCol, n, k = 0)
       .withColumn("n_sh", size($"shs"))
-    // ids only through the shingle shuffle; arrays stay columnar at rest.
     val sh = base.select($"id", explode($"shs").as("sg"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("c"))
+    (base, common)
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val (base, common) = sharedShingleCounts(docs, idCol, textCol, n)
     common
       .join(base.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
       .join(base.select($"id".as("id_b"), $"n_sh".as("nb")), "id_b")
@@ -273,15 +283,9 @@ object Dedup {
     * scale buckets on the SMALLER side's signature only. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
-      .withColumn("n_sh", size($"shs"))
-    val sh = base.select($"id", explode($"shs").as("sg"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("c"))
-    val directed = common.select($"ida".as("id_a"), $"idb".as("id_b"), $"c")
-      .unionByName(common.select($"idb".as("id_a"), $"ida".as("id_b"), $"c"))
+    val (base, common) = sharedShingleCounts(docs, idCol, textCol, n)
+    val directed = common
+      .unionByName(common.select($"id_b".as("id_a"), $"id_a".as("id_b"), $"c"))
     directed
       .join(base.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
       .select($"id_a", $"id_b", ($"c" / $"na").as("containment"))

@@ -86,8 +86,11 @@ object EventAnalytics {
     * window is driver-era-sized and deliberate, not a scale hazard. */
   def trailingZScore(events: DataFrame, tsCol: String,
       baselineSecs: Long = 72 * 3600L, gapSecs: Long = 3600L): DataFrame = {
-    require(baselineSecs > gapSecs && gapSecs >= 0,
-      "need baselineSecs > gapSecs >= 0")
+    // gapSecs = 0 would put the current hour inside its own baseline
+    // (RANGE upper bound 0 is inclusive), silently damping the very
+    // signal the caller asked for — reject it.
+    require(baselineSecs > gapSecs && gapSecs > 0,
+      "need baselineSecs > gapSecs > 0")
     val hourly = events
       .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"))
       .agg(count(lit(1)).as("n"))

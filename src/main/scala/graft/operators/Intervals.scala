@@ -20,15 +20,30 @@ object Intervals {
   /** Overlapping pairs WITHIN each `keyCol` group of one interval table:
     * (key, id_a, id_b) for every a < b whose [start, end] intervals
     * intersect (closed ends). `startCol`/`endCol` must be numeric (cast
-    * dates to epoch days first); `binWidth` is in those units. */
+    * dates to epoch days first); `binWidth` is in those units.
+    *
+    * Malformed rows FAIL the query instead of corrupting it: an inverted
+    * interval (start > end) or one spanning more than `maxBinsPerRow`
+    * bins (a sentinel end date, a binWidth far below the data's
+    * granularity) raises with the offending id — a 420k-element bin
+    * array per row is a job-killer the theta-join semantics never
+    * implied. */
   def overlapSelfJoin(df: DataFrame, keyCol: String, idCol: String,
-      startCol: String, endCol: String, binWidth: Long): DataFrame = {
+      startCol: String, endCol: String, binWidth: Long,
+      maxBinsPerRow: Int = 1024): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
     val binOf = (c: Column) => floor(c / binWidth).cast("long")
+    val wellFormed = col("s") <= col("e") &&
+      binOf(col("e")) - binOf(col("s")) < lit(maxBinsPerRow.toLong)
     val b = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .withColumn("bin",
-        explode(sequence(binOf(col("s")), binOf(col("e")))))
+        explode(when(wellFormed, sequence(binOf(col("s")), binOf(col("e"))))
+          .otherwise(raise_error(concat(
+            lit("overlapSelfJoin: inverted interval or > " +
+              s"$maxBinsPerRow bins for id "),
+            col("id").cast("string"))))))
     b.as("a").join(b.as("b"),
         col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
         col("a.id") < col("b.id") &&

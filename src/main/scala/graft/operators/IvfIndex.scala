@@ -45,12 +45,19 @@ object IvfIndex {
   /** Exact top-k over the `nprobe` nearest cells. The scan reads only the
     * probed `cell=N/` directories (partition pruning); with
     * nprobe = ncells the result equals exact brute-force top-k. */
-  def probe(spark: SparkSession, path: String, idCol: String,
-      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val centroids = spark.read.parquet(centroidsPath(path))
+  /** The sidecar contract in ONE place: row = (cell INT, centroid
+    * ARRAY<DOUBLE>), cell ids contiguous from 0, so after the orderBy the
+    * array index IS the cell id. */
+  private def loadCentroids(spark: SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(centroidsPath(path))
       .orderBy(col("cell"))
       .collect()
       .map(_.getSeq[Double](1).toArray)
+
+  def probe(spark: SparkSession, path: String, idCol: String,
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val centroids = loadCentroids(spark, path)
     val probed = SimilaritySearch.nearestCells(centroids, query, nprobe)
     spark.read.parquet(cellsPath(path))
       .filter(col("cell").isin(probed: _*))
@@ -73,11 +80,7 @@ object IvfIndex {
     * (dynamic partition overwrite is NOT used — plain append). */
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val spark = newVecs.sparkSession
-    val centroids = spark.read.parquet(centroidsPath(path))
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = loadCentroids(newVecs.sparkSession, path)
     SimilaritySearch.assignCells(newVecs, idCol, vecCol, centroids)
       .write.mode(SaveMode.Append)
       .partitionBy("cell")

@@ -314,11 +314,11 @@ object DocIngest {
         import graft.operators.Dedup
         val ss = batch.sparkSession
         if (!batch.isEmpty) {
-          // keep-first within the batch itself: exact dups by fingerprint
-          // (covers sub-shingle-width docs), then near-dups by LSH
-          val exactClean = batch
-            .withColumn("_fp", md5(col("text")))
-            .dropDuplicates("_fp")
+          // keep-first within the batch itself: exact dups deterministically
+          // by LOWEST id (dropDuplicates would keep a partition-order-
+          // dependent survivor — not retry-reproducible), then near-dups
+          // by LSH. The exact pass also covers sub-shingle-width docs.
+          val exactClean = Dedup.dropExactDuplicates(batch, idCol, "text")
           val innerPairs = Dedup.minhashLshPairs(exactClean, idCol, "text",
             threshold = threshold)
           val batchClean = Dedup.dropNearDuplicates(exactClean, idCol,
@@ -330,19 +330,21 @@ object DocIngest {
           val fs = collDir
             .getFileSystem(ss.sparkContext.hadoopConfiguration)
           val accepted =
-            (if (!fs.exists(collDir)) batchClean
-             else {
-               val corpus = ss.read.parquet(collectionPath)
-               val exactHits = batchClean
-                 .join(corpus.select(md5(col("text")).as("_fp")).distinct(),
-                   Seq("_fp"), "left_semi")
-                 .select(col(idCol))
-               val nearHits = Dedup.incrementalLshPairs(batchClean, corpus,
-                   idCol, "text", threshold = threshold)
-                 .select(col("new_id").as(idCol)).distinct()
-               batchClean.join(exactHits.union(nearHits).distinct(),
-                 Seq(idCol), "left_anti")
-             }).drop("_fp")
+            if (!fs.exists(collDir)) batchClean
+            else {
+              val corpus = ss.read.parquet(collectionPath)
+              val corpusFps = corpus
+                .select(md5(col("text")).as("_cfp")).distinct()
+              val exactHits = batchClean
+                .join(corpusFps, md5(batchClean("text")) === col("_cfp"),
+                  "left_semi")
+                .select(col(idCol))
+              val nearHits = Dedup.incrementalLshPairs(batchClean, corpus,
+                  idCol, "text", threshold = threshold)
+                .select(col("new_id").as(idCol)).distinct()
+              batchClean.join(exactHits.union(nearHits).distinct(),
+                Seq(idCol), "left_anti")
+            }
           accepted.write.mode("append").parquet(collectionPath)
         }
         ()

@@ -88,4 +88,24 @@ class IntervalsSpec extends SparkSpec {
     assert(w7 === w100)
     assert(w7 === w1)
   }
+
+  test("malformed intervals fail loudly instead of corrupting the result") {
+    import spark.implicits._
+    val inverted = Seq(("g", 1L, 50L, 10L)).toDF("k", "id", "s", "e")
+    val e1 = intercept[Exception] {
+      Intervals.overlapSelfJoin(inverted, "k", "id", "s", "e", 7).collect()
+    }
+    assert(e1.getMessage.contains("overlapSelfJoin")
+      || Option(e1.getCause).exists(_.getMessage.contains("overlapSelfJoin")),
+      e1.getMessage)
+    // a sentinel open-ended interval would build a huge bin array
+    val sentinel = Seq(("g", 1L, 0L, 9000000L)).toDF("k", "id", "s", "e")
+    val e2 = intercept[Exception] {
+      Intervals.overlapSelfJoin(sentinel, "k", "id", "s", "e", 7,
+        maxBinsPerRow = 1024).collect()
+    }
+    assert(e2.getMessage.contains("overlapSelfJoin")
+      || Option(e2.getCause).exists(_.getMessage.contains("overlapSelfJoin")),
+      e2.getMessage)
+  }
 }
