@@ -72,4 +72,30 @@ object Decontaminate {
       overlaps(corpus, idCol, textCol, benchmark, benchIdCol, benchTextCol,
         n, minOverlap).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC contamination: corpus vectors whose max cosine against ANY
+    * benchmark vector reaches the threshold — catches paraphrased
+    * benchmark leakage the n-gram form can't see. Returns
+    * (idCol, max_cos) for flagged rows only.
+    *
+    * Scale shape: benchmark suites are small by nature, so the benchmark
+    * side broadcasts and the corpus scans ONCE with an embarrassingly-
+    * parallel per-row max — no shuffle at all until the (tiny) flagged
+    * set. The per-row cost is |bench| dot products; for benchmark sets
+    * too large to broadcast, route through `SimilaritySearch.topKIvf` /
+    * the IVF index instead. */
+  def semanticOverlaps(corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val bench = broadcast(benchmark
+      .select(VectorFunctions.asDouble(col(benchVecCol)).as("bv")))
+    corpus.select(col(idCol),
+        VectorFunctions.asDouble(col(vecCol)).as("cv"))
+      .crossJoin(bench)
+      .groupBy(col(idCol))
+      .agg(max(VectorFunctions.cosineSimilarity(col("cv"), col("bv")))
+        .as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+  }
 }

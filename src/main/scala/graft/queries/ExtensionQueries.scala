@@ -589,6 +589,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── SEMANTIC decontamination: corpus vectors too close (max cosine)
+    //    to any benchmark vector — paraphrase leakage the n-gram form
+    //    can't see; benchmark broadcasts, corpus scans once ────────────────
+    "decontaminate_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Decontaminate.semanticOverlaps(
+          emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "embedding", threshold = 0.3)
+        .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── the assembled TRAINING-DATA PIPELINE in one plan: token gate →
     //    exact dedup (keep-first) → deterministic hash split → train-split
     //    sequence packing. Each stage is an already-proven operator; this
@@ -1427,6 +1439,16 @@ object ExtensionQueries {
         |CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
         |  ELSE 'test' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_semantic" ->
+      """WITH b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings
+        |  WHERE vec_id < 20),
+        |m AS (
+        |  SELECT c.vec_id,
+        |  max(list_cosine_similarity(c.embedding::DOUBLE[], b.bv)) AS mc
+        |  FROM embeddings c CROSS JOIN b WHERE c.vec_id >= 20 GROUP BY 1)
+        |SELECT vec_id, round(mc, 6) AS max_cos FROM m
+        |WHERE mc >= 0.3 ORDER BY vec_id""".stripMargin,
 
     "pipeline_train_pack" ->
       """WITH toks AS (

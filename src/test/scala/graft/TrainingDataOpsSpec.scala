@@ -325,4 +325,25 @@ class TrainingDataOpsSpec extends SparkSpec {
     // every doc with dup windows has spans and vice versa
     assert(spans.keySet === counts.filter(_._2 > 0).keySet)
   }
+
+  test("semanticOverlaps: paraphrase-leaked vectors flagged, orthogonal " +
+      "ones pass; benchmark side broadcasts") {
+    import graft.functions.Hashing
+    val bench = Seq((100L, Hashing.hashEmbedVec("the quick brown fox", 32).toSeq))
+      .toDF("bid", "vec")
+    val corpus = Seq(
+      (1L, Hashing.hashEmbedVec("the quick brown fox", 32).toSeq), // leak
+      (2L, Hashing.hashEmbedVec("completely unrelated words here", 32).toSeq)
+    ).toDF("id", "vec")
+    val flagged = Decontaminate.semanticOverlaps(corpus, "id", "vec",
+        bench, "vec", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flagged.keySet === Set(1L))
+    assert(math.abs(flagged(1L) - 1.0) < 1e-9)
+    // the plan broadcasts the benchmark side (no shuffle before the agg)
+    val plan = Decontaminate.semanticOverlaps(corpus, "id", "vec",
+      bench, "vec", threshold = 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan.take(400))
+  }
 }
