@@ -78,24 +78,35 @@ object Decontaminate {
     * benchmark leakage the n-gram form can't see. Returns
     * (idCol, max_cos) for flagged rows only.
     *
-    * Scale shape: benchmark suites are small by nature, so the benchmark
-    * side broadcasts and the corpus scans ONCE with an embarrassingly-
-    * parallel per-row max — no shuffle at all until the (tiny) flagged
-    * set. The per-row cost is |bench| dot products; for benchmark sets
-    * too large to broadcast, route through `SimilaritySearch.topKIvf` /
-    * the IVF index instead. */
+    * Scale shape: benchmark suites are small by nature, so their vectors
+    * ride into the plan as literals and the max is a `greatest` chain of
+    * codegen'd cosine expressions inside ONE narrow projection — no join,
+    * no groupBy, no shuffle; the filter pushes into the scan stage. For
+    * benchmark sets beyond the literal budget, route through the IVF
+    * index instead. A corpus vector that scores null against every
+    * benchmark vector (zero norm, dimension drift) FAILS the query
+    * loudly — a malformed embedding must not pass a contamination gate
+    * undecided. */
   def semanticOverlaps(corpus: DataFrame, idCol: String, vecCol: String,
       benchmark: DataFrame, benchVecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions
-    val bench = broadcast(benchmark
-      .select(VectorFunctions.asDouble(col(benchVecCol)).as("bv")))
+    val benchVecs = benchmark
+      .select(VectorFunctions.asDouble(col(benchVecCol)))
+      .collect().map(_.getSeq[Double](0))
+    require(benchVecs.nonEmpty, "benchmark set is empty")
+    require(benchVecs.length <= 256,
+      s"${benchVecs.length} benchmark vectors exceed the literal-expression " +
+        "budget (256) — use the IVF index path for large benchmark sets")
+    val cv = VectorFunctions.asDouble(col(vecCol))
+    val scores = benchVecs.map(v =>
+      VectorFunctions.cosineSimilarity(cv, typedLit(v)))
+    val maxCos = scores.reduce((a, b) => greatest(a, b))
     corpus.select(col(idCol),
-        VectorFunctions.asDouble(col(vecCol)).as("cv"))
-      .crossJoin(bench)
-      .groupBy(col(idCol))
-      .agg(max(VectorFunctions.cosineSimilarity(col("cv"), col("bv")))
-        .as("max_cos"))
+        coalesce(maxCos, raise_error(concat(
+          lit("semanticOverlaps: vector scored null against every " +
+            "benchmark vector (zero norm or dimension drift) for id "),
+          coalesce(col(idCol).cast("string"), lit("NULL"))))).as("max_cos"))
       .filter(col("max_cos") >= threshold)
   }
 }

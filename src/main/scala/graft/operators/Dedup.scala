@@ -192,13 +192,6 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
-  /** Exact n-gram Jaccard near-duplicate pairs: all (a < b) with
-    * |shingles(a) ∩ shingles(b)| / |union| >= threshold.
-    * Shuffles on shingle; exact but quadratic in per-shingle doc frequency.
-    *
-    * Set sizes come straight from `size(shs)` on the per-doc array — no
-    * extra groupBy shuffle — and re-attach to the (small) pair frame via
-    * equi-joins that AQE turns into broadcasts when pairs are few. */
   /** (base, common): the per-doc distinct-shingle table (with set sizes)
     * and the shared-shingle count per (id_a < id_b) pair — the candidate
     * core both the Jaccard and the containment pair generators divide
@@ -216,6 +209,13 @@ object Dedup {
     (base, common)
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs: all (a < b) with
+    * |shingles(a) ∩ shingles(b)| / |union| >= threshold.
+    * Shuffles on shingle; exact but quadratic in per-shingle doc frequency.
+    *
+    * Set sizes come straight from `size(shs)` on the per-doc array — no
+    * extra groupBy shuffle — and re-attach to the (small) pair frame via
+    * equi-joins that AQE turns into broadcasts when pairs are few. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val (base, common) = sharedShingleCounts(docs, idCol, textCol, n)

@@ -39,11 +39,14 @@ object Intervals {
     val b = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .withColumn("bin",
+        // wellFormed is NULL (not false) for null bounds — the otherwise
+        // branch catches that too, and the message says so; coalesce keeps
+        // the diagnostic when the id itself is null.
         explode(when(wellFormed, sequence(binOf(col("s")), binOf(col("e"))))
           .otherwise(raise_error(concat(
-            lit("overlapSelfJoin: inverted interval or > " +
+            lit("overlapSelfJoin: null bounds, inverted interval, or > " +
               s"$maxBinsPerRow bins for id "),
-            col("id").cast("string"))))))
+            coalesce(col("id").cast("string"), lit("NULL")))))))
     b.as("a").join(b.as("b"),
         col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
         col("a.id") < col("b.id") &&

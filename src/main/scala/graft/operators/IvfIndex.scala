@@ -42,9 +42,6 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
   }
 
-  /** Exact top-k over the `nprobe` nearest cells. The scan reads only the
-    * probed `cell=N/` directories (partition pruning); with
-    * nprobe = ncells the result equals exact brute-force top-k. */
   /** The sidecar contract in ONE place: row = (cell INT, centroid
     * ARRAY<DOUBLE>), cell ids contiguous from 0, so after the orderBy the
     * array index IS the cell id. */
@@ -55,6 +52,9 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** Exact top-k over the `nprobe` nearest cells. The scan reads only the
+    * probed `cell=N/` directories (partition pruning); with
+    * nprobe = ncells the result equals exact brute-force top-k. */
   def probe(spark: SparkSession, path: String, idCol: String,
       query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val centroids = loadCentroids(spark, path)
@@ -81,8 +81,18 @@ object IvfIndex {
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val centroids = loadCentroids(newVecs.sparkSession, path)
-    SimilaritySearch.assignCells(newVecs, idCol, vecCol, centroids)
-      .write.mode(SaveMode.Append)
+    // assignment failures (dimension drift vs the index's centroids, null
+    // vectors) yield cell = -1, which would WRITE into a cell=-1 partition
+    // that probe never reads — silent permanent loss on the maintenance
+    // path. Fail loudly instead, naming the offending id.
+    val assigned = SimilaritySearch.assignCells(newVecs, idCol, vecCol,
+        centroids)
+      .withColumn("cell",
+        when(col("cell") >= 0, col("cell")).otherwise(raise_error(concat(
+          lit("IvfIndex.append: vector failed centroid assignment " +
+            "(dimension drift or null vector) for id "),
+          coalesce(col(idCol).cast("string"), lit("NULL"))))))
+    assigned.write.mode(SaveMode.Append)
       .partitionBy("cell")
       .parquet(cellsPath(path))
   }

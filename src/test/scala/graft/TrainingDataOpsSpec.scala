@@ -340,10 +340,21 @@ class TrainingDataOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(flagged.keySet === Set(1L))
     assert(math.abs(flagged(1L) - 1.0) < 1e-9)
-    // the plan broadcasts the benchmark side (no shuffle before the agg)
+    // the benchmark rides in as literals: ONE narrow projection — no join,
+    // no aggregate, no exchange anywhere in the plan
     val plan = Decontaminate.semanticOverlaps(corpus, "id", "vec",
       bench, "vec", threshold = 0.9).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin")
-      || plan.contains("BroadcastExchange"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Exchange")
+      && !plan.contains("Aggregate"), plan.take(400))
+    // a malformed (zero-norm) corpus vector fails the gate loudly rather
+    // than passing as uncontaminated
+    val broken = Seq((9L, Seq.fill(32)(0.0))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Decontaminate.semanticOverlaps(broken, "id", "vec",
+        bench, "vec", threshold = 0.9).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("semanticOverlaps")), msgs(e).mkString("|"))
   }
 }
