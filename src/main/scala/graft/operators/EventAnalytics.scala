@@ -73,6 +73,21 @@ object EventAnalytics {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** CDC-style latest-state compaction: the single newest row per key by
+    * (tsCol, tieCol) — the "current snapshot" primitive that collapses an
+    * append-only change log. One key-partitioned window (single shuffle);
+    * the explicit tie column makes equal-timestamp re-sends deterministic
+    * (bare max-by-ts would keep a partition-order-dependent row). */
+  def latestPerKey(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    events.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
+
   /** Trailing-window anomaly score per hour: each hour's event count
     * z-scored against the [baselineSecs, gapSecs] seconds BEFORE it (a
     * RANGE frame over the epoch, so irregular / missing hours do not

@@ -637,6 +637,18 @@ object ExtensionQueries {
            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     }),
 
+    // ── CDC latest-state compaction: the newest event per (user, type) —
+    //    the current-snapshot primitive over an append-only change log;
+    //    event_id tiebreak keeps equal-timestamp re-sends deterministic ────
+    "events_latest_per_key" -> ((s, d) => {
+      graft.operators.EventAnalytics.latestPerKey(t(s, d, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // ── trailing-window anomaly detection: hourly counts z-scored against
     //    the preceding 72h RANGE frame (epoch-keyed, so gaps in the hour
     //    series don't shift the baseline); current hour excluded ───────────
@@ -1473,6 +1485,18 @@ object ExtensionQueries {
         |CASE WHEN tokens = 0 THEN CAST((cum - tokens) // 512 AS BIGINT)
         |  ELSE CAST((cum - 1) // 512 AS BIGINT) END AS end_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "events_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts_s,
+        |round(value, 4) AS value
+        |FROM r WHERE rk = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "events_trailing_zscore" ->
       """WITH h AS (

@@ -109,4 +109,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(out2("2024-01-01 13:00")._2.get - expectedZ) < 1e-9)
     assert(out2("2024-01-01 13:00")._2.get > 10)
   }
+
+  test("latestPerKey: newest row per key survives; equal-ts re-sends " +
+      "resolve deterministically by the tie column") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, "click", 100L, ts(1), 1.0),
+      (1L, "click", 101L, ts(5), 2.0),   // newest for (1, click)
+      (1L, "view", 102L, ts(3), 3.0),
+      (2L, "click", 103L, ts(2), 4.0),
+      (2L, "click", 104L, ts(2), 5.0)    // equal ts: higher event_id wins
+    ).toDF("user_id", "event_type", "event_id", "ts", "value")
+    val got = EventAnalytics.latestPerKey(events,
+        Seq("user_id", "event_type"), "ts", "event_id")
+      .select("user_id", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      (1L, "click") -> 101L, (1L, "view") -> 102L, (2L, "click") -> 104L))
+    // layout-independent
+    val again = EventAnalytics.latestPerKey(events.repartition(7),
+        Seq("user_id", "event_type"), "ts", "event_id")
+      .select("user_id", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(again === got)
+  }
 }
