@@ -71,10 +71,21 @@ object Sampling {
       weights: Map[String, Double], default: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(default)).forall(_ >= 0),
       "weights must be non-negative")
-    val w = coalesce(element_at(typedLit(weights), col(groupCol)),
-      lit(default))
-    val copies = (floor(w).cast("int") +
-      when(bucketInt(key) < round((w - floor(w)) * 256), 1).otherwise(0))
+    weightedMixByCol(df, key,
+      coalesce(element_at(typedLit(weights), col(groupCol)), lit(default)))
+  }
+
+  /** [[weightedMix]] with a per-ROW weight expression instead of a static
+    * per-group map — e.g. upsample by a quality score ("weight =
+    * min(3, quality·2)"). Same contract: floor(w) guaranteed copies plus
+    * one more with probability frac(w) quantized to 1/256, keyed on the
+    * content hash — deterministic across runs, retries, and engines.
+    * Negative weights are a caller bug and fail the query loudly. */
+  def weightedMixByCol(df: DataFrame, key: Column, w: Column): DataFrame = {
+    val wchk = when(w >= 0, w).otherwise(raise_error(
+      concat(lit("weightedMixByCol: negative weight "), w.cast("string"))))
+    val copies = (floor(wchk).cast("int") +
+      when(bucketInt(key) < round((wchk - floor(wchk)) * 256), 1).otherwise(0))
     // sequence(1, 0) would generate the DESCENDING [1, 0] — guard the
     // zero-copies case with an explicit empty array so explode drops it.
     df.withColumn("copy_id",

@@ -577,6 +577,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("copy_id"))
     }),
 
+    // ── quality-weighted resample: per-ROW weight (here length-derived,
+    //    capped at 3×) instead of a static per-source map — the
+    //    upsample-by-quality mixing form; same determinism contract ─────────
+    "sample_quality_mix" -> ((s, d) => {
+      graft.operators.Sampling.weightedMixByCol(t(s, d, "documents"),
+          col("text"), least(lit(3.0), col("n_chars") / lit(200.0)))
+        .select(col("doc_id"), col("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))
+    }),
+
     // ── exact-proportion stratified split: within every source exactly
     //    floor(n·0.8) rows train, the rest test, by md5 hash order — the
     //    eval-slice splitter where hashSplit's ±0.4% scatter could empty a
@@ -1438,6 +1448,24 @@ object ExtensionQueries {
         |CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
         |  AS vocab_id
         |FROM agg ORDER BY tf_total DESC, term LIMIT 100""".stripMargin,
+
+    "sample_quality_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |  least(CAST(3.0 AS DOUBLE), n_chars / CAST(200.0 AS DOUBLE)) AS wt,
+        |  CAST(('0x' || substring(md5(text), 1, 2))::BIGINT AS INT)
+        |    AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |  CAST(floor(wt) AS INT) +
+        |  CASE WHEN bucket < round((wt - floor(wt)) * 256) THEN 1 ELSE 0 END
+        |    AS copies
+        |  FROM w)
+        |SELECT doc_id,
+        |CAST(unnest(range(1, copies + 1)) AS INT) AS copy_id
+        |FROM c WHERE copies >= 1
+        |ORDER BY doc_id, copy_id""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (
