@@ -141,6 +141,35 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor, the `k` corpus ids with the smallest md5(anchor|candidate)
+    * rank that are neither the anchor itself nor one of its `exclude`
+    * pairs (typically its k-NN positives). Hash ranking draws a
+    * uniform-pseudorandom sample that is REPRODUCIBLE across runs,
+    * retries, and engines — rand() would re-deal negatives on every
+    * retry, silently changing the training set.
+    *
+    * This all-pairs form is the verification / small-anchor-set shape
+    * (anchor sets are usually batch-sized); at corpus scale, exploit that
+    * the winners are exactly the k smallest hashes per anchor: pre-filter
+    * candidates to a small hash prefix (md5 is uniform, so a prefix
+    * window sized to ~10·k survivors suffices, with one adaptive retry
+    * for unlucky anchors) before ranking. */
+  def negativeSamples(items: DataFrame, idCol: String, anchors: DataFrame,
+      anchorIdCol: String, exclude: DataFrame, k: Int): DataFrame = {
+    val cand = anchors.select(col(anchorIdCol).cast("long").as("anchor_id"))
+      .crossJoin(items.select(col(idCol).cast("long").as("neg_id")))
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .join(exclude.select(col("src").cast("long").as("anchor_id"),
+          col("dst").cast("long").as("neg_id")),
+        Seq("anchor_id", "neg_id"), "left_anti")
+    val h = md5(concat(col("anchor_id").cast("string"), lit("|"),
+      col("neg_id").cast("string")))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(h, col("neg_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   private def localCosine(a: Array[Double], b: Array[Double]): Double = {
     if (a.length != b.length) return Double.NaN
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

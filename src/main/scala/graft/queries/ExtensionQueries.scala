@@ -693,6 +693,17 @@ object ExtensionQueries {
         .orderBy(col("src"), col("rank"))
     }),
 
+    // ── deterministic contrastive negatives: per anchor, the 4 smallest-
+    //    md5-rank corpus ids that are not the anchor or its k-NN
+    //    positives — retry-reproducible where rand() would re-deal ─────────
+    "knn_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val positives = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", 3)
+      SimilaritySearch.negativeSamples(emb, "vec_id",
+          emb.filter(col("vec_id") < 5), "vec_id", positives, k = 4)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // ── cell-restricted k-NN graph audit: the approximate graph's score
     //    at (src, rank) can never exceed the exact graph's — violations
     //    would mean the candidate restriction invented a better neighbor
@@ -1566,6 +1577,32 @@ object ExtensionQueries {
         |  FROM p)
         |SELECT src, dst, score, rank FROM r WHERE rank <= 3
         |ORDER BY src, rank""".stripMargin,
+
+    "knn_negatives" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS score
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |pos AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY score DESC, dst) AS rk FROM p)
+        |  WHERE rk <= 3),
+        |cand AS (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id
+        |  FROM embeddings a CROSS JOIN embeddings c
+        |  WHERE a.vec_id < 5 AND a.vec_id <> c.vec_id
+        |  AND NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.src = a.vec_id AND pos.dst = c.vec_id)),
+        |r AS (
+        |  SELECT anchor_id, neg_id,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY md5(CAST(anchor_id AS VARCHAR) || '|' ||
+        |      CAST(neg_id AS VARCHAR)), neg_id) AS INT) AS rank
+        |  FROM cand)
+        |SELECT anchor_id, neg_id, rank FROM r WHERE rank <= 4
+        |ORDER BY anchor_id, rank""".stripMargin,
 
     "knn_graph_dominance" ->
       """SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS INT) AS rank,

@@ -228,4 +228,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probed === exact)
   }
+
+  test("negativeSamples: excludes self and positives, exactly k per " +
+      "anchor, reproducible across layouts") {
+    import spark.implicits._
+    val items = (0L until 30L).map(i => Tuple1(i)).toDF("id")
+    val anchors = items.filter(col("id") < 3)
+    val positives = Seq((0L, 1L), (0L, 2L), (1L, 5L), (2L, 9L))
+      .toDF("src", "dst")
+    val negs = SimilaritySearch.negativeSamples(items, "id", anchors, "id",
+        positives, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byAnchor = negs.groupBy(_._1)
+    assert(byAnchor.keySet === Set(0L, 1L, 2L))
+    assert(byAnchor.values.forall(_.length === 4))
+    // never the anchor itself, never a positive
+    negs.foreach { case (a, n, _) =>
+      assert(a != n)
+      assert(!Set((0L, 1L), (0L, 2L), (1L, 5L), (2L, 9L)).contains((a, n)))
+    }
+    // deterministic across physical layouts
+    val again = SimilaritySearch.negativeSamples(items.repartition(7), "id",
+        anchors, "id", positives, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again === negs.toSet)
+  }
 }
