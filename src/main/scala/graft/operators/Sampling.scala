@@ -80,10 +80,13 @@ object Sampling {
     * min(3, quality·2)"). Same contract: floor(w) guaranteed copies plus
     * one more with probability frac(w) quantized to 1/256, keyed on the
     * content hash — deterministic across runs, retries, and engines.
-    * Negative weights are a caller bug and fail the query loudly. */
+    * Negative, null, or NaN weights are a caller bug and fail the query
+    * loudly (NaN needs its own check: Spark orders NaN above every
+    * number, so `w >= 0` alone would wave it through as ~1 copy). */
   def weightedMixByCol(df: DataFrame, key: Column, w: Column): DataFrame = {
-    val wchk = when(w >= 0, w).otherwise(raise_error(
-      concat(lit("weightedMixByCol: negative weight "), w.cast("string"))))
+    val wchk = when(w >= 0 && !isnan(w), w).otherwise(raise_error(
+      concat(lit("weightedMixByCol: negative, null, or NaN weight "),
+        coalesce(w.cast("string"), lit("NULL")))))
     val copies = (floor(wchk).cast("int") +
       when(bucketInt(key) < round((wchk - floor(wchk)) * 256), 1).otherwise(0))
     // sequence(1, 0) would generate the DESCENDING [1, 0] — guard the

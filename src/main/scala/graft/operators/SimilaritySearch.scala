@@ -144,7 +144,8 @@ object SimilaritySearch {
   /** Deterministic negative sampling for contrastive training: for each
     * anchor, the `k` corpus ids with the smallest md5(anchor|candidate)
     * rank that are neither the anchor itself nor one of its `exclude`
-    * pairs (typically its k-NN positives). Hash ranking draws a
+    * pairs — a (src, dst) DataFrame, typically the [[knnGraph]] output
+    * (whose columns already carry those names). Hash ranking draws a
     * uniform-pseudorandom sample that is REPRODUCIBLE across runs,
     * retries, and engines — rand() would re-deal negatives on every
     * retry, silently changing the training set.
@@ -157,7 +158,11 @@ object SimilaritySearch {
     * for unlucky anchors) before ranking. */
   def negativeSamples(items: DataFrame, idCol: String, anchors: DataFrame,
       anchorIdCol: String, exclude: DataFrame, k: Int): DataFrame = {
+    // distinct: a duplicated anchor row would duplicate every candidate
+    // pair, and row_number over the identical order keys would spend two
+    // ranks per candidate — k rows but < k DISTINCT negatives.
     val cand = anchors.select(col(anchorIdCol).cast("long").as("anchor_id"))
+      .distinct()
       .crossJoin(items.select(col(idCol).cast("long").as("neg_id")))
       .filter(col("anchor_id") =!= col("neg_id"))
       .join(exclude.select(col("src").cast("long").as("anchor_id"),

@@ -252,5 +252,11 @@ class SimilaritySpec extends SparkSpec {
         anchors, "id", positives, k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(again === negs.toSet)
+    // duplicated anchor rows must not burn ranks on duplicate pairs
+    val dupAnchors = anchors.unionByName(anchors)
+    val dedupedRun = SimilaritySearch.negativeSamples(items, "id",
+        dupAnchors, "id", positives, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dedupedRun === negs.toSet)
   }
 }

@@ -257,6 +257,22 @@ class TrainingDataOpsSpec extends SparkSpec {
       && flat.head.getLong(1) === 2L)
   }
 
+  test("weightedMixByCol: NaN and null weights fail loudly instead of " +
+      "slipping through as one copy") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val nan = Seq((1L, "a", Double.NaN)).toDF("id", "text", "q")
+    val e1 = intercept[Exception] {
+      Sampling.weightedMixByCol(nan, col("text"), col("q")).collect()
+    }
+    assert(msgs(e1).exists(_.contains("weightedMixByCol")), msgs(e1).mkString("|"))
+    val nul = Seq((1L, "a", Option.empty[Double])).toDF("id", "text", "q")
+    val e2 = intercept[Exception] {
+      Sampling.weightedMixByCol(nul, col("text"), col("q") * 2).collect()
+    }
+    assert(msgs(e2).exists(_.contains("weightedMixByCol")), msgs(e2).mkString("|"))
+  }
+
   test("slidingChunks invariants over randomized texts: coverage, clamped " +
       "tail, bounded stride") {
     import graft.functions.TextFunctions
