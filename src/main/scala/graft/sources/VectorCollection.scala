@@ -142,8 +142,14 @@ object VectorCollection {
         .filter(_.isFile).map(_.getPath.getName)
         .filter(_.startsWith("part-")).toSet
     val before = partFiles()
-    val attempted = points.count()
-    points.write.mode(SaveMode.Append).parquet(path(root, name))
+    // the attempted count rides the WRITE as an Observation — a separate
+    // points.count() would re-execute the whole batch plan (including any
+    // embedding stage) a second time just to count it.
+    val obs = org.apache.spark.sql.Observation()
+    points.observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("attempted"))
+      .write.mode(SaveMode.Append).parquet(path(root, name))
+    val attempted = obs.get("attempted").asInstanceOf[Long]
     val newFiles = (partFiles() -- before).toSeq.sorted
       .map(n => s"${path(root, name)}/$n")
     val added =
