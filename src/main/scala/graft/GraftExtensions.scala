@@ -32,7 +32,8 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+      usage, "", "", "", "", "", "", "built-in")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
     Seq(

@@ -106,7 +106,7 @@ object BucketedCollection {
     // listed or opened (asserted via inputFiles in BucketedCollectionSpec).
     val existing =
       if (existingDirs.isEmpty) None
-      else Some(spark.read.option("basePath", path).parquet(existingDirs: _*))
+      else Some(spark.read.option("basePath", path).parquet(existingDirs.toIndexedSeq: _*))
     val replaced = existing.fold(0L)(
       _.join(staged.select(col(idCol)), Seq(idCol), "left_semi").count())
     val merged = existing.fold(staged)(

@@ -94,7 +94,7 @@ object VectorCollection {
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType, nullable = false) +:
         points.schema.fields)
-    val rdd = points.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = points.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq((i + offset) +: row.toSeq)
     }
     spark.createDataFrame(rdd, schema)
@@ -111,7 +111,7 @@ object VectorCollection {
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType, nullable = false) +:
         sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq((i + offset) +: row.toSeq)
     }
     spark.createDataFrame(rdd, schema)

@@ -36,7 +36,7 @@ object LoadStats {
       case Some(p) if new java.io.File(p).exists() =>
         val old = spark.read.option("header", "true")
           .option("inferSchema", "true").csv(p)
-          .select(newPivot.columns.map(c =>
+          .select(newPivot.columns.toIndexedSeq.map(c =>
             if (c == "row_key") col(c) else col(c).cast("long").as(c)): _*)
         val newKeys = newPivot.select("row_key")
         old.join(newKeys, Seq("row_key"), "left_anti")
