@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, ExtensionQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -32,11 +32,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ExtensionQueries.queries
+    CoreQueries.queries ++ ExtensionQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose output is defined by
     * engine-internal hashing or approximation (rows-only check). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ExtensionQueries.oracles
+    CoreQueries.oracles ++ ExtensionQueries.oracles ++ CurationQueries.oracles
 }

@@ -562,6 +562,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The dedup ACTION with a QUALITY policy: per near-dup cluster keep the
+    * member maximizing `weights`' weight column (ties → smallest id), not
+    * the smallest id — "keep the best copy", the curation-grade variant of
+    * keep-first. `weights` is (idCol, weightCol); only cluster MEMBERS join
+    * it (cluster cardinality, not corpus cardinality), and the per-cluster
+    * argmax is one component-keyed window over (id, comp, weight) rows —
+    * ids and doubles on the shuffle, never text.
+    *
+    * NaN/null weights sort LAST (a quality signal that failed to compute
+    * must never beat one that did). */
+  def dropNearDuplicatesBest(docs: DataFrame, idCol: String,
+      pairs: DataFrame, weights: DataFrame, weightCol: String): DataFrame = {
+    val members = connectedComponents(pairs)
+    val safeW = when(col(weightCol).isNull || isnan(col(weightCol)),
+      lit(Double.NegativeInfinity)).otherwise(col(weightCol))
+    val ranked = members
+      .join(weights.select(col(idCol).as("id"), safeW.as("w")), Seq("id"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy($"comp").orderBy(desc("w"), $"id")))
+    val losers = ranked.filter($"rk" > 1).select($"id".as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Non-empty (doc_id, pos, line) rows of each document — the explode the
     * line-level ops share. Whitespace-only lines are dropped (a blank line
     * is structure, not content; deduping it corpus-wide would strip one

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (record-linkage) joins with recall-1 blocking.
+  *
+  * A naive fuzzy join `levenshtein(a.s, b.s) <= k` has no equi-key, so
+  * Spark plans a nested loop — quadratic at corpus scale. The scale-safe
+  * form blocks on the DELETION NEIGHBORHOOD (SymSpell/FastSS scheme,
+  * public algorithm): every string emits the set of variants reachable by
+  * deleting up to `maxDist` characters, and two strings within edit
+  * distance k always share at least one variant (delete the edited
+  * positions from both sides of an optimal alignment and the remainders
+  * coincide), so candidates joined on a variant have recall 1. False
+  * positives exist (distance-2 strings can share a deletion variant) and
+  * are removed by the exact verify pass, so the output EQUALS the
+  * theta-join's — the DuckDB `levenshtein` oracle checks it end to end.
+  *
+  * Scale posture: the candidate shuffle carries `(xxhash64(variant), id)`
+  * — 16-byte rows, never the strings; full strings re-attach by id only
+  * for deduplicated candidate pairs, and the verify uses Spark's
+  * thresholded `levenshtein(l, r, k)` (early-exit band DP). Variant count
+  * per row is C(L,≤k): L+1 keys at k=1, ~L²/2 at k=2 — the scheme is for
+  * SHORT keys (names, codes, titles), which is the record-linkage case.
+  * Low-entropy columns (mass-shared values) make hot blocks; cap them
+  * with `maxBlock` (drops blocks bigger than the cap — a shared-by-all
+  * variant cannot certify a *useful* match anyway at k≪L, but the cap is
+  * a recall trade documented at the call site; default keeps everything).
+  */
+object FuzzyJoin {
+
+  /** All variants of `s` reachable by deleting up to `maxDist` chars
+    * (including `s` itself), as a distinct array column. Pure column
+    * expressions — codegen'd, one projection. */
+  private[operators] def deleteVariants(s: Column, maxDist: Int): Column = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion-neighborhood blocking supports maxDist 1 or 2, got $maxDist")
+    // delete char at 1-based position i
+    def del1(str: Column): Column =
+      transform(sequence(lit(1), length(str)),
+        i => concat(str.substr(lit(1), i - 1),
+          str.substr(i + 1, length(str) - i)))
+    val d1 = del1(s)
+    val vs = if (maxDist == 1) concat(array(s), d1)
+    else concat(array(s), d1, flatten(transform(d1, v => {
+      // second deletion: only positions >= first deletion point would
+      // suffice for distinctness, but position bookkeeping through a
+      // lambda costs more than array_distinct on these short keys
+      transform(sequence(lit(1), length(v)),
+        i => concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i)))
+    })))
+    array_distinct(vs)
+  }
+
+  /** Candidate (id_a, id_b) pairs from deletion-variant co-occurrence,
+    * id_a < id_b, deduplicated. Only (hash, id) rides the shuffle. */
+  private def candidatePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxBlock: Option[Int]): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+        explode(deleteVariants(col(strCol), maxDist)).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("h"))
+    val blocks = maxBlock match {
+      case Some(cap) =>
+        // count per block map-side-combines to one row per distinct hash;
+        // oversized blocks (low-entropy values) are dropped, not exploded
+        val sizes = keyed.groupBy("h").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap).select("h")
+        keyed.join(sizes, "h")
+      case None => keyed
+    }
+    blocks.as("a").join(blocks.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Self-join: all pairs within `df` at edit distance <= maxDist.
+    * Output (id_a, id_b, dist), id_a < id_b — equals the exhaustive
+    * theta-join (recall-1 blocking + exact verify). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxBlock: Option[Int] = None): DataFrame = {
+    val cands = candidatePairs(df, idCol, strCol, maxDist, maxBlock)
+    val strs = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // strings re-attach by id AFTER candidate dedup; thresholded
+    // levenshtein returns -1 above maxDist (early-exit verify)
+    val d = levenshtein(col("sa"), col("sb"), maxDist)
+    cands
+      .join(strs.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(strs.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      .withColumn("dist", d)
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Two-table record linkage: (left_id, right_id, dist) for every
+    * left×right pair within edit distance <= maxDist. Same blocking and
+    * verify discipline as the self-join form. */
+  def linkage(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int): DataFrame = {
+    val lk = left.select(col(leftId).as("left_id"),
+        explode(deleteVariants(col(leftStr), maxDist)).as("v"))
+      .select(col("left_id"), xxhash64(col("v")).as("h"))
+    val rk = right.select(col(rightId).as("right_id"),
+        explode(deleteVariants(col(rightStr), maxDist)).as("v"))
+      .select(col("right_id"), xxhash64(col("v")).as("h"))
+    val cands = lk.join(rk, "h").select("left_id", "right_id").distinct()
+    val ls = left.select(col(leftId).as("left_id"), col(leftStr).as("sa"))
+    val rs = right.select(col(rightId).as("right_id"), col(rightStr).as("sb"))
+    cands.join(ls, "left_id").join(rs, "right_id")
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("left_id"), col("right_id"), col("dist"))
+  }
+}

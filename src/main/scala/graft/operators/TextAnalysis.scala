@@ -135,7 +135,7 @@ object TextAnalysis {
   // per-row text analytics have no relational structure for Catalyst to
   // optimize anyway.
 
-  private def tokensOf(text: String): Array[String] =
+  private[operators] def tokensOf(text: String): Array[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
   private def round4(v: Double): Double =
@@ -271,6 +271,28 @@ object TextAnalysis {
         Seq("term"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("vocab_id"), lit(-1)).as("token_id"))
+
+  /** Inverted-index postings for the `topN` highest-document-frequency
+    * terms: (term, df, doc_id, pos) — one row per occurrence, position =
+    * whitespace-token index. The search/retrieval index-build primitive.
+    *
+    * Scale shape: term selection is two map-side-combinable aggregations
+    * bounded by `TakeOrderedAndProject` (topN rows to the driver side of
+    * the broadcast, never the postings); the postings themselves are a
+    * broadcast semi-join of the exploded corpus against those topN terms,
+    * so the only corpus-sized dataflow is the one explode→filter pass.
+    * At 100 TB you'd partition the written index by term bucket — the
+    * same layout Bucketed gives collections. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(Fingerprints.tokens(col(textCol))).as(Seq("pos", "term")))
+    val byDf = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term")).limit(topN)
+    toks.join(broadcast(byDf), Seq("term"))
+      .select(col("term"), col("df"), col("doc_id"), col("pos"))
+  }
 
   /** Gopher-style repetition counts per document (the standard boilerplate
     * signals a pretraining quality filter computes): line counts, distinct

@@ -992,7 +992,7 @@ object ExtensionQueries {
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
       .stripMargin
 
-  private val ngramPairCtes: String =
+  private[queries] val ngramPairCtes: String =
     s"""$ngramShingleCtes,
       |common AS (
       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
