@@ -294,6 +294,31 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("doc_id"), col("pos"))
   }
 
+  /** Canonical text normalization (the first pass of every dedup/quality
+    * pipeline — without it "Café"/"Cafe´"/"cafe" count as three docs):
+    * Unicode NFD → strip combining marks (accent fold) → lowercase →
+    * collapse whitespace runs to one space → trim. Typed kernel (PLANS.md
+    * lesson 7); the DuckDB oracle applies the same chain with
+    * `strip_accents`, and the unicode-specific steps are pinned by
+    * TextAnalysisSpec fixtures (the testdata corpus is ASCII). */
+  def normalizeOf(text: String): String = {
+    val folded = java.text.Normalizer
+      .normalize(text, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+    folded.toLowerCase.replaceAll("\\s+", " ").trim
+  }
+
+  def normalizeFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, normalizeOf(t)) })
+      .toDF("doc_id", "normalized")
+  }
+
   /** Gopher-style repetition counts per document (the standard boilerplate
     * signals a pretraining quality filter computes): line counts, distinct
     * line counts, word-bigram counts, and the multiplicity of the most

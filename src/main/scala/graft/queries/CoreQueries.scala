@@ -36,6 +36,61 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ── TPC-H Q3 shape (shipping priority): dim-filtered broadcast join
+    //    into the two-fact orderkey join, grouped revenue, bounded top-10
+    //    via TakeOrderedAndProject — the canonical "find the hot orders"
+    //    analytics query. Catalyst pushes both date predicates into the
+    //    parquet scans; AQE picks the fact-fact join strategy. ─────────────
+    "q3_top_orders" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ── TPC-H Q5 shape (regional supplier volume): the 6-table star —
+    //    local-supplier constraint (c_nationkey = s_nationkey) rides the
+    //    join, dims broadcast, ONE fact shuffle on orderkey ────────────────
+    "q5_region_volume" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val asia = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name")))
+      val sup = broadcast(t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val cust = broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
     // ── S-family scan: projection + predicate pushdown to parquet ─────────
     "s2_scan_pushdown" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -457,6 +512,32 @@ object CoreQueries {
         |round(avg(l_discount), 4) AS avg_disc,
         |count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-06-01'
+        |AND l_shipdate >= TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "s2_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -75,6 +75,26 @@ object CurationQueries {
         .orderBy(col("term"), col("doc_id"), col("pos"))
     }),
 
+    // ── canonical text normalization: NFD accent fold → lowercase →
+    //    whitespace collapse → trim. The pass every dedup/quality pipeline
+    //    runs first; unicode specifics pinned in TextAnalysisSpec ──────────
+    "docs_normalize" -> ((s, d) => {
+      TextAnalysis.normalizeFrame(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── tokenize→pack composition: learned vocab → token-id encode →
+    //    fixed-length training windows (16 ids per sequence, per doc).
+    //    Proves vocab/encode/window compose under one oracle. ──────────────
+    "pipeline_tokenize_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", topN = 20)
+      TextAnalysis.encodeWithVocab(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), (col("pos") / 16).cast("int").as("seq_id"),
+          (col("pos") % 16).as("pos_in_seq"), col("token_id"))
+        .orderBy(col("doc_id"), col("seq_id"), col("pos_in_seq"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -165,6 +185,36 @@ object CurationQueries {
         |SELECT t.term, top.df, t.doc_id, CAST(t.pos AS INT) AS pos
         |FROM toks t JOIN top ON t.term = top.term
         |ORDER BY t.term, t.doc_id, pos""".stripMargin,
+
+    "docs_normalize" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(strip_accents(lower(text)), '\s+', ' ', 'g'))
+        |  AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_tokenize_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+') IF len(x) > 0]
+        |    AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(unnest(range(len(t))) AS INT) AS pos,
+        |  unnest(t) AS term FROM tk),
+        |tf0 AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS tf_total, count(*) AS df
+        |  FROM tf0 GROUP BY 1),
+        |vocab AS (
+        |  SELECT term,
+        |  CAST(row_number() OVER (ORDER BY tf_total DESC, term) - 1 AS INT)
+        |    AS vocab_id
+        |  FROM agg ORDER BY tf_total DESC, term LIMIT 20)
+        |SELECT t.doc_id, CAST(t.pos // 16 AS INT) AS seq_id,
+        |CAST(t.pos % 16 AS INT) AS pos_in_seq,
+        |coalesce(v.vocab_id, -1) AS token_id
+        |FROM toks t LEFT JOIN vocab v USING (term)
+        |ORDER BY doc_id, seq_id, pos_in_seq""".stripMargin,
 
     "dedup_apply_best" ->
       s"""WITH RECURSIVE ${ExtensionQueries.ngramPairCtes},

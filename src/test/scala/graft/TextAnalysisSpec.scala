@@ -142,4 +142,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._1 === 2L)
     assert(out(2L)._2 === r4(-(math.log(pAB) + math.log(pBC)) / 2))
   }
+
+  test("normalizeOf folds accents, case, and whitespace (unicode paths " +
+      "the ASCII oracle corpus cannot exercise)") {
+    // precomposed é (U+00E9) and decomposed e+combining-acute both fold
+    assert(TextAnalysis.normalizeOf("Café") === "cafe")
+    assert(TextAnalysis.normalizeOf("Café") === "cafe")
+    assert(TextAnalysis.normalizeOf("  AÜBER\t\tcool\n\nSTUFF ") ===
+      "auber cool stuff") // Ü → u (NFD strips the diaeresis)
+    assert(TextAnalysis.normalizeOf("a  b") === "a b")
+    assert(TextAnalysis.normalizeOf("") === "")
+    assert(TextAnalysis.normalizeOf(" \n\t ") === "")
+  }
+
+  test("normalizeFrame applies the kernel corpus-wide") {
+    import spark.implicits._
+    val docs = Seq((1L, " Mixed  CASE\ttext "), (2L, "Élève"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeFrame(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "mixed case text", 2L -> "eleve"))
+  }
 }
