@@ -121,4 +121,23 @@ object EventAnalytics {
       round(s, 4).as("base_std"),
       when(s > 0, round((col("n") - a) / s, 4)).as("z"))
   }
+
+  /** First-order behavior transition matrix: counts of consecutive
+    * (from_type → to_type) event pairs within each user's time-ordered
+    * stream — the Markov-chain view of user journeys (and the building
+    * block for next-event prediction features). `tieCol` breaks equal
+    * timestamps deterministically. One user-keyed window shuffle (the
+    * lead() pass) feeding a map-side-combinable pair aggregation; a user's
+    * history length never matters to the shuffle, only their event count. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

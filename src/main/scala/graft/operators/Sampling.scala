@@ -154,4 +154,38 @@ object Sampling {
           .otherwise(lit("test")))
       .drop("_rk", "_n")
   }
+
+  /** Weighted sampling WITHOUT replacement, deterministic: exactly `n`
+    * rows per group, inclusion probability ∝ weight, via
+    * Efraimidis–Spirakis priorities (public algorithm) — priority =
+    * u^(1/w) with u a content-keyed uniform in (0, 1], keep the top-n
+    * priorities per group. Where `perGroupSample` treats every row
+    * equally, this is the curation form: upweight high-quality docs in
+    * the eval slice without a second pass.
+    *
+    * Determinism across engines AND retries: u derives from md5(key)
+    * (48 hash bits → exact in a double), never rand(); the RANK compares
+    * priorities ROUNDED to 6 decimals (tie → key) so both engines order
+    * identical values and a last-ulp pow() divergence cannot flip the
+    * sample (same rounded-boundary discipline as a_outliers). One
+    * group-keyed window shuffle carrying (group, key-hash, weight).
+    * Weights must be > 0 — null/NaN/0 fail loudly (a weight that failed
+    * to compute must not silently become "never sampled"). */
+  def weightedPrioritySample(df: DataFrame, groupCol: String, key: Column,
+      w: Column, n: Int): DataFrame = {
+    // 12 hex chars = 48 bits; (v + 1) / (2^48 + 1) ∈ (0, 1] exactly
+    val u = (conv(substring(md5(key), 1, 12), 16, 10).cast("double") + 1.0) /
+      lit(281474976710657.0)
+    val priority = when(w.isNotNull && !isnan(w) && w > 0,
+        round(pow(u, lit(1.0) / w), 6))
+      .otherwise(raise_error(concat(
+        lit("weightedPrioritySample: weight must be > 0, got "),
+        coalesce(w.cast("string"), lit("NULL")))))
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(desc("priority"), key)
+    df.withColumn("priority", priority)
+      .withColumn("_rk", row_number().over(win))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
 }

@@ -294,6 +294,46 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("doc_id"), col("pos"))
   }
 
+  /** Non-overlapping occurrence count of `kw` in `text` (left-to-right,
+    * stepping past each match — the `split(text, kw).length - 1`
+    * semantics, shared with the DuckDB oracle). */
+  private def countOccurrences(text: String, kw: String): Int = {
+    var n = 0
+    var i = text.indexOf(kw)
+    while (i >= 0) { n += 1; i = text.indexOf(kw, i + kw.length) }
+    n
+  }
+
+  /** Broadcast-dictionary keyword tagging: per document, occurrence
+    * counts of every dictionary keyword that appears (blocklist hits, PII
+    * term scan, topic tagging). Case-insensitive. Returns
+    * (doc_id, keyword, hits) with hits > 0 only.
+    *
+    * Scale shape: the dictionary rides the closure (broadcast — bytes,
+    * not data) and the corpus is scanned ONCE in a typed kernel; no join,
+    * no shuffle beyond the caller's sink. The per-keyword indexOf loop is
+    * O(len × |dict|) — fine for curation dictionaries (10²-10³ terms); a
+    * 10⁵-term dictionary would swap in an Aho-Corasick trie behind the
+    * same signature (single-pass multi-pattern matching), which changes
+    * nothing about the dataflow. */
+  def keywordHits(docs: DataFrame, idCol: String, textCol: String,
+      keywords: Seq[String]): DataFrame = {
+    require(keywords.nonEmpty, "keywordHits: empty dictionary")
+    val kws = keywords.map(_.toLowerCase).distinct.sorted.toArray
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val lower = t.toLowerCase
+        kws.iterator
+          .map(kw => (id, kw, countOccurrences(lower, kw)))
+          .filter(_._3 > 0)
+      })
+      .toDF("doc_id", "keyword", "hits")
+  }
+
   /** Canonical text normalization (the first pass of every dedup/quality
     * pipeline — without it "Café"/"Cafe´"/"cafe" count as three docs):
     * Unicode NFD → strip combining marks (accent fold) → lowercase →

@@ -95,6 +95,34 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("seq_id"), col("pos_in_seq"))
     }),
 
+    // ── weighted sampling without replacement: 5 docs per source,
+    //    inclusion ∝ length-derived weight, Efraimidis–Spirakis priorities
+    //    from content-keyed uniforms — deterministic across engines and
+    //    retries (rounded-priority rank) ───────────────────────────────────
+    "sample_weighted_priority" -> ((s, d) => {
+      graft.operators.Sampling.weightedPrioritySample(t(s, d, "documents"),
+          "source", concat_ws("|", col("text"), col("doc_id")),
+          (col("n_chars") + 1) / lit(200.0), n = 5)
+        .select(col("doc_id"), col("source"), col("priority"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── broadcast-dictionary keyword tagging: per-doc occurrence counts
+    //    of a 5-term dictionary (blocklist/PII/topic scan shape) ───────────
+    "docs_keyword_hits" -> ((s, d) => {
+      TextAnalysis.keywordHits(t(s, d, "documents"), "doc_id", "text",
+          Seq("hash", "join", "sort", "spark", "window"))
+        .orderBy(col("doc_id"), col("keyword"))
+    }),
+
+    // ── user-journey transition matrix: consecutive event-type pairs per
+    //    user's time-ordered stream, counted corpus-wide ───────────────────
+    "events_transitions" -> ((s, d) => {
+      graft.operators.EventAnalytics.transitions(t(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -185,6 +213,41 @@ object CurationQueries {
         |SELECT t.term, top.df, t.doc_id, CAST(t.pos AS INT) AS pos
         |FROM toks t JOIN top ON t.term = top.term
         |ORDER BY t.term, t.doc_id, pos""".stripMargin,
+
+    "sample_weighted_priority" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text || '|' || doc_id AS k,
+        |  round(pow(
+        |    (('0x' || substr(md5(text || '|' || doc_id), 1, 12))::BIGINT
+        |      + 1) / 281474976710657.0,
+        |    1.0 / ((n_chars + 1) / 200.0)), 6) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, priority,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY priority DESC, k) AS rk
+        |  FROM p)
+        |SELECT doc_id, source, priority FROM r WHERE rk <= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "docs_keyword_hits" ->
+      """WITH kws AS (
+        |  SELECT unnest(['hash','join','sort','spark','window']) AS keyword)
+        |SELECT doc_id, keyword,
+        |CAST(len(string_split(lower(text), keyword)) - 1 AS INT) AS hits
+        |FROM documents, kws
+        |WHERE len(string_split(lower(text), keyword)) - 1 > 0
+        |ORDER BY doc_id, keyword""".stripMargin,
+
+    "events_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "docs_normalize" ->
       """SELECT doc_id,

@@ -137,4 +137,25 @@ class EventAnalyticsSpec extends SparkSpec {
       .toMap
     assert(again === got)
   }
+
+  test("transitions counts consecutive pairs per user, tie-broken " +
+      "deterministically, never crossing users") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val ev = Seq(
+      // user 1: view -> click -> view (2 transitions)
+      (1L, ts(0), "view", 1L), (1L, ts(1), "click", 2L),
+      (1L, ts(2), "view", 3L),
+      // user 2: equal timestamps — event_id orders: view(id 4) -> click(id 5)
+      (2L, ts(0), "click", 5L), (2L, ts(0), "view", 4L),
+      // user 3: single event, no transition
+      (3L, ts(0), "purchase", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.operators.EventAnalytics
+      .transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(("view", "click") -> 2L, ("click", "view") -> 1L))
+  }
 }

@@ -373,4 +373,52 @@ class TrainingDataOpsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("semanticOverlaps")), msgs(e).mkString("|"))
   }
+
+  test("weightedPrioritySample: exact n per group, deterministic, and " +
+      "weight-monotone inclusion odds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 40L).map(i =>
+      (i, if (i < 20) "g1" else "g2", if (i % 4 == 0) 100.0 else 0.01))
+      .toDF("id", "grp", "w")
+    def run() = graft.operators.Sampling.weightedPrioritySample(
+        docs, "grp", concat_ws("|", col("id")), col("w"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = run()
+    assert(got.count(_._2 == "g1") === 5)
+    assert(got.count(_._2 == "g2") === 5)
+    assert(run() === got) // layout/retry determinism
+    // weight 100 vs 0.01: u^(1/100) ≈ 1 while u^(100) ≈ 0 — the heavy
+    // rows (every 4th id, 5 per group) should dominate the sample
+    val heavy = got.count { case (id, _) => id % 4 == 0 }
+    assert(heavy >= 8, s"heavy rows in sample: $heavy of 10")
+  }
+
+  test("weightedPrioritySample fails loudly on non-positive weight") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "g", 1.0), (2L, "g", 0.0)).toDF("id", "grp", "w")
+    val e = intercept[Exception] {
+      graft.operators.Sampling.weightedPrioritySample(
+        docs, "grp", col("id").cast("string"), col("w"), n = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("weightedPrioritySample")),
+      msgs(e).mkString("|"))
+  }
+
+  test("keywordHits counts non-overlapping case-insensitive occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spark spark SPARKLE"),   // 'spark' x3 (sparkle contains it)
+      (2L, "no matches here"),
+      (3L, "aaa")                    // 'aa' non-overlapping -> 1
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .keywordHits(docs, "doc_id", "text", Seq("spark", "aa"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    assert(got === Map((1L, "spark") -> 3, (3L, "aa") -> 1))
+  }
 }
