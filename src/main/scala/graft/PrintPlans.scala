@@ -17,7 +17,9 @@ object PrintPlans {
       "decontaminate_overlap", "sample_hash_split", "docs_scrub",
       "emb_normalize", "emb_quantize", "docs_line_dedup", "a_approx_distinct",
       "dedup_substring", "knn_graph", "docs_bigram_nll", "sample_token_budget",
-      "a_histogram", "dedup_incremental")
+      "a_histogram", "dedup_incremental",
+      "j_fuzzy_names", "q3_top_orders", "q5_region_volume",
+      "events_transitions", "docs_postings", "sample_weighted_priority")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir)
