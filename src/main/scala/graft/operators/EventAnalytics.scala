@@ -122,6 +122,52 @@ object EventAnalytics {
       when(s > 0, round((col("n") - a) / s, 4)).as("z"))
   }
 
+  /** Dense per-type hourly series with gaps ZERO-FILLED between the
+    * stream's first and last hour — the time-series resample/gap-fill
+    * primitive (a downstream moving average or z-score over a series
+    * with silent holes is simply wrong: missing hours are data, reading
+    * "no events", not absence of data).
+    *
+    * Scale shape: the spine is hours × types (thousands of rows per year
+    * regardless of corpus size) built from a broadcast 1-row bounds
+    * frame; the corpus contributes one map-side-combinable aggregation.
+    * Both join sides are post-aggregation small. */
+  def gapFillHourly(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col(tsCol))).as("lo"),
+      date_trunc("hour", max(col(tsCol))).as("hi"))
+    val spine = events.select(col(typeCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(typeCol),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    spine.join(hourly, Seq(typeCol, "hour_ts"), "left")
+      .select(date_format(col("hour_ts"), "yyyy-MM-dd HH:mm").as("hour"),
+        col(typeCol), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Apply a CDC delta to a base snapshot (the MERGE INTO primitive):
+    * the delta is first compacted to its newest row per key
+    * (`latestPerKey` — intermediate upserts of the same key collapse),
+    * then base rows with no delta survive, delta upserts (op ≠ 'D')
+    * replace, and delta deletes drop the key. `base` must not contain
+    * `opCol`. Two key-equi shuffles (anti-join + union), no row ever
+    * compared by payload — the snapshot-maintenance shape that scales
+    * with |delta| + |base|, not their product. */
+  def applyDelta(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, opCol: String): DataFrame = {
+    require(!base.columns.contains(opCol),
+      s"applyDelta: base already has a '$opCol' column")
+    val latest = latestPerKey(delta, keyCols, tsCol, tieCol)
+    val kept = base.join(latest.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    kept.unionByName(latest.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
   /** First-order behavior transition matrix: counts of consecutive
     * (from_type → to_type) event pairs within each user's time-ordered
     * stream — the Markov-chain view of user journeys (and the building

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Replica reconciliation (anti-entropy) between two copies of a keyed
+  * table — the Merkle-tree comparison every replicated store runs,
+  * expressed relationally: summarize each side into `nBuckets` content
+  * checksums, compare the summaries, and only the DIFFERING buckets need
+  * a row-level diff.
+  *
+  * Scale shape: each side is ONE map-side-combinable aggregation down to
+  * nBuckets rows (count + order-independent XOR of row checksums), so
+  * comparing two 100 TB replicas shuffles 2×nBuckets rows — the row-level
+  * re-sync then touches only mismatched buckets (buckets/total of the
+  * data, the Merkle payoff). Checksums are md5-derived (content-keyed,
+  * engine-reproducible — the DuckDB oracle recomputes them), and XOR
+  * aggregation is order- and partition-independent, so any engine, any
+  * layout, any retry produces identical summaries. */
+object Sync {
+
+  /** 48-bit content checksum of (key, payload) — exact in a BIGINT on any
+    * engine (no unsigned-overflow or HUGEINT divergence, unlike sum). */
+  private def rowCheck(key: Column, payload: Column): Column =
+    conv(substring(md5(concat_ws("|", key, payload)), 1, 12), 16, 10)
+      .cast("long")
+
+  private def summarize(df: DataFrame, key: Column, payload: Column,
+      nBuckets: Int, side: String): DataFrame =
+    df.select(
+        pmod(conv(substring(md5(key), 1, 12), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).cast("int").as("bucket"),
+        rowCheck(key, payload).as("_rc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(s"${side}_cnt"),
+        expr("bit_xor(_rc)").as(s"${side}_check"))
+
+  /** Buckets where the two replicas disagree (missing/extra/modified rows
+    * land in their key's bucket). Empty result = replicas identical.
+    * Output: (bucket, left_cnt, right_cnt, left_check, right_check) with
+    * nulls where a side has no rows in that bucket. */
+  def bucketDiff(left: DataFrame, right: DataFrame, key: Column,
+      payload: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val l = summarize(left, key, payload, nBuckets, "left")
+    val r = summarize(right, key, payload, nBuckets, "right")
+    l.join(r, Seq("bucket"), "full_outer")
+      .filter(col("left_cnt").isNull || col("right_cnt").isNull ||
+        col("left_cnt") =!= col("right_cnt") ||
+        col("left_check") =!= col("right_check"))
+      .select(col("bucket"), col("left_cnt"), col("right_cnt"),
+        col("left_check"), col("right_check"))
+  }
+}

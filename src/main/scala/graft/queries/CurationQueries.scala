@@ -123,6 +123,47 @@ object CurationQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ── time-series gap-fill: dense per-type hourly series, missing
+    //    hours ZERO-filled between the stream's first and last hour (the
+    //    resample primitive a moving average needs to be correct) ──────────
+    "events_gapfill" -> ((s, d) => {
+      graft.operators.EventAnalytics.gapFillHourly(t(s, d, "events"),
+          "ts", "event_type")
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ── replica reconciliation: Merkle-style bucket checksums of two
+    //    copies of the documents table (right is missing every 97th doc);
+    //    only buckets containing drift emit ────────────────────────────────
+    "sync_bucket_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Sync.bucketDiff(
+          docs, docs.filter(col("doc_id") % 97 =!= 0),
+          col("doc_id").cast("string"), col("text"), nBuckets = 16)
+        .orderBy(col("bucket"))
+    }),
+
+    // ── CDC MERGE: base snapshot (events before Jan 20, compacted to
+    //    latest per key) + a delta with upserts and deletes (op derived
+    //    from value) → the post-merge current state ─────────────────────────
+    "cdc_apply_delta" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val base = graft.operators.EventAnalytics.latestPerKey(
+        ev.filter(col("ts") < cutoff), Seq("user_id", "event_type"),
+        "ts", "event_id")
+      val delta = ev.filter(col("ts") >= cutoff)
+        .withColumn("op", when(col("value") < 50, "D").otherwise("U"))
+      graft.operators.EventAnalytics.applyDelta(base, delta,
+          Seq("user_id", "event_type"), "ts", "event_id", "op")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -248,6 +289,74 @@ object CurationQueries {
         |SELECT from_type, to_type, count(*) AS n
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |    AS hour_ts FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |  count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT strftime(h.hour_ts, '%Y-%m-%d %H:%M') AS hour,
+        |t.event_type AS event_type, coalesce(c.n, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN counts c
+        |  ON c.hour_ts = h.hour_ts AND c.event_type = t.event_type
+        |ORDER BY hour, t.event_type""".stripMargin,
+
+    "sync_bucket_diff" ->
+      """WITH l AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT % 16 AS bucket,
+        |  count(*) AS left_cnt,
+        |  bit_xor(('0x' || substr(md5(doc_id || '|' || text), 1, 12))
+        |    ::BIGINT) AS left_check
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT % 16 AS bucket,
+        |  count(*) AS right_cnt,
+        |  bit_xor(('0x' || substr(md5(doc_id || '|' || text), 1, 12))
+        |    ::BIGINT) AS right_check
+        |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT CAST(bucket AS INT) AS bucket, left_cnt, right_cnt,
+        |left_check, right_check
+        |FROM l FULL OUTER JOIN r USING (bucket)
+        |WHERE left_cnt IS NULL OR right_cnt IS NULL
+        |  OR left_cnt <> right_cnt OR left_check <> right_check
+        |ORDER BY bucket""".stripMargin,
+
+    "cdc_apply_delta" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, event_id, ts, value FROM (
+        |    SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rk = 1),
+        |latest AS (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |  CASE WHEN value < 50 THEN 'D' ELSE 'U' END AS op FROM (
+        |    SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rk = 1),
+        |merged AS (
+        |  SELECT b.user_id, b.event_type, b.event_id, b.ts, b.value
+        |  FROM base b ANTI JOIN latest d
+        |    ON b.user_id = d.user_id AND b.event_type = d.event_type
+        |  UNION ALL
+        |  SELECT user_id, event_type, event_id, ts, value
+        |  FROM latest WHERE op <> 'D')
+        |SELECT user_id, event_type, event_id,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |round(value, 4) AS value
+        |FROM merged ORDER BY user_id, event_type""".stripMargin,
 
     "docs_normalize" ->
       """SELECT doc_id,

@@ -158,4 +158,47 @@ class EventAnalyticsSpec extends SparkSpec {
       .toMap
     assert(got === Map(("view", "click") -> 2L, ("click", "view") -> 1L))
   }
+
+  test("gapFillHourly zero-fills missing hours per type between bounds") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // type a: events at hours 0 and 3 (1, 2 missing); type b: hour 1 only
+    val ev = Seq((ts(0), "a"), (ts(3), "a"), (ts(3), "a"), (ts(1), "b"))
+      .toDF("ts", "event_type")
+    val got = graft.operators.EventAnalytics
+      .gapFillHourly(ev, "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // dense: 4 hours x 2 types
+    assert(got.size === 8)
+    assert(got(("2024-01-01 00:00", "a")) === 1L)
+    assert(got(("2024-01-01 01:00", "a")) === 0L)
+    assert(got(("2024-01-01 02:00", "a")) === 0L)
+    assert(got(("2024-01-01 03:00", "a")) === 2L)
+    assert(got(("2024-01-01 01:00", "b")) === 1L)
+    assert(got(("2024-01-01 03:00", "b")) === 0L)
+  }
+
+  test("applyDelta: upserts replace, deletes drop, intermediate delta " +
+      "rows collapse to the newest") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val base = Seq(
+      (1L, "k1", ts(0), 10.0), (2L, "k1", ts(0), 20.0),
+      (3L, "k1", ts(0), 30.0)
+    ).toDF("uid", "key", "ts", "v")
+    val delta = Seq(
+      // uid 1: two upserts — only the newer (v=12) must survive
+      (1L, "k1", ts(1), 11.0, "U"), (1L, "k1", ts(2), 12.0, "U"),
+      // uid 2: upsert then delete — key must vanish
+      (2L, "k1", ts(1), 21.0, "U"), (2L, "k1", ts(2), 0.0, "D"),
+      // uid 4: brand-new key inserted
+      (4L, "k1", ts(1), 40.0, "U")
+    ).toDF("uid", "key", "ts", "v", "op")
+    val got = graft.operators.EventAnalytics
+      .applyDelta(base, delta, Seq("uid", "key"), "ts", "v", "op")
+      .select("uid", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 12.0, 3L -> 30.0, 4L -> 40.0))
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Sync
+import org.apache.spark.sql.functions._
+
+class SyncSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("identical replicas produce zero differing buckets") {
+    val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
+    assert(Sync.bucketDiff(a, a, col("id").cast("string"), col("text"),
+      nBuckets = 4).count() === 0L)
+  }
+
+  test("a missing row flags exactly its key's bucket (count mismatch)") {
+    val a = docs((1L, "x"), (2L, "y"), (3L, "z"))
+    val b = docs((1L, "x"), (3L, "z"))
+    val diff = Sync.bucketDiff(a, b, col("id").cast("string"), col("text"),
+        nBuckets = 4)
+      .collect()
+    assert(diff.length === 1)
+    val r = diff(0)
+    assert(r.getLong(r.fieldIndex("left_cnt")) ===
+      r.getLong(r.fieldIndex("right_cnt")) + 1)
+  }
+
+  test("a modified payload flags the bucket by CHECKSUM (counts equal)") {
+    val a = docs((1L, "x"), (2L, "y"))
+    val b = docs((1L, "x"), (2L, "y-modified"))
+    val diff = Sync.bucketDiff(a, b, col("id").cast("string"), col("text"),
+        nBuckets = 4)
+      .collect()
+    assert(diff.length === 1)
+    val r = diff(0)
+    assert(r.getLong(r.fieldIndex("left_cnt")) ===
+      r.getLong(r.fieldIndex("right_cnt")))
+    assert(r.getLong(r.fieldIndex("left_check")) !==
+      r.getLong(r.fieldIndex("right_check")))
+  }
+
+  test("summaries are layout-independent (repartitioned replica matches)") {
+    val a = docs((1L to 50L).map(i => (i, s"text$i")): _*)
+    assert(Sync.bucketDiff(a, a.repartition(7), col("id").cast("string"),
+      col("text"), nBuckets = 8).count() === 0L)
+  }
+}
