@@ -50,7 +50,11 @@ object FuzzyJoin {
       transform(sequence(lit(1), length(v)),
         i => concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i)))
     })))
-    array_distinct(vs)
+    // guard length 0 explicitly: sequence(1, 0) generates the DESCENDING
+    // [1, 0], and the variant math then leans on substr's negative-length
+    // behavior — works today, but semantics this operator shouldn't
+    // depend on. An empty string's only variant is itself.
+    array_distinct(when(length(s) === 0, array(s)).otherwise(vs))
   }
 
   /** Candidate (id_a, id_b) pairs from deletion-variant co-occurrence,

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
 object Sync {
 
   /** 48-bit content checksum of (key, payload) — exact in a BIGINT on any
-    * engine (no unsigned-overflow or HUGEINT divergence, unlike sum). */
+    * engine (no unsigned-overflow or HUGEINT divergence, unlike sum).
+    * Callers with nullable payloads should `coalesce` them first:
+    * concat_ws SKIPS nulls (so null and "" collide), and SQL engines
+    * differ on null propagation through `||`. */
   private def rowCheck(key: Column, payload: Column): Column =
     conv(substring(md5(concat_ws("|", key, payload)), 1, 12), 16, 10)
       .cast("long")
