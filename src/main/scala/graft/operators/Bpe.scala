@@ -38,9 +38,16 @@ object Bpe {
     out.toArray
   }
 
+  /** Initial symbolization: one symbol per CODE POINT. `word.map(_.toString)`
+    * would split supplementary-plane chars (emoji, CJK extensions) into
+    * lone UTF-16 surrogate halves — invalid strings that poison merges
+    * and diverge from any codepoint-indexed oracle. */
+  private[graft] def toSymbols(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** Apply a merge list in training order to one word (chars → symbols). */
   def encodeWord(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = toSymbols(word)
     merges.foreach { case (l, r) => syms = mergeOnce(syms, l, r) }
     syms
   }
@@ -73,7 +80,7 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     pairCounts(wordFreq(docs, textCol).as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString).toArray, c) })
+      .map { case (w, c) => (toSymbols(w), c) })
   }
 
   /** Train `rounds` BPE merges. Returns the merge list in training order.
@@ -84,7 +91,7 @@ object Bpe {
     import spark.implicits._
     var words = wordFreq(docs, textCol)
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .map { case (w, c) => (toSymbols(w), c) }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -121,6 +128,11 @@ object Bpe {
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
+        // tokensOf is Locale.ROOT-lowercased + \s+ split — the kernel
+        // twin of wordFreq's Fingerprints.tokens (Spark lower()), so the
+        // encoder sees the same words the trainer saw; the roundtrip
+        // audit joins words from the COLUMN tokenizer against symbols
+        // from this one, so any drift between the two surfaces there
         TextAnalysis.tokensOf(t).iterator.zipWithIndex
           .flatMap { case (w, wi) =>
             encodeWord(w, ms).iterator.zipWithIndex.map {

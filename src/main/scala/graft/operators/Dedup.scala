@@ -570,15 +570,20 @@ object Dedup {
     * argmax is one component-keyed window over (id, comp, weight) rows —
     * ids and doubles on the shuffle, never text.
     *
-    * NaN/null weights sort LAST (a quality signal that failed to compute
-    * must never beat one that did). */
+    * NaN/null/MISSING weights sort LAST (a quality signal that failed to
+    * compute must never beat one that did — and a member with no weights
+    * row at all is the same failure: it must still be ranked, not
+    * silently escape the cluster and survive as a duplicate, which is
+    * why the weights join below is LEFT, not inner). */
   def dropNearDuplicatesBest(docs: DataFrame, idCol: String,
       pairs: DataFrame, weights: DataFrame, weightCol: String): DataFrame = {
     val members = connectedComponents(pairs)
     val safeW = when(col(weightCol).isNull || isnan(col(weightCol)),
       lit(Double.NegativeInfinity)).otherwise(col(weightCol))
     val ranked = members
-      .join(weights.select(col(idCol).as("id"), safeW.as("w")), Seq("id"))
+      .join(weights.select(col(idCol).as("id"), safeW.as("w")),
+        Seq("id"), "left")
+      .withColumn("w", coalesce($"w", lit(Double.NegativeInfinity)))
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy($"comp").orderBy(desc("w"), $"id")))
     val losers = ranked.filter($"rk" > 1).select($"id".as(idCol))

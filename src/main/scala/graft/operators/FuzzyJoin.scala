@@ -46,9 +46,14 @@ object FuzzyJoin {
     else concat(array(s), d1, flatten(transform(d1, v => {
       // second deletion: only positions >= first deletion point would
       // suffice for distinctness, but position bookkeeping through a
-      // lambda costs more than array_distinct on these short keys
-      transform(sequence(lit(1), length(v)),
-        i => concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i)))
+      // lambda costs more than array_distinct on these short keys.
+      // Same empty-string guard as the outer level: a length-1 input's
+      // d1 is [""], and deleting from "" must yield [""] explicitly, not
+      // lean on sequence(1,0)/negative-length substr.
+      when(length(v) === 0, array(v)).otherwise(
+        transform(sequence(lit(1), length(v)),
+          i => concat(v.substr(lit(1), i - 1),
+            v.substr(i + 1, length(v) - i))))
     })))
     // guard length 0 explicitly: sequence(1, 0) generates the DESCENDING
     // [1, 0], and the variant math then leans on substr's negative-length
@@ -102,14 +107,25 @@ object FuzzyJoin {
     * verify discipline as the self-join form. */
   def linkage(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBlock: Option[Int] = None): DataFrame = {
     val lk = left.select(col(leftId).as("left_id"),
         explode(deleteVariants(col(leftStr), maxDist)).as("v"))
       .select(col("left_id"), xxhash64(col("v")).as("h"))
     val rk = right.select(col(rightId).as("right_id"),
         explode(deleteVariants(col(rightStr), maxDist)).as("v"))
       .select(col("right_id"), xxhash64(col("v")).as("h"))
-    val cands = lk.join(rk, "h").select("left_id", "right_id").distinct()
+    // hot-block cap, same recall trade as the self-join form: the block
+    // cost here is |L_block| × |R_block|, so the cap applies to the
+    // SUMMED occupancy of a variant across both sides
+    val (lb, rb) = maxBlock match {
+      case Some(cap) =>
+        val sizes = lk.select(col("h")).unionByName(rk.select(col("h")))
+          .groupBy("h").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap).select("h")
+        (lk.join(sizes, "h"), rk.join(sizes, "h"))
+      case None => (lk, rk)
+    }
+    val cands = lb.join(rb, "h").select("left_id", "right_id").distinct()
     val ls = left.select(col(leftId).as("left_id"), col(leftStr).as("sa"))
     val rs = right.select(col(rightId).as("right_id"), col(rightStr).as("sb"))
     cands.join(ls, "left_id").join(rs, "right_id")

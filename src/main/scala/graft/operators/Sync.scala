@@ -21,11 +21,13 @@ object Sync {
 
   /** 48-bit content checksum of (key, payload) — exact in a BIGINT on any
     * engine (no unsigned-overflow or HUGEINT divergence, unlike sum).
-    * Callers with nullable payloads should `coalesce` them first:
-    * concat_ws SKIPS nulls (so null and "" collide), and SQL engines
-    * differ on null propagation through `||`. */
+    * Key and payload hash SEPARATELY before combining: a joint
+    * delimiter-concat would make (key="a|b", payload="c") and (key="a",
+    * payload="b|c") checksum identically, hiding boundary-shifted drift.
+    * Callers with nullable payloads should `coalesce` them first (null
+    * md5 propagates to a null row check, which XOR then skips). */
   private def rowCheck(key: Column, payload: Column): Column =
-    conv(substring(md5(concat_ws("|", key, payload)), 1, 12), 16, 10)
+    conv(substring(md5(concat(md5(key), md5(payload))), 1, 12), 16, 10)
       .cast("long")
 
   private def summarize(df: DataFrame, key: Column, payload: Column,

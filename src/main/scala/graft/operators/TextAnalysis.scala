@@ -135,8 +135,10 @@ object TextAnalysis {
   // per-row text analytics have no relational structure for Catalyst to
   // optimize anyway.
 
+  // Locale.ROOT: a tr-TR default locale would map I -> dotless ı and
+  // diverge from the oracle's locale-independent lower()
   private[operators] def tokensOf(text: String): Array[String] =
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   private def round4(v: Double): Double =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -319,14 +321,19 @@ object TextAnalysis {
   def keywordHits(docs: DataFrame, idCol: String, textCol: String,
       keywords: Seq[String]): DataFrame = {
     require(keywords.nonEmpty, "keywordHits: empty dictionary")
-    val kws = keywords.map(_.toLowerCase).distinct.sorted.toArray
+    // an empty keyword would spin countOccurrences forever (indexOf("")
+    // matches at every position and advances by 0) — reject loudly
+    require(keywords.forall(_.nonEmpty),
+      "keywordHits: dictionary contains an empty keyword")
+    val kws = keywords.map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct.sorted.toArray
     val spark = docs.sparkSession
     import spark.implicits._
     Dedup.spread(docs)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
-        val lower = t.toLowerCase
+        val lower = t.toLowerCase(java.util.Locale.ROOT)
         kws.iterator
           .map(kw => (id, kw, countOccurrences(lower, kw)))
           .filter(_._3 > 0)
@@ -345,7 +352,7 @@ object TextAnalysis {
     val folded = java.text.Normalizer
       .normalize(text, java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}+", "")
-    folded.toLowerCase.replaceAll("\\s+", " ").trim
+    folded.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
   }
 
   def normalizeFrame(docs: DataFrame, idCol: String,

@@ -61,8 +61,11 @@ object CurationQueries {
       val words = docs.select(col("doc_id").cast("long").as("doc_id"),
           posexplode(graft.functions.Fingerprints.tokens(col("text")))
             .as(Seq("word_pos", "word")))
-      rebuilt.join(words, Seq("doc_id", "word_pos"))
-        .filter(col("rebuilt") =!= col("word"))
+      // LEFT join from the word list: an occurrence encode DROPPED (not
+      // just garbled) must also surface — an inner join would let data
+      // loss pass the 0-row audit silently
+      words.join(rebuilt, Seq("doc_id", "word_pos"), "left")
+        .filter(col("rebuilt").isNull || col("rebuilt") =!= col("word"))
         .select(col("doc_id"), col("word_pos"), col("word"), col("rebuilt"))
         .orderBy(col("doc_id"), col("word_pos"))
     }),
@@ -313,15 +316,15 @@ object CurationQueries {
         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
         |    ::BIGINT % 16 AS bucket,
         |  count(*) AS left_cnt,
-        |  bit_xor(('0x' || substr(md5(doc_id || '|' || text), 1, 12))
-        |    ::BIGINT) AS left_check
+        |  bit_xor(('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+        |    || md5(text)), 1, 12))::BIGINT) AS left_check
         |  FROM documents GROUP BY 1),
         |r AS (
         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
         |    ::BIGINT % 16 AS bucket,
         |  count(*) AS right_cnt,
-        |  bit_xor(('0x' || substr(md5(doc_id || '|' || text), 1, 12))
-        |    ::BIGINT) AS right_check
+        |  bit_xor(('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+        |    || md5(text)), 1, 12))::BIGINT) AS right_check
         |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1)
         |SELECT CAST(bucket AS INT) AS bucket, left_cnt, right_cnt,
         |left_check, right_check

@@ -78,6 +78,14 @@ class BpeSpec extends SparkSpec {
     assert(got === Map(("a", "b") -> 3L, ("b", "a") -> 1L))
   }
 
+  test("toSymbols keeps supplementary-plane characters whole") {
+    // U+1F600 GRINNING FACE is outside the BMP: char-indexed splitting
+    // would produce two lone surrogate halves
+    val syms = Bpe.toSymbols("a😀b")
+    assert(syms.toSeq === Seq("a", "😀", "b"))
+    assert(Bpe.encodeWord("a😀b", Nil).mkString === "a😀b")
+  }
+
   test("train stops when no pairs remain (single-char vocabulary)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")

@@ -303,4 +303,21 @@ class DedupSpec extends SparkSpec {
     assert(cont.keySet === Set((1L, 2L)))
     assert(cont((1L, 2L)) === 1.0)
   }
+
+  test("dropNearDuplicatesBest: highest weight survives; a member with " +
+      "NO weights row ranks last instead of escaping the cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // cluster {1,2,3}: 2 has the best weight; 3 has NO weights row at
+    // all — it must still be ranked (last) and dropped, not survive
+    val weights = Seq((1L, 0.5), (2L, 0.9), (4L, 0.1))
+      .toDF("doc_id", "quality")
+    val kept = Dedup.dropNearDuplicatesBest(docs, "doc_id", pairs,
+        weights, "quality")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+  }
 }

@@ -64,6 +64,18 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Set((1L, 10L, 1), (2L, 11L, 1), (3L, 13L, 1)))
   }
 
+  test("linkage maxBlock caps low-entropy hot blocks on both sides") {
+    import spark.implicits._
+    val left = (0L until 4L).map(i => (i, "same")).toDF("lid", "lname")
+    val right = (10L until 14L).map(i => (i, "same")).toDF("rid", "rname")
+    val capped = FuzzyJoin.linkage(left, "lid", "lname",
+      right, "rid", "rname", maxDist = 1, maxBlock = Some(5)).count()
+    val full = FuzzyJoin.linkage(left, "lid", "lname",
+      right, "rid", "rname", maxDist = 1).count()
+    assert(capped === 0L)
+    assert(full === 16L)
+  }
+
   test("maxBlock drops oversized blocks instead of exploding them") {
     import spark.implicits._
     // 6 identical strings -> one block of size > cap; with the cap the

@@ -47,4 +47,15 @@ class SyncSpec extends SparkSpec {
     assert(Sync.bucketDiff(a, a.repartition(7), col("id").cast("string"),
       col("text"), nBuckets = 8).count() === 0L)
   }
+
+  test("boundary-shifted drift is detected (key/payload hash separately)") {
+    import spark.implicits._
+    // same concatenation "a|b|c" under a joint delimiter scheme — these
+    // replicas MUST still diff
+    val a = Seq(("a|b", "c")).toDF("id", "text")
+    val b = Seq(("a", "b|c")).toDF("id", "text")
+    // use 1 bucket so both rows definitely land together
+    assert(Sync.bucketDiff(a, b, col("id"), col("text"), nBuckets = 1)
+      .count() === 1L)
+  }
 }

@@ -408,6 +408,16 @@ class TrainingDataOpsSpec extends SparkSpec {
       msgs(e).mkString("|"))
   }
 
+  test("keywordHits rejects an empty keyword (would loop forever)") {
+    import spark.implicits._
+    val docs = Seq((1L, "text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.keywordHits(docs, "doc_id", "text",
+        Seq("ok", ""))
+    }
+    assert(e.getMessage.contains("empty keyword"))
+  }
+
   test("keywordHits counts non-overlapping case-insensitive occurrences") {
     import spark.implicits._
     val docs = Seq(
