@@ -4,21 +4,23 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join — for each left row, attach the latest right row
-  * with right.ts <= left.ts within the same key (the trades/quotes shape;
-  * for us: "most recent prior click for each purchase").
+/** As-of joins — for each left row, attach the latest right row with
+  * right.ts <= left.ts (backward: the trades/quotes shape, "most recent
+  * prior click for each purchase") or the earliest right row with
+  * right.ts >= left.ts (forward: "next shipment after each order").
   *
   * Composed as union + keyed window rather than a non-equi join: rows from
   * both sides interleave in ONE shuffle partitioned by key and sorted by
   * (ts, side), and `last(payload, ignoreNulls)` over the unbounded-
-  * preceding frame carries the latest right payload forward into each left
-  * row. No BroadcastNestedLoopJoin, no per-row range probe — the plan is a
-  * single exchange + window sort regardless of either side's size, which
-  * is the only shape that survives both sides being large.
+  * preceding frame (resp. `first` over the following frame) carries the
+  * matching right payload into each left row. No BroadcastNestedLoopJoin,
+  * no per-row range probe — the plan is a single exchange + window sort
+  * regardless of either side's size, which is the only shape that
+  * survives both sides being large.
   *
-  * Ties: a right row at exactly left.ts matches (inclusive); callers must
-  * pre-deduplicate the right side to one row per (key, ts) for
-  * deterministic output (as any as-of engine requires).
+  * Ties: a right row at exactly left.ts matches (inclusive, both
+  * directions); callers must pre-deduplicate the right side to one row
+  * per (key, ts) for deterministic output (as any as-of engine requires).
   */
 object AsOfJoin {
 
@@ -27,7 +29,19 @@ object AsOfJoin {
     * payloads (null when no right row precedes). */
   def asOfBackward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    asOf(left, right, keyCol, tsCol, payloadCols, prefix, forward = false)
+
+  /** Forward variant: earliest right row with right.ts >= left.ts
+    * (null when no right row follows). */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    asOf(left, right, keyCol, tsCol, payloadCols, prefix, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String], prefix: String,
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(_.startsWith(prefix)),
       s"left side already has $prefix-prefixed columns")
@@ -38,29 +52,37 @@ object AsOfJoin {
       "input columns may not be named _ts/_side or start with _r_ " +
         "(internal as-of working columns)")
 
+    // inclusive-match tie ordering: the right row must fall inside the
+    // left row's frame at equal ts — backward (preceding frame) sorts
+    // right first; forward (following frame) sorts right last.
+    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
     val taggedRight = right.select(
-      (Seq(col(keyCol), col(tsCol).as("_ts"), lit(0).as("_side"),
+      (Seq(col(keyCol), col(tsCol).as("_ts"), lit(rightSide).as("_side"),
         col(tsCol).as(s"_r_ts")) ++
         payloadCols.map(c => col(c).as(s"_r_$c")) ++
         leftCols.filterNot(c => c == keyCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
-      (Seq(col(keyCol), col(tsCol).as("_ts"), lit(1).as("_side"),
+      (Seq(col(keyCol), col(tsCol).as("_ts"), lit(leftSide).as("_side"),
         lit(null).cast(right.schema(tsCol).dataType).as(s"_r_ts")) ++
         payloadCols.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
         leftCols.filterNot(c => c == keyCol).map(col)): _*)
 
-    // right rows sort before left rows at equal ts → inclusive match.
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ts"), col("_side"))
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: org.apache.spark.sql.Column) =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     val carried = taggedRight.unionByName(taggedLeft)
-      .withColumn(s"${prefix}ts", last(col("_r_ts"), ignoreNulls = true).over(w))
+      .withColumn(s"${prefix}ts", carry(col("_r_ts")))
     val withPayloads = payloadCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"$prefix$c",
-        last(col(s"_r_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"$prefix$c", carry(col(s"_r_$c")))
     }
-    withPayloads.filter(col("_side") === 1)
+    withPayloads.filter(col("_side") === lit(leftSide))
       .select((leftCols.map(col) :+ col(s"${prefix}ts")) ++
         payloadCols.map(c => col(s"$prefix$c")): _*)
   }

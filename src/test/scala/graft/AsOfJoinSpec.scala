@@ -30,4 +30,30 @@ class AsOfJoinSpec extends SparkSpec {
       100L -> Some(11.0), 101L -> Some(11.0), 102L -> Some(10.0),
       103L -> None, 104L -> None))
   }
+
+  test("forward as-of: earliest following row attaches; equal-ts matches " +
+    "inclusively; no-follower yields null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq((1L, ts(0), 10.0), (1L, ts(10), 11.0), (2L, ts(5), 20.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq(
+      (100L, 1L, ts(10)), // equal ts → inclusive match (11.0)
+      (101L, 1L, ts(15)), // nothing follows → null
+      (102L, 1L, ts(5)),  // next quote at :10 → 11.0
+      (103L, 2L, ts(1)),  // next quote at :05 → 20.0
+      (104L, 3L, ts(30))) // key with no quotes at all → null
+      .toDF("trade_id", "key", "ts")
+
+    val got = AsOfJoin.asOfForward(trades, quotes, "key", "ts", Seq("px"))
+      .select(col("trade_id"), col("asof_px"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(
+      100L -> Some(11.0), 101L -> None, 102L -> Some(11.0),
+      103L -> Some(20.0), 104L -> None))
+  }
 }
