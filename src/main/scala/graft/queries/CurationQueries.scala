@@ -167,6 +167,18 @@ object CurationQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // ── mean pooling: one prototype vector per label (chunk→doc
+    //    embedding / class-anchor step); exploded to scalar rows so every
+    //    element is value-checked ──────────────────────────────────────────
+    "emb_mean_pool" -> ((s, d) => {
+      graft.operators.Pooling.meanPool(t(s, d, "embeddings"),
+          "label", "embedding")
+        .select(col("label"), col("n"),
+          posexplode(transform(col("mean_vec"), x => round(x, 6)))
+            .as(Seq("pos", "x")))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -360,6 +372,16 @@ object CurationQueries {
         |strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |round(value, 4) AS value
         |FROM merged ORDER BY user_id, event_type""".stripMargin,
+
+    "emb_mean_pool" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |  CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |  unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, pos, round(avg(x), 6) AS x
+        |FROM ex GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
 
     "docs_normalize" ->
       """SELECT doc_id,
