@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Composed as union + keyed window rather than a non-equi join: rows from
   * both sides interleave in ONE shuffle partitioned by key and sorted by
-  * (ts, side), and `last(payload, ignoreNulls)` over the unbounded-
-  * preceding frame (resp. `first` over the following frame) carries the
-  * matching right payload into each left row. No BroadcastNestedLoopJoin,
-  * no per-row range probe — the plan is a single exchange + window sort
-  * regardless of either side's size, which is the only shape that
-  * survives both sides being large.
+  * (ts, side) — ascending for backward, descending for forward — and
+  * `last(payload, ignoreNulls)` over the incremental unbounded-preceding
+  * frame carries the matching right payload into each left row. No
+  * BroadcastNestedLoopJoin, no per-row range probe — the plan is a single
+  * exchange + window sort regardless of either side's size, which is the
+  * only shape that survives both sides being large.
   *
   * Ties: a right row at exactly left.ts matches (inclusive, both
   * directions); callers must pre-deduplicate the right side to one row
@@ -52,10 +52,16 @@ object AsOfJoin {
       "input columns may not be named _ts/_side or start with _r_ " +
         "(internal as-of working columns)")
 
-    // inclusive-match tie ordering: the right row must fall inside the
-    // left row's frame at equal ts — backward (preceding frame) sorts
-    // right first; forward (following frame) sorts right last.
-    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
+    // Both directions use the SAME incremental preceding frame: forward
+    // just traverses time DESCENDING, so "the latest previously-seen
+    // right row" becomes "the earliest following right row". This
+    // matters for performance, not just symmetry — Spark executes a
+    // currentRow..unboundedFollowing aggregate frame by recomputing the
+    // aggregate from scratch per output row (O(n²) per key), while the
+    // unboundedPreceding..currentRow frame is incremental (O(n)).
+    // Inclusive equal-ts match holds in both traversals because right
+    // rows (side 0) sort before left rows (side 1).
+    val (rightSide, leftSide) = (0, 1)
     val taggedRight = right.select(
       (Seq(col(keyCol), col(tsCol).as("_ts"), lit(rightSide).as("_side"),
         col(tsCol).as(s"_r_ts")) ++
@@ -69,14 +75,12 @@ object AsOfJoin {
           lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
         leftCols.filterNot(c => c == keyCol).map(col)): _*)
 
-    val base = Window.partitionBy(col(keyCol))
-      .orderBy(col("_ts"), col("_side"))
-    val w =
-      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val order =
+      if (forward) Seq(col("_ts").desc, col("_side")) else Seq(col("_ts"), col("_side"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def carry(c: org.apache.spark.sql.Column) =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+      last(c, ignoreNulls = true).over(w)
     val carried = taggedRight.unionByName(taggedLeft)
       .withColumn(s"${prefix}ts", carry(col("_r_ts")))
     val withPayloads = payloadCols.foldLeft(carried) { (df, c) =>

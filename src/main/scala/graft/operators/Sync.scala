@@ -49,10 +49,13 @@ object Sync {
     require(nBuckets > 0, "nBuckets must be positive")
     val l = summarize(left, key, payload, nBuckets, "left")
     val r = summarize(right, key, payload, nBuckets, "right")
+    // null-SAFE comparisons: a bucket whose checksum is NULL on one side
+    // (all-null payloads XOR to nothing) must still diff against a
+    // non-null checksum — `=!=` would evaluate to NULL and filter the
+    // drift away silently
     l.join(r, Seq("bucket"), "full_outer")
-      .filter(col("left_cnt").isNull || col("right_cnt").isNull ||
-        col("left_cnt") =!= col("right_cnt") ||
-        col("left_check") =!= col("right_check"))
+      .filter(!(col("left_cnt") <=> col("right_cnt")) ||
+        !(col("left_check") <=> col("right_check")))
       .select(col("bucket"), col("left_cnt"), col("right_cnt"),
         col("left_check"), col("right_check"))
   }

@@ -61,11 +61,13 @@ object CurationQueries {
       val words = docs.select(col("doc_id").cast("long").as("doc_id"),
           posexplode(graft.functions.Fingerprints.tokens(col("text")))
             .as(Seq("word_pos", "word")))
-      // LEFT join from the word list: an occurrence encode DROPPED (not
-      // just garbled) must also surface — an inner join would let data
-      // loss pass the 0-row audit silently
-      words.join(rebuilt, Seq("doc_id", "word_pos"), "left")
-        .filter(col("rebuilt").isNull || col("rebuilt") =!= col("word"))
+      // FULL OUTER join: an occurrence encode DROPPED surfaces as a null
+      // `rebuilt`, and an occurrence encode INVENTED (kernel-vs-column
+      // tokenizer drift emitting an extra word_pos) surfaces as a null
+      // `word` — either direction of disagreement fails the 0-row audit
+      words.join(rebuilt, Seq("doc_id", "word_pos"), "full_outer")
+        .filter(col("rebuilt").isNull || col("word").isNull ||
+          col("rebuilt") =!= col("word"))
         .select(col("doc_id"), col("word_pos"), col("word"), col("rebuilt"))
         .orderBy(col("doc_id"), col("word_pos"))
     }),

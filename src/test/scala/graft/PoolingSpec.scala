@@ -15,19 +15,34 @@ class PoolingSpec extends SparkSpec {
       "b" -> ((1L, Seq(10.0, 20.0)))))
   }
 
-  test("meanPool: ragged or empty dimensions fail loudly") {
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  test("meanPool: ragged, null, or empty dimensions fail loudly") {
     import spark.implicits._
+    // ragged across rows: caught IN the aggregation pass (raise_error)
     val ragged = Seq(("a", Seq(1.0)), ("a", Seq(1.0, 2.0)))
-      .toDF("label", "embedding")
-    val e = intercept[IllegalArgumentException] {
+      .toDF("label", "embedding").repartition(1)
+    val e = intercept[Exception] {
       graft.operators.Pooling.meanPool(ragged, "label", "embedding")
+        .collect()
     }
-    assert(e.getMessage.contains("dimension"))
+    assert(msgs(e).exists(_.contains("meanPool")), msgs(e).mkString("|"))
+    // a NULL vector must hit the same loud path, not an NPE
+    val withNull = Seq(("a", Seq(1.0, 2.0)), ("a", null))
+      .toDF("label", "embedding").repartition(1)
+    val e2 = intercept[Exception] {
+      graft.operators.Pooling.meanPool(withNull, "label", "embedding")
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains("meanPool")), msgs(e2).mkString("|"))
+    // empty FIRST vector: rejected before the plan runs
     val empty = Seq(("a", Seq.empty[Double])).toDF("label", "embedding")
-    val e2 = intercept[IllegalArgumentException] {
+    val e3 = intercept[IllegalArgumentException] {
       graft.operators.Pooling.meanPool(empty, "label", "embedding")
     }
-    assert(e2.getMessage.contains("dimension"))
+    assert(e3.getMessage.contains("dimension"))
   }
 
   test("meanPool is layout-independent") {

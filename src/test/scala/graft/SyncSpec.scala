@@ -48,6 +48,16 @@ class SyncSpec extends SparkSpec {
       col("text"), nBuckets = 8).count() === 0L)
   }
 
+  test("null-payload drift is detected (null-safe summary comparison)") {
+    import spark.implicits._
+    // left has (k, null), right has (k, "x"): left's checksum XORs over
+    // only nulls -> NULL; a null-unsafe compare would filter the bucket
+    val a = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+    val b = Seq((1L, "x")).toDF("id", "text")
+    assert(Sync.bucketDiff(a, b, col("id").cast("string"), col("text"),
+      nBuckets = 1).count() === 1L)
+  }
+
   test("boundary-shifted drift is detected (key/payload hash separately)") {
     import spark.implicits._
     // same concatenation "a|b|c" under a joint delimiter scheme — these
