@@ -5,10 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
 
-/** Data-curation operators added in round 5: edit-distance record linkage
-  * (recall-1 deletion-neighborhood blocking), distributed BPE tokenizer
-  * training, inverted-index postings, and the quality-policy dedup action.
-  * Same contract as the other query modules: every entry value-checks
+/** Data-curation and data-management operators: edit-distance record
+  * linkage (recall-1 deletion-neighborhood blocking), distributed BPE
+  * tokenizer training, inverted-index postings, text normalization,
+  * keyword tagging, weighted priority sampling, embedding mean pooling,
+  * quality-policy dedup, time-series gap-fill, Merkle replica
+  * reconciliation, CDC merge, and user-journey transitions. Same
+  * contract as the other query modules: every entry value-checks
   * against a DuckDB oracle. */
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
