@@ -28,15 +28,13 @@ object Intervals {
     * granularity) raises with the offending id — a 420k-element bin
     * array per row is a job-killer the theta-join semantics never
     * implied. */
-  def overlapSelfJoin(df: DataFrame, keyCol: String, idCol: String,
+  private def binned(df: DataFrame, keyCol: String, idCol: String,
       startCol: String, endCol: String, binWidth: Long,
-      maxBinsPerRow: Int = 1024): DataFrame = {
-    require(binWidth > 0, "binWidth must be positive")
-    require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
+      maxBinsPerRow: Int, what: String): DataFrame = {
     val binOf = (c: Column) => floor(c / binWidth).cast("long")
     val wellFormed = col("s") <= col("e") &&
       binOf(col("e")) - binOf(col("s")) < lit(maxBinsPerRow.toLong)
-    val b = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+    df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .withColumn("bin",
         // wellFormed is NULL (not false) for null bounds — the otherwise
@@ -44,9 +42,19 @@ object Intervals {
         // the diagnostic when the id itself is null.
         explode(when(wellFormed, sequence(binOf(col("s")), binOf(col("e"))))
           .otherwise(raise_error(concat(
-            lit("overlapSelfJoin: null bounds, inverted interval, or > " +
+            lit(s"$what: null bounds, inverted interval, or > " +
               s"$maxBinsPerRow bins for id "),
             coalesce(col("id").cast("string"), lit("NULL")))))))
+  }
+
+  def overlapSelfJoin(df: DataFrame, keyCol: String, idCol: String,
+      startCol: String, endCol: String, binWidth: Long,
+      maxBinsPerRow: Int = 1024): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
+    val binOf = (c: Column) => floor(c / binWidth).cast("long")
+    val b = binned(df, keyCol, idCol, startCol, endCol, binWidth,
+      maxBinsPerRow, "overlapSelfJoin")
     b.as("a").join(b.as("b"),
         col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
         col("a.id") < col("b.id") &&
@@ -56,5 +64,28 @@ object Intervals {
         col("a.bin") === binOf(greatest(col("a.s"), col("b.s"))))
       .select(col("a.k").as(keyCol), col("a.id").as("id_a"),
         col("b.id").as("id_b"))
+  }
+
+  /** Two-table form: overlapping (left_id, right_id) pairs within each
+    * key — the stream-vs-stream / bookings-vs-outages shape. Same
+    * binning, same exactly-once later-start attribution (it never
+    * depended on both rows coming from one table), no id ordering
+    * constraint because the sides are distinct. */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftId: String, rightId: String, startCol: String, endCol: String,
+      binWidth: Long, maxBinsPerRow: Int = 1024): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
+    val binOf = (c: Column) => floor(c / binWidth).cast("long")
+    val a = binned(left, keyCol, leftId, startCol, endCol, binWidth,
+      maxBinsPerRow, "overlapJoin")
+    val b = binned(right, keyCol, rightId, startCol, endCol, binWidth,
+      maxBinsPerRow, "overlapJoin")
+    a.as("a").join(b.as("b"),
+        col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
+        col("a.bin") === binOf(greatest(col("a.s"), col("b.s"))))
+      .select(col("a.k").as(keyCol), col("a.id").as("left_id"),
+        col("b.id").as("right_id"))
   }
 }

@@ -184,6 +184,69 @@ object CurationQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // ── two-table interval overlap: per user, view-windows × click-
+    //    windows that intersect (stream-vs-stream shape; same binned
+    //    equi-key plan as the self-join form) ───────────────────────────────
+    "j_interval_two_table" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"),
+        (unix_timestamp(col("ts")) / 3600).cast("long").as("start_h"),
+        ((unix_timestamp(col("ts")) / 3600).cast("long")
+          + col("event_id") % 5).as("end_h"))
+      graft.operators.Intervals.overlapJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", "event_id", "event_id", "start_h", "end_h",
+          binWidth = 12)
+        .orderBy(col("user_id"), col("left_id"), col("right_id"))
+    }),
+
+    // ── TPC-H Q10 shape: returned-item revenue ranking — two broadcast
+    //    dims into the fact join, top-20 via TakeOrderedAndProject ──────────
+    "q10_returned_revenue" -> ((s, d) => {
+      val cust = broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      val nation = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      // DECIMAL accumulation AND decimal-space rounding: a double sum's
+      // last-ulp difference between engines can straddle round()'s half
+      // boundary, and even on the SAME double the engines round
+      // differently (Spark rounds the shortest decimal representation,
+      // DuckDB the binary value — seen live: 307843.595 → .60 vs .59).
+      // Exact decimal terms sum exactly, the decimal→decimal cast rounds
+      // HALF_UP identically, and only the final already-rounded value is
+      // cast to double.
+      val term = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), term.as("term"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("term")).cast("decimal(38,2)").cast("double")
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ── percent-of-total share (ratio_to_report): each event type's
+    //    slice of the total value — post-aggregation window over 5 rows ────
+    "events_share" -> ((s, d) => {
+      val agg = t(s, d, "events").groupBy(col("event_type"))
+        .agg(sum(col("value")).as("sv"))
+      agg.select(col("event_type"),
+          round(col("sv"), 2).as("sum_value"),
+          round(col("sv") / sum(col("sv")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 6)
+            .as("share"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -387,6 +450,41 @@ object CurationQueries {
         |SELECT label, count(*) AS n, pos, round(avg(x), 6) AS x
         |FROM ex GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    "j_interval_two_table" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) + event_id % 5 AS e
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id
+        |FROM iv a JOIN iv b
+        |ON a.user_id = b.user_id
+        |AND a.event_type = 'view' AND b.event_type = 'click'
+        |AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.user_id, left_id, right_id""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "events_share" ->
+      """WITH a AS (
+        |  SELECT event_type, sum(value) AS sv FROM events GROUP BY 1)
+        |SELECT event_type, round(sv, 2) AS sum_value,
+        |round(sv / sum(sv) OVER (), 6) AS share
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "docs_normalize" ->
       """SELECT doc_id,

@@ -89,6 +89,29 @@ class IntervalsSpec extends SparkSpec {
     assert(w7 === w1)
   }
 
+  test("overlapJoin (two-table) equals the theta-join, once per pair, " +
+      "across bin widths") {
+    import spark.implicits._
+    val lrows = Seq(("A", 1L, 10L, 22L), ("A", 2L, 0L, 60L),
+      ("A", 3L, 30L, 35L), ("B", 4L, 5L, 6L))
+    val rrows = Seq(("A", 10L, 20L, 30L), ("A", 11L, 22L, 22L),
+      ("A", 12L, 61L, 70L), ("B", 13L, 6L, 9L), ("C", 14L, 0L, 100L))
+    val left = lrows.toDF("k", "lid", "s", "e")
+    val right = rrows.toDF("k", "rid", "s", "e")
+    val expected = (for {
+      (ka, ia, sa, ea) <- lrows
+      (kb, ib, sb, eb) <- rrows
+      if ka == kb && sa <= eb && sb <= ea
+    } yield (ia, ib)).toSet
+    for (bw <- Seq(1L, 7L, 100L)) {
+      val got = Intervals.overlapJoin(left, right, "k", "lid", "rid",
+          "s", "e", binWidth = bw)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(got.length === got.toSet.size, s"dup pairs at binWidth=$bw")
+      assert(got.toSet === expected, s"binWidth=$bw")
+    }
+  }
+
   test("malformed intervals fail loudly instead of corrupting the result") {
     import spark.implicits._
     val inverted = Seq(("g", 1L, 50L, 10L)).toDF("k", "id", "s", "e")
