@@ -19,7 +19,9 @@ object PrintPlans {
       "dedup_substring", "knn_graph", "docs_bigram_nll", "sample_token_budget",
       "a_histogram", "dedup_incremental",
       "j_fuzzy_names", "q3_top_orders", "q5_region_volume",
-      "events_transitions", "docs_postings", "sample_weighted_priority")
+      "events_transitions", "docs_postings", "sample_weighted_priority",
+      "q10_returned_revenue", "j_interval_two_table", "emb_mean_pool",
+      "events_gapfill", "sync_bucket_diff", "cdc_apply_delta")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir)
