@@ -247,6 +247,26 @@ object CurationQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── NATIVE session windows: Spark's session_window aggregation (the
+    //    Structured-Streaming-ready form of events_sessionize; batch here,
+    //    same operator streams with a watermark). Boundary convention
+    //    differs from the hand-rolled form: a gap of EXACTLY 30min starts
+    //    a new session (windows are [start, last+gap)), so the oracle
+    //    splits on >= rather than >. ─────────────────────────────────────
+    "events_session_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -485,6 +505,28 @@ object CurationQueries {
         |SELECT event_type, round(sv, 2) AS sum_value,
         |round(sv / sum(sv) OVER (), 6) AS share
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "events_session_window" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS sid
+        |  FROM lagged)
+        |SELECT user_id,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |  AS session_end,
+        |count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "docs_normalize" ->
       """SELECT doc_id,
