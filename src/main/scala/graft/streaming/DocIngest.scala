@@ -58,6 +58,33 @@ object DocIngest {
       .option("path", outDir)
       .start()
 
+  /** Native session windows on the stream: Spark's `session_window`
+    * aggregation with a watermark — the built-in counterpart of the
+    * flatMapGroupsWithState sessionizer below (which keeps explicit
+    * state for custom payloads). Append mode emits a session exactly
+    * once, when the watermark passes its close (last event + gap) and
+    * the window can no longer grow or merge. State is one open window
+    * per active key — bounded by the watermark, reclaimed on close. */
+  def sessionWindows(spark: SparkSession, inDir: String, schema: String,
+      outDir: String, checkpoint: String, gap: String = "30 minutes",
+      watermark: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withWatermark("event_time", watermark)
+      .groupBy(col("subject"),
+        org.apache.spark.sql.functions.session_window(col("event_time"),
+          gap).as("w"))
+      .count()
+      .select(col("subject"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("count"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Custom-state streaming form of the A2 running counter
     * (enem_pdf_extractor.py:248-251 — the cross-page question count):
     * per-subject totals maintained in explicit keyed state with

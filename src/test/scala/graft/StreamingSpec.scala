@@ -70,6 +70,41 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "natu", 1L)))
   }
 
+  test("native session_window stream: a closed session emits once with " +
+    "merged bounds; an open session stays unemitted") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = Files.createTempDirectory("graft_sw_in").toString
+    val out = Files.createTempDirectory("graft_sw_out").toString + "/agg"
+    val ckpt = Files.createTempDirectory("graft_sw_ck").toString
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: three events 20min apart -> ONE session (gaps < 30min)
+    Seq((ts(10, 0), "math"), (ts(10, 20), "math"), (ts(10, 40), "math"))
+      .toDF("event_time", "subject").write.mode("append").parquet(in)
+    val q = DocIngest.sessionWindows(spark, in,
+      "event_time TIMESTAMP, subject STRING", out, ckpt,
+      gap = "30 minutes", watermark = "1 hour")
+    try {
+      q.processAllAvailable()
+      // batch 2: an event at 14:00 pushes the watermark to 13:00, far
+      // past the first session's close (11:10) -> it emits; the 14:00
+      // session itself stays open
+      Seq((ts(14, 0), "math"))
+        .toDF("event_time", "subject").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+      .toSet
+    // one merged session 10:00 -> 11:10 (last event 10:40 + 30min gap)
+    assert(got === Set(
+      ("math", "2024-01-01 10:00:00.0", "2024-01-01 11:10:00.0", 3L)))
+  }
+
   test("mapGroupsWithState running counter accumulates across batches " +
     "(streaming A2)") {
     import spark.implicits._
