@@ -28,31 +28,48 @@ object Intervals {
     * granularity) raises with the offending id — a 420k-element bin
     * array per row is a job-killer the theta-join semantics never
     * implied. */
+  /** One shared bin function for the replication AND the attribution
+    * predicates — they must stay bit-identical or the exactly-once
+    * invariant silently breaks. */
+  private def binOf(c: Column, binWidth: Long): Column =
+    floor(c / binWidth).cast("long")
+
+  /** Replicate each interval row to the bins it touches:
+    * (k, id, s, e, bin). Malformed rows (null bounds, inverted interval,
+    * or one spanning more than `maxBinsPerRow` bins — a sentinel end
+    * date, a binWidth far below the data's granularity) raise with the
+    * offending id: a 420k-element bin array per row is a job-killer the
+    * theta-join semantics never implied. */
   private def binned(df: DataFrame, keyCol: String, idCol: String,
       startCol: String, endCol: String, binWidth: Long,
       maxBinsPerRow: Int, what: String): DataFrame = {
-    val binOf = (c: Column) => floor(c / binWidth).cast("long")
     val wellFormed = col("s") <= col("e") &&
-      binOf(col("e")) - binOf(col("s")) < lit(maxBinsPerRow.toLong)
+      binOf(col("e"), binWidth) - binOf(col("s"), binWidth) <
+        lit(maxBinsPerRow.toLong)
     df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .withColumn("bin",
         // wellFormed is NULL (not false) for null bounds — the otherwise
         // branch catches that too, and the message says so; coalesce keeps
         // the diagnostic when the id itself is null.
-        explode(when(wellFormed, sequence(binOf(col("s")), binOf(col("e"))))
+        explode(when(wellFormed,
+            sequence(binOf(col("s"), binWidth), binOf(col("e"), binWidth)))
           .otherwise(raise_error(concat(
             lit(s"$what: null bounds, inverted interval, or > " +
               s"$maxBinsPerRow bins for id "),
             coalesce(col("id").cast("string"), lit("NULL")))))))
   }
 
+  /** Overlapping pairs WITHIN each `keyCol` group of one interval table:
+    * (key, id_a, id_b) for every a < b whose [start, end] intervals
+    * intersect (closed ends). `startCol`/`endCol` must be numeric (cast
+    * dates to epoch days first); `binWidth` is in those units. Malformed
+    * rows fail loudly (see `binned`). */
   def overlapSelfJoin(df: DataFrame, keyCol: String, idCol: String,
       startCol: String, endCol: String, binWidth: Long,
       maxBinsPerRow: Int = 1024): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
-    val binOf = (c: Column) => floor(c / binWidth).cast("long")
     val b = binned(df, keyCol, idCol, startCol, endCol, binWidth,
       maxBinsPerRow, "overlapSelfJoin")
     b.as("a").join(b.as("b"),
@@ -61,7 +78,7 @@ object Intervals {
         col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
         // exactly-once attribution: only the bin containing the later
         // start emits the pair (both rows replicate into it by overlap)
-        col("a.bin") === binOf(greatest(col("a.s"), col("b.s"))))
+        col("a.bin") === binOf(greatest(col("a.s"), col("b.s")), binWidth))
       .select(col("a.k").as(keyCol), col("a.id").as("id_a"),
         col("b.id").as("id_b"))
   }
@@ -76,7 +93,6 @@ object Intervals {
       binWidth: Long, maxBinsPerRow: Int = 1024): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerRow > 0, "maxBinsPerRow must be positive")
-    val binOf = (c: Column) => floor(c / binWidth).cast("long")
     val a = binned(left, keyCol, leftId, startCol, endCol, binWidth,
       maxBinsPerRow, "overlapJoin")
     val b = binned(right, keyCol, rightId, startCol, endCol, binWidth,
@@ -84,7 +100,7 @@ object Intervals {
     a.as("a").join(b.as("b"),
         col("a.k") === col("b.k") && col("a.bin") === col("b.bin") &&
         col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
-        col("a.bin") === binOf(greatest(col("a.s"), col("b.s"))))
+        col("a.bin") === binOf(greatest(col("a.s"), col("b.s")), binWidth))
       .select(col("a.k").as(keyCol), col("a.id").as("left_id"),
         col("b.id").as("right_id"))
   }

@@ -235,15 +235,19 @@ object CurationQueries {
     }),
 
     // ── percent-of-total share (ratio_to_report): each event type's
-    //    slice of the total value — post-aggregation window over 5 rows ────
+    //    slice of the total value — post-aggregation window over 5 rows.
+    //    DECIMAL sums (exact on both engines) divide as identical doubles,
+    //    so NO rounding is needed anywhere — the whole double-rounding
+    //    trap class (PLANS.md "oracle discipline") never applies ──────────
     "events_share" -> ((s, d) => {
       val agg = t(s, d, "events").groupBy(col("event_type"))
-        .agg(sum(col("value")).as("sv"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
       agg.select(col("event_type"),
-          round(col("sv"), 2).as("sum_value"),
-          round(col("sv") / sum(col("sv")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()), 6)
-            .as("share"))
+          col("sv").cast("double").as("sum_value"),
+          (col("sv").cast("double") /
+            sum(col("sv")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy())
+              .cast("double")).as("share"))
         .orderBy(col("event_type"))
     }),
 
@@ -501,9 +505,10 @@ object CurationQueries {
 
     "events_share" ->
       """WITH a AS (
-        |  SELECT event_type, sum(value) AS sv FROM events GROUP BY 1)
-        |SELECT event_type, round(sv, 2) AS sum_value,
-        |round(sv / sum(sv) OVER (), 6) AS share
+        |  SELECT event_type,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sv FROM events GROUP BY 1)
+        |SELECT event_type, CAST(sv AS DOUBLE) AS sum_value,
+        |CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS share
         |FROM a ORDER BY event_type""".stripMargin,
 
     "events_session_window" ->
