@@ -271,6 +271,25 @@ object CurationQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ── incremental aggregate maintenance (materialized-view refresh):
+    //    a stored per-user (count, sum) state absorbs the post-cutoff
+    //    delta WITHOUT rescanning the base; the oracle recomputes from
+    //    scratch over the full table, so the gate certifies
+    //    merge(state, delta) == recompute(base ∪ delta) exactly ────────────
+    "agg_incremental" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("value"), col("ts"))
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val base = graft.operators.IncrementalAgg.countSumState(
+        ev.filter(col("ts") < cutoff), Seq("user_id"), "value")
+      graft.operators.IncrementalAgg.mergeCountSum(base,
+          ev.filter(col("ts") >= cutoff), Seq("user_id"), "value")
+        .select(col("user_id"), col("n"),
+          col("sv").cast("double").as("sum_value"),
+          (col("sv").cast("double") / col("n")).as("avg_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -510,6 +529,13 @@ object CurationQueries {
         |SELECT event_type, CAST(sv AS DOUBLE) AS sum_value,
         |CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS share
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "agg_incremental" ->
+      """SELECT user_id, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_session_window" ->
       """WITH lagged AS (

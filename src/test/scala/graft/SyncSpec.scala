@@ -58,6 +58,25 @@ class SyncSpec extends SparkSpec {
       nBuckets = 1).count() === 1L)
   }
 
+  test("incremental aggregate state: chained delta merges equal the " +
+      "from-scratch recompute, including keys new in a delta") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val b1 = Seq((1L, 10.5), (1L, 2.25), (2L, 3.0)).toDF("k", "v")
+    val d1 = Seq((2L, 4.0), (3L, 7.75)).toDF("k", "v") // 3 is new
+    val d2 = Seq((1L, 0.5)).toDF("k", "v")
+    val s0 = IncrementalAgg.countSumState(b1, Seq("k"), "v")
+    val s1 = IncrementalAgg.mergeCountSum(s0, d1, Seq("k"), "v")
+    val s2 = IncrementalAgg.mergeCountSum(s1, d2, Seq("k"), "v")
+    val full = IncrementalAgg.countSumState(
+      b1.unionByName(d1).unionByName(d2), Seq("k"), "v")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros()))).toMap
+    assert(m(s2) === m(full))
+    assert(m(s2)(3L)._1 === 1L)
+  }
+
   test("boundary-shifted drift is detected (key/payload hash separately)") {
     import spark.implicits._
     // same concatenation "a|b|c" under a joint delimiter scheme — these
