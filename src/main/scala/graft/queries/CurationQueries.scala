@@ -290,6 +290,19 @@ object CurationQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── JL random projection: 64-dim embeddings → 16 pseudo-random ±1/√k
+    //    axes (the cheap shrink before ANN/pair sweeps). The hash-derived
+    //    matrix is engine-reproducible, so the projected VALUES are
+    //    value-checked against DuckDB recomputing the same projection ──────
+    "emb_random_project" -> ((s, d) => {
+      graft.operators.Projection.randomProject(t(s, d, "embeddings"),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          posexplode(transform(col("projected"), x => round(x, 4)))
+            .as(Seq("j", "x")))
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -529,6 +542,20 @@ object CurationQueries {
         |SELECT event_type, CAST(sv AS DOUBLE) AS sum_value,
         |CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS share
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "emb_random_project" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, j, x FROM (
+        |    SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS i,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |    FROM embeddings), range(16) t(j))
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |round(sum(x * (CASE WHEN
+        |  ('0x' || substr(md5(i || '_' || j), 1, 4))::INT % 2 = 0
+        |  THEN 1.0 ELSE -1.0 END)) / 4.0, 4) AS x
+        |FROM ex GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
 
     "agg_incremental" ->
       """SELECT user_id, count(*) AS n,

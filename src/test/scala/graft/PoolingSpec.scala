@@ -45,6 +45,36 @@ class PoolingSpec extends SparkSpec {
     assert(e3.getMessage.contains("dimension"))
   }
 
+  test("randomProject: deterministic across layouts, preserves pairwise " +
+      "distances roughly (JL sanity), rejects ragged rows loudly") {
+    import spark.implicits._
+    import graft.operators.Projection
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Projection.randomProject(d, "vec_id", "embedding", 64, 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = run(df)
+    assert(got === run(df.repartition(5)))
+    assert(got.values.forall(_.length == 16))
+    // JL sanity on one pair: projected distance within a loose factor of
+    // the original (k=16 is coarse; this catches sign/scale bugs, like a
+    // missing 1/sqrt(k), not fine distortion)
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val d0 = dist(vecs(0)._2, vecs(1)._2)
+    val dp = dist(got(0L), got(1L))
+    assert(dp > 0.3 * d0 && dp < 3.0 * d0, s"orig=$d0 proj=$dp")
+    val ragged = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Projection.randomProject(ragged, "vec_id", "embedding", 64, 16)
+        .collect()
+    }
+    assert(msgs(e).exists(_.contains("randomProject")), msgs(e).mkString("|"))
+  }
+
   test("meanPool is layout-independent") {
     import spark.implicits._
     val emb = (1 to 40).map(i =>
