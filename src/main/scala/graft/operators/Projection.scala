@@ -44,6 +44,11 @@ object Projection {
     out
   }
 
+  /** Project one vector (driver-side helper for query vectors — the
+    * same matrix the distributed form derives per partition). */
+  def projectOne(vec: Array[Double], outDim: Int): Array[Double] =
+    project(vec, Array.tabulate(vec.length, outDim)(sign), outDim)
+
   /** (idCol, projected ARRAY<DOUBLE>[outDim]) — deterministic across
     * engines, layouts, and retries. */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bpe, Dedup, FuzzyJoin, TextAnalysis}
+import graft.operators.{Bpe, Dedup, FuzzyJoin, SimilaritySearch, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -303,6 +303,39 @@ object CurationQueries {
         .orderBy(col("vec_id"), col("j"))
     }),
 
+    // ── two-stage retrieval certificate: coarse top-50 in the PROJECTED
+    //    space → exact re-rank of those candidates → the re-ranked rank-r
+    //    score can never exceed the exact search's rank-r score, for ANY
+    //    projection (the candidates are a subset). 0-row oracle — the
+    //    composition contract of emb_random_project + k1 search. ───────────
+    "emb_project_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).first()
+        .getSeq[Double](0).toArray
+      val proj = graft.operators.Projection.randomProject(emb,
+        "vec_id", "embedding", inDim = 64, outDim = 16)
+      val qProj = graft.operators.Projection.projectOne(query, 16)
+      val k = 10
+      val cands = SimilaritySearch.topK(proj, "vec_id", "projected",
+          qProj.toSeq, k = 50)
+        .select(col("vec_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), col("vec_id"))
+      val reranked = SimilaritySearch.topK(
+          emb.join(cands, Seq("vec_id"), "left_semi"),
+          "vec_id", "embedding", query.toSeq, k)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("score").as("rerank_score"))
+      val exact = SimilaritySearch.topK(emb, "vec_id", "embedding",
+          query.toSeq, k)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("score").as("exact_score"))
+      reranked.join(exact, Seq("rank"))
+        .filter(col("rerank_score") > col("exact_score"))
+        .orderBy(col("rank"))
+    }),
+
     // ── dedup ACTION, quality policy: per near-dup cluster keep the
     //    highest-quality member (ties → smallest id) instead of the
     //    smallest id — "keep the best copy". Oracle re-derives clusters
@@ -542,6 +575,11 @@ object CurationQueries {
         |SELECT event_type, CAST(sv AS DOUBLE) AS sum_value,
         |CAST(sv AS DOUBLE) / CAST(sum(sv) OVER () AS DOUBLE) AS share
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "emb_project_rerank" ->
+      """SELECT CAST(NULL AS INT) AS rank,
+        |CAST(NULL AS DOUBLE) AS rerank_score,
+        |CAST(NULL AS DOUBLE) AS exact_score WHERE FALSE""".stripMargin,
 
     "emb_random_project" ->
       """WITH ex AS (
