@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * audited). Typed kernel per PLANS.md lesson 7: a nested
   * transform-lambda would run interpreted per element.
   *
-  * Scale shape: one corpus pass, no shuffle, d×k multiplies per row with
-  * the sign matrix built once per partition. */
+  * Scale shape: one corpus pass with d×k multiplies per row and the sign
+  * matrix built once per partition; the operator itself adds no shuffle
+  * (the `spread` guard repartitions ONLY under-partitioned inputs so a
+  * 1-file corpus doesn't project single-threaded — PLANS.md lesson 2). */
 object Projection {
 
   /** Parity-of-md5 sign: +1 when the first 16 bits of md5("i_j") are
@@ -45,9 +47,14 @@ object Projection {
   }
 
   /** Project one vector (driver-side helper for query vectors — the
-    * same matrix the distributed form derives per partition). */
-  def projectOne(vec: Array[Double], outDim: Int): Array[Double] =
-    project(vec, Array.tabulate(vec.length, outDim)(sign), outDim)
+    * same matrix the distributed form derives per partition). `inDim`
+    * must match the corpus projection's: a wrong-dimension query would
+    * otherwise silently use a truncated sign matrix and search garbage. */
+  def projectOne(vec: Array[Double], inDim: Int, outDim: Int): Array[Double] = {
+    require(vec.length == inDim,
+      s"projectOne: vector has dim ${vec.length}, expected $inDim")
+    project(vec, Array.tabulate(inDim, outDim)(sign), outDim)
+  }
 
   /** (idCol, projected ARRAY<DOUBLE>[outDim]) — deterministic across
     * engines, layouts, and retries. */

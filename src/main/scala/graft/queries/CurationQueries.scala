@@ -282,8 +282,11 @@ object CurationQueries {
       val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
       val base = graft.operators.IncrementalAgg.countSumState(
         ev.filter(col("ts") < cutoff), Seq("user_id"), "value")
+      // null-ts rows (none in this data, but the split must be TOTAL to
+      // match the unfiltered oracle) fall to the delta side, not nowhere
       graft.operators.IncrementalAgg.mergeCountSum(base,
-          ev.filter(col("ts") >= cutoff), Seq("user_id"), "value")
+          ev.filter(col("ts") >= cutoff || col("ts").isNull),
+          Seq("user_id"), "value")
         .select(col("user_id"), col("n"),
           col("sv").cast("double").as("sum_value"),
           (col("sv").cast("double") / col("n")).as("avg_value"))
@@ -315,7 +318,7 @@ object CurationQueries {
         .getSeq[Double](0).toArray
       val proj = graft.operators.Projection.randomProject(emb,
         "vec_id", "embedding", inDim = 64, outDim = 16)
-      val qProj = graft.operators.Projection.projectOne(query, 16)
+      val qProj = graft.operators.Projection.projectOne(query, 64, 16)
       val k = 10
       val cands = SimilaritySearch.topK(proj, "vec_id", "projected",
           qProj.toSeq, k = 50)
