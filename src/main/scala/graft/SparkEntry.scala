@@ -39,4 +39,13 @@ object SparkEntry {
     * engine-internal hashing or approximation (rows-only check). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtensionQueries.oracles ++ CurationQueries.oracles
+
+  /** The bench suite: `queries` with a few audit entries swapped for
+    * deterministically SAMPLED variants (e.g. the exact-all-pairs
+    * dominance audits probe a 10% source slice). The correctness gate
+    * (Verify → DuckDB) always runs the full `queries` forms; at real
+    * scale these audits run on a sample too, so the bench measures the
+    * production shape instead of an O(N²) verification pass. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ ExtensionQueries.benchOverrides
 }

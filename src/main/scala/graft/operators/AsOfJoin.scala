@@ -75,8 +75,14 @@ object AsOfJoin {
           lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
         leftCols.filterNot(c => c == keyCol).map(col)): _*)
 
+    // desc_nulls_first: Spark's desc default is nulls LAST, which would
+    // sort a null-ts left row after every right row and hand it the
+    // globally earliest right payload; nulls-first matches the backward
+    // direction (asc, nulls first), where a null-ts left row sees no
+    // right rows and carries null.
     val order =
-      if (forward) Seq(col("_ts").desc, col("_side")) else Seq(col("_ts"), col("_side"))
+      if (forward) Seq(col("_ts").desc_nulls_first, col("_side"))
+      else Seq(col("_ts"), col("_side"))
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def carry(c: org.apache.spark.sql.Column) =

@@ -173,6 +173,13 @@ object Sampling {
     * to compute must not silently become "never sampled"). */
   def weightedPrioritySample(df: DataFrame, groupCol: String, key: Column,
       w: Column, n: Int): DataFrame = {
+    // 'priority' is part of the output contract; '_rk' is internal —
+    // either pre-existing on the input would be silently overwritten
+    Seq("priority", "_rk").foreach { c =>
+      require(!df.columns.contains(c),
+        s"weightedPrioritySample: input already has a '$c' column " +
+          "(reserved for the sample's working/output columns)")
+    }
     // 12 hex chars = 48 bits; (v + 1) / (2^48 + 1) ∈ (0, 1] exactly
     val u = (conv(substring(md5(key), 1, 12), 16, 10).cast("double") + 1.0) /
       lit(281474976710657.0)

@@ -119,6 +119,28 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** [[knnGraph]] restricted to a set of source ids: each SOURCE's exact
+    * k nearest neighbors over the full corpus — identical output to
+    * `knnGraph(...).filter(src ∈ sources)` but O(|sources|·N) instead of
+    * O(N²). The source side (ids + vectors, batch-sized — e.g. contrastive
+    * anchors) is broadcast, so the corpus never shuffles: one
+    * broadcast-nested-loop stage + a window over ≤ |sources|·N rows. */
+  def knnGraphForSources(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, sources: DataFrame, sourceIdCol: String): DataFrame = {
+    val e = Dedup.spread(embs)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val src = e.join(
+      broadcast(sources.select(col(sourceIdCol).as("id")).distinct()),
+      Seq("id"))
+    val pairs = broadcast(src).as("a")
+      .join(e.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        round(cosineSimilarity(col("a.v"), col("b.v")), 6).as("score"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate k-NN graph, cell-restricted: candidates are limited to
     * vectors sharing the node's IVF cell, so the join is per-cell
     * (sum of cell² instead of n²) and embarrassingly parallel across

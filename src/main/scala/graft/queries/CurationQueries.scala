@@ -594,7 +594,7 @@ object CurationQueries {
         |SELECT vec_id, CAST(j AS INT) AS j,
         |round(sum(x * (CASE WHEN
         |  ('0x' || substr(md5(i || '_' || j), 1, 4))::INT % 2 = 0
-        |  THEN 1.0 ELSE -1.0 END)) / 4.0, 4) AS x
+        |  THEN 1.0 ELSE -1.0 END)) / 4.0, 4) + 0.0 AS x
         |FROM ex GROUP BY vec_id, j
         |ORDER BY vec_id, j""".stripMargin,
 

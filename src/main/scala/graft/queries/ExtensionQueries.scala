@@ -23,6 +23,31 @@ object ExtensionQueries {
 
   private val JaccardThreshold = 0.8
 
+  /** recall@10 floor for `ann_ivf_recall` (hits out of k=10): nprobe 3 of
+    * 8 cells probes ≥ 0.375 of a near-uniform corpus in expectation and
+    * always includes the query's own cell; 3/10 is a conservative floor
+    * (measured: 5/10 at sf0.001, pinned in GoldenValuesSpec). */
+  val IvfRecallMinHits = 3
+
+  /** Unfiltered recall@10 measurement backing `ann_ivf_recall` (the gate
+    * query emits only floor VIOLATIONS; specs pin the raw value). */
+  def ivfRecallRaw(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).first()
+      .getSeq[Double](0)
+    val k = 10
+    val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k)
+      .select(col("vec_id"))
+    val approx = SimilaritySearch.topKIvf(emb, "vec_id", "embedding", query,
+        k, ncells = 8, nprobe = 3)
+      .select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(k).cast("long").as("k"), col("hits"),
+        round(col("hits").cast("double") / k, 4).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ── K1: exact cosine top-k (the reference's vector search) ────────────
     "k1_cosine_topk" -> ((s, d) => {
@@ -108,27 +133,16 @@ object ExtensionQueries {
         k = 10, nprobe = 8)
     }),
 
-    // ── ANN: recall@k of the approximate probe (nprobe < ncells) vs exact.
-    //    Hash-defined (centroid sample) → rows-only here; the exact value
-    //    is pinned by SimilaritySpec at sf0.001. On these near-uniform
-    //    synthetic embeddings recall ≈ nprobe/ncells is the theoretical
-    //    ceiling — real clustered corpora probe far better. ────────────────
-    "ann_ivf_recall" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val query = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).first()
-        .getSeq[Double](0)
-      val k = 10
-      val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", query, k)
-        .select(col("vec_id"))
-      val approx = SimilaritySearch.topKIvf(emb, "vec_id", "embedding", query,
-          k, ncells = 8, nprobe = 3)
-        .select(col("vec_id"))
-      exact.join(approx, Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(k).cast("long").as("k"), col("hits"),
-          round(col("hits").cast("double") / k, 4).as("recall"))
-    }),
+    // ── ANN: recall@k floor of the approximate probe (nprobe < ncells)
+    //    vs exact, as a 0-ROW contract: a row is emitted only when
+    //    hits < RecallMinHits (recall below the floor), so the oracle is
+    //    engine-independent even though the recall VALUE is hash-defined
+    //    (centroid sample). The exact value is pinned by GoldenValuesSpec
+    //    at sf0.001. On these near-uniform synthetic embeddings
+    //    nprobe/ncells ≈ 0.375 is the expected recall; the query vector's
+    //    own cell is always probed, lifting it above that. ─────────────────
+    "ann_ivf_recall" -> ((s, d) =>
+      ivfRecallRaw(s, d).filter(col("hits") < lit(IvfRecallMinHits))),
 
     // ── ANN dominance audit: an approximate probe searches a SUBSET of
     //    the corpus, so its rank-r score can never exceed the exact
@@ -698,9 +712,14 @@ object ExtensionQueries {
     //    positives — retry-reproducible where rand() would re-deal ─────────
     "knn_negatives" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val positives = SimilaritySearch.knnGraph(emb, "vec_id", "embedding", 3)
+      val anchors = emb.filter(col("vec_id") < 5)
+      // positives only for the anchor set — O(|anchors|·N), not the full
+      // N² graph (negativeSamples anti-joins on anchor_id, so exclude
+      // rows for non-anchors could never match anyway)
+      val positives = SimilaritySearch.knnGraphForSources(emb, "vec_id",
+        "embedding", 3, anchors, "vec_id")
       SimilaritySearch.negativeSamples(emb, "vec_id",
-          emb.filter(col("vec_id") < 5), "vec_id", positives, k = 4)
+          anchors, "vec_id", positives, k = 4)
         .orderBy(col("anchor_id"), col("rank"))
     }),
 
@@ -1165,7 +1184,7 @@ object ExtensionQueries {
         |  SELECT vec_id,
         |  unnest(range(len(embedding))) AS pos,
         |  unnest([round(x / sqrt(list_sum([y*y FOR y IN embedding::DOUBLE[]])),
-        |    4) FOR x IN embedding::DOUBLE[]]) AS x
+        |    4) + 0.0 FOR x IN embedding::DOUBLE[]]) AS x
         |  FROM embeddings)
         |ORDER BY vec_id, pos""".stripMargin,
 
@@ -1196,6 +1215,10 @@ object ExtensionQueries {
     "ann_ivf_dominance" ->
       """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS DOUBLE) AS exact_score,
         |CAST(NULL AS DOUBLE) AS approx_score WHERE FALSE""".stripMargin,
+
+    "ann_ivf_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS hits,
+        |CAST(NULL AS DOUBLE) AS recall WHERE FALSE""".stripMargin,
 
     "dedup_overlap_audit" ->
       """WITH toks AS (
@@ -1984,5 +2007,27 @@ object ExtensionQueries {
         |     ELSE least(len, least(len, f * sl) + sl) - least(len, f * sl)
         |     END AS INT) AS n_bytes
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+  )
+
+  /** Bench-only variants (see SparkEntry.benchQueries): the exact
+    * all-pairs dominance audit probed on a deterministic 10% source
+    * slice — at real scale the audit runs on a sample while the
+    * production operator (knnGraphCells) runs in full; the correctness
+    * gate keeps the exhaustive form. Same 0-row contract. */
+  val benchOverrides: Map[String, Q] = Map(
+    "knn_graph_dominance" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val sampled = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val exact = SimilaritySearch.knnGraphForSources(emb, "vec_id",
+          "embedding", 3, sampled, "vec_id")
+        .select(col("src"), col("rank"), col("score").as("exact_score"))
+      val approx = SimilaritySearch.knnGraphCells(emb, "vec_id",
+          "embedding", 3, ncells = 8)
+        .select(col("src"), col("rank"), col("score").as("approx_score"))
+      approx.join(exact, Seq("src", "rank"))
+        .filter(col("approx_score") > col("exact_score"))
+        .select(col("src"), col("rank"), col("exact_score"),
+          col("approx_score"))
+    })
   )
 }

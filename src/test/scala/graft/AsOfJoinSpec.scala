@@ -56,4 +56,23 @@ class AsOfJoinSpec extends SparkSpec {
       100L -> Some(11.0), 101L -> None, 102L -> Some(11.0),
       103L -> Some(20.0), 104L -> None))
   }
+
+  test("null-ts left rows carry null in BOTH directions (desc_nulls_first " +
+    "keeps forward consistent with backward)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq((1L, ts(0), 10.0), (1L, ts(10), 11.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq((100L, 1L, Option(ts(5))), (101L, 1L, Option.empty[Timestamp]))
+      .toDF("trade_id", "key", "ts")
+    def px(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("trade_id"), col("asof_px")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val back = px(AsOfJoin.asOfBackward(trades, quotes, "key", "ts", Seq("px")))
+    val fwd = px(AsOfJoin.asOfForward(trades, quotes, "key", "ts", Seq("px")))
+    assert(back === Map(100L -> Some(10.0), 101L -> None))
+    assert(fwd === Map(100L -> Some(11.0), 101L -> None))
+  }
 }

@@ -37,12 +37,23 @@ class PoolingSpec extends SparkSpec {
         .collect()
     }
     assert(msgs(e2).exists(_.contains("meanPool")), msgs(e2).mkString("|"))
-    // empty FIRST vector: rejected before the plan runs
+    // all-empty group: _dmin = 0 fails the > 0 branch in-aggregation
     val empty = Seq(("a", Seq.empty[Double])).toDF("label", "embedding")
-    val e3 = intercept[IllegalArgumentException] {
+    val e3 = intercept[Exception] {
       graft.operators.Pooling.meanPool(empty, "label", "embedding")
+        .collect()
     }
-    assert(e3.getMessage.contains("dimension"))
+    assert(msgs(e3).exists(_.contains("meanPool")), msgs(e3).mkString("|"))
+    // with an explicit expectedDim the check is global, not per-group:
+    // internally-consistent groups of the WRONG dim still fail
+    val mixed = Seq(("a", Seq(1.0, 2.0)), ("b", Seq(1.0)))
+      .toDF("label", "embedding")
+    val e4 = intercept[Exception] {
+      graft.operators.Pooling.meanPool(mixed, "label", "embedding",
+          expectedDim = Some(2))
+        .collect()
+    }
+    assert(msgs(e4).exists(_.contains("meanPool")), msgs(e4).mkString("|"))
   }
 
   test("randomProject: deterministic across layouts, preserves pairwise " +

@@ -394,6 +394,19 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(heavy >= 8, s"heavy rows in sample: $heavy of 10")
   }
 
+  test("weightedPrioritySample rejects inputs with reserved " +
+      "'priority'/'_rk' columns (would be silently overwritten)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val withPriority = Seq((1L, "g", 1.0, 9.9))
+      .toDF("id", "grp", "w", "priority")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.weightedPrioritySample(
+        withPriority, "grp", col("id").cast("string"), col("w"), n = 1)
+    }
+    assert(e.getMessage.contains("priority"))
+  }
+
   test("weightedPrioritySample fails loudly on non-positive weight") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -22,8 +22,10 @@ def canon(rows, colnames):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                elif v == 0.0:
-                    v = 0.0  # normalize -0.0
+                elif v == 0.0 and math.copysign(1.0, v) < 0:
+                    # keep -0.0 DISTINCT from +0.0: the driver hashes bytes,
+                    # so a signed-zero divergence must fail locally too
+                    v = "-0.0"
             if isinstance(v, (list, tuple)):
                 v = tuple(v)
             vals.append(v)
