@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, TPAMI 2011): split each
+  * d-dim embedding into `m` contiguous subvectors, k-means each subspace
+  * independently into `ksub` centroids, and store a vector as the `m`
+  * nearest-centroid codes — `m` bytes instead of `d` floats (64-dim
+  * float64 at m=8 is a 64× cut). Search scores compressed codes against
+  * an uncompressed query with an Asymmetric Distance Computation (ADC)
+  * lookup table, so the corpus side never decompresses.
+  *
+  * The reference delegates vector storage and search to its vector DB
+  * (qdrant_text_loader.py:137-141 search, :202-214 upsert — qdrant
+  * offers server-side product quantization for exactly this memory/
+  * recall trade); this is the engine-native form, composable with
+  * `IvfIndex` (IVF prunes cells, PQ shrinks what a probe reads).
+  *
+  * Spark-first, 100 TB posture:
+  *  - **Train** runs `m` independent `KMeansCluster.fit`s over sliced
+  *    subvectors — each is the audited broadcast-assign / partial-agg
+  *    Lloyd's loop; the model is m×ksub×dsub doubles, driver-sized by
+  *    definition (8×16×8 = 1 k doubles here). Deterministic end to end
+  *    (hash-ordered init, discrete convergence) — two trains on the same
+  *    corpus produce byte-identical codebooks.
+  *  - **Encode** is one typed mapPartitions kernel (PLANS.md lesson 7:
+  *    scalac-compiled argmin beats an interpreted HOF chain) emitting
+  *    (id, codes) only — the corpus is read once and only codes ride
+  *    downstream shuffles/writes.
+  *  - **ADC search** broadcasts an m×ksub lookup table in the task
+  *    closure; per row the score is m array reads + m adds, no vector
+  *    math, and top-k goes through `orderBy.limit` →
+  *    `TakeOrderedAndProject` (per-task k-heaps, never a global sort).
+  *  - **Contracts**: ADC-vs-reconstruction consistency is an algebraic
+  *    identity (Σ_j q_j·c_{j,code_j} = q·reconstruct(codes)) checked by
+  *    a 0-row gate for ANY codebook; recall@k vs exact search is
+  *    corpus-dependent, gated by a floor (0-row) and pinned exactly in
+  *    PqSpec — same discipline as `ann_ivf_recall`/`ann_ivf_dominance`.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = centroid c of subspace j (dsub doubles). */
+  final case class Model(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def ksub: Int = codebooks.head.length
+    def dim: Int = m * dsub
+  }
+
+  /** Train per-subspace codebooks. `dim % m == 0` (contiguous equal
+    * slices — the standard PQ layout). */
+  def train(embs: DataFrame, vecCol: String, m: Int, ksub: Int,
+      maxIter: Int = 30): Model = {
+    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    val dim = embs.select(size(asDouble(col(vecCol))).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot train PQ on an empty corpus"))
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = embs
+        .select(slice(asDouble(col(vecCol)), j * dsub + 1, dsub).as("v"))
+        .filter(size(col("v")) === dsub)
+      KMeansCluster.fit(sub, "v", ksub, maxIter).centroids
+    }
+    Model(m, dsub, codebooks)
+  }
+
+  /** (id LONG, codes ARRAY<INT>) — nearest-centroid code per subspace,
+    * strict-less argmin with first-wins ties (deterministic). Codes are
+    * INT in the frame for painless downstream SQL; they are ≤ ksub−1 and
+    * pack to bytes at rest (`codes.cast("array<byte>")` when ksub ≤ 256). */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = model.codebooks
+    val m = model.m
+    val dsub = model.dsub
+    df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, vseq) =>
+          val v = vseq.toArray
+          val codes = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            val book = cb(j)
+            val off = j * dsub
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              val cent = book(c)
+              var d = 0.0
+              var i = 0
+              while (i < dsub && off + i < v.length) {
+                val t = v(off + i) - cent(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          (id, codes.toSeq)
+        }
+      }.toDF("id", "codes")
+  }
+
+  /** Reconstruction (codebook lookup per subspace, concatenated) as a
+    * Column over a codes column — audit/verify path, not the hot loop. */
+  def reconstructCol(codes: Column, model: Model): Column = {
+    val cbLit = typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(zip_with(codes, sequence(lit(0), lit(model.m - 1)),
+      (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
+  }
+
+  /** ADC inner-product scores: score(id) = Σ_j lut(j)(codes(j)) where
+    * lut(j)(c) = dot(query_sub_j, codebook_j_c). The table is m×ksub
+    * doubles computed once on the driver and shipped in the closure —
+    * the per-row cost is m reads + m adds regardless of dim. */
+  def adcScores(encoded: DataFrame, model: Model,
+      query: Seq[Double]): DataFrame = {
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    val dsub = model.dsub
+    val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
+      val off = j * dsub
+      model.codebooks(j).map { cent =>
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += q(off + i) * cent(i); i += 1 }
+        s
+      }
+    }
+    encoded.select(col("id").cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, codes) =>
+          var s = 0.0
+          var j = 0
+          while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }
+          (id, s)
+        }
+      }.toDF("id", "adc_score")
+  }
+
+  /** Approximate top-k by ADC score (ties → smallest id). `orderBy.limit`
+    * lowers to TakeOrderedAndProject: per-task k-heaps over code rows. */
+  def adcTopK(encoded: DataFrame, model: Model, query: Seq[Double],
+      k: Int): DataFrame =
+    adcScores(encoded, model, query)
+      .orderBy(desc("adc_score"), col("id").asc)
+      .limit(k)
+
+  /** IVF-ADC (the FAISS IVFPQ production shape, without residual
+    * encoding): coarse centroids prune to `nprobe` cells, PQ codes rank
+    * what survives. At 100 TB the two compressions compose — a probe
+    * touches nprobe/ncells of the corpus AND reads m bytes per vector
+    * instead of the embedding column; pair with `IvfIndex`'s
+    * cell-partitioned layout to get both from one store. Contract:
+    * searching a subset under the SAME score function can never beat the
+    * full-corpus ADC ranking — `ann_ivfpq_dominance` holds for any
+    * codebook and any cell assignment (0-row oracle). */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, query: Seq[Double], k: Int, ncells: Int, nprobe: Int,
+      seed: Long = 42L): DataFrame = {
+    val centroids =
+      SimilaritySearch.computeCentroids(corpus, vecCol, ncells, seed)
+    val probed = SimilaritySearch.nearestCells(centroids, query, nprobe)
+    val sub = SimilaritySearch.assignCells(corpus, idCol, vecCol, centroids)
+      .filter(col("cell").isin(probed: _*))
+    adcTopK(encode(sub, idCol, "v", model), model, query, k)
+  }
+}

@@ -135,6 +135,24 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.05 && recall <= 1.0, s"recall=$recall")
   }
 
+  test("SemDeDup apply: survivor counts pinned; brute survivors are a " +
+      "subset of semantic survivors (the dedup_apply_semantic contract)") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val semKeep = Dedup.dropNearDuplicates(emb, "vec_id",
+        Dedup.cosinePairsSemantic(emb, "vec_id", "embedding", 0.3, 8))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bruteKeep = Dedup.dropNearDuplicates(emb, "vec_id",
+        Dedup.cosinePairsBrute(emb, "vec_id", "embedding", 0.3))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // fewer pairs → finer components → more survivors; and the brute
+    // component min is necessarily its semantic sub-component's min.
+    assert(bruteKeep.subsetOf(semKeep))
+    assert(bruteKeep.size === 15, s"brute=${bruteKeep.size}")
+    assert(semKeep.size === 179, s"semantic=${semKeep.size}")
+  }
+
   test("connectedComponents surfaces non-convergence instead of silently " +
       "returning partial labels") {
     import spark.implicits._
