@@ -49,5 +49,6 @@ object SparkEntry {
     * scale these audits run on a sample too, so the bench measures the
     * production shape instead of an O(N²) verification pass. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ ExtensionQueries.benchOverrides
+    queries ++ ExtensionQueries.benchOverrides ++
+      TrainingQueries.benchOverrides
 }

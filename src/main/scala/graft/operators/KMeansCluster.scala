@@ -110,78 +110,163 @@ object KMeansCluster {
     chosen.toArray
   }
 
-  /** Lloyd's algorithm to an exact assignment fixed point (or maxIter).
-    * Convergence is decided on the DISCRETE assignment — "no vector
-    * changed cell this round" — which is a pure per-row function of
-    * (vector, centroids), immune to the low-bit float jitter that
-    * aggregation merge order can put into the centroid sums. On
-    * convergence the returned centroids ARE the member means of the final
-    * assignment (the last update used exactly that membership), which is
-    * the fixed-point contract `emb_kmeans_audit` verifies. Empty cells
-    * keep their previous centroid. The working set is localCheckpointed
-    * per round (same rationale as `Dedup.connectedComponents`). */
-  def fit(df: DataFrame, vecCol: String, k: Int,
-      maxIter: Int = 50): Model = {
-    require(k > 0, "k must be positive")
-    var centroids = initCentroids(df, vecCol, k)
-    require(centroids.nonEmpty, "cannot fit k-means on an empty corpus")
-    val dim = centroids.head.length
-    val vecSum = udaf(new VectorSum(dim))
-    val src = df.select(asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) > 0)
-    // Size the iteration parallelism to the WORKING SET, in BOTH
-    // directions: Lloyd's runs dozens of tiny jobs, so a sample-sized fit
-    // should not schedule a full session's worth of tasks per round (cap
-    // at ~20k vectors/partition), while an under-partitioned large corpus
-    // (one giant parquet file) must spread UP to the session's
-    // parallelism or every round runs single-task. The sizing count() is
-    // one cheap column-pruned pass before the loop's dozens of rounds.
-    val spark = df.sparkSession
-    val maxPar = spark.sparkContext.defaultParallelism
-    val n = src.count()
-    val target = math.max(1L, math.min(maxPar.toLong, n / 20000L)).toInt
-    val have = src.queryExecution.toRdd.getNumPartitions
-    val sized = if (have == target) src else src.repartition(target)
+  /** Fused multi-subspace Lloyd loop, shared by `fit` (m = 1) and
+    * `Pq.train` (m subspaces over contiguous slices of one vector
+    * column). `src` must be a single-column frame of `m × dsub`-long
+    * double arrays named "v".
+    *
+    * Per round: ONE typed mapPartitions pass emits a per-partition
+    * partial — the m×ksub (sum, count) grid plus an m-long
+    * changed-assignment counter — and the driver folds partials in
+    * partition-index order (byte-deterministic retrains by
+    * construction); then ONE checkpoint pass materializes the next
+    * assignment (truncated lineage, the `connectedComponents`
+    * rationale). No per-round Catalyst expression is built: centroids
+    * ride the task closure as plain arrays, so iterating never re-plans
+    * or re-codegens — the per-round cost is the scan, which is also the
+    * only shape that survives a 100 TB corpus.
+    *
+    * Convergence is decided on the DISCRETE per-subspace assignment
+    * ("no vector changed cell"), immune to low-bit float jitter. On
+    * convergence the returned centroids ARE the member means of the
+    * final assignment — the fixed-point contract `emb_kmeans_audit`
+    * verifies. Empty cells keep their previous centroid. */
+  private[operators] def lloydFused(src: DataFrame, m: Int, dsub: Int,
+      ksub: Int, maxIter: Int,
+      init: Array[Array[Array[Double]]]): (Array[Array[Array[Double]]], Int, Boolean) = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    def assignAll(cb: Array[Array[Array[Double]]], v: Array[Double],
+        out: Array[Int]): Unit = {
+      var j = 0
+      while (j < m) {
+        val book = cb(j); val off = j * dsub
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < book.length) {
+          val cent = book(c); var d = 0.0; var i = 0
+          val n = math.min(dsub, math.max(v.length - off, 0))
+          while (i < n) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best; j += 1
+      }
+    }
+    var cb = init
     // Loop state: (v, cell_prev, cell) — the row's assignment under the
-    // previous AND current centroids. Two jobs per round: ONE aggregation
-    // yields the per-cell sums/counts AND the changed-assignment count,
-    // then ONE checkpoint pass materializes the next assignment. When
-    // changed == 0, the centroids just produced were computed over
-    // exactly the membership they now induce — the fixed point holds
-    // without a final extra pass.
-    var cur = sized
-      .withColumn("cell_prev", lit(-1))
-      .withColumn("cell", cellOf(col("v"), centroids))
-      .localCheckpoint()
+    // previous AND current codebooks (the same two-column protocol the
+    // unfused loop used). Each round: ONE partial pass reads the STORED
+    // assignments (sums keyed by `cell`, changed = cell ≠ cell_prev —
+    // comparing assignments across SUCCESSIVE codebooks; recomputing
+    // under the current codebook would trivially equal the stored value
+    // and fake convergence after one update), then ONE checkpoint pass
+    // assigns under the freshly-updated codebook. When changed == 0 the
+    // centroids just produced were computed over exactly the membership
+    // they now induce — the fixed point holds without an extra pass.
+    var cur = {
+      val cb0 = cb
+      src.as[Seq[Double]].mapPartitions { it =>
+        it.map { vs =>
+          val cells = new Array[Int](m)
+          assignAll(cb0, vs.toArray, cells)
+          (vs, Array.fill(m)(-1).toSeq, cells.toSeq)
+        }
+      }.localCheckpoint()
+    }
     var iter = 1 // cur already holds the first assignment
     var converged = false
     while (!converged && iter < maxIter) {
-      val rows = cur.groupBy(col("cell"))
-        .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"),
-          sum(when(col("cell") =!= col("cell_prev"), 1L).otherwise(0L))
-            .as("chg"))
-        .collect()
-      val changed = rows.map(_.getLong(3)).sum
-      if (iter > 1 && changed == 0) converged = true
-      else {
-        val stats = rows
-          .map(r => (r.getInt(0), (r.getSeq[Double](1), r.getLong(2)))).toMap
-        centroids = centroids.zipWithIndex.map { case (old, i) =>
-          stats.get(i) match {
-            case Some((s, n)) => s.map(_ / n).toArray
-            case None => old
+      // (partitionId, sums[m·ksub·dsub], counts[m·ksub], changed[m])
+      val partials = cur.mapPartitions { it =>
+        val sums = new Array[Double](m * ksub * dsub)
+        val cnts = new Array[Long](m * ksub)
+        val chg = new Array[Long](m)
+        it.foreach { case (vs, prev, cells) =>
+          val v = vs.toArray
+          var j = 0
+          while (j < m) {
+            val c = cells(j)
+            if (c != prev(j)) chg(j) += 1
+            cnts(j * ksub + c) += 1
+            val base = (j * ksub + c) * dsub; val off = j * dsub
+            var i = 0
+            val n = math.min(dsub, math.max(v.length - off, 0))
+            while (i < n) { sums(base + i) += v(off + i); i += 1 }
+            j += 1
           }
         }
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(),
+          sums.toSeq, cnts.toSeq, chg.toSeq))
+      }.collect().sortBy(_._1) // partition-index fold → deterministic
+      val sums = new Array[Double](m * ksub * dsub)
+      val cnts = new Array[Long](m * ksub)
+      val chg = new Array[Long](m)
+      partials.foreach { case (_, s, c, g) =>
+        var i = 0
+        while (i < sums.length) { sums(i) += s(i); i += 1 }
+        i = 0
+        while (i < cnts.length) { cnts(i) += c(i); i += 1 }
+        i = 0
+        while (i < m) { chg(i) += g(i); i += 1 }
+      }
+      if (iter > 1 && chg.forall(_ == 0L)) converged = true
+      else {
+        cb = Array.tabulate(m) { j =>
+          Array.tabulate(ksub) { c =>
+            val n = cnts(j * ksub + c)
+            if (n == 0) cb(j)(c) // empty cell keeps its centroid
+            else {
+              val base = (j * ksub + c) * dsub
+              Array.tabulate(dsub)(i => sums(base + i) / n)
+            }
+          }
+        }
+        val cbNext = cb
         val prev = cur
-        cur = cur.select(col("v"), col("cell").as("cell_prev"))
-          .withColumn("cell", cellOf(col("v"), centroids))
-          .localCheckpoint()
+        cur = cur.mapPartitions { it =>
+          it.map { case (vs, _, cells) =>
+            val next = new Array[Int](m)
+            assignAll(cbNext, vs.toArray, next)
+            (vs, cells, next.toSeq)
+          }
+        }.localCheckpoint()
         prev.unpersist()
         iter += 1
       }
     }
     cur.unpersist()
-    Model(centroids, iter, converged)
+    (cb, iter, converged)
+  }
+
+  /** Size iteration parallelism to the WORKING SET, in BOTH directions:
+    * Lloyd's runs dozens of tiny jobs, so a sample-sized fit should not
+    * schedule a full session's worth of tasks per round (cap at ~20k
+    * vectors/partition), while an under-partitioned large corpus (one
+    * giant parquet file) must spread UP to the session's parallelism or
+    * every round runs single-task. The sizing count() is one cheap
+    * column-pruned pass before the loop's dozens of rounds. */
+  private[operators] def sizeToWorkingSet(src: DataFrame): DataFrame = {
+    val maxPar = src.sparkSession.sparkContext.defaultParallelism
+    val n = src.count()
+    val target = math.max(1L, math.min(maxPar.toLong, n / 20000L)).toInt
+    val have = src.queryExecution.toRdd.getNumPartitions
+    if (have == target) src else src.repartition(target)
+  }
+
+  /** Lloyd's algorithm to an exact assignment fixed point (or maxIter),
+    * via `lloydFused` with a single subspace. */
+  def fit(df: DataFrame, vecCol: String, k: Int,
+      maxIter: Int = 50): Model = {
+    require(k > 0, "k must be positive")
+    val centroids = initCentroids(df, vecCol, k)
+    require(centroids.nonEmpty, "cannot fit k-means on an empty corpus")
+    val dim = centroids.head.length
+    val src = sizeToWorkingSet(
+      df.select(asDouble(col(vecCol)).as("v"))
+        .filter(size(col("v")) > 0))
+    val (cb, iter, converged) =
+      lloydFused(src, 1, dim, k, maxIter, Array(centroids))
+    Model(cb.head, iter, converged)
   }
 
   /** (original columns…, cell) — assignment against a fitted model; one

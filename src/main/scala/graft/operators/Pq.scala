@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * `IvfIndex` (IVF prunes cells, PQ shrinks what a probe reads).
   *
   * Spark-first, 100 TB posture:
-  *  - **Train** runs `m` independent `KMeansCluster.fit`s over sliced
-  *    subvectors — each is the audited broadcast-assign / partial-agg
-  *    Lloyd's loop; the model is m×ksub×dsub doubles, driver-sized by
-  *    definition (8×16×8 = 1 k doubles here). Deterministic end to end
-  *    (hash-ordered init, discrete convergence) — two trains on the same
-  *    corpus produce byte-identical codebooks.
+  *  - **Train** runs all `m` subspace Lloyd loops FUSED: one corpus
+  *    pass per round computes the full m×ksub (sum, count) partial grid
+  *    per partition, so the round cost is one scan regardless of `m`
+  *    (the unfused form re-reads the corpus m times per round — 8× the
+  *    I/O at m=8, fatal at 100 TB). The model is m×ksub×dsub doubles,
+  *    driver-sized by definition (8×16×8 = 1 k doubles here).
+  *    Deterministic by construction: hash-ordered init, discrete
+  *    per-subspace convergence, and driver folds of partials in
+  *    partition-index order — two trains on the same corpus produce
+  *    byte-identical codebooks.
   *  - **Encode** is one typed mapPartitions kernel (PLANS.md lesson 7:
   *    scalac-compiled argmin beats an interpreted HOF chain) emitting
   *    (id, codes) only — the corpus is read once and only codes ride
@@ -49,10 +53,29 @@ object Pq {
   }
 
   /** Train per-subspace codebooks. `dim % m == 0` (contiguous equal
-    * slices — the standard PQ layout). */
+    * slices — the standard PQ layout). Rows whose vector is not exactly
+    * `dim` long are excluded from training (they cannot contribute to
+    * every subspace).
+    *
+    * All `m` Lloyd loops run FUSED: each iteration is ONE corpus pass
+    * whose per-partition partial is an m×ksub grid of (sum, count) plus
+    * an m-long changed-assignment counter — the corpus is read once per
+    * round instead of once per round PER SUBSPACE (8× fewer jobs at
+    * m=8, and the only shape that survives a 100 TB corpus, where every
+    * extra pass is a full scan). Partials fold on the driver in
+    * partition-index order, so retraining is byte-identical by
+    * construction (the `Classifier.train` discipline), not merely
+    * observed. Init matches `KMeansCluster`: per-subspace hash-ordered
+    * subvector sample + greedy furthest-first seeding. Convergence is
+    * discrete per subspace (no subvector changed cell); converged
+    * subspaces stop updating but the scan cost is shared until ALL
+    * converge or `maxIter`. */
   def train(embs: DataFrame, vecCol: String, m: Int, ksub: Int,
       maxIter: Int = 30): Model = {
-    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    require(m > 0 && ksub > 0 && maxIter > 0,
+      "m, ksub, maxIter must be positive")
+    val spark = embs.sparkSession
+    import spark.implicits._
     val dim = embs.select(size(asDouble(col(vecCol))).as("d"))
       .filter(col("d") > 0).limit(1).collect()
       .headOption.map(_.getInt(0))
@@ -60,13 +83,43 @@ object Pq {
         "cannot train PQ on an empty corpus"))
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val codebooks = Array.tabulate(m) { j =>
-      val sub = embs
-        .select(slice(asDouble(col(vecCol)), j * dsub + 1, dsub).as("v"))
-        .filter(size(col("v")) === dsub)
-      KMeansCluster.fit(sub, "v", ksub, maxIter).centroids
+
+    val src = KMeansCluster.sizeToWorkingSet(
+      embs.select(asDouble(col(vecCol)).as("v"))
+        .filter(size(col("v")) === dim))
+
+    // ── init: per-subspace hash-ordered sample (deterministic, no RNG)
+    //    + furthest-first seeding, all m samples from ONE pass ─────────
+    val sampleN = math.max(ksub * 8, ksub)
+    val subRows = src.select(posexplode(array((0 until m).map(j =>
+        slice(col("v"), j * dsub + 1, dsub)): _*)).as(Seq("j", "sv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("j"))
+      .orderBy(xxhash64(col("sv").cast("string")))
+    val sampled = subRows
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sampleN)
+      .orderBy(col("j"), col("rk"))
+      .select(col("j"), col("sv")).as[(Int, Seq[Double])].collect()
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
-    Model(m, dsub, codebooks)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sample = sampled.collect { case (`j`, sv) => sv.toArray }
+      require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+      val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+      while (chosen.length < math.min(ksub, sample.length))
+        chosen += sample.maxBy(p => chosen.map(c => dist2(p, c)).min)
+      while (chosen.length < ksub) chosen += chosen.head
+      chosen.toArray
+    }
+
+    // ── fused Lloyd rounds: one corpus pass per round for ALL m
+    //    subspaces (KMeansCluster.lloydFused — shared with fit) ─────────
+    val (cb, _, _) =
+      KMeansCluster.lloydFused(src, m, dsub, ksub, maxIter, codebooks)
+    Model(m, dsub, cb)
   }
 
   /** (id LONG, codes ARRAY<INT>) — nearest-centroid code per subspace,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Classifier, Dedup, Pq}
+import graft.operators.{Classifier, Dedup, Dsir, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -37,6 +37,9 @@ object TrainingQueries {
   private val ClsAccuracyFloor = 0.52
   private val ClsIters = 80
   private val ClsLr = 1.0
+
+  /** DSIR feature-hash buckets (must match the oracle SQL literal). */
+  private val DsirBuckets = 1024
 
   // Models are deterministic functions of (corpus, hyperparams) — two
   // trains yield identical models (hash-ordered k-means init, full-batch
@@ -166,6 +169,35 @@ object TrainingQueries {
         .orderBy(col("rank"))
     }),
 
+    // ── DSIR importance weights: hashed-token log-likelihood ratio of
+    //    the English-target distribution vs the raw corpus, in integer
+    //    micro-nats (the fp lives only in the B-sized driver table;
+    //    per-doc weights are exact LONG sums — engine-portable by
+    //    construction). FULL value-checked oracle: DuckDB recomputes
+    //    the same md5 buckets, the same smoothed ratio table, the same
+    //    integer sums. ───────────────────────────────────────────────────
+    "dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ratio = Dsir.logRatioMicro(
+        docs.filter(col("lang") === "en"), docs, "text", DsirBuckets)
+      Dsir.importanceWeights(docs, "doc_id", "text", ratio)
+        .select(col("id").as("doc_id"), col("weight_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── DSIR resample: Gumbel top-k over the same weights — k docs
+    //    without replacement w.p. ∝ exp(weight), content-hash RNG so the
+    //    draw is retry-deterministic and the oracle replays it. ──────────
+    "dsir_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ratio = Dsir.logRatioMicro(
+        docs.filter(col("lang") === "en"), docs, "text", DsirBuckets)
+      val w = Dsir.importanceWeights(docs, "doc_id", "text", ratio)
+      Dsir.resampleTopK(w, "id", "weight_micro", 50)
+        .select(col("id").as("doc_id"), col("key_micro"))
+        .orderBy(desc("key_micro"), col("doc_id"))
+    }),
+
     // ── classifier training contracts, one train, two families of
     //    violation rows (0-row oracle):
     //    * loss_ascent — full-batch GD on the convex L-smooth logistic
@@ -192,9 +224,57 @@ object TrainingQueries {
     })
   )
 
+  // Shared DSIR oracle prelude: md5 token buckets → smoothed integer
+  // micro-nat log-ratio table → exact LONG per-doc sums. Must stay in
+  // lockstep with Dsir.{bucketOf, logRatioMicro, importanceWeights}.
+  private val dsirWeightsCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |  unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+      |    IF len(x) > 0]) AS tk
+      |  FROM documents),
+      |bk AS (
+      |  SELECT doc_id, lang,
+      |  ('0x' || substr(md5(tk), 1, 8))::BIGINT % 1024 AS b
+      |  FROM tok),
+      |tot AS (
+      |  SELECT count(*) FILTER (WHERE lang = 'en') AS t_n,
+      |  count(*) AS r_n FROM bk),
+      |rc AS (
+      |  SELECT b, count(*) AS rcnt,
+      |  count(*) FILTER (WHERE lang = 'en') AS tcnt
+      |  FROM bk GROUP BY 1),
+      |ratio AS (
+      |  SELECT rc.b,
+      |  CAST(floor(1000000 * (ln((rc.tcnt + 1.0) / (tot.t_n + 1024))
+      |    - ln((rc.rcnt + 1.0) / (tot.r_n + 1024))) + 0.5) AS BIGINT)
+      |    AS rm
+      |  FROM rc CROSS JOIN tot),
+      |w AS (
+      |  SELECT bk.doc_id, CAST(sum(ratio.rm) AS BIGINT) AS wm
+      |  FROM bk JOIN ratio ON bk.b = ratio.b GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_apply_semantic" ->
       "SELECT CAST(NULL AS BIGINT) AS vec_id WHERE FALSE",
+
+    "dsir_weights" -> (dsirWeightsCte +
+      """
+        |SELECT d.doc_id, COALESCE(w.wm, 0) AS weight_micro
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "dsir_resample" -> (dsirWeightsCte +
+      """,
+        |g AS (
+        |  SELECT d.doc_id, COALESCE(w.wm, 0)
+        |    + CAST(floor(1000000 * (-ln(-ln(
+        |        (('0x' || substr(md5('dsir|' || CAST(d.doc_id AS VARCHAR)),
+        |          1, 12))::BIGINT + 1) / 281474976710657.0)))
+        |      + 0.5) AS BIGINT) AS key_micro
+        |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+        |SELECT doc_id, key_micro FROM g
+        |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin),
 
     "pq_adc_consistency" ->
       """SELECT CAST(NULL AS BIGINT) AS id,
@@ -214,5 +294,24 @@ object TrainingQueries {
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS iter,
         |CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS bound
         |WHERE FALSE""".stripMargin
+  )
+
+  /** Bench-only variants (see SparkEntry.benchQueries): the gate form of
+    * `dedup_apply_semantic` runs the brute all-pairs side purely as the
+    * dominance baseline; the bench times the PRODUCTION path (semantic
+    * pairs → CC → survivors) — at real scale the brute baseline runs on
+    * a sample, never the corpus. */
+  val benchOverrides: Map[String, Q] = Map(
+    "dedup_apply_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // bounded Lloyd rounds: SemDeDup survivor semantics hold for ANY
+      // clustering (that is the gate's dominance contract), so the bench
+      // measures the production path at the iteration budget a corpus-
+      // scale run would use, not Lloyd's convergence tail.
+      val sem = Dedup.cosinePairsSemantic(emb, "vec_id", "embedding",
+        threshold = 0.3, ncells = 8, maxIter = 12)
+      Dedup.dropNearDuplicates(emb, "vec_id", sem)
+        .agg(count(lit(1)).as("survivors"))
+    })
   )
 }

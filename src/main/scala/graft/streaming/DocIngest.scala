@@ -378,6 +378,51 @@ object DocIngest {
       }
       .start()
 
+  /** Streaming curation gate: score every arriving document with a
+    * pre-trained quality classifier (over the same hash-embedding the
+    * batch pipeline uses) AND a DSIR importance weight, then route it —
+    * accepted docs append to `acceptDir`, rejected to `rejectDir`, BOTH
+    * carrying the (score, weight_micro) audit columns so the decision
+    * is replayable. The streaming form of the batch curation pipeline:
+    * the models are frozen driver-side artifacts (dim+1 doubles, B
+    * longs) that ride the task closure, the per-batch work is two
+    * stateless one-pass kernels (`Classifier.scoreFrame`,
+    * `Dsir.importanceWeights`) plus a broadcast-sized join on id — no
+    * state store, no shuffle of text beyond the id join, so the gate's
+    * per-batch cost is O(batch) at any corpus size. Deterministic:
+    * replaying a batch reproduces byte-identical decisions (hash
+    * embedding, frozen models, no RNG). */
+  def startCurationGated(spark: SparkSession, inDir: String, schema: String,
+      acceptDir: String, rejectDir: String, checkpoint: String,
+      model: graft.operators.Classifier.Model, ratioMicro: Array[Long],
+      minScore: Double, minWeightMicro: Long, idCol: String = "doc_id",
+      dim: Int = 64, pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Classifier, Dsir}
+        if (!batch.isEmpty) {
+          val scored = Classifier.scoreFrame(
+            batch.withColumn("vector",
+              Fingerprints.hashEmbed(col("text"), dim)),
+            "vector", model).drop("vector")
+          val weighted = scored.join(
+            Dsir.importanceWeights(batch, idCol, "text", ratioMicro)
+              .withColumnRenamed("id", idCol),
+            Seq(idCol))
+          val accept = col("score") >= minScore &&
+            col("weight_micro") >= minWeightMicro
+          weighted.filter(accept).write.mode("append").parquet(acceptDir)
+          weighted.filter(!accept).write.mode("append").parquet(rejectDir)
+        }
+        ()
+      }
+      .start()
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

@@ -327,4 +327,68 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === Set(0L, 2L, 12L))
   }
+
+  test("curation gate stream routes every doc to exactly one sink and " +
+      "reproduces the batch pipeline's decisions byte-for-byte") {
+    import graft.operators.{Classifier, Dsir}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_cur_in").toString
+    val acc = Files.createTempDirectory("graft_cur_out").toString + "/acc"
+    val rej = Files.createTempDirectory("graft_cur_out2").toString + "/rej"
+    val ckpt = Files.createTempDirectory("graft_cur_ck").toString
+    val dim = 16
+
+    // frozen artifacts, trained OFFLINE on a reference corpus — the
+    // stream only applies them
+    val ref = Seq(
+      (100L, "spark distributed query engine", 1.0),
+      (101L, "spark shuffle partition tuning", 1.0),
+      (102L, "cake recipe with chocolate", 0.0),
+      (103L, "garden soil and flowers", 0.0)
+    ).toDF("doc_id", "text", "y")
+    val refEmb = ref.withColumn("x",
+      graft.functions.Fingerprints.hashEmbed(col("text"), dim))
+    val model = Classifier.train(refEmb, "x", "y", dim, lr = 1.0, iters = 40)
+    val ratio = Dsir.logRatioMicro(
+      ref.filter(col("y") === 1.0), ref, "text", 64)
+
+    val batch1 = Seq((0L, "spark query engine internals"),
+      (1L, "chocolate cake frosting"))
+    val batch2 = Seq((2L, "spark partition shuffle notes"),
+      (3L, "flowers for the garden bed"))
+    batch1.toDF("doc_id", "text").write.mode("append").parquet(in)
+
+    val q = DocIngest.startCurationGated(spark, in, schema, acc, rej, ckpt,
+      model, ratio, minScore = 0.5, minWeightMicro = 1L, dim = dim,
+      pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      batch2.toDF("doc_id", "text").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val accDf = spark.read.parquet(acc)
+    val rejDf = spark.read.parquet(rej)
+    val accIds = accDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rejIds = rejDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    // partition: every input doc lands in exactly one sink
+    assert((accIds ++ rejIds) === Set(0L, 1L, 2L, 3L))
+    assert(accIds.intersect(rejIds) === Set.empty)
+
+    // decisions replay exactly from the frozen models (no state, no RNG)
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val expected = Classifier.scoreFrame(
+        all.withColumn("v", graft.functions.Fingerprints.hashEmbed(
+          col("text"), dim)), "v", model)
+      .join(Dsir.importanceWeights(all, "doc_id", "text", ratio)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .filter(col("score") >= 0.5 && col("weight_micro") >= 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accIds === expected)
+    // both sinks carry the audit columns
+    assert(accDf.columns.toSet.intersect(Set("score", "weight_micro"))
+      === Set("score", "weight_micro"))
+    assert(rejDf.columns.toSet.intersect(Set("score", "weight_micro"))
+      === Set("score", "weight_micro"))
+  }
 }
