@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-distribution drift detection between two corpus snapshots —
+  * the data-quality monitor a continuously-ingesting pipeline needs: has
+  * this week's crawl (or a new embedder version) shifted the embedding
+  * distribution the indexes and dedup thresholds were tuned on? The
+  * reference has no monitoring story at all (one-shot scripts); this is
+  * the engine-native form of the standard population-stability-index
+  * (PSI) check, applied to embeddings via a deterministic 1-D probe.
+  *
+  * Method: project every vector onto a fixed md5-parity ±1 probe axis
+  * (the `Projection` sign convention — derived independently on every
+  * executor AND by the DuckDB oracle), histogram the projection into
+  * fixed-width bins, and compare snapshot histograms with smoothed
+  * per-bin PSI contributions: (p_a − p_b)·ln(p_a / p_b) ≥ 0, large when
+  * a bin's mass moved. Engine-portable numerics, same discipline as
+  * `Dsir`: the projection is an IN-ORDER dot product (bit-identical
+  * across engines — no reassociation anywhere), bins are exact
+  * integers, and the only transcendental (one ln per bin) happens once
+  * on driver-sized data, quantized to integer micro-nats.
+  *
+  * 100 TB posture: one typed-kernel pass per snapshot (sign row built
+  * per partition, nothing on the wire) feeding a map-side-combinable
+  * bin count — the exchange carries ≤ bins rows per task; the PSI table
+  * itself is bins-sized driver work. Comparing week-over-week snapshots
+  * never rescans more than the two snapshots' vector columns. */
+object Drift {
+
+  /** (bin INT, cnt LONG): histogram of floor(dot(v, sign_probe) ·
+    * invWidth). The probe axis is column `probe` of the
+    * `Projection.sign` matrix; the dot runs in index order so every
+    * engine computes the identical double, making the floor exact. */
+  def projectionHistogram(df: DataFrame, vecCol: String, dim: Int,
+      probe: Int, invWidth: Int): DataFrame = {
+    require(dim > 0 && invWidth > 0, "dim and invWidth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Dedup.spread(df)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        val signs = Array.tabulate(dim)(i => Projection.sign(i, probe))
+        it.map { v =>
+          require(v.length == dim,
+            s"projectionHistogram: row has dim ${v.length}, expected $dim")
+          var f = 0.0
+          var i = 0
+          while (i < dim) { f += v(i) * signs(i); i += 1 }
+          math.floor(f * invWidth).toInt
+        }
+      }
+      .toDF("bin")
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-bin smoothed PSI contributions between two snapshot histograms,
+    * in integer micro-nats: for each bin in either histogram,
+    * p_x = (cnt_x + 1) / (n_x + nbins) (add-one smoothing over the UNION
+    * bin set, so one-sided bins contribute finitely), psi_micro =
+    * floor(1e6·(p_a − p_b)·ln(p_a / p_b) + 0.5). Output is bins-sized:
+    * (bin, cnt_a, cnt_b, psi_micro), built on the driver BY DESIGN (two
+    * ≤-bins-sized collects — model-sized work, not a data collect).
+    * Σ psi_micro / 1e6 is the PSI; every term is ≥ 0, so any bin with
+    * psi_micro above a threshold names WHERE the distribution moved.
+    * Fails loudly on an empty snapshot (PSI of nothing is undefined —
+    * a silent 0 would read as "no drift"). */
+  def psiContributions(spark: SparkSession, histA: DataFrame,
+      histB: DataFrame): DataFrame = {
+    import spark.implicits._
+    def collectHist(h: DataFrame): Map[Int, Long] =
+      h.select(col("bin").cast("int"), col("cnt").cast("long"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val a = collectHist(histA)
+    val b = collectHist(histB)
+    val na = a.values.sum
+    val nb = b.values.sum
+    require(na > 0, "snapshot A is empty")
+    require(nb > 0, "snapshot B is empty")
+    val bins = (a.keySet ++ b.keySet).toSeq.sorted
+    val nbins = bins.size
+    bins.map { bin =>
+      val ca = a.getOrElse(bin, 0L)
+      val cb = b.getOrElse(bin, 0L)
+      val pa = (ca + 1.0) / (na.toDouble + nbins)
+      val pb = (cb + 1.0) / (nb.toDouble + nbins)
+      val psi = math.floor(1e6 * ((pa - pb) * math.log(pa / pb)) + 0.5).toLong
+      (bin, ca, cb, psi)
+    }.toDF("bin", "cnt_a", "cnt_b", "psi_micro")
+  }
+
+  /** End-to-end drift report between two snapshots of a vector column. */
+  def psiReport(snapA: DataFrame, snapB: DataFrame, vecCol: String,
+      dim: Int, probe: Int = 0, invWidth: Int = 4): DataFrame =
+    psiContributions(snapA.sparkSession,
+      projectionHistogram(snapA, vecCol, dim, probe, invWidth),
+      projectionHistogram(snapB, vecCol, dim, probe, invWidth))
+}

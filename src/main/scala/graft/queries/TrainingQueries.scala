@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Classifier, Dedup, Dsir, Pq}
+import graft.operators.{Classifier, Dedup, Drift, Dsir, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -198,6 +198,23 @@ object TrainingQueries {
         .orderBy(desc("key_micro"), col("doc_id"))
     }),
 
+    // ── embedding drift (PSI) between the two vec_id-parity snapshots:
+    //    md5-parity probe projection (in-order dot — bit-identical in
+    //    every engine, so the histogram is exact), per-bin smoothed PSI
+    //    contributions in integer micro-nats. FULL value-checked
+    //    oracle; fp beyond the shared dot lives only in the bins-sized
+    //    driver table. ─────────────────────────────────────────────────
+    "emb_drift_psi" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding")).as("n"))
+        .filter(col("n") > 0).limit(1).collect().head.getInt(0)
+      Drift.psiReport(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", dim, probe = 0, invWidth = 4)
+        .orderBy(col("bin"))
+    }),
+
     // ── classifier training contracts, one train, two families of
     //    violation rows (0-row oracle):
     //    * loss_ascent — full-batch GD on the convex L-smooth logistic
@@ -293,7 +310,39 @@ object TrainingQueries {
     "classifier_train_audit" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS iter,
         |CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS bound
-        |WHERE FALSE""".stripMargin
+        |WHERE FALSE""".stripMargin,
+
+    "emb_drift_psi" ->
+      """WITH f AS (
+        |  SELECT vec_id % 2 AS grp,
+        |  list_sum([(embedding::DOUBLE[])[i] * (CASE WHEN
+        |    ('0x' || substr(md5((i-1) || '_' || 0), 1, 4))::INT % 2 = 0
+        |    THEN 1.0 ELSE -1.0 END) FOR i IN range(1, len(embedding)+1)])
+        |    AS f
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT grp, CAST(floor(f * 4) AS INT) AS bin, count(*) AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT
+        |  (SELECT sum(cnt) FROM h WHERE grp = 0) AS na,
+        |  (SELECT sum(cnt) FROM h WHERE grp = 1) AS nb,
+        |  (SELECT count(DISTINCT bin) FROM h) AS nbins),
+        |j AS (
+        |  SELECT bin,
+        |  CAST(COALESCE(sum(cnt) FILTER (WHERE grp = 0), 0) AS BIGINT)
+        |    AS cnt_a,
+        |  CAST(COALESCE(sum(cnt) FILTER (WHERE grp = 1), 0) AS BIGINT)
+        |    AS cnt_b
+        |  FROM h GROUP BY 1)
+        |SELECT j.bin, j.cnt_a, j.cnt_b,
+        |CAST(floor(1000000 * (
+        |  ((j.cnt_a + 1.0) / (tot.na + tot.nbins)
+        |    - (j.cnt_b + 1.0) / (tot.nb + tot.nbins))
+        |  * ln(((j.cnt_a + 1.0) / (tot.na + tot.nbins))
+        |    / ((j.cnt_b + 1.0) / (tot.nb + tot.nbins)))) + 0.5) AS BIGINT)
+        |  AS psi_micro
+        |FROM j CROSS JOIN tot ORDER BY j.bin""".stripMargin
   )
 
   /** Bench-only variants (see SparkEntry.benchQueries): the gate form of

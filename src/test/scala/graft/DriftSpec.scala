@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Drift
+import org.apache.spark.sql.functions._
+
+/** Embedding drift (PSI): histogram correctness against an independent
+  * sign/bin recompute, the zero-drift identity, non-negativity, shift
+  * sensitivity, determinism, and guards. The gate query `emb_drift_psi`
+  * value-checks the full pipeline against DuckDB at sf0.01. */
+class DriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // the Projection.sign convention, recomputed independently
+  private def sign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  private def vecsOf(rows: Seq[Seq[Double]]) = rows.toDF("v")
+
+  test("projectionHistogram matches an independent sign/bin recompute") {
+    val dim = 4
+    val rows = Seq(
+      Seq(1.0, 2.0, 3.0, 4.0),
+      Seq(-1.0, 0.5, 0.25, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0),
+      Seq(10.0, -10.0, 10.0, -10.0))
+    val got = Drift.projectionHistogram(vecsOf(rows), "v", dim,
+        probe = 0, invWidth = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val signs = Array.tabulate(dim)(i => sign(i, 0))
+    val expected = rows
+      .map(v => math.floor(v.zip(signs).map { case (a, s) => a * s }.sum * 4).toInt)
+      .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    assert(got === expected)
+  }
+
+  test("identical snapshots have zero PSI in every bin; a shifted " +
+      "snapshot does not; contributions are never negative") {
+    val a = vecsOf((0 until 40).map(i => Seq(i / 40.0, 1.0, -0.5, 0.25)))
+    val zero = Drift.psiReport(a, a, "v", 4)
+    assert(zero.count() > 0)
+    assert(zero.filter(col("psi_micro") =!= 0L).count() === 0L)
+
+    val b = vecsOf((0 until 40).map(i => Seq(i / 40.0 + 5.0, 1.0, -0.5, 0.25)))
+    val drift = Drift.psiReport(a, b, "v", 4)
+    assert(drift.filter(col("psi_micro") < 0L).count() === 0L)
+    val total = drift.agg(sum("psi_micro")).first().getLong(0)
+    // disjoint bin ranges: both snapshots' mass sits in bins the other
+    // never touches — PSI must be large (> 1.0 in nat units)
+    assert(total > 1000000L, s"total=$total")
+  }
+
+  test("psiReport is deterministic and bins are exhaustive: counts sum " +
+      "to the snapshot sizes") {
+    val a = vecsOf((0 until 25).map(i => Seq(math.sin(i.toDouble), 0.5, i / 25.0, -1.0)))
+    val b = vecsOf((0 until 30).map(i => Seq(math.cos(i.toDouble), -0.5, i / 30.0, 1.0)))
+    val r1 = Drift.psiReport(a, b, "v", 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val r2 = Drift.psiReport(a, b, "v", 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(r1 === r2)
+    assert(r1.map(_._2).sum === 25L)
+    assert(r1.map(_._3).sum === 30L)
+  }
+
+  test("guards: empty snapshot and wrong dimension fail loudly") {
+    val a = vecsOf(Seq(Seq(1.0, 2.0, 3.0, 4.0)))
+    val empty = vecsOf(Seq.empty[Seq[Double]])
+    intercept[IllegalArgumentException] {
+      Drift.psiReport(a, empty, "v", 4)
+    }
+    val ragged = vecsOf(Seq(Seq(1.0, 2.0)))
+    intercept[org.apache.spark.SparkException] {
+      Drift.psiReport(a, ragged, "v", 4).collect()
+    }
+  }
+}
