@@ -122,45 +122,52 @@ object Pq {
     Model(m, dsub, cb)
   }
 
-  /** (id LONG, codes ARRAY<INT>) — nearest-centroid code per subspace,
-    * strict-less argmin with first-wins ties (deterministic). Codes are
-    * INT in the frame for painless downstream SQL; they are ≤ ksub−1 and
-    * pack to bytes at rest (`codes.cast("array<byte>")` when ksub ≤ 256). */
+  /** Nearest-centroid code per subspace — strict-less argmin with
+    * first-wins ties (deterministic). Shared by `encode` and
+    * `PqIndex`'s cell-carrying encode kernel. */
+  private[operators] def codesOf(cb: Array[Array[Array[Double]]],
+      dsub: Int, v: Array[Double]): Array[Int] = {
+    val m = cb.length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = cb(j)
+      val off = j * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub && off + i < v.length) {
+          val t = v(off + i) - cent(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** (id LONG, codes ARRAY<INT>) — nearest-centroid code per subspace.
+    * Codes are INT in the frame for painless downstream SQL; they are
+    * ≤ ksub−1 and pack to bytes at rest
+    * (`codes.cast("array<byte>")` when ksub ≤ 256). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cb = model.codebooks
-    val m = model.m
     val dsub = model.dsub
     df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         it.map { case (id, vseq) =>
-          val v = vseq.toArray
-          val codes = new Array[Int](m)
-          var j = 0
-          while (j < m) {
-            val book = cb(j)
-            val off = j * dsub
-            var best = 0
-            var bestD = Double.MaxValue
-            var c = 0
-            while (c < book.length) {
-              val cent = book(c)
-              var d = 0.0
-              var i = 0
-              while (i < dsub && off + i < v.length) {
-                val t = v(off + i) - cent(i); d += t * t; i += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            codes(j) = best
-            j += 1
-          }
-          (id, codes.toSeq)
+          (id, codesOf(cb, dsub, vseq.toArray).toSeq)
         }
       }.toDF("id", "codes")
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Classifier, Dedup, Drift, Dsir, Pq}
+import graft.operators.{Classifier, Dedup, Drift, Dsir, Pq, PqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -198,6 +198,42 @@ object TrainingQueries {
         .orderBy(desc("key_micro"), col("doc_id"))
     }),
 
+    // ── persisted IVF-PQ index roundtrip: build→partitioned-write→
+    //    probe-ALL-cells must equal the ephemeral full-corpus ADC top-k
+    //    under the same (deterministic) model EXACTLY — same ids, same
+    //    scores at every rank (0-row oracle). Partition PRUNING at
+    //    nprobe < ncells is plan-asserted in PqIndexSpec; pruned-probe
+    //    dominance is `ann_ivfpq_dominance`. ─────────────────────────────
+    "ann_pqindex_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = pqModel(s, d)
+      val q = queryVec(s, d)
+      val k = 10
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_" +
+        Integer.toHexString(d.hashCode)
+      PqIndex.build(emb, "vec_id", "embedding", path, ncells = 8,
+        m = PqM, ksub = PqKsub, maxIter = 12)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("adc_score"), col("id").asc)
+      val full = Pq.adcTopK(Pq.encode(emb, "vec_id", "embedding", model),
+          model, q, k)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("id").as("full_id"),
+          col("adc_score").as("full_score"))
+      val probed = PqIndex.probe(s, path, q, k, nprobe = 8)
+        .withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("id").as("idx_id"),
+          col("adc_score").as("idx_score"))
+      full.join(probed, Seq("rank"), "full_outer")
+        .filter(col("full_id").isNull || col("idx_id").isNull ||
+          col("full_id") =!= col("idx_id") ||
+          col("full_score") =!= col("idx_score"))
+        .select(col("rank"), col("full_id"), col("idx_id"),
+          round(col("full_score"), 6).as("full_score"),
+          round(col("idx_score"), 6).as("idx_score"))
+        .orderBy(col("rank"))
+    }),
+
     // ── embedding drift (PSI) between the two vec_id-parity snapshots:
     //    md5-parity probe projection (in-order dot — bit-identical in
     //    every engine, so the histogram is exact), per-bin smoothed PSI
@@ -311,6 +347,11 @@ object TrainingQueries {
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS iter,
         |CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS bound
         |WHERE FALSE""".stripMargin,
+
+    "ann_pqindex_topk" ->
+      """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS BIGINT) AS full_id,
+        |CAST(NULL AS BIGINT) AS idx_id, CAST(NULL AS DOUBLE) AS full_score,
+        |CAST(NULL AS DOUBLE) AS idx_score WHERE FALSE""".stripMargin,
 
     "emb_drift_psi" ->
       """WITH f AS (

@@ -97,6 +97,26 @@ class DsirSpec extends SparkSpec {
     assert(g1 === g2)
   }
 
+  test("plan shapes: the weight pass is exchange-free (one kernel, no " +
+      "explode/join) and the resample lowers to TakeOrderedAndProject") {
+    val docs = tinyDocs
+    val ratio = Dsir.logRatioMicro(
+      docs.filter(col("lang") === "en"), docs, "text", B)
+    val w = Dsir.importanceWeights(docs, "doc_id", "text", ratio)
+    val wPlan = w.queryExecution.executedPlan
+    val exchanges = wPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"importanceWeights plan contains an exchange:\n$wPlan")
+    val top = Dsir.resampleTopK(w, "id", "weight_micro", 2)
+    val toap = top.queryExecution.executedPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(toap.nonEmpty,
+      "resampleTopK did not lower to TakeOrderedAndProject")
+  }
+
   test("guards: empty target, zero buckets, bad k fail loudly") {
     val docs = tinyDocs
     intercept[IllegalArgumentException] {
