@@ -198,6 +198,40 @@ object TrainingQueries {
         .orderBy(desc("key_micro"), col("doc_id"))
     }),
 
+    // ── curriculum staging: bucket the corpus into difficulty stages by
+    //    classifier score using approx-quantile THRESHOLDS (no global
+    //    sort/ntile — the only curriculum shape that survives 100 TB;
+    //    thresholds are a driver-sized sketch, staging is a when-chain
+    //    projection). Contract (0-row): by construction every score in
+    //    stage k is ≤ every score in stage k+1, so per-stage mean
+    //    scores are non-decreasing FOR ANY model and ANY thresholds —
+    //    violations are emitted. Stage populations are data-defined and
+    //    pinned in ClassifierSpec. ───────────────────────────────────────
+    "curriculum_stages" -> ((s, d) => {
+      val model = clsModel(s, d)
+      val emb = t(s, d, "embeddings")
+      val scored = Classifier.scoreFrame(
+        emb.select(col("vec_id"), col("embedding").as("x")), "x", model)
+      val th = scored.stat.approxQuantile("score",
+        Array(0.25, 0.5, 0.75), 0.001)
+      val stage = when(col("score") < th(0), 0)
+        .when(col("score") < th(1), 1)
+        .when(col("score") < th(2), 2)
+        .otherwise(3)
+      val stats = scored.withColumn("stage", stage)
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n"), avg("score").as("mean_score"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      stats
+        .withColumn("prev_mean", lag("mean_score", 1).over(w))
+        .filter(col("prev_mean").isNotNull &&
+          col("mean_score") < col("prev_mean"))
+        .select(col("stage"), col("n"),
+          round(col("mean_score"), 6).as("mean_score"),
+          round(col("prev_mean"), 6).as("prev_mean"))
+        .orderBy(col("stage"))
+    }),
+
     // ── persisted IVF-PQ index roundtrip: build→partitioned-write→
     //    probe-ALL-cells must equal the ephemeral full-corpus ADC top-k
     //    under the same (deterministic) model EXACTLY — same ids, same
@@ -347,6 +381,11 @@ object TrainingQueries {
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS iter,
         |CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS bound
         |WHERE FALSE""".stripMargin,
+
+    "curriculum_stages" ->
+      """SELECT CAST(NULL AS INT) AS stage, CAST(NULL AS BIGINT) AS n,
+        |CAST(NULL AS DOUBLE) AS mean_score,
+        |CAST(NULL AS DOUBLE) AS prev_mean WHERE FALSE""".stripMargin,
 
     "ann_pqindex_topk" ->
       """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS BIGINT) AS full_id,

@@ -423,6 +423,55 @@ object DocIngest {
       }
       .start()
 
+  /** Streaming drift monitor: every arriving micro-batch of embeddings
+    * is PSI-compared against a FROZEN reference histogram (the
+    * `Drift.projectionHistogram` of the corpus the thresholds were
+    * tuned on), and one (batch_id, n_vectors, psi_micro, top_bin,
+    * top_bin_psi_micro) report row is appended per batch — the alarm
+    * feed a continuously-ingesting pipeline tails to notice a crawl or
+    * embedder change BEFORE it pollutes the index. Per batch: one
+    * kernel pass over the batch (sign row in the closure), a ≤-bins
+    * collect, and driver-side PSI against the closure-held reference —
+    * no state store, O(batch) whatever the corpus size. */
+  def startDriftMonitored(spark: SparkSession, inDir: String,
+      schema: String, reportDir: String, checkpoint: String,
+      referenceHist: Map[Int, Long], vecCol: String, dim: Int,
+      probe: Int = 0, invWidth: Int = 4,
+      pollInterval: String = "1 second"): StreamingQuery = {
+    require(referenceHist.nonEmpty, "reference histogram is empty")
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Drift
+        val ss = batch.sparkSession
+        import ss.implicits._
+        if (!batch.isEmpty) {
+          val hist = Drift.projectionHistogram(batch, vecCol, dim,
+              probe, invWidth)
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val contribs = Drift.psiContributions(ss,
+              referenceHist.toSeq.toDF("bin", "cnt"),
+              hist.toSeq.toDF("bin", "cnt"))
+            .collect()
+            .map(r => (r.getInt(0), r.getLong(3)))
+          val total = contribs.map(_._2).sum
+          val (topBin, topPsi) =
+            if (contribs.isEmpty) (0, 0L) else contribs.maxBy(_._2)
+          Seq((batchId, hist.values.sum, total, topBin, topPsi))
+            .toDF("batch_id", "n_vectors", "psi_micro", "top_bin",
+              "top_bin_psi_micro")
+            .coalesce(1)
+            .write.mode("append").parquet(reportDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,

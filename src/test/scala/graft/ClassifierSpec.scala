@@ -69,6 +69,34 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(m.bias - (-0.02812181)) < 1e-6)
   }
 
+  test("curriculum staging pinned at sf0.001: quantile-threshold stages " +
+      "are near-balanced with strictly increasing mean scores (the " +
+      "curriculum_stages contract, populations pinned)") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Classifier.train(
+      emb.select(col("embedding").as("x"),
+        (col("label") < 5).cast("double").as("y")),
+      "x", "y", dim = 64, lr = 1.0, iters = 80)
+    val scored = Classifier.scoreFrame(
+      emb.select(col("vec_id"), col("embedding").as("x")), "x", model)
+    val th = scored.stat.approxQuantile("score",
+      Array(0.25, 0.5, 0.75), 0.001)
+    assert(th.sliding(2).forall(p => p(0) <= p(1)))
+    val stage = when(col("score") < th(0), 0)
+      .when(col("score") < th(1), 1)
+      .when(col("score") < th(2), 2)
+      .otherwise(3)
+    val stats = scored.withColumn("stage", stage)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n"), avg("score").as("m"))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(stats.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(stats.map(_._2).toSeq === Seq(124L, 125L, 125L, 126L))
+    assert(stats.map(_._3).sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("scoreCol and scoreFrame agree (expression path vs typed kernel)") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)

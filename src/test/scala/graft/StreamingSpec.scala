@@ -391,4 +391,45 @@ class StreamingSpec extends SparkSpec {
     assert(rejDf.columns.toSet.intersect(Set("score", "weight_micro"))
       === Set("score", "weight_micro"))
   }
+
+  test("drift monitor stream: an in-distribution batch scores near-zero " +
+      "PSI, a shifted batch alarms, one report row per batch") {
+    import graft.operators.Drift
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_drift_in").toString
+    val rep = Files.createTempDirectory("graft_drift_out").toString + "/rep"
+    val ckpt = Files.createTempDirectory("graft_drift_ck").toString
+    val dim = 4
+    val vecSchema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+
+    def mkVecs(ids: Range, shift: Double) =
+      ids.map(i => (i.toLong,
+        Seq(i % 7 / 7.0 + shift, 1.0, -0.5, 0.25)))
+        .toDF("vec_id", "embedding")
+
+    val reference = mkVecs(0 until 200, 0.0)
+    val refHist = Drift.projectionHistogram(reference, "embedding", dim,
+        probe = 0, invWidth = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    mkVecs(1000 until 1100, 0.0).write.mode("append").parquet(in)
+    val q = DocIngest.startDriftMonitored(spark, in, vecSchema, rep, ckpt,
+      refHist, "embedding", dim, pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      mkVecs(2000 until 2100, 25.0).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val reports = spark.read.parquet(rep)
+      .orderBy("batch_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(reports.length === 2)
+    val Array((n1, psi1), (n2, psi2)) = reports
+    assert(n1 === 100L && n2 === 100L)
+    // same distribution → PSI well under 0.1 nats; disjoint bins → huge
+    assert(psi1 < 100000L, s"in-distribution psi=$psi1")
+    assert(psi2 > 1000000L, s"shifted psi=$psi2")
+  }
 }
