@@ -37,6 +37,21 @@ object GraftProperties extends Properties("graft") {
       Hashing.minhash((ws ++ ws).distinct, 8).toSeq
   }
 
+  // ── DSIR weight algebra ────────────────────────────────────────────────
+  // weight is a per-token sum, so it is additive over document
+  // concatenation and invariant to token order — the two properties the
+  // one-pass kernel and the SQL oracle both rely on.
+  property("DSIR weight is additive over concatenation and " +
+    "order-independent") = forAll(words, words) { (a, b) =>
+    val B = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val table = Array.tabulate(B)(i => ((i * 2654435761L) % 1000L) - 500L)
+    def weight(ts: List[String]): Long =
+      ts.map(t => table(graft.operators.Dsir.bucketOf(md, t, B))).sum
+    weight(a ++ b) == weight(a) + weight(b) &&
+      weight((a ++ b).reverse) == weight(a ++ b)
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────────
   property("simhash is permutation-invariant") = forAll(someWords) { ws =>
     Hashing.simhash(ws.iterator) ==
@@ -44,11 +59,16 @@ object GraftProperties extends Properties("graft") {
   }
 
   // ── hash embedding ─────────────────────────────────────────────────────
-  property("hashEmbedVec is unit-norm for non-empty token input, zero " +
-    "otherwise") = forAll(words, Gen.choose(2, 64)) { (ws, dim) =>
+  property("hashEmbedVec norm is exactly 0 (empty input, or signed " +
+    "contributions cancelling bucket-for-bucket) or 1") =
+    forAll(words, Gen.choose(2, 64)) { (ws, dim) =>
     val v = Hashing.hashEmbedVec(ws.mkString(" "), dim)
     val norm = math.sqrt(v.map(x => x * x).sum)
-    if (ws.isEmpty) norm == 0.0 else math.abs(norm - 1.0) < 1e-9
+    // signed feature hashing CAN zero out a non-empty input (two tokens,
+    // one bucket, opposite signs) — the kernel normalizes only nonzero
+    // vectors, so the reachable norms are exactly {0, 1}.
+    if (ws.isEmpty) norm == 0.0
+    else norm == 0.0 || math.abs(norm - 1.0) < 1e-9
   }
 
   property("hashEmbedVec is case-insensitive") =
