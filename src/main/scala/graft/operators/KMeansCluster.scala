@@ -115,16 +115,17 @@ object KMeansCluster {
     * column). `src` must be a single-column frame of `m × dsub`-long
     * double arrays named "v".
     *
-    * Per round: ONE typed mapPartitions pass emits a per-partition
-    * partial — the m×ksub (sum, count) grid plus an m-long
-    * changed-assignment counter — and the driver folds partials in
-    * partition-index order (byte-deterministic retrains by
-    * construction); then ONE checkpoint pass materializes the next
-    * assignment (truncated lineage, the `connectedComponents`
-    * rationale). No per-round Catalyst expression is built: centroids
-    * ride the task closure as plain arrays, so iterating never re-plans
-    * or re-codegens — the per-round cost is the scan, which is also the
-    * only shape that survives a 100 TB corpus.
+    * Per round: ONE typed mapPartitions pass over a once-materialized
+    * vector block emits a per-partition partial — the m×ksub (sum,
+    * count) grid plus an m-long changed-assignment counter — and the
+    * driver folds partials in partition-index order
+    * (byte-deterministic retrains by construction). Assignments are
+    * recomputed in-pass under the previous AND current codebooks
+    * instead of being stored, so there is no per-round checkpoint and
+    * no lineage growth. No per-round Catalyst expression is built:
+    * centroids ride the task closure as plain arrays, so iterating
+    * never re-plans or re-codegens — the per-round cost is one scan,
+    * which is also the only shape that survives a 100 TB corpus.
     *
     * Convergence is decided on the DISCRETE per-subspace assignment
     * ("no vector changed cell"), immune to low-bit float jitter. On
@@ -153,36 +154,36 @@ object KMeansCluster {
       }
     }
     var cb = init
-    // Loop state: (v, cell_prev, cell) — the row's assignment under the
-    // previous AND current codebooks (the same two-column protocol the
-    // unfused loop used). Each round: ONE partial pass reads the STORED
-    // assignments (sums keyed by `cell`, changed = cell ≠ cell_prev —
-    // comparing assignments across SUCCESSIVE codebooks; recomputing
-    // under the current codebook would trivially equal the stored value
-    // and fake convergence after one update), then ONE checkpoint pass
-    // assigns under the freshly-updated codebook. When changed == 0 the
-    // centroids just produced were computed over exactly the membership
-    // they now induce — the fixed point holds without an extra pass.
-    var cur = {
-      val cb0 = cb
-      src.as[Seq[Double]].mapPartitions { it =>
-        it.map { vs =>
-          val cells = new Array[Int](m)
-          assignAll(cb0, vs.toArray, cells)
-          (vs, Array.fill(m)(-1).toSeq, cells.toSeq)
-        }
-      }.localCheckpoint()
-    }
-    var iter = 1 // cur already holds the first assignment
+    // The vector frame is materialized ONCE; assignments are never
+    // stored. Each round is ONE job that assigns every row under the
+    // PREVIOUS and CURRENT codebooks (two in-memory argmins — cheaper
+    // than a second pass) and emits the per-partition partial grid:
+    // sums/counts keyed by the current assignment, changed = the two
+    // assignments differing. Comparing SUCCESSIVE codebooks is what
+    // makes convergence real (a single codebook trivially agrees with
+    // itself); when changed == 0 the centroids just produced were
+    // computed over exactly the membership they now induce — the fixed
+    // point holds without an extra pass. No per-round checkpoint, no
+    // lineage growth: the loop re-reads one materialized block.
+    val cur = src.as[Seq[Double]].localCheckpoint()
+    var cbPrev: Array[Array[Array[Double]]] = null
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
+      val cbNow = cb
+      val cbOld = cbPrev
       // (partitionId, sums[m·ksub·dsub], counts[m·ksub], changed[m])
       val partials = cur.mapPartitions { it =>
         val sums = new Array[Double](m * ksub * dsub)
         val cnts = new Array[Long](m * ksub)
         val chg = new Array[Long](m)
-        it.foreach { case (vs, prev, cells) =>
+        val cells = new Array[Int](m)
+        val prev = new Array[Int](m)
+        it.foreach { vs =>
           val v = vs.toArray
+          assignAll(cbNow, v, cells)
+          if (cbOld == null) java.util.Arrays.fill(prev, -1)
+          else assignAll(cbOld, v, prev)
           var j = 0
           while (j < m) {
             val c = cells(j)
@@ -211,6 +212,7 @@ object KMeansCluster {
       }
       if (iter > 1 && chg.forall(_ == 0L)) converged = true
       else {
+        cbPrev = cb
         cb = Array.tabulate(m) { j =>
           Array.tabulate(ksub) { c =>
             val n = cnts(j * ksub + c)
@@ -221,16 +223,6 @@ object KMeansCluster {
             }
           }
         }
-        val cbNext = cb
-        val prev = cur
-        cur = cur.mapPartitions { it =>
-          it.map { case (vs, _, cells) =>
-            val next = new Array[Int](m)
-            assignAll(cbNext, vs.toArray, next)
-            (vs, cells, next.toSeq)
-          }
-        }.localCheckpoint()
-        prev.unpersist()
         iter += 1
       }
     }
