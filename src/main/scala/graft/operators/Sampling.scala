@@ -52,6 +52,35 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Leakage-safe train/val/test split: the split UNIT is the near-dup
+    * CLUSTER, not the document — a near-duplicate pair straddling
+    * train/test silently leaks evaluation data into training, the
+    * classic corpus-split bug (`hashSplit` on text only protects EXACT
+    * duplicates). Pair generator → `Dedup.connectedComponents` labels →
+    * every member splits by its component's min-id key; documents in no
+    * pair key by their own id. Rides the audited CC plan ((long, long)
+    * label rows only) plus one broadcast-able label join; the split
+    * itself stays the content-hash `hashSplit`, so it is deterministic
+    * across retries and engines. The no-straddle guarantee is exact for
+    * ANY pair generator — `split_leakage_safe` gates it with a 0-row
+    * oracle. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(!docs.columns.contains("split") &&
+      !docs.columns.contains("_group_key"),
+      "leakageSafeSplit writes 'split' and '_group_key' — input already " +
+        "has one of them")
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as("_cc_id"), col("comp").as("_cc_comp"))
+    val keyed = docs
+      .join(labels, docs(idCol).cast("long") === col("_cc_id"), "left")
+      .withColumn("_group_key",
+        coalesce(col("_cc_comp"), docs(idCol).cast("long")))
+      .drop("_cc_id", "_cc_comp")
+    hashSplit(keyed, col("_group_key").cast("string"), trainFrac, valFrac)
+      .drop("_group_key")
+  }
+
   /** Keep a deterministic ~`frac` of rows (quantized to 1/256), keyed on
     * content. One narrow filter — no shuffle, no state. */
   def deterministicSample(df: DataFrame, key: Column,

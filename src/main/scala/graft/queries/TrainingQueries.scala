@@ -198,6 +198,29 @@ object TrainingQueries {
         .orderBy(desc("key_micro"), col("doc_id"))
     }),
 
+    // ── leakage-safe split: near-dup CLUSTERS are the split unit, so no
+    //    LSH pair may straddle train/val/test. The no-straddle guarantee
+    //    is exact for ANY pair generator and ANY hash split — violations
+    //    (a pair whose endpoints landed in different splits) are emitted
+    //    as a 0-row oracle. Split populations are hash-defined, pinned
+    //    in TrainingDataOpsSpec. ────────────────────────────────────────
+    "split_leakage_safe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.5)
+      val lab = graft.operators.Sampling
+        .leakageSafeSplit(docs, "doc_id", pairs)
+        .select(col("doc_id").cast("long").as("id"), col("split"))
+      pairs.select(col("id_a"), col("id_b"))
+        .join(lab.select(col("id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(lab.select(col("id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── curriculum staging: bucket the corpus into difficulty stages by
     //    classifier score using approx-quantile THRESHOLDS (no global
     //    sort/ntile — the only curriculum shape that survives 100 TB;
@@ -380,6 +403,11 @@ object TrainingQueries {
     "classifier_train_audit" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS iter,
         |CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS bound
+        |WHERE FALSE""".stripMargin,
+
+    "split_leakage_safe" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |CAST(NULL AS VARCHAR) AS split_a, CAST(NULL AS VARCHAR) AS split_b
         |WHERE FALSE""".stripMargin,
 
     "curriculum_stages" ->

@@ -46,6 +46,33 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(Sampling.deterministicSample(d, col("text"), 0.0).count() === 0)
   }
 
+  test("leakageSafeSplit: chained near-dup clusters land whole in one " +
+      "split; unpaired docs keep their own-id split; guards fire") {
+    val d = docs(40)
+    // two explicit clusters: a 4-doc chain 0-1-2-3 and a pair 10-11
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(d, "id", pairs)
+    val byId = split.select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size === 40)
+    assert(Set(byId(0L), byId(1L), byId(2L), byId(3L)).size === 1)
+    assert(byId(10L) === byId(11L))
+    // unpaired docs split exactly as a plain own-id hashSplit would
+    val plain = Sampling.hashSplit(d, col("id").cast("string"))
+      .select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until 40).map(_.toLong)
+      .filterNot(Set(0L, 1L, 2L, 3L, 10L, 11L))
+      .foreach(i => assert(byId(i) === plain(i), s"id=$i"))
+    // clusters adopt the MIN id's key
+    assert(byId(0L) === plain(0L))
+    assert(byId(10L) === plain(10L))
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(split, "id", pairs) // already has 'split'
+    }
+  }
+
   test("weightedMix: floor copies + hash-keyed fractional copy, " +
       "deterministic across layouts") {
     val d = (0 until 900).map(i => (i.toLong, s"grp${i % 3}", s"texto $i"))
