@@ -81,6 +81,73 @@ object Sampling {
       .drop("_group_key")
   }
 
+  /** UniMax-style language-balanced token-budget allocation (Chung et
+    * al. 2023, public algorithm): split a total token `budget` across
+    * groups as uniformly as possible, capping every group at
+    * `maxEpochs` × its corpus tokens and redistributing the capped
+    * surplus among the rest. Groups are processed in ASCENDING corpus
+    * size (ties by group name): each takes
+    * min(maxEpochs · tokens, remaining / groupsLeft) — small languages
+    * hit the epoch cap, large ones end up share-bound. All arithmetic
+    * is integer (Long floor division), so the allocation is
+    * bit-reproducible across engines — the DuckDB oracle replays the
+    * same loop as a recursive CTE.
+    *
+    * Scale: one map-side-combinable aggregation to one row per group;
+    * the collect is a bounded sidecar (languages/sources, not data) and
+    * the sequential loop is O(groups) on the driver. Output: one row
+    * per group — (groupCol, tokens, alloc). `alloc > tokens` means the
+    * group upsamples (epochs > 1); pair with [[tokenBudgetSampleBy]]
+    * for the ≤ 1-epoch admission side. */
+  def unimaxAllocation(df: DataFrame, groupCol: String, tokensCol: Column,
+      budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df.groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(coalesce(sum(tokensCol).cast("long"), lit(0L)).as("tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (g, tok) => (tok, g) }
+    val n = totals.length
+    var rem = budget
+    val rows = totals.zipWithIndex.map { case ((g, tok), i) =>
+      val cap = if (tok > Long.MaxValue / maxEpochs) Long.MaxValue
+                else tok * maxEpochs
+      val a = math.min(cap, rem / (n - i))
+      rem -= a
+      (g, tok, a)
+    }
+    rows.toSeq.toDF(groupCol, "tokens", "alloc")
+  }
+
+  /** Per-group-budget form of [[tokenBudgetSample]]: each group admits
+    * rows in md5(key) order while its running token total stays within
+    * ITS budget from the `budgets` frame — the apply side of
+    * [[unimaxAllocation]]. `budgets` must hold one row per group with an
+    * `alloc` column (duplicate group keys would multiply rows); it is
+    * allocation-sized, so it broadcasts. Groups absent from `budgets`
+    * are dropped (budget 0); a budget ≥ the group's tokens admits the
+    * whole group. */
+  def tokenBudgetSampleBy(df: DataFrame, groupCol: String, key: Column,
+      tokensCol: Column, budgets: DataFrame): DataFrame = {
+    require(budgets.columns.contains(groupCol) &&
+      budgets.columns.contains("alloc"),
+      s"budgets must have columns '$groupCol' and 'alloc'")
+    Seq("_cum", "_alloc").foreach { c =>
+      require(!df.columns.contains(c),
+        s"tokenBudgetSampleBy: input already has reserved column '$c'")
+    }
+    val w = Window.partitionBy(col(groupCol)).orderBy(md5(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(tokensCol).over(w))
+      .join(broadcast(budgets.select(col(groupCol),
+        col("alloc").as("_alloc"))), Seq(groupCol))
+      .filter(col("_cum") <= col("_alloc"))
+      .drop("_cum", "_alloc")
+  }
+
   /** Keep a deterministic ~`frac` of rows (quantized to 1/256), keyed on
     * content. One narrow filter — no shuffle, no state. */
   def deterministicSample(df: DataFrame, key: Column,

@@ -221,6 +221,35 @@ object TrainingQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── UniMax language-balanced allocation: split a 48k-token budget
+    //    across languages, ascending corpus size, each capped at 2 epochs
+    //    with capped surplus redistributed — integer arithmetic only, so
+    //    the DuckDB recursive CTE replays the loop exactly. At this
+    //    corpus every non-en language epoch-caps and en absorbs the
+    //    surplus share-bound (alloc > tokens: the upsampling regime). ───
+    "sample_unimax_alloc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      graft.operators.Sampling.unimaxAllocation(
+          docs, "lang", col("n_tokens"), budget = 48000L, maxEpochs = 2)
+        .orderBy(col("lang"))
+    }),
+
+    // ── UniMax apply side: per-language budgets (15k total, 1-epoch cap
+    //    → every language truncates) drive md5-ordered admission; the
+    //    oracle recomputes allocation AND admission end to end. ──────────
+    "sample_unimax" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long"))
+      val budgets = graft.operators.Sampling.unimaxAllocation(
+        docs, "lang", col("n_tokens"), budget = 15000L, maxEpochs = 1)
+      graft.operators.Sampling.tokenBudgetSampleBy(docs, "lang",
+          col("doc_id").cast("string"), col("n_tokens"), budgets)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── curriculum staging: bucket the corpus into difficulty stages by
     //    classifier score using approx-quantile THRESHOLDS (no global
     //    sort/ntile — the only curriculum shape that survives 100 TB;
@@ -409,6 +438,63 @@ object TrainingQueries {
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |CAST(NULL AS VARCHAR) AS split_a, CAST(NULL AS VARCHAR) AS split_b
         |WHERE FALSE""".stripMargin,
+
+    "sample_unimax_alloc" ->
+      """WITH RECURSIVE tot AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS tokens
+        |  FROM documents GROUP BY 1),
+        |o AS (
+        |  SELECT lang, tokens,
+        |    CAST(row_number() OVER (ORDER BY tokens, lang) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM tot),
+        |a AS (
+        |  SELECT i, lang, tokens, n,
+        |    LEAST(tokens * 2, 48000 // n) AS alloc,
+        |    48000 - LEAST(tokens * 2, 48000 // n) AS rem
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.i, o.lang, o.tokens, o.n,
+        |    LEAST(o.tokens * 2, a.rem // (o.n - o.i + 1)),
+        |    a.rem - LEAST(o.tokens * 2, a.rem // (o.n - o.i + 1))
+        |  FROM o JOIN a ON o.i = a.i + 1)
+        |SELECT lang, tokens, alloc FROM a ORDER BY lang""".stripMargin,
+
+    "sample_unimax" ->
+      """WITH RECURSIVE tot AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS tokens
+        |  FROM documents GROUP BY 1),
+        |o AS (
+        |  SELECT lang, tokens,
+        |    CAST(row_number() OVER (ORDER BY tokens, lang) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM tot),
+        |a AS (
+        |  SELECT i, lang, tokens, n,
+        |    LEAST(tokens, 15000 // n) AS alloc,
+        |    15000 - LEAST(tokens, 15000 // n) AS rem
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.i, o.lang, o.tokens, o.n,
+        |    LEAST(o.tokens, a.rem // (o.n - o.i + 1)),
+        |    a.rem - LEAST(o.tokens, a.rem // (o.n - o.i + 1))
+        |  FROM o JOIN a ON o.i = a.i + 1),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, k
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT c.doc_id, c.lang, c.n_tokens FROM c
+        |JOIN a ON c.lang = a.lang
+        |WHERE c.cum <= a.alloc ORDER BY c.doc_id""".stripMargin,
 
     "curriculum_stages" ->
       """SELECT CAST(NULL AS INT) AS stage, CAST(NULL AS BIGINT) AS n,

@@ -46,6 +46,68 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(Sampling.deterministicSample(d, col("text"), 0.0).count() === 0)
   }
 
+  test("unimaxAllocation: hand-computed caps + redistribution; " +
+      "tokenBudgetSampleBy admits the md5-order prefix per group") {
+    // groups: a=10 tokens, b=40, c=200. budget=120, maxEpochs=2.
+    // ascending (a, b, c): a → min(cap 20, share 120/3=40) = 20, rem 100;
+    // b → min(cap 80, share 100/2=50) = 50, rem 50;
+    // c → min(cap 400, share 50) = 50.
+    val d = (0 until 25).map { i =>
+      val (g, tok) = if (i < 5) ("a", 2L) else if (i < 13) ("b", 5L)
+                     else ("c", 200L / 12 + (if (i < 21) 1 else 0))
+      (i.toLong, g, tok)
+    }.toDF("id", "grp", "n_tokens")
+    val totals = d.groupBy("grp").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val alloc = Sampling.unimaxAllocation(d, "grp", col("n_tokens"),
+        budget = 120L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(alloc("a") === ((totals("a"), 2L * totals("a"))))  // epoch-capped
+    val remAfterA = 120L - 2L * totals("a")
+    val bAlloc = math.min(2L * totals("b"), remAfterA / 2)
+    assert(alloc("b") === ((totals("b"), bAlloc)))
+    assert(alloc("c") === ((totals("c"), remAfterA - bAlloc))) // share-bound
+    assert(alloc.values.map(_._2).sum <= 120L)
+    // apply side: admitted tokens per group never exceed alloc, admitted
+    // set is the exact md5-order prefix, and a group absent from the
+    // budgets frame admits nothing.
+    val budgets = Sampling.unimaxAllocation(d, "grp", col("n_tokens"),
+      budget = 60L, maxEpochs = 1)
+    val admitted = Sampling.tokenBudgetSampleBy(d, "grp",
+      col("id").cast("string"), col("n_tokens"), budgets)
+    val admTok = admitted.groupBy("grp").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ballocs = budgets.collect().map(r => r.getString(0) -> r.getLong(2))
+      .toMap
+    admTok.foreach { case (g, tok) => assert(tok <= ballocs(g), g) }
+    // prefix property: every admitted id hashes BEFORE every dropped id
+    // within its group (md5 order).
+    val byHash = d.withColumn("h", md5(col("id").cast("string")))
+      .select("grp", "id", "h").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val admIds = admitted.select("id").collect().map(_.getLong(0)).toSet
+    byHash.groupBy(_._1).foreach { case (g, rows) =>
+      val sortedIds = rows.sortBy(r => (r._3, r._2)).map(_._2)
+      val k = sortedIds.count(admIds)
+      assert(sortedIds.take(k).forall(admIds), s"group $g not a prefix")
+      assert(sortedIds.drop(k).forall(!admIds(_)), s"group $g not a prefix")
+    }
+    assert(Sampling.tokenBudgetSampleBy(d, "grp", col("id").cast("string"),
+      col("n_tokens"), budgets.filter(col("grp") =!= "c")).filter(
+      col("grp") === "c").count() === 0)
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxAllocation(d, "grp", col("n_tokens"), -1L, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxAllocation(d, "grp", col("n_tokens"), 10L, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSampleBy(d.withColumn("_cum", lit(1)), "grp",
+        col("id").cast("string"), col("n_tokens"), budgets)
+    }
+  }
+
   test("leakageSafeSplit: chained near-dup clusters land whole in one " +
       "split; unpaired docs keep their own-id split; guards fire") {
     val d = docs(40)
