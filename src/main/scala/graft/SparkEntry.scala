@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, TrainingQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries, GraphQueries, TrainingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -33,14 +33,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtensionQueries.queries ++
-      CurationQueries.queries ++ TrainingQueries.queries
+      CurationQueries.queries ++ TrainingQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose output is defined by
     * engine-internal hashing or approximation (rows-only check). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtensionQueries.oracles ++
-      CurationQueries.oracles ++ TrainingQueries.oracles
+      CurationQueries.oracles ++ TrainingQueries.oracles ++
+      GraphQueries.oracles
 
   /** The bench suite: `queries` with a few audit entries swapped for
     * deterministically SAMPLED variants (e.g. the exact-all-pairs

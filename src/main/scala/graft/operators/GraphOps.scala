@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Graph analytics over id-pair edge tables — the corpus-graph layer a
+  * training-data pipeline builds on top of the k-NN graph
+  * ([[SimilaritySearch.knnGraph]]): PageRank-style centrality for
+  * duplicate-cluster canonical selection and source authority,
+  * label propagation for semi-supervised corpus labeling, and
+  * best-first beam search as the graph-ANN (NSW-style) query path.
+  *
+  * All three are deterministic BY CONSTRUCTION — PageRank and label
+  * propagation run in pure integer arithmetic (sums of longs are
+  * order-free, unlike doubles, so shuffle order can never change a
+  * result bit), and beam search ranks on scores rounded in-plan before
+  * every selection. A DuckDB oracle replays each loop exactly.
+  *
+  * Scale: every iteration is one edge-keyed join plus one dst-keyed
+  * aggregation — the textbook distributed PageRank shape. Edge and rank
+  * tables carry ids only (8-byte keys, no payloads). Iteration state is
+  * localCheckpoint'ed so lineage stays flat across rounds (the tables
+  * are nodes-sized, not corpus-sized).
+  */
+object GraphOps {
+
+  /** PageRank in fixed-point integer arithmetic: ranks are maintained in
+    * units of 1/`scale` of total mass. Per iteration, each node sends
+    * `rank div outdeg` to every out-neighbor and the next rank is
+    * `(dampDen-dampNum)*scale/(dampDen*N) + dampNum*inbox/dampDen`
+    * (all floor divisions — default damping 85/100). Dangling mass and
+    * floor remainders leak, which is fine for RANKING: relative order is
+    * what survives, and exactness is what makes the result reproducible
+    * across engines, retries, and partitionings (integer sums are
+    * associative; double sums are not).
+    *
+    * Output: (id, rank_i) — one row per node appearing in the edge
+    * table. Divide by `scale` for a probability-like score. */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      "need scale > 0 and 0 <= dampNum <= dampDen")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    // (src, dst, outdeg) once — each iteration reuses it, so the edge
+    // table is shuffled into its join partitioning a single time.
+    val contribEdges = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val base = (dampDen - dampNum) * scale / (dampDen * n)
+    var ranks = nodes.select(col("id"), lit(scale / n).as("rank_i"))
+    for (_ <- 1 to iters) {
+      val inbox = contribEdges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr("rank_i div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("in_sum"))
+      ranks = nodes.join(inbox, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * coalesce(in_sum, 0L)) div $dampDen"))
+            .as("rank_i"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Synchronous label propagation: every node adopts the majority label
+    * among its out-neighbors' current labels (ties → smallest label),
+    * keeping its own label when no neighbor is labeled. Unlabeled seeds
+    * are null labels; they stay null until a labeled neighborhood
+    * reaches them. Deterministic: majority is (count desc, label asc)
+    * ranked, and counts are integers.
+    *
+    * `seeds` must hold one row per node (`idCol`, `labelCol` — null =
+    * unlabeled). Output: (id, label) after `iters` rounds. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, labelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("id"),
+      col(dstCol).cast("long").as("nb")).localCheckpoint()
+    var labels = seeds.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = e
+        .join(labels.select(col("id").as("nb"), col("label")), "nb")
+        .filter(col("label").isNotNull)
+        .groupBy("id", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(desc("cnt"), col("label").asc)
+      val majority = counts.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("id"), col("label").as("_new"))
+      labels = labels.join(majority, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Best-first beam search over a neighbor graph — the graph-ANN
+    * (NSW / DiskANN-style) query path, distributed: all queries advance
+    * one hop per round in a single edge join instead of chasing pointers
+    * one node at a time. Starts every query from the shared
+    * `entryPoints` ids; each hop expands the current beam's
+    * out-neighbors, scores only NEW nodes (anti-join against visited),
+    * and keeps the `beamWidth` best (rounded score desc, id) as the next
+    * beam. After `hops` rounds, the answer is the top `k` of everything
+    * visited.
+    *
+    * Recall < 1 by design (the graph may have no short path from the
+    * entries to a true neighbor); the gate certifies a recall FLOOR
+    * against exact search — the 0-row-contract pattern shared with the
+    * IVF paths. Per hop the work is O(|queries| · beamWidth · degree)
+    * scored candidates — independent of corpus size, which is the whole
+    * point of the graph index.
+    *
+    * `queries` must be small (it is broadcast); output:
+    * (query_id, id, score, rank). */
+  def beamSearchGraph(embs: DataFrame, idCol: String, vecCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      entryPoints: DataFrame, entryIdCol: String,
+      k: Int, beamWidth: Int, hops: Int,
+      scoreDecimals: Int = 6): DataFrame = {
+    require(k >= 1 && beamWidth >= 1 && hops >= 1,
+      "k, beamWidth, hops must all be >= 1")
+    val e = embs.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(queryVecCol)).as("qv")))
+    def score(nodes: DataFrame): DataFrame =
+      nodes.join(e, "id").join(q, "query_id")
+        .select(col("query_id"), col("id"),
+          round(cosineSimilarity(col("v"), col("qv")), scoreDecimals)
+            .as("score"))
+    val entries = broadcast(
+      entryPoints.select(col(entryIdCol).cast("long").as("id")).distinct())
+    var beam = score(q.select(col("query_id")).crossJoin(entries))
+      .localCheckpoint()
+    var visited = beam
+    for (_ <- 1 to hops) {
+      val cand = beam
+        .join(edges.select(col(srcCol).cast("long").as("id"),
+          col(dstCol).cast("long").as("_dst")), "id")
+        .select(col("query_id"), col("_dst").as("id")).distinct()
+        .join(visited.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+      val scored = score(cand)
+      visited = visited.union(scored).localCheckpoint()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("score"), col("id").asc)
+      beam = visited.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= beamWidth).drop("_rk")
+        .localCheckpoint()
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("id").asc)
+    visited.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

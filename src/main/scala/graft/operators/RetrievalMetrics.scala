@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranking-quality metrics for a retrieval run — the evaluation layer
+  * over the ANN/kNN query paths: given a ranked candidate table and a
+  * relevance table, compute per-query reciprocal rank, DCG/NDCG@k,
+  * recall@k and precision@k. This is how an embedding pipeline is
+  * actually judged (does the index return the right documents?), so it
+  * belongs next to the index operators it audits.
+  *
+  * Determinism: every floating-point SUM is a window accumulation
+  * ordered by rank — sequential left-to-right adds in a defined order,
+  * so the result is bit-identical across partitionings, retries, and
+  * engines (a groupBy sum of doubles is not: shuffle arrival order
+  * changes the rounding). Discount terms are written `ln(r+1)/ln(2)`
+  * so an oracle using the same libm-`ln` formula reproduces them
+  * exactly; outputs are rounded in-plan.
+  *
+  * Scale: one broadcast-sized relevance join + one query-keyed window —
+  * cost is O(queries · k), independent of corpus size. */
+object RetrievalMetrics {
+
+  /** Per-query metrics. `ranked`: (query_id, id, rank) with rank 1-based
+    * (rows with rank > k are ignored); `relevant`: (query_id, id) —
+    * the qrels. Queries present in `ranked` but with zero relevant ids
+    * score 0 on every metric (n_rel = 0).
+    *
+    * Output: (query_id, n_rel, hits, rr, ndcg, recall_k, precision_k),
+    * doubles rounded to `decimals`. */
+  def rankedEval(ranked: DataFrame, relevant: DataFrame, k: Int,
+      decimals: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rel = relevant.select(col("query_id"), col("id"), lit(1L).as("_rel"))
+      .distinct()
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val flagged = ranked.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "id"), "left")
+      .withColumn("_hit", coalesce(col("_rel"), lit(0L)))
+    // discount written as ln(rank+1)/ln 2 — the exact expression the
+    // oracle replays; accumulated in rank order (deterministic adds).
+    val wOrd = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val accum = flagged
+      .withColumn("_dcg_cum", sum(col("_hit").cast("double") /
+        (log(col("rank") + lit(1.0)) / log(lit(2.0)))).over(wOrd))
+      .withColumn("_hits_cum", sum(col("_hit")).over(wOrd))
+      .withColumn("_first_hit", min(when(col("_hit") === 1, col("rank")))
+        .over(Window.partitionBy(col("query_id"))))
+      .withColumn("_last", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rank").desc)))
+      .filter(col("_last") === 1)
+    // ideal DCG: first min(n_rel, k) positions all relevant — a bounded
+    // left-to-right fold over an in-row sequence (deterministic order).
+    val withRel = accum.join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("_ideal", least(col("n_rel"), lit(k.toLong)))
+      .withColumn("_idcg", when(col("_ideal") > 0,
+        aggregate(sequence(lit(1L), greatest(col("_ideal"), lit(1L))),
+          lit(0.0),
+          (acc, r) => acc + lit(1.0) /
+            (log(r.cast("double") + lit(1.0)) / log(lit(2.0)))))
+        .otherwise(lit(0.0)))
+    withRel.select(
+      col("query_id"), col("n_rel"),
+      col("_hits_cum").as("hits"),
+      round(when(col("_first_hit").isNotNull,
+        lit(1.0) / col("_first_hit")).otherwise(lit(0.0)), decimals)
+        .as("rr"),
+      round(when(col("_idcg") > 0, col("_dcg_cum") / col("_idcg"))
+        .otherwise(lit(0.0)), decimals).as("ndcg"),
+      round(when(col("n_rel") > 0,
+        col("_hits_cum").cast("double") / col("n_rel"))
+        .otherwise(lit(0.0)), decimals).as("recall_k"),
+      round(col("_hits_cum").cast("double") / lit(k.toDouble), decimals)
+        .as("precision_k"))
+  }
+
+  /** Macro averages over [[rankedEval]] output: one row
+    * (n_queries, mrr, mean_ndcg, mean_recall, mean_precision).
+    * Averages accumulate in query_id order through an ordered window —
+    * same determinism contract as the per-query sums. */
+  def macroEval(perQuery: DataFrame, decimals: Int = 4): DataFrame = {
+    val w = Window.orderBy(col("query_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perQuery
+      .withColumn("_rr", sum(col("rr")).over(w))
+      .withColumn("_nd", sum(col("ndcg")).over(w))
+      .withColumn("_rc", sum(col("recall_k")).over(w))
+      .withColumn("_pr", sum(col("precision_k")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_last", row_number().over(Window.orderBy(col("query_id").desc)))
+      .filter(col("_last") === 1)
+      .select(col("_n").as("n_queries"),
+        round(col("_rr") / col("_n"), decimals).as("mrr"),
+        round(col("_nd") / col("_n"), decimals).as("mean_ndcg"),
+        round(col("_rc") / col("_n"), decimals).as("mean_recall"),
+        round(col("_pr") / col("_n"), decimals).as("mean_precision"))
+  }
+}

@@ -154,6 +154,101 @@ object Sampling {
       frac: Double): DataFrame =
     df.filter(bucketInt(key) < lit(threshold(frac)))
 
+  /** Exact integer square root (Newton), any magnitude. */
+  private[graft] def isqrt(x: BigInt): BigInt = {
+    require(x >= 0, "isqrt of negative")
+    if (x < 2) x
+    else {
+      var s = BigInt(1) << ((x.bitLength + 1) / 2)
+      var t = (s + x / s) >> 1
+      while (t < s) { s = t; t = (s + x / s) >> 1 }
+      s
+    }
+  }
+
+  /** Temperature-balanced budget allocation at τ = 2 (weights ∝
+    * tokens^(1/2)) — the square-root flattening between proportional
+    * (τ=1) and uniform (τ→∞) mixing, the standard multilingual
+    * rebalancing knob. The whole computation is EXACT integer
+    * arithmetic so any engine reproduces it bit-for-bit: weights are
+    * isqrt(tokens · 10^(2·precisionDigits)) (an integer carrying
+    * `precisionDigits` fractional digits of √tokens), base shares are
+    * floor(budget·w/Σw), and the floor leftover is apportioned by
+    * largest remainder (ties → group name asc) — Hamilton's method, so
+    * Σ alloc = budget exactly whenever any group has tokens. Groups
+    * with zero tokens get zero (they hold no mass to sample).
+    *
+    * Same scale shape as [[unimaxAllocation]]: one map-side-combinable
+    * aggregation to a bounded per-group sidecar, O(groups) driver loop,
+    * BigInt internally (no overflow at any corpus size). Output:
+    * (groupCol, tokens, alloc); pair with [[tokenBudgetSampleBy]]. */
+  def sqrtTemperatureAllocation(df: DataFrame, groupCol: String,
+      tokensCol: Column, budget: Long,
+      precisionDigits: Int = 8): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(precisionDigits >= 0 && precisionDigits <= 18,
+      "precisionDigits must be in [0, 18]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df.groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(coalesce(sum(tokensCol).cast("long"), lit(0L)).as("tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val prec = BigInt(10).pow(2 * precisionDigits)
+    val weights = totals.map { case (g, tok) =>
+      (g, tok, isqrt(BigInt(tok) * prec))
+    }
+    val z = weights.map(_._3).sum
+    val rows =
+      if (z == 0) weights.map { case (g, tok, _) => (g, tok, 0L) }
+      else {
+        val based = weights.map { case (g, tok, w) =>
+          val num = BigInt(budget) * w
+          (g, tok, num / z, num % z)
+        }
+        val leftover = (budget - based.map(_._3).sum).toLong
+        // +1 to the `leftover` eligible groups with the largest floor
+        // remainders (never to zero-weight groups — no mass to sample).
+        val bonus = based.filter { case (g, tok, _, _) => tok > 0 }
+          .sortBy { case (g, _, _, rem) => (-rem, g) }
+          .take(leftover.toInt).map(_._1).toSet
+        based.map { case (g, tok, base, _) =>
+          (g, tok, base.toLong + (if (bonus(g)) 1L else 0L))
+        }
+      }
+    rows.toSeq.toDF(groupCol, "tokens", "alloc")
+  }
+
+  /** Freshness-decayed deterministic thinning: a row of age `a` days at
+    * `anchorDate` survives with probability 2^(-floor(a / halflifeDays))
+    * — full retention inside the first half-life window, then halving
+    * per window. The survival test is the usual content-hash admission
+    * (first 5 md5 hex chars, a 20-bit bucket, compared against the
+    * power-of-two threshold as an equal-length hex string), so re-runs,
+    * retries, and other engines keep the exact same rows. The decay
+    * exponent is floor-bucketed INTEGER arithmetic — no pow(), whose
+    * last-ulp behavior differs across engines. Negative ages (rows
+    * newer than the anchor) are kept. One narrow filter — no shuffle. */
+  def freshnessSample(df: DataFrame, key: Column, tsCol: Column,
+      anchorDate: String, halflifeDays: Int,
+      maxShift: Int = 20): DataFrame = {
+    require(halflifeDays >= 1, "halflifeDays must be >= 1")
+    require(maxShift >= 1 && maxShift <= 20, "maxShift must be in [1, 20]")
+    val shift = least(greatest(
+        floor(datediff(lit(anchorDate), to_date(tsCol)) /
+          lit(halflifeDays)).cast("int"), lit(0)), lit(maxShift))
+    // thresholds as 5-char lowercase hex: 2^(20-k); k=0 admits all
+    // (2^20 needs 6 digits, so it is its own branch, not a compare).
+    val hex5 = (k: Int) =>
+      String.format("%05x", Long.box(1L << (20 - k)))
+    val admitted = (1 to maxShift).foldLeft(
+      when(shift === 0, lit(true))) { (acc, k) =>
+      acc.when(shift === k, substring(md5(key), 1, 5) < lit(hex5(k)))
+    }
+    df.filter(admitted)
+  }
+
   /** Deterministic source-mixing resample — the data-mixing step of a
     * pretraining pipeline ("wiki ×2.5, common-crawl ×0.25"): each row of
     * group g appears floor(w_g) times, plus once more with probability

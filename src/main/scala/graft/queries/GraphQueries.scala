@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.operators.{GraphOps, RetrievalMetrics, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Corpus-graph and retrieval-evaluation gate queries: integer PageRank
+  * and label propagation over the k-NN graph, graph-ANN beam search
+  * (recall-floor contract), and ranking metrics (RR / NDCG / recall /
+  * precision) for the ANN query paths.
+  *
+  * Oracle discipline: PageRank and label propagation run in pure
+  * integer arithmetic, so DuckDB replays the loops exactly (unrolled
+  * CTE per iteration). The metrics accumulate doubles only through
+  * rank-ordered window sums and left-to-right list folds — defined
+  * addition order, so the oracle's bytes match. Beam search recall is a
+  * 0-row floor contract (the IVF pattern) with the raw value pinned in
+  * GraphOpsSpec. */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Beam-search hits@10 floor out of k=10 (self excluded). Near-uniform
+    * synthetic embeddings are graph-ANN's worst case (no hub structure
+    * to navigate); under 16 entries / 32-beam / 5 hops over the k=8
+    * graph the measured per-query hits are 9-10 at sf0.001 and 6-10 at
+    * sf0.01 (minimum: query 103). Floor one below the measured minimum
+    * — certifies the search finds a real neighborhood without pinning a
+    * knife-edge; exact values pinned in GraphOpsSpec. */
+  private val BeamMinHits = 5L
+
+  /** Shared k-NN edge CTE (must match SimilaritySearch.knnGraph). */
+  private def knnSql(k: Int): String =
+    s"""p AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |    b.embedding::DOUBLE[]), 6) AS score
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |e AS (
+       |  SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src
+       |      ORDER BY score DESC, dst) AS rk FROM p)
+       |  WHERE rk <= $k)""".stripMargin
+
+  /** One integer-PageRank iteration as a CTE pair (inbox + rank). */
+  private def prIter(i: Int): String =
+    s"""i$i AS (SELECT e.dst AS id, sum(r${i - 1}.rank_i // deg.outdeg) AS s
+       |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+       |  JOIN deg ON e.src = deg.src GROUP BY 1),
+       |r$i AS (SELECT nodes.id,
+       |  (CAST(15 AS BIGINT) * 1000000000) // (100 * n.n)
+       |    + (85 * CAST(coalesce(i$i.s, 0) AS BIGINT)) // 100 AS rank_i
+       |  FROM nodes CROSS JOIN n LEFT JOIN i$i ON nodes.id = i$i.id)"""
+      .stripMargin
+
+  /** One label-propagation iteration as a CTE pair (majority + labels). */
+  private def lpIter(i: Int): String =
+    s"""c$i AS (SELECT e.src AS id, l${i - 1}.label, count(*) AS cnt
+       |  FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.id
+       |  WHERE l${i - 1}.label IS NOT NULL GROUP BY 1, 2),
+       |m$i AS (SELECT id, label FROM (
+       |  SELECT id, label, row_number() OVER (PARTITION BY id
+       |    ORDER BY cnt DESC, label) AS rk FROM c$i) WHERE rk = 1),
+       |l$i AS (SELECT l${i - 1}.id,
+       |  coalesce(m$i.label, l${i - 1}.label) AS label
+       |  FROM l${i - 1} LEFT JOIN m$i ON l${i - 1}.id = m$i.id)"""
+      .stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // ── integer PageRank over the exact k-NN graph: centrality for
+    //    canonical-duplicate selection / source authority. Pure integer
+    //    fixed-point (units of 1e-9 of total mass) — shuffle order can
+    //    never change a bit, and the oracle replays the 3 unrolled
+    //    iterations exactly. ────────────────────────────────────────────
+    "graph_pagerank" -> ((s, d) => {
+      val edges = SimilaritySearch.knnGraph(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4)
+      GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    }),
+
+    // ── synchronous label propagation: 1-in-5 seed labels spread to the
+    //    whole graph through 2 majority rounds (ties → smallest label);
+    //    the semi-supervised corpus-labeling building block. ────────────
+    "graph_labelprop" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = SimilaritySearch.knnGraph(emb, "vec_id", "embedding",
+        k = 4)
+      val seeds = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("label")).cast("long")
+          .as("seed_label"))
+      GraphOps.labelPropagate(edges, "src", "dst", seeds,
+          "vec_id", "seed_label", iters = 2)
+        .orderBy(col("id"))
+    }),
+
+    // ── graph-ANN beam search recall floor: top-10 by beam search over
+    //    the k=8 graph (32-beam, 5 hops, 16 shared entry points) must
+    //    share ≥ BeamMinHits ids with the exact top-10 per query — the
+    //    0-row contract pattern of the IVF paths. ───────────────────────
+    "graph_beam_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = SimilaritySearch.knnGraph(emb, "vec_id", "embedding",
+        k = 8)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id"), col("embedding"))
+      val entries = emb.filter(col("vec_id") < 16).select(col("vec_id"))
+      val beam = GraphOps.beamSearchGraph(emb, "vec_id", "embedding",
+          edges, "src", "dst", queries, "vec_id", "embedding",
+          entries, "vec_id", k = 11, beamWidth = 32, hops = 5)
+        .filter(col("id") =!= col("query_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(desc("score"), col("id").asc)
+      val beamTop = beam.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= 10).select(col("query_id"), col("id"))
+      val exact = SimilaritySearch.knnGraphForSources(emb, "vec_id",
+          "embedding", 10, queries, "vec_id")
+        .select(col("src").as("query_id"), col("dst").as("id"))
+      beamTop.join(exact, Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") < lit(BeamMinHits))
+        .select(col("query_id"), col("hits"))
+    }),
+
+    // ── retrieval metrics per query: RR, NDCG@10, recall@10,
+    //    precision@10 of exact cosine top-10 against same-label
+    //    relevance — the evaluation layer every index path is judged
+    //    by. Double sums are rank-ordered window accumulations, so the
+    //    oracle reproduces them byte-for-byte. ──────────────────────────
+    "eval_retrieval" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ranked = SimilaritySearch.knnGraphForSources(emb, "vec_id",
+          "embedding", 10, queries, "vec_id")
+        .select(col("src").as("query_id"), col("dst").as("id"),
+          col("rank"))
+      val rel = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("id"), col("label")), "label")
+        .filter(col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id"))
+      RetrievalMetrics.rankedEval(ranked, rel, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    // ── macro roll-up of eval_retrieval: MRR + mean NDCG/recall/
+    //    precision, accumulated in query_id order. ─────────────────────
+    "eval_retrieval_macro" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ranked = SimilaritySearch.knnGraphForSources(emb, "vec_id",
+          "embedding", 10, queries, "vec_id")
+        .select(col("src").as("query_id"), col("dst").as("id"),
+          col("rank"))
+      val rel = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("id"), col("label")), "label")
+        .filter(col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id"))
+      RetrievalMetrics.macroEval(
+        RetrievalMetrics.rankedEval(ranked, rel, k = 10))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "graph_pagerank" ->
+      s"""WITH ${knnSql(4)},
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n.n AS rank_i
+         |  FROM nodes, n),
+         |${prIter(1)},
+         |${prIter(2)},
+         |${prIter(3)}
+         |SELECT id, rank_i FROM r3 ORDER BY id""".stripMargin,
+
+    "graph_labelprop" ->
+      s"""WITH ${knnSql(4)},
+         |l0 AS (SELECT vec_id AS id,
+         |  CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS label
+         |  FROM embeddings),
+         |${lpIter(1)},
+         |${lpIter(2)}
+         |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
+
+    "graph_beam_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id,
+        |CAST(NULL AS BIGINT) AS hits WHERE FALSE""".stripMargin,
+
+    "eval_retrieval" ->
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id < 20),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS id,
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS score
+        |  FROM q JOIN embeddings b ON q.vec_id <> b.vec_id),
+        |ranked AS (SELECT query_id, id, rank FROM (
+        |  SELECT query_id, id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, id) AS INT) AS rank
+        |  FROM p) WHERE rank <= 10),
+        |rel AS (SELECT q.vec_id AS query_id, b.vec_id AS id
+        |  FROM q JOIN embeddings b
+        |  ON q.label = b.label AND q.vec_id <> b.vec_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (SELECT r.query_id, r.rank,
+        |  CASE WHEN rel.id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM ranked r LEFT JOIN rel
+        |  ON r.query_id = rel.query_id AND r.id = rel.id),
+        |acc AS (SELECT query_id, rank,
+        |  sum(CAST(hit AS DOUBLE) / (ln(rank + 1.0) / ln(2.0)))
+        |    OVER (PARTITION BY query_id ORDER BY rank
+        |      ROWS UNBOUNDED PRECEDING) AS dcg_cum,
+        |  sum(hit) OVER (PARTITION BY query_id ORDER BY rank
+        |      ROWS UNBOUNDED PRECEDING) AS hits_cum,
+        |  min(CASE WHEN hit = 1 THEN rank END)
+        |    OVER (PARTITION BY query_id) AS first_hit,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rank DESC)
+        |    AS last
+        |  FROM h),
+        |f AS (SELECT acc.query_id,
+        |  CAST(coalesce(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(hits_cum AS BIGINT) AS hits, dcg_cum, first_hit,
+        |  LEAST(coalesce(nrel.n_rel, 0), 10) AS ideal
+        |  FROM acc LEFT JOIN nrel ON acc.query_id = nrel.query_id
+        |  WHERE acc.last = 1)
+        |SELECT query_id, n_rel, hits,
+        |round(CASE WHEN first_hit IS NOT NULL THEN 1.0 / first_hit
+        |  ELSE 0.0 END, 4) AS rr,
+        |round(CASE WHEN ideal > 0 THEN dcg_cum /
+        |  list_sum([1.0 / (ln(i + 1.0) / ln(2.0))
+        |    FOR i IN generate_series(1, GREATEST(ideal, 1))])
+        |  ELSE 0.0 END, 4) AS ndcg,
+        |round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel
+        |  ELSE 0.0 END, 4) AS recall_k,
+        |round(CAST(hits AS DOUBLE) / 10.0, 4) AS precision_k
+        |FROM f ORDER BY query_id""".stripMargin,
+
+    "eval_retrieval_macro" ->
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id < 20),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS id,
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS score
+        |  FROM q JOIN embeddings b ON q.vec_id <> b.vec_id),
+        |ranked AS (SELECT query_id, id, rank FROM (
+        |  SELECT query_id, id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, id) AS INT) AS rank
+        |  FROM p) WHERE rank <= 10),
+        |rel AS (SELECT q.vec_id AS query_id, b.vec_id AS id
+        |  FROM q JOIN embeddings b
+        |  ON q.label = b.label AND q.vec_id <> b.vec_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (SELECT r.query_id, r.rank,
+        |  CASE WHEN rel.id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM ranked r LEFT JOIN rel
+        |  ON r.query_id = rel.query_id AND r.id = rel.id),
+        |acc AS (SELECT query_id, rank,
+        |  sum(CAST(hit AS DOUBLE) / (ln(rank + 1.0) / ln(2.0)))
+        |    OVER (PARTITION BY query_id ORDER BY rank
+        |      ROWS UNBOUNDED PRECEDING) AS dcg_cum,
+        |  sum(hit) OVER (PARTITION BY query_id ORDER BY rank
+        |      ROWS UNBOUNDED PRECEDING) AS hits_cum,
+        |  min(CASE WHEN hit = 1 THEN rank END)
+        |    OVER (PARTITION BY query_id) AS first_hit,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rank DESC)
+        |    AS last
+        |  FROM h),
+        |f AS (SELECT acc.query_id,
+        |  CAST(coalesce(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(hits_cum AS BIGINT) AS hits, dcg_cum, first_hit,
+        |  LEAST(coalesce(nrel.n_rel, 0), 10) AS ideal
+        |  FROM acc LEFT JOIN nrel ON acc.query_id = nrel.query_id
+        |  WHERE acc.last = 1),
+        |perq AS (SELECT query_id,
+        |round(CASE WHEN first_hit IS NOT NULL THEN 1.0 / first_hit
+        |  ELSE 0.0 END, 4) AS rr,
+        |round(CASE WHEN ideal > 0 THEN dcg_cum /
+        |  list_sum([1.0 / (ln(i + 1.0) / ln(2.0))
+        |    FOR i IN generate_series(1, GREATEST(ideal, 1))])
+        |  ELSE 0.0 END, 4) AS ndcg,
+        |round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel
+        |  ELSE 0.0 END, 4) AS recall_k,
+        |round(CAST(hits AS DOUBLE) / 10.0, 4) AS precision_k
+        |FROM f),
+        |m AS (SELECT
+        |  sum(rr) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING) AS srr,
+        |  sum(ndcg) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING)
+        |    AS snd,
+        |  sum(recall_k) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING)
+        |    AS src_,
+        |  sum(precision_k) OVER (ORDER BY query_id
+        |    ROWS UNBOUNDED PRECEDING) AS spr,
+        |  count(*) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING)
+        |    AS cnt,
+        |  row_number() OVER (ORDER BY query_id DESC) AS last
+        |  FROM perq)
+        |SELECT CAST(cnt AS BIGINT) AS n_queries,
+        |round(srr / cnt, 4) AS mrr, round(snd / cnt, 4) AS mean_ndcg,
+        |round(src_ / cnt, 4) AS mean_recall,
+        |round(spr / cnt, 4) AS mean_precision
+        |FROM m WHERE last = 1""".stripMargin
+  )
+}

@@ -250,6 +250,45 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── τ=2 temperature allocation: budget shares ∝ √tokens — the
+    //    square-root flattening between proportional and uniform mixing.
+    //    Exact integer weights (isqrt at 8 fractional digits) + Hamilton
+    //    largest-remainder apportionment, so Σ alloc = budget and DuckDB
+    //    reproduces every value bit-for-bit. ─────────────────────────────
+    "sample_temperature_alloc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      graft.operators.Sampling.sqrtTemperatureAllocation(
+          docs, "lang", col("n_tokens"), budget = 30000L)
+        .orderBy(col("lang"))
+    }),
+
+    // ── freshness-decayed thinning: survival halves per elapsed
+    //    half-life window (7 days against a fixed anchor) via the 20-bit
+    //    md5 bucket against power-of-two hex thresholds — deterministic
+    //    decay with no pow(), no rand(). ─────────────────────────────────
+    "sample_freshness" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Sampling.freshnessSample(ev,
+          col("event_id").cast("string"), col("ts"),
+          anchorDate = "2024-02-01", halflifeDays = 7)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── corpus-frequency boilerplate strip: 8-word segments recurring in
+    //    ≥ 3 distinct docs are removed from every doc (CCNet-style
+    //    paragraph-hash cleaning; segment order preserved, dup-heavy docs
+    //    lose their repeated chrome). ────────────────────────────────────
+    "docs_strip_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Boilerplate.stripFrequentSegments(docs, "doc_id",
+          graft.operators.Boilerplate.wordWindows(col("text"), 8),
+          minDocs = 3L)
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── curriculum staging: bucket the corpus into difficulty stages by
     //    classifier score using approx-quantile THRESHOLDS (no global
     //    sort/ntile — the only curriculum shape that survives 100 TB;
@@ -495,6 +534,74 @@ object TrainingQueries {
         |SELECT c.doc_id, c.lang, c.n_tokens FROM c
         |JOIN a ON c.lang = a.lang
         |WHERE c.cum <= a.alloc ORDER BY c.doc_id""".stripMargin,
+
+    "sample_temperature_alloc" ->
+      """WITH tot AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, tokens,
+        |  CAST(floor(sqrt(tokens * 100000000.0)) AS HUGEINT) AS w0,
+        |  tokens * CAST(100000000 AS HUGEINT) AS x
+        |  FROM tot),
+        |w2 AS (SELECT lang, tokens,
+        |  CASE WHEN (w0 + 1) * (w0 + 1) <= x THEN w0 + 1
+        |       WHEN w0 * w0 > x THEN w0 - 1 ELSE w0 END AS wt
+        |  FROM w),
+        |z AS (SELECT sum(wt) AS z FROM w2),
+        |b AS (SELECT lang, tokens, wt,
+        |  (CAST(30000 AS HUGEINT) * wt) // z.z AS base,
+        |  (CAST(30000 AS HUGEINT) * wt) % z.z AS rem
+        |  FROM w2, z),
+        |lo AS (SELECT 30000 - sum(base) AS leftover FROM b),
+        |rk AS (SELECT lang, row_number() OVER (ORDER BY rem DESC, lang)
+        |  AS rk FROM b WHERE tokens > 0)
+        |SELECT b.lang, b.tokens,
+        |CAST(b.base + CASE WHEN rk.rk IS NOT NULL AND rk.rk <= lo.leftover
+        |  THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM b LEFT JOIN rk ON b.lang = rk.lang CROSS JOIN lo
+        |ORDER BY b.lang""".stripMargin,
+
+    "sample_freshness" -> {
+      // survival CASE: shift k → admit iff 20-bit bucket < 2^(20-k),
+      // compared as equal-length lowercase hex (k=0 admits all); the
+      // thresholds are generated from the same formula the operator uses.
+      val cases = (1 to 20).map { k =>
+        val hex = String.format("%05x", Long.box(1L << (20 - k)))
+        s"WHEN _k = $k THEN substring(md5(CAST(event_id AS VARCHAR)), 1, 5) < '$hex'"
+      }.mkString("\n")
+      s"""WITH a AS (
+         |  SELECT event_id, user_id, event_type,
+         |  LEAST(GREATEST(CAST(floor(date_diff('day', CAST(ts AS DATE),
+         |    DATE '2024-02-01') / 7.0) AS INT), 0), 20) AS _k
+         |  FROM events)
+         |SELECT event_id, user_id, event_type FROM a
+         |WHERE CASE WHEN _k = 0 THEN TRUE
+         |$cases
+         |ELSE FALSE END
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "docs_strip_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, seg,
+        |  array_to_string(words[seg * 8 + 1 : seg * 8 + 8], ' ')
+        |    AS segtext
+        |  FROM (SELECT doc_id, words,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS seg
+        |    FROM t)),
+        |f AS (SELECT segtext FROM s GROUP BY segtext
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT doc_id, seg, segtext FROM s
+        |  WHERE segtext NOT IN (SELECT segtext FROM f))
+        |SELECT d.doc_id,
+        |coalesce(string_agg(k.segtext, ' ' ORDER BY k.seg), '')
+        |  AS clean_text
+        |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "curriculum_stages" ->
       """SELECT CAST(NULL AS INT) AS stage, CAST(NULL AS BIGINT) AS n,

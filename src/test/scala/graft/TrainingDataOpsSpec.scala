@@ -108,6 +108,83 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("sqrtTemperatureAllocation: hand-computed Hamilton apportionment; " +
+      "zero-weight groups excluded from the leftover; isqrt exact") {
+    // precisionDigits=0: weights isqrt(16)=4, isqrt(4)=2, isqrt(0)=0;
+    // Z=6, budget 10 → bases 40//6=6, 20//6=3, 0 (rems 4, 2, 0);
+    // leftover 1 goes to the largest remainder (a).
+    val d = Seq((1L, "a", 16L), (2L, "b", 4L), (3L, "c", 0L))
+      .toDF("id", "grp", "n_tokens")
+    val got = Sampling.sqrtTemperatureAllocation(d, "grp",
+        col("n_tokens"), budget = 10L, precisionDigits = 0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map("a" -> ((16L, 7L)), "b" -> ((4L, 3L)),
+      "c" -> ((0L, 0L))))
+    // default precision: Σ alloc = budget exactly, monotone in tokens
+    val d2 = Seq((1L, "a", 100L), (2L, "b", 900L), (3L, "c", 2500L))
+      .toDF("id", "grp", "n_tokens")
+    val a2 = Sampling.sqrtTemperatureAllocation(d2, "grp",
+        col("n_tokens"), budget = 12345L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a2.values.sum === 12345L)
+    assert(a2("a") < a2("b") && a2("b") < a2("c"))
+    // √ flattening: small group's share exceeds its token share
+    assert(a2("a").toDouble / 12345 > 100.0 / 3500)
+    // isqrt: exact at perfect squares, boundaries, and huge magnitudes
+    assert(Sampling.isqrt(BigInt(0)) === BigInt(0))
+    val big = BigInt("123456789123456789")
+    assert(Sampling.isqrt(big * big) === big)
+    assert(Sampling.isqrt(big * big - 1) === big - 1)
+    assert(Sampling.isqrt(big * big + 1) === big)
+    intercept[IllegalArgumentException] {
+      Sampling.sqrtTemperatureAllocation(d, "grp", col("n_tokens"), -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sqrtTemperatureAllocation(d, "grp", col("n_tokens"), 1L,
+        precisionDigits = 19)
+    }
+  }
+
+  test("freshnessSample: fresh rows all kept, decayed rows match an " +
+      "independent md5 threshold check, future rows kept") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val rows = (0 until 200).map { i =>
+      val ts = i % 4 match {
+        case 0 => "2024-01-30 12:00:00" // age 2d  → shift 0
+        case 1 => "2023-12-20 12:00:00" // age 43d → shift 6
+        case 2 => "2024-02-05 12:00:00" // future  → shift 0
+        case _ => "2023-11-01 12:00:00" // age 92d → shift 13
+      }
+      (i.toLong, ts)
+    }
+    val d = rows.toDF("id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val kept = Sampling.freshnessSample(d, col("id").cast("string"),
+        col("ts"), anchorDate = "2024-02-01", halflifeDays = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // shift-0 rows (fresh + future) all survive
+    rows.filter(r => r._1 % 4 == 0 || r._1 % 4 == 2)
+      .foreach(r => assert(kept(r._1), s"fresh row ${r._1} dropped"))
+    // decayed rows: survival must equal the hex-threshold rule exactly
+    val thr = Map(6 -> "%05x".format(1L << 14), 13 -> "%05x".format(1L << 7))
+    rows.filter(r => r._1 % 4 == 1 || r._1 % 4 == 3).foreach { r =>
+      val shift = if (r._1 % 4 == 1) 6 else 13
+      val expect = md5hex(r._1.toString).substring(0, 5) < thr(shift)
+      assert(kept(r._1) === expect, s"row ${r._1} shift $shift")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.freshnessSample(d, col("id").cast("string"), col("ts"),
+        "2024-02-01", halflifeDays = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.freshnessSample(d, col("id").cast("string"), col("ts"),
+        "2024-02-01", halflifeDays = 7, maxShift = 21)
+    }
+  }
+
   test("leakageSafeSplit: chained near-dup clusters land whole in one " +
       "split; unpaired docs keep their own-id split; guards fire") {
     val d = docs(40)
