@@ -293,4 +293,14 @@ object VectorFunctions {
     * scale next to the quantized vector for dequantization. */
   def quantScale(c: Column): Column =
     array_max(transform(asDouble(c), x => abs(x))) / lit(127.0)
+
+  /** Matryoshka truncation: keep the first `dim` dimensions and
+    * re-unit-normalize — the MRL deployment trick (use a prefix of the
+    * embedding at a fraction of the storage/compute, re-normed so cosine
+    * machinery is unchanged). Slice + the native [[L2Normalize]], one
+    * pass, no shuffle. */
+  def truncateRenorm(c: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be >= 1")
+    l2Normalize(slice(asDouble(c), 1, dim))
+  }
 }

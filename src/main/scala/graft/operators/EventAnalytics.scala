@@ -186,4 +186,45 @@ object EventAnalytics {
       .groupBy(col(typeCol).as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Exponentially-weighted moving average per key over an ordered
+    * series — the smoothing/trend primitive (rate dashboards, drift
+    * baselines, anomaly thresholds). s₁ = x₁; sₜ = α·xₜ + (1−α)·sₜ₋₁.
+    *
+    * The recursion is evaluated as an explicit LEFT FOLD over each
+    * key's series (collect_list → sort_array → running `aggregate`
+    * lambda), not as a closed-form Σ α(1−α)^(t−k)xₖ window: the fold
+    * performs the same IEEE operations in the same order on every
+    * engine, so with a dyadic α (0.25, 0.5 — exactly representable)
+    * a DuckDB recursive CTE reproduces every intermediate bit-for-bit,
+    * while pow()-based forms drift in the last ulp. Output values are
+    * additionally rounded to `decimals` in-plan.
+    *
+    * Scale: one key-keyed shuffle; each key's whole series must fit in
+    * one aggregation buffer (it is a per-key time series — thousands of
+    * points, not corpus-sized). The quadratic array-append in the fold
+    * is bounded by series length; for the billion-point-per-key case
+    * use a streaming stateful form instead. Output: (key, ord, value,
+    * ewma). */
+  def ewma(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, alpha: Double, decimals: Int = 6): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val folded = series
+      .groupBy(col(keyCol).as("key"))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("ord"), col(valCol).cast("double").as("x"))))
+        .as("pts"))
+      .withColumn("sm", aggregate(col("pts"),
+        array().cast("array<double>"),
+        (acc, p) => concat(acc, array(
+          when(size(acc) === 0, p.getField("x"))
+            .otherwise(lit(alpha) * p.getField("x") +
+              lit(1.0 - alpha) * element_at(acc, -1))))))
+    folded
+      .select(col("key"), posexplode(arrays_zip(col("pts"), col("sm"))))
+      .select(col("key").as(keyCol),
+        col("col.pts.ord").as(ordCol),
+        col("col.pts.x").as(valCol),
+        round(col("col.sm"), decimals).as("ewma"))
+  }
 }

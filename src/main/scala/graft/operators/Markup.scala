@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML/markup → clean text — the first step of every web-corpus
+  * curation recipe (C4, CCNet, RefinedWeb all begin by reducing crawled
+  * markup to running text before any quality or dedup signal is
+  * computed). Implemented as a chain of `regexp_replace` columns so the
+  * whole strip stays inside whole-stage codegen: one narrow pass, no
+  * UDF, no shuffle.
+  *
+  * Pattern discipline: every regex avoids backreferences and lookaround
+  * so the exact same pattern string runs under both java.util.regex and
+  * RE2-family engines (an oracle replays the chain verbatim;
+  * `<script>`/`<style>` get separate literal patterns instead of a
+  * `<(script|style)>.*?</\1>` backreference for this reason). Case
+  * folding and dot-all are inline flags `(?is)`, supported by both.
+  *
+  * Entity decoding covers the named entities that dominate real crawl
+  * text (`&amp; &lt; &gt; &quot; &#39; &nbsp;`) — `&amp;` is decoded
+  * LAST so `&amp;lt;` (an escaped literal `<` in the source page)
+  * decodes to `&lt;` the text, not to a `<` that a second pass would
+  * treat as markup. Numeric character references beyond `&#39;` are out
+  * of scope (full HTML5 entity tables are a dictionary problem, not a
+  * regex problem). */
+object Markup {
+
+  /** Drop `<script>…</script>` and `<style>…</style>` including content
+    * (their text is code, not prose), then comments, then all remaining
+    * tags; tags are replaced by a space so `…text</p><p>more…` does not
+    * fuse words. */
+  def stripTags(c: Column): Column = {
+    val noScript =
+      regexp_replace(c, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    regexp_replace(noComment, "(?s)</?[A-Za-z!][^>]*>", " ")
+  }
+
+  /** Decode the high-frequency named entities; `&amp;` last (see
+    * object scaladoc). */
+  def decodeEntities(c: Column): Column = {
+    val steps = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (ent, ch)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(ent),
+        java.util.regex.Matcher.quoteReplacement(ch))
+    }
+  }
+
+  /** Collapse runs of whitespace to single spaces and trim. */
+  def collapseWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** The full strip: tags (script/style/comment-aware) → entities →
+    * whitespace. The order matters: entity decode must run AFTER tag
+    * removal (so `&lt;p&gt;` in text never becomes a strippable tag)
+    * and whitespace collapse last (tag replacement introduces spaces). */
+  def htmlToText(c: Column): Column =
+    collapseWhitespace(decodeEntities(stripTags(c)))
+}

@@ -140,6 +140,21 @@ object CurationQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // ── EWMA smoothing (α = 1/4, dyadic → exact binary scaling) of the
+    //    per-type DAILY event counts: the recursion runs as an explicit
+    //    left fold, so every engine performs the identical IEEE ops in
+    //    the identical order — the oracle's recursive CTE reproduces
+    //    each sₜ bit-for-bit before the in-plan round. ───────────────────
+    "events_ewma" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.EventAnalytics.ewma(daily, "event_type", "day",
+          "n", alpha = 0.25)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ── replica reconciliation: Merkle-style bucket checksums of two
     //    copies of the documents table (right is missing every 97th doc);
     //    only buckets containing drift emit ────────────────────────────────
@@ -464,6 +479,25 @@ object CurationQueries {
         |SELECT from_type, to_type, count(*) AS n
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT event_type, day, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+        |  FROM daily),
+        |e AS (
+        |  SELECT event_type, day, x, rk, x AS s FROM rr WHERE rk = 1
+        |  UNION ALL
+        |  SELECT rr.event_type, rr.day, rr.x, rr.rk,
+        |  0.25 * rr.x + 0.75 * e.s
+        |  FROM rr JOIN e ON rr.event_type = e.event_type
+        |    AND rr.rk = e.rk + 1)
+        |SELECT event_type, day, x AS n, round(s, 6) AS ewma
+        |FROM e ORDER BY event_type, day""".stripMargin,
 
     "events_gapfill" ->
       """WITH bounds AS (

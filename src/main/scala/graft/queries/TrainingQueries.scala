@@ -289,6 +289,26 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── HTML → text cleaning (the first step of C4/CCNet-style web
+    //    curation): markup is synthesized around the corpus text IN the
+    //    query (both engines build the identical page string), then
+    //    stripped by the regexp chain — script/style content dropped,
+    //    comments and tags removed, entities decoded (&amp; last),
+    //    whitespace collapsed. Patterns are backreference-free so the
+    //    same strings run under java.util.regex and RE2. ────────────────
+    "docs_strip_html" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body><!-- hdr --><h1>T&amp;C &lt;v1&gt;</h1><p class=\"a\">"),
+        col("text"),
+        lit("</p>&nbsp;<B>"), col("lang"), lit("</B></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.operators.Markup.htmlToText(page).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── curriculum staging: bucket the corpus into difficulty stages by
     //    classifier score using approx-quantile THRESHOLDS (no global
     //    sort/ntile — the only curriculum shape that survives 100 TB;
@@ -581,6 +601,29 @@ object TrainingQueries {
          |ELSE FALSE END
          |ORDER BY event_id""".stripMargin
     },
+
+    "docs_strip_html" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style>' ||
+        |  '<script type="text/javascript">var x = 1 < 2;</script>' ||
+        |  '</head><body><!-- hdr --><h1>T&amp;C &lt;v1&gt;</h1><p class="a">'
+        |  || text || '</p>&nbsp;<B>' || lang || '</B></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean_text
+        |FROM page ORDER BY doc_id""".stripMargin,
 
     "docs_strip_boilerplate" ->
       """WITH t AS (

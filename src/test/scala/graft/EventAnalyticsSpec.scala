@@ -201,4 +201,39 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got === Map(1L -> 12.0, 3L -> 30.0, 4L -> 40.0))
   }
+
+  test("ewma: hand-computed recursion, per-key isolation, s1 = x1") {
+    import graft.operators.EventAnalytics
+    val series = Seq(
+      ("a", 1, 8.0), ("a", 2, 4.0), ("a", 3, 0.0),
+      ("b", 1, 100.0)
+    ).toDF("k", "t", "x")
+    val got = EventAnalytics.ewma(series, "k", "t", "x", alpha = 0.25)
+      .orderBy("k", "t")
+      .select("k", "t", "ewma")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // a: s1=8; s2=0.25*4+0.75*8=7; s3=0.25*0+0.75*7=5.25
+    assert(got === Array(("a", 1, 8.0), ("a", 2, 7.0), ("a", 3, 5.25),
+      ("b", 1, 100.0)))
+  }
+
+  test("ewma: result independent of input row order and partitioning") {
+    import graft.operators.EventAnalytics
+    val rows = (1 to 50).map(i => ("k", i, (i * 37 % 11).toDouble))
+    val a = EventAnalytics.ewma(rows.toDF("k", "t", "x"), "k", "t", "x", 0.25)
+      .orderBy("t").select("ewma").as[Double].collect()
+    val b = EventAnalytics.ewma(
+        scala.util.Random.shuffle(rows).toDF("k", "t", "x").repartition(7),
+        "k", "t", "x", 0.25)
+      .orderBy("t").select("ewma").as[Double].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("ewma: alpha guard") {
+    import graft.operators.EventAnalytics
+    intercept[IllegalArgumentException] {
+      EventAnalytics.ewma(Seq(("k", 1, 1.0)).toDF("k", "t", "x"),
+        "k", "t", "x", alpha = 0.0)
+    }
+  }
 }

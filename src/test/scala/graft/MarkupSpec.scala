@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Markup
+import org.apache.spark.sql.functions._
+
+class MarkupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(html: String): String =
+    Seq(html).toDF("h").select(Markup.htmlToText(col("h"))).as[String].head()
+
+  test("tags stripped, text preserved, tag boundaries become word boundaries") {
+    assert(strip("<p>hello</p><p>world</p>") === "hello world")
+    assert(strip("<div class=\"x\" id='y'>a</div>") === "a")
+    assert(strip("plain text, no markup") === "plain text, no markup")
+  }
+
+  test("script and style lose their CONTENT, not just their tags") {
+    assert(strip("<script>var x = 1 < 2; if (x > 0) alert('hi');</script>ok")
+      === "ok")
+    assert(strip("<style>p { color: red; }</style>body") === "body")
+    assert(strip("<SCRIPT TYPE=\"module\">code()</SCRIPT>after") === "after")
+    // multi-line block (dot-all flag)
+    assert(strip("<script>\nline1\nline2\n</script>kept") === "kept")
+  }
+
+  test("comments removed including markup inside them") {
+    assert(strip("a<!-- <p>not real</p> -->b") === "a b")
+    assert(strip("<!--\nmultiline\n-->x") === "x")
+  }
+
+  test("entities decode after tag strip; &amp; decodes last") {
+    assert(strip("T&amp;C") === "T&C")
+    assert(strip("1 &lt; 2 &gt; 0") === "1 < 2 > 0")
+    assert(strip("&quot;q&quot; &#39;s&#39;") === "\"q\" 's'")
+    assert(strip("a&nbsp;b") === "a b")
+    // the escaped-escape case: &amp;lt; is a LITERAL "&lt;" in the text —
+    // it must not double-decode into a strippable '<'
+    assert(strip("&amp;lt;p&amp;gt;") === "&lt;p&gt;")
+    // entity text inside a real tag's body survives as decoded text
+    assert(strip("<p>&lt;script&gt;x&lt;/script&gt;</p>")
+      === "<script>x</script>")
+  }
+
+  test("whitespace collapses to single spaces, trimmed") {
+    assert(strip("  a \n\t b  ") === "a b")
+    assert(strip("<p>\n  indented\n</p>") === "indented")
+  }
+
+  test("a full page reduces to its prose") {
+    val page = "<html><head><title>t</title><style>a{}</style>" +
+      "<script>var j = \"</div>\";</script></head>" +
+      "<body><!-- nav --><h1>Title</h1><p>First&nbsp;para.</p>" +
+      "<p>A &amp; B</p></body></html>"
+    assert(strip(page) === "t Title First para. A & B")
+  }
+}
