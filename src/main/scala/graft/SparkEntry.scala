@@ -52,5 +52,5 @@ object SparkEntry {
     * production shape instead of an O(N²) verification pass. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ ExtensionQueries.benchOverrides ++
-      TrainingQueries.benchOverrides
+      TrainingQueries.benchOverrides ++ GraphQueries.benchOverrides
 }

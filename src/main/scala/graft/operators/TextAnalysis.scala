@@ -313,13 +313,15 @@ object TextAnalysis {
     *
     * Scale shape: the dictionary rides the closure (broadcast — bytes,
     * not data) and the corpus is scanned ONCE in a typed kernel; no join,
-    * no shuffle beyond the caller's sink. The per-keyword indexOf loop is
-    * O(len × |dict|) — fine for curation dictionaries (10²-10³ terms); a
-    * 10⁵-term dictionary would swap in an Aho-Corasick trie behind the
-    * same signature (single-pass multi-pattern matching), which changes
-    * nothing about the dataflow. */
+    * no shuffle beyond the caller's sink. Dictionaries of
+    * `acThreshold` or more terms switch from the per-keyword indexOf
+    * loop (O(len × |dict|)) to an [[graft.functions.AhoCorasick]]
+    * automaton (O(len + matches), single pass over the text regardless
+    * of dictionary size — the 10⁵-term blocklist path); both paths
+    * share the identical non-overlap count contract, proven equal on
+    * randomized corpora in TextAnalysisSpec. */
   def keywordHits(docs: DataFrame, idCol: String, textCol: String,
-      keywords: Seq[String]): DataFrame = {
+      keywords: Seq[String], acThreshold: Int = 32): DataFrame = {
     require(keywords.nonEmpty, "keywordHits: empty dictionary")
     // an empty keyword would spin countOccurrences forever (indexOf("")
     // matches at every position and advances by 0) — reject loudly
@@ -329,16 +331,28 @@ object TextAnalysis {
       .distinct.sorted.toArray
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
+    val base = Dedup.spread(docs)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, t) =>
-        val lower = t.toLowerCase(java.util.Locale.ROOT)
-        kws.iterator
-          .map(kw => (id, kw, countOccurrences(lower, kw)))
-          .filter(_._3 > 0)
-      })
-      .toDF("doc_id", "keyword", "hits")
+    val hits =
+      if (kws.length >= acThreshold) {
+        val ac = graft.functions.AhoCorasick.build(kws.toSeq)
+        base.mapPartitions(_.flatMap { case (id, t) =>
+          val counts =
+            ac.countHits(t.toLowerCase(java.util.Locale.ROOT))
+          counts.iterator.zipWithIndex.collect {
+            case (n, ki) if n > 0 => (id, kws(ki), n)
+          }
+        })
+      } else {
+        base.mapPartitions(_.flatMap { case (id, t) =>
+          val lower = t.toLowerCase(java.util.Locale.ROOT)
+          kws.iterator
+            .map(kw => (id, kw, countOccurrences(lower, kw)))
+            .filter(_._3 > 0)
+        })
+      }
+    hits.toDF("doc_id", "keyword", "hits")
   }
 
   /** Canonical text normalization (the first pass of every dedup/quality

@@ -75,6 +75,16 @@ object CompressionQueries {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // ── per-dimension z-scoring against exact INTEGER corpus stats
+    //    (micro-quantized Σx / Σx² — order-free sums, so the only fp is
+    //    the final fixed expression tree both engines evaluate
+    //    identically). ───────────────────────────────────────────────────
+    "emb_standardize" -> ((s, d) => {
+      graft.operators.Standardize.zScores(t(s, d, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // ── Matryoshka two-stage retrieval: coarse top-50 in the 16-dim
     //    prefix space, exact rerank top-10 — dominance 0-row contract
     //    (same shape as emb_project_rerank; holds for ANY prefix). ───────
@@ -145,6 +155,30 @@ object CompressionQueries {
     "emb_matryoshka_rerank" ->
       """SELECT CAST(NULL AS INT) AS rank,
         |CAST(NULL AS DOUBLE) AS rerank_score,
-        |CAST(NULL AS DOUBLE) AS exact_score WHERE FALSE""".stripMargin
+        |CAST(NULL AS DOUBLE) AS exact_score WHERE FALSE""".stripMargin,
+
+    // Exact integer replay: micro-quantized sums, then the identical
+    // double expression tree (CAST/divide/multiply/subtract/sqrt are all
+    // IEEE-correctly-rounded, so bits match before the final round).
+    "emb_standardize" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+        |  unnest([CAST(round(x * 1000000, 0) AS BIGINT)
+        |    FOR x IN embedding::DOUBLE[]]) AS xm
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT pos, count(*) AS n, sum(xm) AS s, sum(xm * xm) AS s2
+        |  FROM e GROUP BY pos),
+        |m AS (SELECT pos,
+        |  CAST(s AS DOUBLE) / n AS mu_m,
+        |  CAST(s2 AS DOUBLE) / n
+        |    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var_m
+        |  FROM st)
+        |SELECT e.vec_id, CAST(e.pos AS INT) AS pos,
+        |round(CASE WHEN m.var_m > 0
+        |  THEN (CAST(e.xm AS DOUBLE) - m.mu_m) / sqrt(m.var_m)
+        |  ELSE 0.0 END, 4) + 0.0 AS z
+        |FROM e JOIN m ON e.pos = m.pos
+        |ORDER BY e.vec_id, pos""".stripMargin
   )
 }

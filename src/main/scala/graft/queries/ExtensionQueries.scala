@@ -2015,6 +2015,30 @@ object ExtensionQueries {
     * production operator (knnGraphCells) runs in full; the correctness
     * gate keeps the exhaustive form. Same 0-row contract. */
   val benchOverrides: Map[String, Q] = Map(
+    // Bench-only: verify the SemDeDup precision contract on the pairs
+    // whose smaller id falls in a deterministic 10% sample — the brute
+    // side then costs |sample|·N comparisons instead of N²/2. The gate
+    // still runs the full audit.
+    "emb_semantic_precision" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val sem = Dedup.cosinePairsSemantic(emb, "vec_id", "embedding",
+          threshold = 0.3, ncells = 8)
+        .filter(pmod(col("id_a"), lit(10)) === 0)
+      val e = emb.repartition(emb.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt)
+        .select(col("vec_id").as("id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      val sampled = e.filter(pmod(col("id"), lit(10)) === 0)
+      val brute = sampled.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.VectorFunctions
+            .cosineSimilarity(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+      sem.join(brute, Seq("id_a", "id_b"), "left_anti")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "knn_graph_dominance" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val sampled = emb.filter(pmod(col("vec_id"), lit(10)) === 0)

@@ -306,4 +306,31 @@ object GraphQueries {
         |round(spr / cnt, 4) AS mean_precision
         |FROM m WHERE last = 1""".stripMargin
   )
+
+  /** Bench-only variant: the gate's graph_beam_recall pays an exact N²
+    * knnGraph to build its edges (the verification baseline); the bench
+    * measures the PRODUCTION configuration — beam search over the
+    * cell-restricted graph ([[SimilaritySearch.knnGraphCells]], per-cell
+    * quadratic), same queries, same hop/beam budget. Output rows are
+    * not gated here (the recall floor belongs to the exact-graph form). */
+  val benchOverrides: Map[String, Q] = Map(
+    "graph_beam_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = SimilaritySearch.knnGraphCells(emb, "vec_id", "embedding",
+        k = 8, ncells = 8)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id"), col("embedding"))
+      val entries = emb.filter(col("vec_id") < 16).select(col("vec_id"))
+      val beam = GraphOps.beamSearchGraph(emb, "vec_id", "embedding",
+          edges, "src", "dst", queries, "vec_id", "embedding",
+          entries, "vec_id", k = 11, beamWidth = 32, hops = 5)
+        .filter(col("id") =!= col("query_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(desc("score"), col("id").asc)
+      beam.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= 10)
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    })
+  )
 }

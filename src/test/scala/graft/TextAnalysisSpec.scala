@@ -163,4 +163,69 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got === Map(1L -> "mixed case text", 2L -> "eleve"))
   }
+
+  test("AhoCorasick: overlapping/nested patterns count like independent scans") {
+    import graft.functions.AhoCorasick
+    val pats = Seq("a", "ab", "aba", "ba", "b", "abab")
+    val ac = AhoCorasick.build(pats)
+    def naive(text: String, kw: String): Int = {
+      var n = 0; var i = text.indexOf(kw)
+      while (i >= 0) { n += 1; i = text.indexOf(kw, i + kw.length) }
+      n
+    }
+    for (text <- Seq("ababab", "aaaa", "babba", "", "abababa", "xyz")) {
+      val got = ac.countHits(text)
+      pats.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i) === naive(text, p),
+          s"pattern '$p' on '$text': got ${got(i)}, want ${naive(text, p)}")
+      }
+    }
+  }
+
+  test("AhoCorasick matches the naive scan on randomized corpora (the " +
+      "keywordHits path-equality contract)") {
+    import graft.functions.AhoCorasick
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pats = (0 until 40).map(_ => randStr(1 + rnd.nextInt(4))).distinct
+    val ac = AhoCorasick.build(pats)
+    def naive(text: String, kw: String): Int = {
+      var n = 0; var i = text.indexOf(kw)
+      while (i >= 0) { n += 1; i = text.indexOf(kw, i + kw.length) }
+      n
+    }
+    (0 until 50).foreach { _ =>
+      val text = randStr(rnd.nextInt(200))
+      val got = ac.countHits(text)
+      pats.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i) === naive(text, p), s"'$p' on '$text'")
+      }
+    }
+  }
+
+  test("keywordHits: AC path (large dict) and indexOf path (small dict) " +
+      "produce identical frames") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aba cab abab the quick ab fox ab ab"),
+      (2L, "no hits here except THE and Ab"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val dict = Seq("ab", "aba", "the", "cab", "quick", "fox", "b")
+    val small = TextAnalysis
+      .keywordHits(docs, "doc_id", "text", dict, acThreshold = 1000)
+      .orderBy("doc_id", "keyword").collect().map(_.toSeq)
+    val large = TextAnalysis
+      .keywordHits(docs, "doc_id", "text", dict, acThreshold = 1)
+      .orderBy("doc_id", "keyword").collect().map(_.toSeq)
+    assert(small.nonEmpty && small.sameElements(large))
+  }
+
+  test("AhoCorasick guards: empty dictionary and empty pattern fail loudly") {
+    import graft.functions.AhoCorasick
+    intercept[IllegalArgumentException] { AhoCorasick.build(Nil) }
+    intercept[IllegalArgumentException] { AhoCorasick.build(Seq("a", "")) }
+  }
 }
