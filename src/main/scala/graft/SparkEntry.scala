@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CompressionQueries, CoreQueries, CurationQueries, ExtensionQueries, GraphQueries, TrainingQueries}
+import graft.queries.{CompressionQueries, CoreQueries, CurationQueries, ExtensionQueries, GraphQueries, RankingQueries, TrainingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -34,7 +34,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtensionQueries.queries ++
       CurationQueries.queries ++ TrainingQueries.queries ++
-      GraphQueries.queries ++ CompressionQueries.queries
+      GraphQueries.queries ++ CompressionQueries.queries ++
+      RankingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose output is defined by
@@ -42,7 +43,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtensionQueries.oracles ++
       CurationQueries.oracles ++ TrainingQueries.oracles ++
-      GraphQueries.oracles ++ CompressionQueries.oracles
+      GraphQueries.oracles ++ CompressionQueries.oracles ++
+      RankingQueries.oracles
 
   /** The bench suite: `queries` with a few audit entries swapped for
     * deterministically SAMPLED variants (e.g. the exact-all-pairs
