@@ -21,7 +21,10 @@ object PrintPlans {
       "j_fuzzy_names", "q3_top_orders", "q5_region_volume",
       "events_transitions", "docs_postings", "sample_weighted_priority",
       "q10_returned_revenue", "j_interval_two_table", "emb_mean_pool",
-      "events_gapfill", "sync_bucket_diff", "cdc_apply_delta")
+      "events_gapfill", "sync_bucket_diff", "cdc_apply_delta",
+      "emb_standardize", "rank_bm25", "rank_fusion", "rank_maxsim",
+      "emb_hamming_topk", "docs_strip_html", "events_ewma",
+      "a_mad_extremes", "graph_pagerank")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir)

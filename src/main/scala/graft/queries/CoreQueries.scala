@@ -515,6 +515,28 @@ object CoreQueries {
         // so the 3.0 boundary cannot flip on accumulation-order noise
         .filter(abs(col("z")) > 3.0)
         .orderBy(col("event_id"))
+    }),
+
+    // ── robust (median/MAD) extremes: the outlier screen that a heavy
+    //    tail cannot poison — mean/stddev move with the contamination,
+    //    median/MAD do not. Exact percentile on INTEGER-valued input
+    //    (med/MAD are k.0 or k.5 — exact in both engines); ranking is on
+    //    the ROUNDED |z| so the order cannot flip on a last-ulp. Top-20
+    //    contract rather than a threshold: value-checked regardless of
+    //    the corpus's tail shape. ──────────────────────────────────────────
+    "a_mad_extremes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val med = docs.agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.crossJoin(broadcast(med))
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = dev.agg(expr("percentile(adev, 0.5)").as("mad"),
+        min(col("med")).as("med2"))
+      docs.crossJoin(broadcast(mad))
+        .select(col("doc_id"), col("n_chars"),
+          round(lit(0.6745) * (col("n_chars") - col("med2")) / col("mad"), 4)
+            .as("z"))
+        .orderBy(abs(col("z")).desc, col("doc_id").asc)
+        .limit(20)
     })
   )
 
@@ -834,6 +856,20 @@ object CoreQueries {
         |  SELECT event_id, round((value - mu) / sigma, 4) AS z
         |  FROM events JOIN s USING (event_type))
         |WHERE abs(z) > 3.0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "a_mad_extremes" ->
+      """WITH m AS (
+        |  SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, n_chars, abs(n_chars - m.med) AS adev, m.med
+        |  FROM documents, m),
+        |m2 AS (SELECT quantile_cont(adev, 0.5) AS mad,
+        |  min(med) AS med2 FROM d2)
+        |SELECT doc_id, n_chars,
+        |round(0.6745::DOUBLE * (n_chars - m2.med2) / m2.mad, 4) AS z
+        |FROM documents, m2
+        |ORDER BY abs(round(0.6745::DOUBLE * (n_chars - m2.med2) / m2.mad,
+        |  4)) DESC, doc_id LIMIT 20""".stripMargin
   )
 }
