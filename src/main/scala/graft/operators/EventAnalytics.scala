@@ -57,6 +57,46 @@ object EventAnalytics {
       .toDF("stage", "stage_name", "users")
   }
 
+  /** [[funnel]] with a conversion window: stage i counts only when it
+    * happens STRICTLY after stage i−1 AND within `windowSeconds` of it
+    * ("purchase within 24 h of the click") — the form product funnels
+    * are actually quoted in. Attribution is GREEDY first-match (each
+    * stage anchors at its earliest qualifying event — the product-
+    * analytics convention), not an exists-any-chain search: a user whose
+    * only conversion path runs through a later anchor is counted where
+    * the greedy chain stalls. Same chain shape and scale posture as
+    * [[funnel]] (per-stage re-aggregation against the one-row-per-user
+    * chain frame, AQE broadcasts the chain side); the window bound rides
+    * the join predicate, so out-of-window events never reach the
+    * aggregation. */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String],
+      windowSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnelWithin needs at least one stage")
+    require(windowSeconds >= 1, "windowSeconds must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    var chain = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("t1"))
+    for ((stage, idx) <- stages.tail.zipWithIndex) {
+      val i = idx + 2
+      val prevT = s"t${i - 1}"
+      val qualified = events.filter(col(typeCol) === stage)
+        .join(chain.select(col("u").as("_u"), col(prevT)),
+          events(userCol) === col("_u") && col(tsCol) > col(prevT) &&
+            col(tsCol) <= col(prevT) + expr(s"INTERVAL $windowSeconds SECOND"))
+        .groupBy(col("_u").as("u2"))
+        .agg(min(col(tsCol)).as(s"t$i"))
+      chain = chain.join(qualified, chain("u") === qualified("u2"), "left")
+        .drop("u2")
+    }
+    val aggs = (1 to stages.length).map(s => count(col(s"t$s")).as(s"c$s"))
+    val row = chain.agg(aggs.head, aggs.tail: _*).first()
+    (1 to stages.length).map(s => (s, stages(s - 1), row.getLong(s - 1)))
+      .toDF("stage", "stage_name", "users")
+  }
+
   /** Cohort retention: users grouped by first-seen day; for each (cohort
     * day, day offset ≥ 0) the number of DISTINCT cohort users active that
     * day. Two user-keyed shuffles (first-seen, then distinct activity) —

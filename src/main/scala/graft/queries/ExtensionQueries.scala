@@ -871,6 +871,16 @@ object ExtensionQueries {
         .orderBy(col("stage"))
     }),
 
+    // ── windowed funnel: same stages, but each stage must land within
+    //    1 hour of the previous one (conversion-window attribution,
+    //    greedy first-match anchoring — the product-analytics form) ────────
+    "events_funnel_within" -> ((s, d) => {
+      graft.operators.EventAnalytics.funnelWithin(t(s, d, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = 3600L)
+        .orderBy(col("stage"))
+    }),
+
     // ── Z-order key: the Morton interleave of (user_id, hour) — the sort
     //    key `ZOrder.layoutByZ` lays files out by; pure bit arithmetic,
     //    value-checked against the same mask chain in SQL. The layout's
@@ -1867,6 +1877,27 @@ object ExtensionQueries {
         |s3 AS (
         |  SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
         |  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), 'view', (SELECT count(*) FROM s1)),
+        |  (CAST(2 AS INT), 'click', (SELECT count(*) FROM s2)),
+        |  (CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s3)))
+        |  AS t(stage, stage_name, users)
+        |ORDER BY stage""".stripMargin,
+
+    "events_funnel_within" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 3600 SECOND
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 3600 SECOND
         |  WHERE e.event_type = 'purchase' GROUP BY 1)
         |SELECT * FROM (VALUES
         |  (CAST(1 AS INT), 'view', (SELECT count(*) FROM s1)),

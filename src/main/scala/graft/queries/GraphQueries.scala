@@ -314,6 +314,28 @@ object GraphQueries {
     * quadratic), same queries, same hop/beam budget. Output rows are
     * not gated here (the recall floor belongs to the exact-graph form). */
   val benchOverrides: Map[String, Q] = Map(
+    // Bench-only: the gate builds its edges with the exact N² knnGraph
+    // (the value oracle replays it); the bench measures the iteration
+    // loops over the PRODUCTION edge build (cell-restricted, per-cell
+    // quadratic). The loop code — the operator under test — is identical.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = SimilaritySearch.knnGraphCells(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4, ncells = 8)
+      GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    }),
+
+    "graph_labelprop" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = SimilaritySearch.knnGraphCells(emb, "vec_id", "embedding",
+        k = 4, ncells = 8)
+      val seeds = emb.select(col("vec_id"),
+        when(col("vec_id") < 50, col("label").cast("long")).as("lbl"))
+      GraphOps.labelPropagate(edges, "src", "dst", seeds, "vec_id", "lbl",
+          iters = 3)
+        .orderBy(col("id"))
+    }),
+
     "graph_beam_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val edges = SimilaritySearch.knnGraphCells(emb, "vec_id", "embedding",

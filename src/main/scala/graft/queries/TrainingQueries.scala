@@ -289,6 +289,19 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── structure-aware RAG chunking: greedy first-fit packing of
+    //    8-word segments into ≤ 20-token chunks, segments never split
+    //    (the boundary-respecting complement of docs_chunk_overlap's
+    //    fixed stride). Pure integer/string greedy state — the oracle
+    //    replays the recursion exactly. ─────────────────────────────────
+    "docs_chunk_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Chunking.packSegments(docs, "doc_id",
+          graft.operators.Boilerplate.wordWindows(col("text"), 8),
+          budgetTokens = 20)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ── HTML → text cleaning (the first step of C4/CCNet-style web
     //    curation): markup is synthesized around the corpus text IN the
     //    query (both engines build the identical page string), then
@@ -601,6 +614,38 @@ object TrainingQueries {
          |ELSE FALSE END
          |ORDER BY event_id""".stripMargin
     },
+
+    "docs_chunk_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |segs AS (
+        |  SELECT doc_id, seg,
+        |  array_to_string(words[seg * 8 + 1 : seg * 8 + 8], ' ') AS segtext
+        |  FROM (SELECT doc_id, words,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS seg
+        |    FROM t)),
+        |r AS (
+        |  SELECT doc_id, segtext,
+        |  CAST(len([w FOR w IN string_split(segtext, ' ')
+        |    IF len(w) > 0]) AS BIGINT) AS tk,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY seg) AS rk
+        |  FROM segs WHERE segtext <> ''),
+        |g AS (
+        |  SELECT doc_id, rk, segtext, tk, 0 AS chunk_idx, tk AS cur
+        |  FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.rk, r.segtext, r.tk,
+        |  CASE WHEN g.cur + r.tk > 20 THEN g.chunk_idx + 1
+        |       ELSE g.chunk_idx END,
+        |  CASE WHEN g.cur + r.tk > 20 THEN r.tk ELSE g.cur + r.tk END
+        |  FROM r JOIN g ON r.doc_id = g.doc_id AND r.rk = g.rk + 1)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |string_agg(segtext, ' ' ORDER BY rk) AS chunk_text,
+        |CAST(sum(tk) AS BIGINT) AS n_tokens,
+        |CAST(count(*) AS INT) AS n_segs
+        |FROM g GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "docs_strip_html" ->
       """WITH page AS (

@@ -229,6 +229,46 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("funnelWithin: conversion only counts inside the window; " +
+      "greedy anchor at the earliest qualifying event") {
+    import graft.operators.EventAnalytics
+    val events = Seq(
+      // user 1: click 10 min after view → within 1h window
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      // user 2: click 2h after view → outside the window
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 12:00:00"), "click"),
+      // user 3: greedy anchors at the EARLIEST view (9:00); the 9:30
+      // click is within ITS window even though a later view exists
+      (3L, ts("2024-01-01 09:00:00"), "view"),
+      (3L, ts("2024-01-01 09:30:00"), "click"),
+      (3L, ts("2024-01-01 11:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelWithin(events, "user_id", "ts",
+        "event_type", Seq("view", "click"), windowSeconds = 3600L)
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got === Array((1, "view", 3L), (2, "click", 2L)))
+  }
+
+  test("funnelWithin: greedy stall — an only-through-later-anchor " +
+      "conversion is counted where the greedy chain stalls") {
+    import graft.operators.EventAnalytics
+    val events = Seq(
+      // earliest view at 8:00; the only click (10:30) is outside ITS
+      // 1h window but inside the 10:00 view's — greedy still stalls
+      (1L, ts("2024-01-01 08:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelWithin(events, "user_id", "ts",
+        "event_type", Seq("view", "click"), windowSeconds = 3600L)
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got === Array((1, "view", 1L), (2, "click", 0L)))
+  }
+
   test("ewma: alpha guard") {
     import graft.operators.EventAnalytics
     intercept[IllegalArgumentException] {
