@@ -17,10 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * Fingerprints), not UDFs — they stay inside whole-stage codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // whole-operator tier: custom logical nodes lower through these
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -68,10 +71,18 @@ object GraftExtensions {
           "quantize_int8(v) - symmetric int8 quantization (scale = max|x|/127)"),
         (args: Seq[Expression]) => QuantizeInt8(args(0))))
 
-  /** Register on an already-running session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-running session (idempotent): SQL functions
+    * into the registry, planner strategies into
+    * `experimental.extraStrategies`. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, inf, builder)
     }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+  }
 }

@@ -5,9 +5,15 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
 
 object GraftColumnBridge {
   def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over a custom LogicalPlan (private[sql] since the Connect
+    * refactor) — the entry point a custom plan node (graft.plans) needs. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
