@@ -542,4 +542,70 @@ object TextAnalysis {
       .agg(sum(col("m")).as("n_bigrams"),
         round(sum(col("m") * nll) / sum(col("m")), 4).as("avg_nll"))
   }
+
+  /** Document-level PMI term co-occurrence — the collocation/related-
+    * term signal (query expansion, taxonomy seeds): for term pairs
+    * within the top-`vocabTop` df vocabulary,
+    * pmi(a,b) = ln(df_ab · N / (df_a · df_b)) over document frequencies.
+    * All statistics are exact integers; ln is the single fp call on an
+    * exact ratio — the [[bigramSurprisal]] oracle contract.
+    *
+    * Scale: the vocabulary cap is the safety rail — per-doc pair
+    * generation is quadratic in DISTINCT VOCAB TERMS PER DOC (≤ V), not
+    * document length; the vocab is a broadcast df-top-N sidecar
+    * ([[postings]]' bounded selection). One doc-keyed self-join, one
+    * pair-keyed count, TakeOrderedAndProject. Output:
+    * (term_a, term_b, df_a, df_b, df_ab, pmi) top-`topN` by
+    * (pmi desc, term_a, term_b), pairs with df_ab ≥ `minPairCount`. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      vocabTop: Int = 100, minPairCount: Long = 2L, topN: Int = 50,
+      decimals: Int = 6): DataFrame = {
+    require(vocabTop >= 2 && topN >= 1 && minPairCount >= 1,
+      "need vocabTop >= 2, topN >= 1, minPairCount >= 1")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(Fingerprints.tokens(col(textCol))).as("term"))
+      .distinct()
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term")).limit(vocabTop)
+    val vtoks = toks.join(broadcast(vocab), "term")
+      .select(col("doc_id"), col("term"), col("df"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val pairs = vtoks.as("a").join(vtoks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minPairCount)
+    pairs.select(col("term_a"), col("term_b"), col("df_a"), col("df_b"),
+        col("df_ab"),
+        round(log(col("df_ab").cast("double") * lit(nDocs.toDouble) /
+          (col("df_a").cast("double") * col("df_b").cast("double"))),
+          decimals).as("pmi"))
+      .orderBy(desc("pmi"), col("term_a"), col("term_b"))
+      .limit(topN)
+  }
+
+  /** Per-group Gini concentration of a non-negative integer measure
+    * (token counts per doc within each source — "does one doc hold all
+    * the tokens?"): G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending
+    * (ties → id order). Σ i·xᵢ and Σx are exact integer window/group
+    * sums, so the only fp is the final fixed tree. Output:
+    * (group, n, total, gini). Groups with zero total emit gini 0. */
+  def giniByGroup(df: DataFrame, groupCol: String, idCol: String,
+      measure: Column, decimals: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_x").asc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol), measure.cast("long").as("_x"))
+      .withColumn("_i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"),
+        sum(col("_i") * col("_x")).as("_iwx"))
+      .select(col(groupCol), col("n"), col("total"),
+        round(when(col("total") > 0,
+          lit(2.0) * col("_iwx") / (col("n") * col("total")) -
+            (col("n") + lit(1.0)) / col("n"))
+          .otherwise(lit(0.0)), decimals).as("gini"))
+  }
 }

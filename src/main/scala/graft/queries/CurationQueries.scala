@@ -140,6 +140,23 @@ object CurationQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // ── PMI term co-occurrence over the top-100 df vocabulary: the
+    //    collocation signal for query expansion / taxonomy seeding.
+    //    Integer document frequencies, one ln on an exact ratio. ─────────
+    "docs_pmi_pairs" -> ((s, d) => {
+      graft.operators.TextAnalysis.pmiPairs(t(s, d, "documents"),
+        "doc_id", "text", vocabTop = 100, minPairCount = 2L, topN = 50)
+    }),
+
+    // ── per-source Gini concentration of document sizes: the corpus-
+    //    balance audit (is one source dominated by a few giant docs?).
+    //    Exact integer rank-weighted sums; fp only in the final tree. ────
+    "source_gini" -> ((s, d) => {
+      graft.operators.TextAnalysis.giniByGroup(t(s, d, "documents"),
+          "source", "doc_id", col("n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ── EWMA smoothing (α = 1/4, dyadic → exact binary scaling) of the
     //    per-type DAILY event counts: the recursion runs as an explicit
     //    left fold, so every engine performs the identical IEEE ops in
@@ -479,6 +496,43 @@ object CurationQueries {
         |SELECT from_type, to_type, count(*) AS n
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "docs_pmi_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest([x FOR x IN
+        |    string_split_regex(lower(text), '\s+') IF len(x) > 0]) AS term
+        |  FROM documents),
+        |v AS (SELECT term, count(*) AS df FROM toks GROUP BY 1
+        |  ORDER BY df DESC, term LIMIT 100),
+        |vt AS (SELECT t.doc_id, t.term, v.df FROM toks t
+        |  JOIN v ON t.term = v.term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |p AS (
+        |  SELECT a.term AS term_a, b.term AS term_b,
+        |  a.df AS df_a, b.df AS df_b, count(*) AS df_ab
+        |  FROM vt a JOIN vt b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT term_a, term_b, df_a, df_b,
+        |CAST(df_ab AS BIGINT) AS df_ab,
+        |round(ln(CAST(df_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |  / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS pmi
+        |FROM p, n
+        |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
+
+    "source_gini" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars AS x,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS i
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n, sum(x) AS total,
+        |  sum(i * x) AS iwx FROM r GROUP BY 1)
+        |SELECT source, n, total,
+        |round(CASE WHEN total > 0
+        |  THEN 2.0::DOUBLE * iwx / (n * total) - (n + 1.0::DOUBLE) / n
+        |  ELSE 0.0 END, 6) AS gini
+        |FROM g ORDER BY source""".stripMargin,
 
     "events_ewma" ->
       """WITH RECURSIVE daily AS (

@@ -228,4 +228,39 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] { AhoCorasick.build(Nil) }
     intercept[IllegalArgumentException] { AhoCorasick.build(Seq("a", "")) }
   }
+
+  test("pmiPairs: hand-computed document-level PMI; vocab cap bounds pairs") {
+    import spark.implicits._
+    // a,b co-occur in 2 of 4 docs; a alone in 1 more; c everywhere
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a c"), (4L, "c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, "doc_id", "text",
+        vocabTop = 10, minPairCount = 2L, topN = 10)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pmi(a,b) = ln(2*4/(3*2)) ; pmi(a,c) = ln(3*4/(3*4)) = 0
+    assert(got(("a", "b")) === ((3L, 2L, 2L, r6(math.log(8.0 / 6)))))
+    assert(got(("a", "c")) === ((3L, 4L, 3L, 0.0)))
+    assert(got(("b", "c")) === ((2L, 4L, 2L, r6(math.log(8.0 / 8)))))
+  }
+
+  test("giniByGroup: uniform → 0, concentrated → high, zero-total → 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, 10L), ("u", 2L, 10L), ("u", 3L, 10L), ("u", 4L, 10L),
+      ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 0L), ("c", 4L, 100L),
+      ("z", 1L, 0L), ("z", 2L, 0L)
+    ).toDF("src", "id", "x")
+    val got = TextAnalysis.giniByGroup(df, "src", "id", col("x"))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(got("u") === 0.0)
+    // c: sorted 0,0,0,100 → G = 2*(4*100)/(4*100) - 5/4 = 0.75
+    assert(got("c") === 0.75)
+    assert(got("z") === 0.0)
+  }
 }
