@@ -96,4 +96,43 @@ object AsOfJoin {
       .select((leftCols.map(col) :+ col(s"${prefix}ts")) ++
         payloadCols.map(c => col(s"$prefix$c")): _*)
   }
+
+  /** Nearest-neighbor-in-time join: for each left row, the right row
+    * minimizing |right.ts − left.ts| in either direction — the sensor/
+    * log-alignment shape ("the reading closest to each observation").
+    * Equidistant candidates resolve to the EARLIER right row (the
+    * backward match), so output is deterministic given the base as-of
+    * precondition (right pre-deduplicated to one row per (key, ts)).
+    *
+    * Composed as one backward + one forward pass over the same union-
+    * window shape, stitched on `leftIdCol` (must uniquely identify left
+    * rows): three key-partitioned exchanges total, no range probe, no
+    * nested-loop — each pass is the O(left+right) as-of merge, and the
+    * stitch is an equi-join both of whose sides are left-row-sized.
+    * Timestamps compare via their double epoch (exact for the ±2^52 µs
+    * domain of real event data). Output: left columns + `{prefix}ts` +
+    * `{prefix}dir` ('b'/'f', null when no match) + prefixed payloads. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, leftIdCol: String, payloadCols: Seq[String],
+      prefix: String = "near_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(_.startsWith(prefix)),
+      s"left side already has $prefix-prefixed columns")
+    val b = asOfBackward(left, right, keyCol, tsCol, payloadCols, "_zb_")
+    val f = asOfForward(left, right, keyCol, tsCol, payloadCols, "_zf_")
+      .select((Seq(col(leftIdCol), col("_zf_ts")) ++
+        payloadCols.map(c => col(s"_zf_$c"))): _*)
+    val j = b.join(f, Seq(leftIdCol))
+    val lts = col(tsCol).cast("double")
+    val pickB = col("_zb_ts").isNotNull && (col("_zf_ts").isNull ||
+      lts - col("_zb_ts").cast("double") <=
+        col("_zf_ts").cast("double") - lts)
+    def choose(bc: String, fc: String) =
+      when(pickB, col(bc)).otherwise(col(fc))
+    j.select((leftCols.map(col) :+
+      choose("_zb_ts", "_zf_ts").as(s"${prefix}ts") :+
+      when(pickB, lit("b")).otherwise(when(col("_zf_ts").isNotNull,
+        lit("f"))).as(s"${prefix}dir")) ++
+      payloadCols.map(c => choose(s"_zb_$c", s"_zf_$c").as(s"$prefix$c")): _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -267,4 +267,61 @@ object EventAnalytics {
         col("col.pts.x").as(valCol),
         round(col("col.sm"), decimals).as("ewma"))
   }
+
+  /** Type-2 slowly-changing-dimension history from a change stream: one
+    * validity interval per (key, consecutive run of equal attribute
+    * values) — the dimension-table build every warehouse load performs.
+    * A change event opens a new version only when its attribute DIFFERS
+    * from the key's previous event (runs of the same value collapse);
+    * each version's `valid_to` is the next version's `valid_from`, the
+    * open version carries null.
+    *
+    * Null-safe: the run comparison uses `<=>`, so a null attribute is a
+    * legal value that opens/extends its own run rather than vanishing
+    * from history (a bare `=!=` filter would silently drop every
+    * null-attribute change point).
+    *
+    * Scale shape: both windows share one partitioning (key) and one
+    * ordering (ts, tie) — a single exchange + sort serves the run
+    * detection AND the interval stitch; nothing leaves its key
+    * partition. Ties on ts are broken by `tieCol`, so replays are
+    * deterministic. Output: (key, version, attr, valid_from, valid_to,
+    * is_current), versions 1-indexed per key. */
+  def scd2History(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(attrCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_rn") === 1 || !(col(attrCol) <=> col("_prev")))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("version"), col(attrCol).as("attr"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** SFT transcript assembly: per key, the time-ordered event lines
+    * joined into one training string — the conversation/session →
+    * sample step of a fine-tuning pipeline. Ordering is pinned inside
+    * the aggregation (sort_array over (ts, tie, line) structs), NOT by
+    * collect_list order — collect_list is partition-order-dependent and
+    * would make the transcript nondeterministic under retries/AQE.
+    *
+    * Scale shape: one key-partitioned aggregation; each group's state
+    * is its own line list (a transcript is session-sized by
+    * construction — callers chunk pathological keys upstream). Output:
+    * (key, n_turns, transcript). */
+  def assembleTranscripts(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, lineCol: Column, sep: String = "\n"): DataFrame =
+    events
+      .select(col(keyCol), struct(col(tsCol), col(tieCol),
+        lineCol.as("line")).as("_item"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("_item"))).as("_items"))
+      .select(col(keyCol), size(col("_items")).as("n_turns"),
+        array_join(transform(col("_items"), i => i.getField("line")), sep)
+          .as("transcript"))
 }

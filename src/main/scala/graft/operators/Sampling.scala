@@ -386,4 +386,36 @@ object Sampling {
       .filter(col("_rk") <= n)
       .drop("_rk")
   }
+
+  /** Round-robin source interleaving: assign every row a global shard
+    * position such that the first |sources| positions hold one row of
+    * each source, the next |sources| the second of each, … — the
+    * training-mix assembly that keeps any prefix of the shard balanced
+    * across sources (a sorted-by-source layout would train on one
+    * source for hours before seeing the next).
+    *
+    * pos = (rank_in_source − 1)·S + source_index, with rank ordered by
+    * `idCol` and source_index the source's alphabetical rank — pure
+    * arithmetic, collision-free, no global window. Scale shape: one
+    * source-keyed rank window + a broadcast join against the distinct-
+    * source sidecar frame (S and the index both come from that tiny
+    * frame — nothing collects to the driver). Output: (pos, source,
+    * id) — callers range-partition on pos to write shards. */
+  def interleaveRoundRobin(df: DataFrame, sourceCol: String,
+      idCol: String): DataFrame = {
+    // the distinct-source frame is small by definition (a corpus has
+    // dozens of sources, not millions); the unpartitioned window runs
+    // over that sidecar only, never over data.
+    val srcs = df.select(col(sourceCol)).distinct()
+      .withColumn("_si",
+        row_number().over(Window.orderBy(col(sourceCol))) - 1)
+      .withColumn("_ns", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    df.select(col(sourceCol), col(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .join(broadcast(srcs), Seq(sourceCol))
+      .select(((col("_rk") - 1).cast("long") * col("_ns") + col("_si"))
+        .as("pos"), col(sourceCol), col(idCol))
+  }
 }

@@ -586,6 +586,33 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Tokenizer-coverage audit: per group, the fraction of token
+    * OCCURRENCES falling outside the corpus top-`vocabTop` vocabulary
+    * (by total term frequency, ties → term asc) — the OOV/fertility
+    * signal that decides whether a tokenizer's vocab fits a source.
+    * All counts are exact integers; the rate is one division.
+    *
+    * Scale shape: the vocab is a TakeOrdered-bounded sidecar that
+    * BROADCASTS into the exploded corpus (the corpus is scanned once,
+    * never shuffled at token grain); the per-group rollup is map-side
+    * combinable. Output: (group, n_tokens, n_oov, oov_rate). */
+  def oovRate(docs: DataFrame, groupCol: String, textCol: String,
+      vocabTop: Int = 1000, decimals: Int = 6): DataFrame = {
+    require(vocabTop >= 1, "vocabTop must be >= 1")
+    val toks = docs.select(col(groupCol),
+      explode(graft.functions.Fingerprints.tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("term")).limit(vocabTop)
+      .select(col("term"), lit(true).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), decimals)
+          .as("oov_rate"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer measure
     * (token counts per doc within each source — "does one doc hold all
     * the tokens?"): G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending

@@ -157,6 +157,82 @@ object CurationQueries {
         .orderBy(col("source"))
     }),
 
+    // ── SCD2 dimension history: per user, one validity interval per run
+    //    of equal event_type — run detection and interval stitch share a
+    //    single (user)-keyed exchange + (ts, event_id) sort ────────────────
+    "events_scd2" -> ((s, d) => {
+      graft.operators.EventAnalytics.scd2History(t(s, d, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("version"), col("attr"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // ── nearest-in-time join: the click closest to each purchase in
+    //    EITHER direction (ties → the earlier/backward click). Two as-of
+    //    merges + a left-row-sized stitch — no range probe ─────────────────
+    "j_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOfNearest(purchases, clicks,
+          "user_id", "ts", "event_id", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("near_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("near_dir").as("dir"),
+          round(col("near_click_value"), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── DPO preference pairs: per source, rank-i longest doc paired with
+    //    rank-i shortest (i ≤ 3) — max-margin pairs first; equal-score
+    //    and self pairs carry no signal and are dropped ────────────────────
+    "pref_pairs" -> ((s, d) => {
+      graft.operators.Preference.preferencePairs(t(s, d, "documents"),
+          "source", "doc_id", "n_chars", maxPairs = 3)
+        .orderBy(col("source"), col("pair_rank"))
+    }),
+
+    // ── majority-vote consensus: per user, the most frequent event_type
+    //    (ties → lexicographically smallest) with agreement ratio ──────────
+    "labels_majority" -> ((s, d) => {
+      graft.operators.Preference.majorityVote(t(s, d, "events"),
+          "user_id", "event_type")
+        .orderBy(col("user_id"))
+    }),
+
+    // ── SFT transcript assembly: per user, time-ordered event lines
+    //    joined into one sample string; ordering pinned INSIDE the
+    //    aggregation (sort_array), not by collect order ─────────────────────
+    "sft_transcripts" -> ((s, d) => {
+      graft.operators.EventAnalytics.assembleTranscripts(t(s, d, "events"),
+          "user_id", "ts", "event_id",
+          concat(col("event_type"), lit("#"), col("event_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── tokenizer-coverage audit: per source, the token-occurrence
+    //    fraction outside the corpus top-1000 tf vocabulary ────────────────
+    "vocab_oov_rate" -> ((s, d) => {
+      graft.operators.TextAnalysis.oovRate(t(s, d, "documents"),
+          "source", "text", vocabTop = 1000)
+        .orderBy(col("source"))
+    }),
+
+    // ── round-robin source interleaving: any prefix of the assembled
+    //    shard is balanced across sources; pure arithmetic positions ───────
+    "sample_interleave" -> ((s, d) => {
+      graft.operators.Sampling.interleaveRoundRobin(t(s, d, "documents"),
+          "source", "doc_id")
+        .orderBy(col("pos")).limit(500)
+    }),
+
     // ── EWMA smoothing (α = 1/4, dyadic → exact binary scaling) of the
     //    per-type DAILY event counts: the recursion runs as an explicit
     //    left fold, so every engine performs the identical IEEE ops in
@@ -533,6 +609,113 @@ object CurationQueries {
         |  THEN 2.0::DOUBLE * iwx / (n * total) - (n + 1.0::DOUBLE) / n
         |  ELSE 0.0 END, 6) AS gini
         |FROM g ORDER BY source""".stripMargin,
+
+    "events_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |  row_number() OVER w AS rn,
+        |  lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, ts, event_type,
+        |  row_number() OVER w2 AS version,
+        |  lead(ts) OVER w2 AS valid_to
+        |  FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(version AS INT) AS version,
+        |event_type AS attr,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |valid_to IS NULL AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
+
+    "j_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |CASE WHEN c.ts IS NULL THEN NULL
+        |     WHEN c.ts <= p.ts THEN 'b' ELSE 'f' END AS dir,
+        |round(c.click_value, 4) AS click_value
+        |FROM purch p LEFT JOIN LATERAL (
+        |  SELECT ts, click_value FROM clicks c
+        |  WHERE c.user_id = p.user_id
+        |  ORDER BY abs(epoch(p.ts) - epoch(c.ts)), c.ts LIMIT 1) c ON TRUE
+        |ORDER BY p.event_id""".stripMargin,
+
+    "pref_pairs" ->
+      """WITH best AS (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS s,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS pair_rank
+        |  FROM documents),
+        |worst AS (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS s,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id) AS pair_rank
+        |  FROM documents)
+        |SELECT b.source, CAST(b.pair_rank AS INT) AS pair_rank,
+        |b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+        |round(b.s - w.s, 4) AS margin
+        |FROM best b JOIN worst w
+        |  ON b.source = w.source AND b.pair_rank = w.pair_rank
+        |WHERE b.pair_rank <= 3 AND b.doc_id <> w.doc_id AND b.s > w.s
+        |ORDER BY b.source, b.pair_rank""".stripMargin,
+
+    "labels_majority" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS votes
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, votes,
+        |  sum(votes) OVER (PARTITION BY user_id) AS total,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY votes DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type, votes, CAST(total AS BIGINT) AS total,
+        |round(CAST(votes AS DOUBLE) / total, 4) AS agreement
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "sft_transcripts" ->
+      """SELECT user_id, CAST(count(*) AS INT) AS n_turns,
+        |string_agg(event_type || '#' || event_id, chr(10)
+        |  ORDER BY ts, event_id) AS transcript
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "vocab_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT source, unnest([x FOR x IN
+        |    string_split_regex(lower(text), '\s+') IF len(x) > 0]) AS term
+        |  FROM documents),
+        |v AS (SELECT term FROM toks GROUP BY term
+        |  ORDER BY count(*) DESC, term LIMIT 1000)
+        |SELECT t.source, count(*) AS n_tokens,
+        |CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_oov,
+        |round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN v ON t.term = v.term
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "sample_interleave" ->
+      """WITH s AS (
+        |  SELECT source,
+        |  CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS si,
+        |  CAST(count(*) OVER () AS BIGINT) AS ns
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (
+        |  SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT CAST((r.rk - 1) * s.ns + s.si AS BIGINT) AS pos,
+        |r.source, r.doc_id
+        |FROM r JOIN s ON r.source = s.source
+        |ORDER BY pos LIMIT 500""".stripMargin,
 
     "events_ewma" ->
       """WITH RECURSIVE daily AS (

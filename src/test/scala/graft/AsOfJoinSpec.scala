@@ -75,4 +75,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(back === Map(100L -> Some(10.0), 101L -> None))
     assert(fwd === Map(100L -> Some(11.0), 101L -> None))
   }
+
+  test("nearest: closest side wins, equidistant → backward, " +
+      "one-sided and no-match rows keep as-of semantics") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq((1L, ts(0), 10.0), (1L, ts(10), 11.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq(
+      (100L, 1L, ts(2)),  // 2 min back vs 8 fwd → backward 10.0
+      (101L, 1L, ts(9)),  // 9 back vs 1 fwd → forward 11.0
+      (102L, 1L, ts(5)),  // equidistant → backward 10.0
+      (103L, 1L, ts(30)), // after all quotes → backward only
+      (104L, 2L, ts(5)))  // no quotes for key → null
+      .toDF("trade_id", "key", "ts")
+    val got = AsOfJoin.asOfNearest(trades, quotes, "key", "ts",
+        "trade_id", Seq("px"))
+      .select(col("trade_id"), col("near_dir"), col("near_px"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got === Map(
+      100L -> ((Some("b"), Some(10.0))),
+      101L -> ((Some("f"), Some(11.0))),
+      102L -> ((Some("b"), Some(10.0))),
+      103L -> ((Some("b"), Some(11.0))),
+      104L -> ((None, None))))
+  }
 }

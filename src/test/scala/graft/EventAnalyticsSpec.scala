@@ -276,4 +276,52 @@ class EventAnalyticsSpec extends SparkSpec {
         "k", "t", "x", alpha = 0.0)
     }
   }
+
+  test("scd2History: runs collapse, null attr is a legal run, " +
+      "ts ties break by tie col") {
+    val events = Seq(
+      // key 1: A A B A → versions A, B, A (the repeated A collapses)
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("A")),
+      (1L, ts("2024-01-01 11:00:00"), 2L, Some("A")),
+      (1L, ts("2024-01-01 12:00:00"), 3L, Some("B")),
+      (1L, ts("2024-01-01 13:00:00"), 4L, Some("A")),
+      // key 2: A, null, null, A → null is its own (collapsed) run
+      (2L, ts("2024-01-01 10:00:00"), 5L, Some("A")),
+      (2L, ts("2024-01-01 11:00:00"), 6L, None),
+      (2L, ts("2024-01-01 12:00:00"), 7L, None),
+      (2L, ts("2024-01-01 13:00:00"), 8L, Some("A")),
+      // key 3: same ts, order by event_id → B wins as version 2
+      (3L, ts("2024-01-01 10:00:00"), 9L, Some("A")),
+      (3L, ts("2024-01-01 10:00:00"), 10L, Some("B"))
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.scd2History(events, "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("user_id", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === Seq(
+      (1L, 1, Some("A")), (1L, 2, Some("B")), (1L, 3, Some("A")),
+      (2L, 1, Some("A")), (2L, 2, None), (2L, 3, Some("A")),
+      (3L, 1, Some("A")), (3L, 2, Some("B"))))
+    // interval stitch: key 1 v1 closes at v2's open; only the last
+    // version of each key is current
+    assert(got(0)._5 === Some(ts("2024-01-01 12:00:00")))
+    assert(got.filter(_._6).map(t => (t._1, t._2)).toSeq ===
+      Seq((1L, 3), (2L, 3), (3L, 2)))
+  }
+
+  test("assembleTranscripts: order pinned by (ts, tie), not collect order") {
+    val events = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 3L, "c"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b"), // ts tie → event_id order
+      (2L, ts("2024-01-01 10:00:00"), 4L, "solo")
+    ).toDF("user_id", "ts", "event_id", "line").repartition(4)
+    val got = EventAnalytics.assembleTranscripts(events, "user_id", "ts",
+        "event_id", org.apache.spark.sql.functions.col("line"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got === Array((1L, 3, "a\nb\nc"), (2L, 1, "solo")))
+  }
 }
