@@ -24,7 +24,9 @@ object PrintPlans {
       "events_gapfill", "sync_bucket_diff", "cdc_apply_delta",
       "emb_standardize", "rank_bm25", "rank_fusion", "rank_maxsim",
       "emb_hamming_topk", "docs_strip_html", "events_ewma",
-      "a_mad_extremes", "graph_pagerank")
+      "a_mad_extremes", "graph_pagerank",
+      "j_fuzzy_dl", "events_scd2", "j_asof_nearest", "pref_pairs",
+      "sample_interleave", "vocab_oov_rate", "sft_transcripts")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir)

@@ -227,6 +227,72 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Prefix-filtered exact Jaccard pairs — the LOSSLESS scale path: the
+    * same output set as [[ngramJaccardPairs]] (a theorem, not a recall
+    * curve — unlike LSH there is no S-curve to tune), with candidate
+    * generation pruned by prefix filtering (PPJoin family): under any
+    * single global shingle order, two sets with J ≥ t MUST share a
+    * shingle among each one's first |S| − ⌈t·|S|⌉ + 1 shingles. We
+    * order by (document frequency asc, shingle), so prefixes are each
+    * doc's RAREST shingles — the join key fan-out per shingle collapses
+    * from "every doc containing it" to "docs whose prefix contains it",
+    * which removes exactly the ubiquitous-shingle explosion that makes
+    * the naive shared-shingle join quadratic.
+    *
+    * Scale shape: one df count keyed by shingle, one doc-keyed rank
+    * window, a self-join that only prefix rows enter, then the standard
+    * candidate-verify joins (ids only on every shuffle). */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
+      .withColumn("n_sh", size($"shs"))
+    val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
+    val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"_df", $"sg")
+    val prefix = sh.join(dfreq, "sg")
+      .withColumn("_pos", row_number().over(w))
+      .filter($"_pos" <= $"n_sh" - ceil($"n_sh" * lit(threshold)) + lit(1))
+      .select($"id", $"sg")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val common = cand
+      .join(sh.select($"id".as("id_a"), $"sg"), "id_a")
+      .join(sh.select($"id".as("id_b"), $"sg"), Seq("id_b", "sg"))
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+    common
+      .join(base.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
+      .join(base.select($"id".as("id_b"), $"n_sh".as("nb")), "id_b")
+      .select($"id_a", $"id_b",
+        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** Candidate-pair count under prefix filtering vs the naive shared-
+    * shingle join — the pruning-effectiveness audit backing the
+    * [[prefixFilterJaccardPairs]] scaladoc's claim. */
+  private[graft] def prefixFilterCandidateCount(docs: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): Long = {
+    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
+      .withColumn("n_sh", size($"shs"))
+    val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
+    val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"_df", $"sg")
+    val prefix = sh.join(dfreq, "sg")
+      .withColumn("_pos", row_number().over(w))
+      .filter($"_pos" <= $"n_sh" - ceil($"n_sh" * lit(threshold)) + lit(1))
+      .select($"id", $"sg")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b").count()
+  }
+
   /** (id, bucket) band keys from a signature table: bucket = hash of
     * (band index, the band's signature slice). Content-derived and
     * machine-independent, so bucket tables built on different runs — or

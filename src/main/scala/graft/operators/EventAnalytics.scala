@@ -324,4 +324,32 @@ object EventAnalytics {
       .select(col(keyCol), size(col("_items")).as("n_turns"),
         array_join(transform(col("_items"), i => i.getField("line")), sep)
           .as("transcript"))
+
+  /** Per-key OLS trend over an INTEGER (ord, value) series — "is this
+    * source's daily volume rising?" without a modeling library. slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+    * Both x and y are integers, so every Σ is an exact integer
+    * aggregate (order-independent — a double Σxy would make the result
+    * partition-order dependent); the two divisions at the end are the
+    * only fp, the same single-fp-op contract as [[ewma]]'s oracle.
+    * Keys with fewer than 2 points or a constant x emit null slope —
+    * no silent zeros. One map-side-combinable aggregation. Output:
+    * (key, n, slope, intercept). */
+  def linearTrend(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, decimals: Int = 6): DataFrame = {
+    val x = col(ordCol).cast("long")
+    val y = col(valCol).cast("long")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / den.cast("double")
+    series
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .select(col(keyCol), col("n"),
+        round(when(den > 0, slope), decimals).as("slope"),
+        round(when(den > 0,
+          (col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double")), decimals).as("intercept"))
+  }
 }

@@ -233,6 +233,53 @@ object CurationQueries {
         .orderBy(col("pos")).limit(500)
     }),
 
+    // ── per-type OLS trend of DAILY volumes: every Σ is an exact integer
+    //    (x = epoch day, y = count), the two divisions are the only fp —
+    //    order-independent where a double Σxy would not be ─────────────────
+    "events_trend" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.EventAnalytics.linearTrend(daily, "event_type",
+          "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
+    // ── winsorized mean: per return flag, l_quantity clipped at the
+    //    exact p10/p90 before averaging — integer-valued domain keeps
+    //    the percentile interpolation and the clipped sum engine-exact ─────
+    "a_winsorized_mean" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(q, 0.1)").as("p10"),
+          expr("percentile(q, 0.9)").as("p90"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          least(greatest(col("q"), col("p10")), col("p90")).as("w"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(avg(col("w")), 6).as("wmean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── native Damerau-Levenshtein (full Lowrance-Wagner, byte-grain —
+    //    the transposition-aware linkage distance Spark lacks) over
+    //    brand-blocked part-name pairs; integer output → hash-exact ────────
+    "j_fuzzy_dl" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_brand").as("p_brand"),
+          col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          graft.functions.StringDistances
+            .damerauLev(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy(col("p_brand"), col("key_a"), col("key_b"))
+    }),
+
     // ── EWMA smoothing (α = 1/4, dyadic → exact binary scaling) of the
     //    per-type DAILY event counts: the recursion runs as an explicit
     //    left fold, so every engine performs the identical IEEE ops in
@@ -701,6 +748,49 @@ object CurationQueries {
         |  AS DOUBLE) / count(*), 6) AS oov_rate
         |FROM toks t LEFT JOIN v ON t.term = v.term
         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "events_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |  count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |  CAST(sum(day) AS BIGINT) AS sx, CAST(sum(cnt) AS BIGINT) AS sy,
+        |  CAST(sum(day * day) AS BIGINT) AS sxx,
+        |  CAST(sum(day * cnt) AS BIGINT) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n,
+        |round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+        |round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |  (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) END, 6) AS intercept
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "a_winsorized_mean" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, quantile_cont(q, 0.1) AS p10,
+        |  quantile_cont(q, 0.9) AS p90
+        |  FROM li GROUP BY 1)
+        |SELECT li.l_returnflag, count(*) AS n,
+        |round(avg(least(greatest(li.q, b.p10), b.p90)), 6) AS wmean
+        |FROM li JOIN b ON li.l_returnflag = b.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j_fuzzy_dl" ->
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |CAST(damerau_levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a.p_brand, key_a, key_b""".stripMargin,
 
     "sample_interleave" ->
       """WITH s AS (

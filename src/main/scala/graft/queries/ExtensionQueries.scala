@@ -287,6 +287,16 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── prefix-filtered exact Jaccard pairs: PPJoin-style candidate
+    //    pruning with ZERO recall loss (theorem, not S-curve) — same
+    //    output contract and oracle as the naive exact form ────────────────
+    "dedup_prefix_jaccard" -> ((s, d) => {
+      Dedup.prefixFilterJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = JaccardThreshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── MinHash+LSH near-dup pairs (verified candidates; recall 1 at the
     //    testdata's threshold gap → same oracle as the exact form) ─────────
     "dedup_minhash_lsh" -> ((s, d) => {
@@ -1278,6 +1288,7 @@ object ExtensionQueries {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_prefix_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_incremental" -> incrementalPairsOracle,
     "dedup_containment" -> containmentOracle,

@@ -338,4 +338,49 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L, 4L))
   }
+
+  test("prefixFilterJaccardPairs: identical output to the naive exact " +
+      "join (lossless theorem) while generating fewer candidates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    // 40 base docs + 10 near-dup variants (one word swapped at the tail)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val variants = (0 until 10).map { i =>
+      val (id, text) = base(i)
+      (100L + id, text.split(" ").dropRight(1).mkString(" ") + " omega")
+    }
+    val docs = (base ++ variants).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val naive = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = t))
+      val pref = pairSet(Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+        "text", n = 3, threshold = t))
+      assert(pref === naive, s"threshold $t")
+    }
+    // pruning effectiveness: candidates strictly fewer than the naive
+    // shared-shingle pair universe
+    val candidates = Dedup.prefixFilterCandidateCount(docs, "doc_id",
+      "text", n = 3, threshold = 0.7)
+    val sharedUniverse = {
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.Fingerprints.shingles(
+          graft.functions.Fingerprints.tokens(col("text")), 3)).as("sg"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    assert(candidates < sharedUniverse,
+      s"prefix pruning ineffective: $candidates vs $sharedUniverse")
+    intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+    }
+  }
 }

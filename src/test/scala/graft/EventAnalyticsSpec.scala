@@ -311,6 +311,24 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq((1L, 3), (2L, 3), (3L, 2)))
   }
 
+  test("linearTrend: hand OLS; degenerate keys emit null, not zero") {
+    val series = Seq(
+      ("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L),  // y = 2x + 1 exactly
+      ("b", 7L, 4L),                                // single point
+      ("c", 3L, 1L), ("c", 3L, 9L)                  // constant x
+    ).toDF("k", "x", "y")
+    val got = EventAnalytics.linearTrend(series, "k", "x", "y")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got === Array(
+      ("a", 3L, Some(2.0), Some(1.0)),
+      ("b", 1L, None, None),
+      ("c", 2L, None, None)))
+  }
+
   test("assembleTranscripts: order pinned by (ts, tie), not collect order") {
     val events = Seq(
       (1L, ts("2024-01-01 12:00:00"), 3L, "c"),
