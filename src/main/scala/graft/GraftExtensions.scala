@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HashEmbed, L2Normalize, MinHashSignature, QuantizeInt8, SimHash64}
+import graft.functions.{CosineSimilarity, DamerauLevenshteinExpr, DotProduct, HashEmbed, L2Normalize, MinHashSignature, QuantizeInt8, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -69,7 +69,13 @@ object GraftExtensions {
       (FunctionIdentifier("quantize_int8"),
         info("quantize_int8",
           "quantize_int8(v) - symmetric int8 quantization (scale = max|x|/127)"),
-        (args: Seq[Expression]) => QuantizeInt8(args(0))))
+        (args: Seq[Expression]) => QuantizeInt8(args(0))),
+      (FunctionIdentifier("damerau_levenshtein"),
+        info("damerau_levenshtein",
+          "damerau_levenshtein(a, b) - full Damerau-Levenshtein edit " +
+            "distance (UTF-8 byte grain, DuckDB-compatible)"),
+        (args: Seq[Expression]) =>
+          DamerauLevenshteinExpr(args(0), args(1))))
 
   /** Register on an already-running session (idempotent): SQL functions
     * into the registry, planner strategies into

@@ -29,6 +29,43 @@ import org.apache.spark.sql.functions._
   * never rescans more than the two snapshots' vector columns. */
 object Drift {
 
+  /** Exact two-sample Kolmogorov-Smirnov distance between two groups'
+    * INTEGER-valued distributions — the nonparametric drift test
+    * complementing [[psiReport]] (PSI needs binning; KS does not). On an
+    * integer domain the statistic is exact rational arithmetic:
+    * KS = max_v |c_a(v)·n_b − c_b(v)·n_a| / (n_a·n_b), with cumulative
+    * counts over the merged value domain — every comparison happens in
+    * cross-multiplied INTEGER space, and the single division at the end
+    * is the only fp op (the [[EventAnalytics.linearTrend]] contract).
+    *
+    * Scale shape: one map-side-combinable count keyed by value, then
+    * one window + max over DISTINCT VALUES — value-domain-sized, not
+    * corpus-sized (doc lengths, scores: thousands of rows), so the
+    * unpartitioned window is deliberate, same as trailingZScore's.
+    * Output: one row (n_a, n_b, ks); null ks when either group is
+    * empty — no silent zeros. */
+  def ksDistance(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, decimals: Int = 6): DataFrame = {
+    val pts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("da"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("db"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = pts.agg(sum(col("da")).as("n_a"), sum(col("db")).as("n_b"))
+    pts
+      .withColumn("ca", sum(col("da")).over(w))
+      .withColumn("cb", sum(col("db")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("_num"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")), decimals).as("ks"))
+  }
+
   /** (bin INT, cnt LONG): histogram of floor(dot(v, sign_probe) ·
     * invWidth). The probe axis is column `probe` of the
     * `Projection.sign` matrix; the dot runs in index order so every

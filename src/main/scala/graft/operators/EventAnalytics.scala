@@ -325,6 +325,33 @@ object EventAnalytics {
         array_join(transform(col("_items"), i => i.getField("line")), sep)
           .as("transcript"))
 
+  /** Exact trailing-window distinct actives per day — "7-day active
+    * users" without sketches: each (user, active-day) pair CONTRIBUTES
+    * FORWARD to the `windowDays` output days it falls inside, so the
+    * rolling distinct reduces to one explode (bounded ×windowDays on
+    * per-(user, day) DISTINCT rows, not raw events) + one
+    * count_distinct keyed by day. No per-day range self-join, no
+    * quadratic window frame. Output days clip to the data's [min, max]
+    * day span (a 1-row broadcast bound, the gapFill pattern); days
+    * whose trailing window is empty are absent, not zero-filled.
+    * Output: (day, actives). */
+  def rollingDistinct(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val acts = events.select(col(userCol).as("u"),
+        (unix_timestamp(col(tsCol)) / 86400).cast("long").as("day"))
+      .distinct()
+    val bounds = acts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    acts
+      .select(col("u"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+          .as("day_w"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day_w").between(col("lo"), col("hi")))
+      .groupBy(col("day_w").as("day"))
+      .agg(countDistinct(col("u")).as("actives"))
+  }
+
   /** Per-key OLS trend over an INTEGER (ord, value) series — "is this
     * source's daily volume rising?" without a modeling library. slope =
     * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/n.

@@ -59,4 +59,34 @@ object Sync {
       .select(col("bucket"), col("left_cnt"), col("right_cnt"),
         col("left_check"), col("right_check"))
   }
+
+  /** Row-level snapshot diff — the audit report [[bucketDiff]]'s dirty
+    * buckets drill into: full-outer join two snapshots on the key and
+    * classify every key as added / removed / changed (any compared
+    * column differs, null-safely) — unchanged keys are DROPPED, so the
+    * output is diff-sized, not snapshot-sized. Precondition: key is
+    * unique per snapshot (the latestPerKey compaction shape).
+    * Output: (key cols..., status, changed_cols ARRAY<STRING> — empty
+    * for added/removed). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    val b = before.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_b", lit(true))
+    val a = after.select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"_a_$c")): _*)
+      .withColumn("_in_a", lit(true))
+    val j = b.join(a, keyCols, "full_outer")
+    val changed = array(compareCols.map(c =>
+      when(!(col(c) <=> col(s"_a_$c")), lit(c))): _*)
+    j.select(keyCols.map(col) :+
+        when(col("_in_b").isNull, lit("added"))
+          .when(col("_in_a").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("status") :+
+        when(col("_in_b").isNotNull && col("_in_a").isNotNull,
+          filter(changed, x => x.isNotNull))
+          .otherwise(array().cast("array<string>")).as("changed_cols"): _*)
+      .filter(col("status") =!= "changed" || size(col("changed_cols")) > 0)
+  }
 }

@@ -233,6 +233,53 @@ object CurationQueries {
         .orderBy(col("pos")).limit(500)
     }),
 
+    // ── declarative DQ expectations: row-local checks fold into ONE
+    //    aggregation over one scan; uniqueness adds a keyed agg; the FK
+    //    check is a broadcast anti-join — the snapshot admission gate ──────
+    "dq_report" -> ((s, d) => {
+      import graft.operators.DataQuality._
+      checkReport(t(s, d, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_discount", 0.0, 0.1),
+        InRange("l_quantity", 1.0, 49.0),   // deliberately tight: the 50s fail
+        Matches("l_returnflag", "^[ANR]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
+    }),
+
+    // ── row-level snapshot diff: added/removed/changed with per-column
+    //    change attribution; unchanged keys dropped (diff-sized output) ────
+    "snapshot_diff" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val before = graft.operators.EventAnalytics.latestPerKey(
+        ev.filter(col("event_id") % 2 === 0), Seq("user_id"), "ts",
+        "event_id")
+      val after = graft.operators.EventAnalytics.latestPerKey(
+        ev, Seq("user_id"), "ts", "event_id")
+      graft.operators.Sync.snapshotDiff(before, after, Seq("user_id"),
+          Seq("event_type", "value"))
+        .select(col("user_id"), col("status"),
+          array_join(col("changed_cols"), ",").as("changed"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── exact trailing 7-day distinct actives: contribute-forward
+    //    explode on per-(user, day) DISTINCT rows + one count_distinct —
+    //    no range self-join, no quadratic frame ────────────────────────────
+    "events_rolling_actives" -> ((s, d) => {
+      graft.operators.EventAnalytics.rollingDistinct(t(s, d, "events"),
+          "user_id", "ts", windowDays = 7)
+        .orderBy(col("day"))
+    }),
+
+    // ── exact two-sample KS distance between source doc-length
+    //    distributions: cross-multiplied integer CDF comparison, one
+    //    division at the end — the binning-free drift test ─────────────────
+    "docs_ks_drift" -> ((s, d) => {
+      graft.operators.Drift.ksDistance(t(s, d, "documents"),
+        "source", "n_chars", "src0", "src1")
+    }),
+
     // ── per-type OLS trend of DAILY volumes: every Σ is an exact integer
     //    (x = epoch day, y = count), the two divisions are the only fp —
     //    order-independent where a double Σxy would not be ─────────────────
@@ -748,6 +795,98 @@ object CurationQueries {
         |  AS DOUBLE) / count(*), 6) AS oov_rate
         |FROM toks t LEFT JOIN v ON t.term = v.term
         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "dq_report" ->
+      """WITH t AS (SELECT count(*) AS total FROM lineitem),
+        |v AS (
+        |  SELECT 'foreign_key:l_orderkey' AS check,
+        |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey)) AS violations
+        |  UNION ALL
+        |  SELECT 'in_range:l_discount',
+        |  (SELECT count(*) FROM lineitem WHERE l_discount IS NULL
+        |    OR CAST(l_discount AS DOUBLE) < 0.0
+        |    OR CAST(l_discount AS DOUBLE) > 0.1)
+        |  UNION ALL
+        |  SELECT 'in_range:l_quantity',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL
+        |    OR CAST(l_quantity AS DOUBLE) < 1.0
+        |    OR CAST(l_quantity AS DOUBLE) > 49.0)
+        |  UNION ALL
+        |  SELECT 'matches:l_returnflag',
+        |  (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL
+        |    OR NOT regexp_matches(l_returnflag, '^[ANR]$'))
+        |  UNION ALL
+        |  SELECT 'not_null:l_orderkey',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey,l_linenumber',
+        |  (SELECT coalesce(sum(n - 1), 0) FROM (
+        |    SELECT count(*) AS n FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber)))
+        |SELECT v.check, CAST(v.violations AS BIGINT) AS violations,
+        |t.total, v.violations = 0 AS pass
+        |FROM v, t ORDER BY v.check""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH before AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events WHERE event_id % 2 = 0) WHERE rk = 1),
+        |after AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events) WHERE rk = 1)
+        |SELECT coalesce(b.user_id, a.user_id) AS user_id,
+        |CASE WHEN b.user_id IS NULL THEN 'added'
+        |     WHEN a.user_id IS NULL THEN 'removed'
+        |     ELSE 'changed' END AS status,
+        |CASE WHEN b.user_id IS NULL OR a.user_id IS NULL THEN ''
+        |ELSE array_to_string([x FOR x IN [
+        |  CASE WHEN b.event_type IS DISTINCT FROM a.event_type
+        |    THEN 'event_type' END,
+        |  CASE WHEN b.value IS DISTINCT FROM a.value THEN 'value' END]
+        |  IF x IS NOT NULL], ',') END AS changed
+        |FROM before b FULL OUTER JOIN after a ON b.user_id = a.user_id
+        |WHERE b.user_id IS NULL OR a.user_id IS NULL
+        |  OR b.event_type IS DISTINCT FROM a.event_type
+        |  OR b.value IS DISTINCT FROM a.value
+        |ORDER BY user_id""".stripMargin,
+
+    "events_rolling_actives" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id AS u,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM acts),
+        |c AS (SELECT u, unnest(range(day, day + 7)) AS day_w FROM acts)
+        |SELECT CAST(c.day_w AS BIGINT) AS day,
+        |count(DISTINCT c.u) AS actives
+        |FROM c, b WHERE c.day_w BETWEEN b.lo AND b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_ks_drift" ->
+      """WITH pts AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS da,
+        |  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS db
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |c AS (
+        |  SELECT v, sum(da) OVER w AS ca, sum(db) OVER w AS cb
+        |  FROM pts WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(da) AS BIGINT) AS n_a,
+        |  CAST(sum(db) AS BIGINT) AS n_b FROM pts)
+        |SELECT t.n_a, t.n_b,
+        |round(CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+        |  CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+        |    / CAST(t.n_a * t.n_b AS DOUBLE) END, 6) AS ks
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
 
     "events_trend" ->
       """WITH daily AS (

@@ -488,4 +488,58 @@ object DocIngest {
         batch.write.mode("append").parquet(collectionPath)
       }
       .start()
+
+  /** Streaming SCD2 — the incremental form of the batch
+    * `EventAnalytics.scd2History`: each key's OPEN version (attr, its
+    * valid_from epoch, version number) lives in keyed state; an arriving
+    * row with a DIFFERENT attribute closes it (emitting one immutable
+    * (key, version, attr, valid_from, valid_to) row — append-mode
+    * friendly, a closed version never mutates) and opens the next. Rows
+    * repeating the open attribute extend the run and emit nothing;
+    * rows OLDER than the open version's start are dropped (monotonic-
+    * ingestion discipline — the streaming analogue of the watermark
+    * late-drop; the batch operator is the replayable source of truth
+    * for out-of-order history rebuilds). Within a micro-batch, rows
+    * sort by (epoch, attr), mirroring the batch tie-break. */
+  def scd2Stream(spark: SparkSession, inDir: String, schema: String,
+      outDir: String, checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .selectExpr("user_id", "CAST(ts AS LONG) AS epoch", "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Int),
+        (Long, Int, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[(String, Long, Int)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val closed = Seq.newBuilder[(Long, Int, String, Long, Long)]
+          var cur = state.getOption
+          sorted.foreach { case (_, ep, attr) =>
+            cur = cur match {
+              case None => Some((attr, ep, 1))
+              case Some((a, from, v)) if ep < from => Some((a, from, v))
+              case Some((a, from, v)) if a == attr => Some((a, from, v))
+              case Some((a, from, v)) =>
+                closed += ((user, v, a, from, ep))
+                Some((attr, ep, v + 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+      .toDF("user_id", "version", "attr", "valid_from", "valid_to")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
 }

@@ -78,4 +78,20 @@ class DriftSpec extends SparkSpec {
       Drift.psiReport(a, ragged, "v", 4).collect()
     }
   }
+
+  test("ksDistance: hand CDF case, identical-distribution zero, " +
+      "empty group → null") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 4L))
+      .toDF("g", "v")
+    val r = Drift.ksDistance(df, "g", "v", "a", "b").first()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.5)))
+    // identical samples → ks 0
+    val same = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L))
+      .toDF("g", "v")
+    assert(Drift.ksDistance(same, "g", "v", "a", "b")
+      .first().getDouble(2) === 0.0)
+    // group with no rows → null ks, not zero
+    val r2 = Drift.ksDistance(df, "g", "v", "a", "zzz").first()
+    assert(r2.getLong(1) === 0L && r2.isNullAt(2))
+  }
 }

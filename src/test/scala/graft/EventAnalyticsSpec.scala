@@ -311,6 +311,22 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq((1L, 3), (2L, 3), (3L, 2)))
   }
 
+  test("rollingDistinct: contribute-forward window, re-activity not " +
+      "double-counted, output clipped to the data's day span") {
+    def dts(day: Int) = ts(f"2024-01-0${day + 1}%d 10:00:00")
+    val events = Seq(
+      (1L, dts(0)), (1L, dts(0)),  // same user same day → one contribution
+      (2L, dts(1)),
+      (1L, dts(3))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.rollingDistinct(events, "user_id", "ts",
+        windowDays = 2)
+      .orderBy("day")
+      .collect().map(r => (r.getLong(1)))
+    // day0: {1}; day1: {1,2}; day2: {2}; day3: {1}; day4 clipped
+    assert(got.toSeq === Seq(1L, 2L, 1L, 1L))
+  }
+
   test("linearTrend: hand OLS; degenerate keys emit null, not zero") {
     val series = Seq(
       ("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L),  // y = 2x + 1 exactly

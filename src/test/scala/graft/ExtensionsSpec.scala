@@ -70,4 +70,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(r1.getSeq[Long](1) === r2.getSeq[Long](1))
     assert(r1.getSeq[Long](1).length === 8)
   }
+
+  test("SQL damerau_levenshtein matches the kernel incl. the full-DL pin") {
+    val r = spark.sql(
+      """SELECT damerau_levenshtein('CA', 'ABC') AS a,
+        |damerau_levenshtein('widget', 'wigdet') AS b,
+        |damerau_levenshtein('', 'xy') AS c,
+        |damerau_levenshtein(CAST(NULL AS STRING), 'x') AS d""".stripMargin)
+      .first()
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 2)
+    assert(r.isNullAt(3))
+  }
 }

@@ -432,4 +432,37 @@ class StreamingSpec extends SparkSpec {
     assert(psi1 < 100000L, s"in-distribution psi=$psi1")
     assert(psi2 > 1000000L, s"shifted psi=$psi2")
   }
+
+  test("streaming SCD2: closed versions emit once with correct " +
+      "intervals, state carries versions across batches, late rows drop") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_scd_in").toString
+    val out = Files.createTempDirectory("graft_scd_out").toString + "/scd"
+    val ckpt = Files.createTempDirectory("graft_scd_ck").toString
+    def ts(ep: Long) = new java.sql.Timestamp(ep * 1000L)
+
+    // batch 1: A(100) A(200) B(300) → closes v1 = A [100, 300)
+    Seq((1L, ts(100), "A"), (1L, ts(200), "A"), (1L, ts(300), "B"))
+      .toDF("user_id", "ts", "event_type")
+      .write.mode("append").parquet(in)
+    val q = DocIngest.scd2Stream(spark, in,
+      "user_id LONG, ts TIMESTAMP, event_type STRING", out, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2: late X(50) dropped; A(500) closes v2 = B [300, 500)
+      Seq((1L, ts(50), "X"), (1L, ts(500), "A"))
+        .toDF("user_id", "ts", "event_type")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .orderBy("version")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 1, "A", 100L, 300L),
+      (1L, 2, "B", 300L, 500L)))
+  }
 }
