@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-distribution drift detection between two corpus snapshots —
@@ -134,4 +134,63 @@ object Drift {
     psiContributions(snapA.sparkSession,
       projectionHistogram(snapA, vecCol, dim, probe, invWidth),
       projectionHistogram(snapB, vecCol, dim, probe, invWidth))
+
+  /** Pearson chi-square drift table between two snapshots of a
+    * CATEGORICAL column (language mix, source mix, license tags) — the
+    * third leg of the monitoring stack: [[psiReport]] for embeddings,
+    * [[ksDistance]] for integer measures, this for category counts.
+    * Emits one row per category with both observed counts, the expected
+    * count under homogeneity, and each snapshot's chi-square
+    * contribution (o−e)²/e — the per-category attribution IS the
+    * actionable output ("pt fell, ru appeared"), not just the scalar.
+    *
+    * Numerics: counts and both totals are exact integers; every
+    * expected value e = Tsnap·(o_a+o_b)/N is exact integer arithmetic
+    * into ONE fp division, and each contribution is the identical
+    * 4-op double tree in both engines ([[ksDistance]] discipline). No
+    * cross-row fp sum exists in the gate output; the scalar statistic
+    * (for threshold alerting) is exposed by [[chiSquareStat]], which
+    * folds the contributions in category order — a defined-order sum
+    * over a categories-sized frame.
+    *
+    * Scale: one map-side-combinable count per snapshot keyed by
+    * category; everything after is categories-sized. Zero-count
+    * categories (present in only one snapshot) contribute their full
+    * expected mass — the "new language appeared" alarm. */
+  def categoricalDrift(cur: DataFrame, ref: DataFrame, catCol: String,
+      decimals: Int = 6): DataFrame = {
+    val counts = cur.select(col(catCol).as("category"), lit(1L).as("_a"),
+        lit(0L).as("_b"))
+      .union(ref.select(col(catCol).as("category"), lit(0L).as("_a"),
+        lit(1L).as("_b")))
+      .groupBy("category")
+      .agg(sum(col("_a")).as("n_cur"), sum(col("_b")).as("n_ref"))
+    val tot = counts.agg(sum(col("n_cur")).as("t_cur"),
+      sum(col("n_ref")).as("t_ref"))
+    def contrib(o: Column, tSnap: Column): Column = {
+      // e = tSnap·rowTotal/N: integer product, one division.
+      val e = (tSnap * (col("n_cur") + col("n_ref"))).cast("double") /
+        (col("t_cur") + col("t_ref")).cast("double")
+      round((o.cast("double") - e) * (o.cast("double") - e) / e, decimals)
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_cur"), col("n_ref"),
+        round((col("t_cur") * (col("n_cur") + col("n_ref"))).cast("double") /
+          (col("t_cur") + col("t_ref")).cast("double"), decimals)
+          .as("e_cur"),
+        contrib(col("n_cur"), col("t_cur")).as("contrib_cur"),
+        contrib(col("n_ref"), col("t_ref")).as("contrib_ref"))
+  }
+
+  /** Scalar chi-square statistic over a [[categoricalDrift]] table:
+    * category-ordered in-row fold (defined addition order), df =
+    * categories − 1. One row: (n_categories, df, chi2). */
+  def chiSquareStat(drift: DataFrame, decimals: Int = 6): DataFrame =
+    drift
+      .agg(sort_array(collect_list(struct(col("category"),
+        (col("contrib_cur") + col("contrib_ref")).as("c")))).as("_cs"))
+      .select(size(col("_cs")).cast("long").as("n_categories"),
+        (size(col("_cs")) - 1).cast("long").as("df"),
+        round(aggregate(col("_cs"), lit(0.0), (acc, x) =>
+          acc + x.getField("c")), decimals).as("chi2"))
 }

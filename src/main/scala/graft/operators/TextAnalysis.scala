@@ -635,4 +635,43 @@ object TextAnalysis {
             (col("n") + lit(1.0)) / col("n"))
           .otherwise(lit(0.0)), decimals).as("gini"))
   }
+
+  /** Shannon entropy (nats) of each group's term distribution — the
+    * lexical-diversity audit for a training mix: a source whose token
+    * entropy collapses is boilerplate/template spam even when volume
+    * and dedup look healthy, and entropy per language snapshot is the
+    * standard mix-health metric next to [[giniByGroup]] concentration.
+    *
+    * Numerics (cross-engine discipline): with integer term counts c and
+    * N = Σc, H = ln N − (Σ c·ln c)/N. The inner sum is fp over
+    * thousands of terms — UNDEFINED order on a shuffle — so each term's
+    * c·ln c is rounded to integer MICRO-nats in-plan (one ln on an
+    * exact integer-valued double, one multiply, one round) and the sum
+    * runs over longs: order-free, shuffle-proof, and replayed exactly
+    * by the oracle. fp re-enters only in the final fixed expression
+    * over (N, Σmicro). The micro-rounding bounds |error| ≤ 5e-7, so a
+    * single-term group lands within one 6dp ulp of exact 0 (the `+0.0`
+    * guards the signed-zero hash trap there).
+    *
+    * Scale: one tokenize pass, one map-side-combinable (group, term)
+    * aggregation, one groups-sized rollup — the corpus text never
+    * shuffles, term rows carry (hashable term, long) only. */
+  def termEntropy(docs: DataFrame, groupCol: String, textCol: String,
+      decimals: Int = 6): DataFrame = {
+    val terms = docs.select(col(groupCol).as("g"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("g"), col("term")).agg(count(lit(1)).as("c"))
+    terms
+      .select(col("g"), col("c"),
+        round(col("c") * log(col("c")) * lit(1e6)).cast("long")
+          .as("_clogc_micro"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_tokens"),
+        sum(col("_clogc_micro")).as("_s_micro"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_terms"),
+        (round(log(col("n_tokens")) -
+            col("_s_micro") / (col("n_tokens") * lit(1e6)),
+          decimals) + lit(0.0)).as("entropy"))
+  }
 }

@@ -280,6 +280,27 @@ object CurationQueries {
         "source", "n_chars", "src0", "src1")
     }),
 
+    // ── per-source Shannon entropy of the term distribution: c·ln c
+    //    quantized to integer micro-nats in-plan, so the cross-term sum
+    //    is order-free; fp only in the final fixed tree ──────────────────
+    "docs_term_entropy" -> ((s, d) => {
+      graft.operators.TextAnalysis.termEntropy(t(s, d, "documents"),
+          "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // ── chi-square language-mix drift between the odd/even doc_id
+    //    snapshots: per-category (o−e)²/e attribution, exact integer
+    //    counts into one fp tree per cell — the categorical leg of the
+    //    PSI/KS monitoring stack ─────────────────────────────────────────
+    "docs_chi2_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Drift.categoricalDrift(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "lang")
+        .orderBy(col("category"))
+    }),
+
     // ── per-type OLS trend of DAILY volumes: every Σ is an exact integer
     //    (x = epoch day, y = count), the two divisions are the only fp —
     //    order-independent where a double Σxy would not be ─────────────────
@@ -887,6 +908,53 @@ object CurationQueries {
         |  CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
         |    / CAST(t.n_a * t.n_b AS DOUBLE) END, 6) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+
+    "docs_term_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, unnest([x FOR x IN
+        |    string_split_regex(lower(text), '\s+') IF len(x) > 0]) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |m AS (SELECT source, c,
+        |  CAST(round(c * ln(c) * 1e6) AS BIGINT) AS clogc FROM tc),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(clogc) AS BIGINT) AS s_micro FROM m GROUP BY 1)
+        |SELECT source, n_tokens, n_terms,
+        |round(ln(n_tokens) - CAST(s_micro AS DOUBLE)
+        |  / (CAST(n_tokens AS DOUBLE) * 1e6), 6) + 0.0 AS entropy
+        |FROM g ORDER BY source""".stripMargin,
+
+    "docs_chi2_drift" ->
+      """WITH counts AS (
+        |  SELECT lang AS category,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cur,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ref
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t_cur,
+        |  CAST(sum(n_ref) AS BIGINT) AS t_ref FROM counts)
+        |SELECT category, n_cur, n_ref,
+        |round(CAST(t.t_cur * (n_cur + n_ref) AS DOUBLE)
+        |  / CAST(t.t_cur + t.t_ref AS DOUBLE), 6) AS e_cur,
+        |round((CAST(n_cur AS DOUBLE)
+        |    - CAST(t.t_cur * (n_cur + n_ref) AS DOUBLE)
+        |      / CAST(t.t_cur + t.t_ref AS DOUBLE))
+        |  * (CAST(n_cur AS DOUBLE)
+        |    - CAST(t.t_cur * (n_cur + n_ref) AS DOUBLE)
+        |      / CAST(t.t_cur + t.t_ref AS DOUBLE))
+        |  / (CAST(t.t_cur * (n_cur + n_ref) AS DOUBLE)
+        |    / CAST(t.t_cur + t.t_ref AS DOUBLE)), 6) AS contrib_cur,
+        |round((CAST(n_ref AS DOUBLE)
+        |    - CAST(t.t_ref * (n_cur + n_ref) AS DOUBLE)
+        |      / CAST(t.t_cur + t.t_ref AS DOUBLE))
+        |  * (CAST(n_ref AS DOUBLE)
+        |    - CAST(t.t_ref * (n_cur + n_ref) AS DOUBLE)
+        |      / CAST(t.t_cur + t.t_ref AS DOUBLE))
+        |  / (CAST(t.t_ref * (n_cur + n_ref) AS DOUBLE)
+        |    / CAST(t.t_cur + t.t_ref AS DOUBLE)), 6) AS contrib_ref
+        |FROM counts, t ORDER BY category""".stripMargin,
 
     "events_trend" ->
       """WITH daily AS (

@@ -159,6 +159,17 @@ object GraphQueries {
         .select(col("query_id"), col("id"))
       RetrievalMetrics.macroEval(
         RetrievalMetrics.rankedEval(ranked, rel, k = 10))
+    }),
+
+    // ── triangle counts + clustering coefficient over the k=4 graph:
+    //    degree-ordered orientation enumerates each triangle once
+    //    (hub-proof wedges); the oracle re-enumerates by id order —
+    //    triangles are sets, so the results must agree exactly. ─────────
+    "graph_triangles" -> ((s, d) => {
+      val edges = SimilaritySearch.knnGraph(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4)
+      GraphOps.triangleStats(edges, "src", "dst")
+        .orderBy(col("id"))
     })
   )
 
@@ -190,6 +201,27 @@ object GraphQueries {
     "graph_beam_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id,
         |CAST(NULL AS BIGINT) AS hits WHERE FALSE""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH ${knnSql(4)},
+         |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e GROUP BY 1, 2),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+         |  (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+         |  GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM
+         |  (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+         |   UNION ALL SELECT z AS id FROM tri) GROUP BY 1)
+         |SELECT deg.id, deg.degree,
+         |coalesce(tc.t, 0) AS triangles,
+         |round(CASE WHEN deg.degree >= 2 THEN
+         |  2.0 * coalesce(tc.t, 0) / (deg.degree * (deg.degree - 1))
+         |  ELSE 0.0 END, 6) + 0.0 AS clustering
+         |FROM deg LEFT JOIN tc ON deg.id = tc.id
+         |ORDER BY deg.id""".stripMargin,
 
     "eval_retrieval" ->
       """WITH q AS (SELECT vec_id, embedding, label FROM embeddings

@@ -94,4 +94,29 @@ class DriftSpec extends SparkSpec {
     val r2 = Drift.ksDistance(df, "g", "v", "a", "zzz").first()
     assert(r2.getLong(1) === 0L && r2.isNullAt(2))
   }
+
+  test("categoricalDrift: hand chi-square contributions; one-sided " +
+      "category raises the alarm; chiSquareStat folds in order") {
+    import spark.implicits._
+    val cur = Seq("en", "en", "fr").toDF("lang")
+    val ref = Seq("en", "fr", "fr", "fr").toDF("lang")
+    val got = Drift.categoricalDrift(cur, ref, "lang").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // t_cur=3 t_ref=4 N=7; en row-total 3: e_cur=9/7, contribs 25/63, 25/84
+    assert(got("en") === ((2L, 1L, 1.285714, 0.396825, 0.297619)))
+    // fr row-total 4: e_cur=12/7, contribs 25/84, 25/112
+    assert(got("fr") === ((1L, 3L, 1.714286, 0.297619, 0.223214)))
+    val stat = Drift.chiSquareStat(
+      Drift.categoricalDrift(cur, ref, "lang")).first()
+    assert(stat.getLong(0) === 2L && stat.getLong(1) === 1L)
+    // 0.396825 + 0.297619 + 0.297619 + 0.223214, rounded at 6dp
+    assert(stat.getDouble(2) === 1.215277)
+    // category present only in ref ("new language appeared"): nonzero
+    // expected mass in cur → nonzero contribution
+    val oneSided = Drift.categoricalDrift(Seq("en").toDF("lang"),
+        Seq("en", "ru").toDF("lang"), "lang").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(oneSided("ru") > 0.3)
+  }
 }

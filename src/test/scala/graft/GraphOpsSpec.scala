@@ -152,4 +152,65 @@ class GraphOpsSpec extends SparkSpec {
         k = 0, beamWidth = 1, hops = 1)
     }
   }
+
+  // ── triangleStats ──────────────────────────────────────────────────────
+
+  test("triangleStats: hand graph — triangle, pendant, triangle-free " +
+      "cycle; duplicates/reversals/self-loops ignored") {
+    // triangle {1,2,3}, pendant 4–1, square 5-6-7-8 (no triangle);
+    // (2,1) duplicates the reversed edge, (3,3) is a self-loop.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 6L),
+        (6L, 7L), (7L, 8L), (8L, 5L), (2L, 1L), (3L, 3L))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleStats(e, "src", "dst").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 0.333333)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0)), 4L -> ((1L, 0L, 0.0)),
+      5L -> ((2L, 0L, 0.0)), 6L -> ((2L, 0L, 0.0)),
+      7L -> ((2L, 0L, 0.0)), 8L -> ((2L, 0L, 0.0))))
+  }
+
+  test("triangleStats: K4 — every node in 3 triangles, coefficient 1") {
+    val nodes = (1L to 4L)
+    val e = (for (a <- nodes; b <- nodes if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleStats(e, "src", "dst").collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getLong(1) === 3L && r.getLong(2) === 3L &&
+        r.getDouble(3) === 1.0)
+    }
+  }
+
+  test("triangleStats matches naive a<b<c enumeration on a random graph " +
+      "and is partitioning-independent") {
+    val rnd = new scala.util.Random(42)
+    val e = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleStats(e, "src", "dst")
+    // naive: canonical pairs joined three ways with a<b<c built in.
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"), col("e3.a") === col("e1.a") &&
+        col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val naive = tri.select(col("x").as("id"))
+      .union(tri.select(col("y")))
+      .union(tri.select(col("z")))
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotTri = got.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotTri.filter(_._2 > 0) === naive)
+    val repart = GraphOps.triangleStats(e.repartition(7), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(repart === got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).sortBy(_._1))
+  }
 }

@@ -263,4 +263,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("c") === 0.75)
     assert(got("z") === 0.0)
   }
+
+  test("termEntropy: hand computation, single-term zero (positive zero), " +
+      "case folding, layout independence") {
+    import spark.implicits._
+    val docs = Seq(
+      ("g1", "a a b"), ("g1", "a c"),       // a:3 b:1 c:1, N=5
+      ("g2", "x x x"),                      // single term → H = 0
+      ("g3", "A a"))                        // case-folds to one term
+      .toDF("g", "text")
+    val got = TextAnalysis.termEntropy(docs, "g", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // H(g1) = ln 5 − (3·ln 3)/5 = 0.950271 (b, c contribute 1·ln 1 = 0)
+    assert(got("g1") === ((5L, 3L, 0.950271)))
+    assert(got("g2")._3 === 0.0 &&
+      1.0 / got("g2")._3 > 0.0, "must be +0.0, not -0.0")
+    assert(got("g3") === ((2L, 1L, 0.0)))
+    val repart = TextAnalysis.termEntropy(docs.repartition(7), "g", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(repart === got.map { case (k, v) => k -> v._3 })
+  }
 }
