@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DamerauLevenshteinExpr, DotProduct, HashEmbed, L2Normalize, MinHashSignature, QuantizeInt8, SimHash64}
+import graft.functions.{CosineSimilarity, DamerauLevenshteinExpr, DotProduct, HashEmbed, JaroWinklerExpr, L2Normalize, MinHashSignature, QuantizeInt8, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -75,7 +75,12 @@ object GraftExtensions {
           "damerau_levenshtein(a, b) - full Damerau-Levenshtein edit " +
             "distance (UTF-8 byte grain, DuckDB-compatible)"),
         (args: Seq[Expression]) =>
-          DamerauLevenshteinExpr(args(0), args(1))))
+          DamerauLevenshteinExpr(args(0), args(1))),
+      (FunctionIdentifier("jaro_winkler"),
+        info("jaro_winkler",
+          "jaro_winkler(a, b) - Jaro-Winkler similarity (UTF-8 byte " +
+            "grain, boost >0.7, prefix cap 4; DuckDB-compatible)"),
+        (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))))
 
   /** Register on an already-running session (idempotent): SQL functions
     * into the registry, planner strategies into

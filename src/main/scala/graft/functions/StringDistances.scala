@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Full Damerau-Levenshtein (Lowrance-Wagner) edit distance — insert,
@@ -83,6 +83,71 @@ object StringDistances {
     org.apache.spark.sql.GraftColumnBridge.column(DamerauLevenshteinExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(a),
       org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Jaro similarity over UTF-8 byte sequences — DuckDB/rapidfuzz
+    * semantics, pinned empirically (5000 random cases, exact double
+    * equality): match window ⌊max(|a|,|b|)/2⌋−1 (min 0), two-pass
+    * greedy matching, ⌊mismatches/2⌋ transpositions, and 0.0 — not 1.0
+    * — when either side is empty (including "" vs ""). The final
+    * expression is the canonical three-term mean with left-associated
+    * additions, so the produced DOUBLE is bit-identical to DuckDB's. */
+  def jaro(a: Array[Byte], b: Array[Byte]): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    var win = (if (la > lb) la else lb) / 2 - 1
+    if (win < 0) win = 0
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      var j = i - win
+      if (j < 0) j = 0
+      var hi = i + win + 1
+      if (hi > lb) hi = lb
+      var found = false
+      while (j < hi && !found) {
+        if (!mb(j) && a(i) == b(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val mm = m.toDouble
+    (mm / la + mm / lb + (m - t) / mm) / 3.0
+  }
+
+  /** Jaro-Winkler: [[jaro]] plus the common-prefix boost
+    * j + l·0.1·(1−j), prefix capped at 4 BYTES, applied only when
+    * j > 0.7 (strict) — DuckDB's exact rule set and fp op order. */
+  def jaroWinkler(a: Array[Byte], b: Array[Byte]): Double = {
+    val j = jaro(a, b)
+    if (j <= 0.7) return j
+    var l = 0
+    val cap = Seq(a.length, b.length, 4).min
+    while (l < cap && a(l) == b(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  def jaroWinklerCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(JaroWinklerExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
 }
 
 /** STRING × STRING → INT edit distance; null-intolerant. The codegen
@@ -117,5 +182,40 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DamerauLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** STRING × STRING → DOUBLE Jaro-Winkler similarity; null-intolerant.
+  * Same codegen shape as [[DamerauLevenshteinExpr]]: one static call on
+  * the raw UTF-8 bytes, stays inside whole-stage codegen. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "jaro_winkler"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two STRING arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringDistances.jaroWinkler(
+      a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |${ev.value} = graft.functions.StringDistances.jaroWinkler(
+         |  $x.getBytes(), $y.getBytes());
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)
 }

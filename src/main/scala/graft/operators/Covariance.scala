@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact covariance matrix of an embedding corpus + a deterministic
+  * principal-component extraction on top — the correlation-structure
+  * audit behind whitening, PCA dim-reduction decisions ("how many
+  * Matryoshka dims can we truncate?"), and redundant-dimension
+  * detection after an embedder change.
+  *
+  * Numerics ([[Standardize]]'s integer-statistics pattern, extended to
+  * pairs): elements are quantized to micro units IN-PLAN
+  * (round(x·10⁶) — Spark HALF_UP and DuckDB half-away agree on
+  * doubles), and every corpus-sized sum — Σqᵢ, Σqᵢqⱼ — is an integer
+  * sum: associative, shuffle-proof, overflow-proof (pair products
+  * accumulate as decimal(38,0): 10¹¹ rows × 10¹² ≈ 10²³ ≪ 10³⁸). fp
+  * re-enters only in the per-cell fixed tree cov = (E[qᵢqⱼ] −
+  * E[qᵢ]E[qⱼ])/10¹², identical in every engine.
+  *
+  * Scale: ONE typed-kernel pass computes the full upper-triangular
+  * (dim·(dim+1)/2)-cell partial grid per partition — the corpus is
+  * never exploded to N·dim² rows (at 64 dims that explosion is 2080×
+  * the input; the kernel's exchange instead carries one grid per task).
+  * The eigen step runs on the driver over the dim×dim matrix — a
+  * bounded sidecar (dim² doubles), not data.
+  */
+object Covariance {
+
+  private val Micro = 1000000L
+
+  /** Upper-triangular exact integer pair statistics + covariance:
+    * (i, j, n, s_i, s_j, s_ij, cov) for 0 ≤ i ≤ j < dim, where s_ij =
+    * Σ qᵢqⱼ as decimal(38,0) and cov is the population covariance of
+    * the MICRO-QUANTIZED values in original units (micro² / 10¹²),
+    * rounded to `decimals` (with the +0.0 signed-zero guard — off-
+    * diagonal cells are legitimately negative). */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int,
+      decimals: Int = 6): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val spark = df.sparkSession
+    val nPairs = dim * (dim + 1) / 2
+    // quantize declaratively (the emb_standardize-green rounding path),
+    // then run the pair grid in one typed kernel pass.
+    val q = df.select(transform(asDouble(col(vecCol)),
+      x => round(x * lit(Micro), 0).cast("long")).as("qv"))
+    val partials = q.select(col("qv")).rdd.mapPartitions { it =>
+      var cnt = 0L
+      val s = new Array[Long](dim)
+      val p = new Array[Long](nPairs)
+      it.foreach { row =>
+        val v = row.getSeq[Long](0)
+        require(v.length == dim,
+          s"covarianceMatrix: expected dim $dim, got ${v.length}")
+        val a = v.toArray
+        cnt += 1
+        var i = 0
+        var k = 0
+        while (i < dim) {
+          s(i) += a(i)
+          var j = i
+          while (j < dim) {
+            p(k) += a(i) * a(j)
+            k += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      if (cnt == 0) Iterator.empty
+      else {
+        val rows = new Array[Row](nPairs)
+        var i = 0
+        var k = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) {
+            rows(k) = Row(i, j, cnt, s(i), s(j), p(k))
+            k += 1
+            j += 1
+          }
+          i += 1
+        }
+        rows.iterator
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("psi", LongType, nullable = false),
+      StructField("psj", LongType, nullable = false),
+      StructField("pij", LongType, nullable = false)))
+    val agg = spark.createDataFrame(partials, schema)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("psi")).as("s_i"), sum(col("psj")).as("s_j"),
+        sum(col("pij").cast("decimal(38,0)")).as("s_ij"))
+    agg.select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+      col("s_ij"),
+      (round((col("s_ij").cast("double") / col("n") -
+          (col("s_i").cast("double") / col("n")) *
+            (col("s_j").cast("double") / col("n"))) / lit(1.0e12),
+        decimals) + lit(0.0)).as("cov"))
+  }
+
+  /** Principal eigenpair of the covariance matrix by fixed-iteration
+    * power method on the DRIVER (the matrix is a dim² sidecar, not
+    * data): deterministic — all-ones start, `iters` fixed rounds, no
+    * randomness, no convergence-dependent early exit. Returns
+    * (eigenvalue, eigenvector) where the eigenvalue is the Rayleigh
+    * quotient of the final iterate and the vector's sign is fixed by
+    * making its largest-|·| component positive. */
+  def principalComponent(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 50): (Double, Array[Double]) = {
+    require(iters >= 1, "iters must be >= 1")
+    val cells = covarianceMatrix(df, vecCol, dim).collect()
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(6)
+      c(i)(j) = v
+      c(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = if (norm > 0) w.map(_ / norm) else w
+    }
+    var lambda = 0.0
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) { lambda += v(i) * c(i)(j) * v(j); j += 1 }
+      i += 1
+    }
+    val amax = v.indices.maxBy(k => math.abs(v(k)))
+    val fixed = if (v(amax) < 0) v.map(-_) else v
+    (lambda, fixed)
+  }
+
+  /** 0-row PCA dominance audit: for a symmetric covariance C, the top
+    * eigenvalue satisfies λ₁ = max_{‖u‖=1} uᵀCu ≥ C_kk for EVERY axis k
+    * (take u = e_k) — so the power-method Rayleigh quotient, if the
+    * iteration works, must dominate every diagonal variance. Emits the
+    * violating diagonal cells (empty = pass); `tol` absorbs the 6dp
+    * cell rounding. */
+  def pcaDominanceAudit(df: DataFrame, vecCol: String, dim: Int,
+      tol: Double = 1e-4): DataFrame = {
+    val (lambda, _) = principalComponent(df, vecCol, dim)
+    covarianceMatrix(df, vecCol, dim)
+      .filter(col("i") === col("j") && col("cov") > lambda + tol)
+      .select(col("i"), col("cov"), lit(lambda).as("lambda1"))
+  }
+}

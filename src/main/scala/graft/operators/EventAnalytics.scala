@@ -379,4 +379,45 @@ object EventAnalytics {
           (col("sy").cast("double") - slope * col("sx").cast("double")) /
             col("n").cast("double")), decimals).as("intercept"))
   }
+
+  /** Time-weighted average of an irregular series per key — the
+    * sensor/price/metric summary where arithmetic mean is simply wrong
+    * (a value that held for an hour must outweigh one that held for a
+    * second): TWAP = Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δtᵢ the MICROSECOND gap to
+    * the next observation (last point carries no weight — the value's
+    * holding period is unobserved; a key with one event emits null, not
+    * a silent zero).
+    *
+    * Numerics: Δt are exact integers; the numerator Σ v·Δt is fp, so it
+    * accumulates as a (tsCol, tieCol)-ORDERED running window sum — the
+    * rankedEval discipline: defined addition order, byte-reproducible
+    * across engines and partitionings, never a shuffle-order-dependent
+    * agg sum. The denominator is an integer sum. One division at the
+    * end, rounded in-plan.
+    *
+    * Scale: ONE key-partitioned exchange + sort serves the lead()
+    * duration, the running sums, and the last-row selection — a key's
+    * history length inflates its partition, never the number of
+    * passes. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, decimals: Int = 6): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col("_us").asc, col(tieCol).asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("_us"),
+        col(valCol).cast("double").as("_v"))
+      .withColumn("_dur", lead(col("_us"), 1).over(ord) - col("_us"))
+      .withColumn("_num", sum(col("_v") * col("_dur")).over(run))
+      .withColumn("_den", sum(col("_dur")).over(run))
+      .withColumn("_n", count(lit(1)).over(run))
+      // the last row per key is the ONLY one whose lead() is null — no
+      // second window ordering needed to select it
+      .filter(col("_dur").isNull)
+      .select(col(keyCol), col("_n").as("n_points"),
+        col("_den").as("span_us"),
+        round(when(col("_den") > 0, col("_num") / col("_den")), decimals)
+          .as("twap"))
+  }
 }

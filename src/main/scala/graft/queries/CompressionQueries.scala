@@ -115,7 +115,25 @@ object CompressionQueries {
       reranked.join(exact, Seq("rank"))
         .filter(col("rerank_score") > col("exact_score"))
         .orderBy(col("rank"))
-    })
+    }),
+
+    // ── exact covariance matrix (upper triangle): micro-quantized
+    //    integer pair sums from ONE typed-kernel pass (never an N·dim²
+    //    explode), fp only in the per-cell fixed tree — the correlation
+    //    audit behind whitening / truncation decisions ──────────────────
+    "emb_covariance" -> ((s, d) => {
+      graft.operators.Covariance.covarianceMatrix(
+          t(s, d, "embeddings"), "embedding", Dim)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ── PCA dominance audit (0-row): the power-method top eigenvalue
+    //    must dominate every diagonal variance (λ₁ = max uᵀCu ≥ C_kk).
+    //    Holds for ANY corpus if the iteration is right; eigenpair
+    //    values pinned in CovarianceSpec. ────────────────────────────────
+    "emb_pca_audit" -> ((s, d) =>
+      graft.operators.Covariance.pcaDominanceAudit(
+        t(s, d, "embeddings"), "embedding", Dim))
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,6 +174,29 @@ object CompressionQueries {
       """SELECT CAST(NULL AS INT) AS rank,
         |CAST(NULL AS DOUBLE) AS rerank_score,
         |CAST(NULL AS DOUBLE) AS exact_score WHERE FALSE""".stripMargin,
+
+    // Exact integer replay of the pair grid: the quantize, the integer
+    // sums, and the per-cell double tree all reproduce bit-for-bit.
+    "emb_covariance" ->
+      """WITH q AS (SELECT [CAST(round(x * 1000000, 0) AS BIGINT)
+        |    FOR x IN embedding::DOUBLE[]] AS qv FROM embeddings),
+        |idx AS (SELECT i FROM range(64) t(i)),
+        |cells AS (
+        |  SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q.qv[a.i + 1]) AS BIGINT) AS s_i,
+        |  CAST(sum(q.qv[b.i + 1]) AS BIGINT) AS s_j,
+        |  CAST(sum(q.qv[a.i + 1] * q.qv[b.i + 1]) AS DECIMAL(38,0))
+        |    AS s_ij
+        |  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2)
+        |SELECT i, j, n, s_i, s_j, s_ij,
+        |round((CAST(s_ij AS DOUBLE) / n - (CAST(s_i AS DOUBLE) / n)
+        |  * (CAST(s_j AS DOUBLE) / n)) / 1e12, 6) + 0.0 AS cov
+        |FROM cells ORDER BY i, j""".stripMargin,
+
+    "emb_pca_audit" ->
+      """SELECT CAST(NULL AS INT) AS i, CAST(NULL AS DOUBLE) AS cov,
+        |CAST(NULL AS DOUBLE) AS lambda1 WHERE FALSE""".stripMargin,
 
     // Exact integer replay: micro-quantized sums, then the identical
     // double expression tree (CAST/divide/multiply/subtract/sqrt are all

@@ -348,6 +348,34 @@ object CurationQueries {
         .orderBy(col("p_brand"), col("key_a"), col("key_b"))
     }),
 
+    // ── native Jaro-Winkler (byte grain, >0.7 boost gate, prefix cap 4
+    //    — semantics pinned to DuckDB over 5000 random cases) over the
+    //    same brand-blocked pairs; RAW doubles, bit-identical across
+    //    engines, so no rounding is needed anywhere ──────────────────────
+    "j_fuzzy_jw" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_brand").as("p_brand"),
+          col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          graft.functions.StringDistances
+            .jaroWinklerCol(col("a.p_name"), col("b.p_name")).as("sim"))
+        .filter(col("sim") >= 0.9)
+        .orderBy(col("p_brand"), col("key_a"), col("key_b"))
+    }),
+
+    // ── time-weighted average of `value` per event type: Δt in exact
+    //    integer micros, the fp numerator accumulates as a (ts, id)-
+    //    ordered running window sum — defined addition order, so the
+    //    oracle replays it byte-for-byte ─────────────────────────────────
+    "events_twap" -> ((s, d) => {
+      graft.operators.EventAnalytics.timeWeightedAvg(t(s, d, "events"),
+          "event_type", "ts", "event_id", "value")
+        .orderBy(col("event_type"))
+    }),
+
     // ── EWMA smoothing (α = 1/4, dyadic → exact binary scaling) of the
     //    per-type DAILY event counts: the recursion runs as an explicit
     //    left fold, so every engine performs the identical IEEE ops in
@@ -999,6 +1027,14 @@ object CurationQueries {
         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY a.p_brand, key_a, key_b""".stripMargin,
 
+    "j_fuzzy_jw" ->
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        |ORDER BY a.p_brand, key_a, key_b""".stripMargin,
+
     "sample_interleave" ->
       """WITH s AS (
         |  SELECT source,
@@ -1013,6 +1049,25 @@ object CurationQueries {
         |r.source, r.doc_id
         |FROM r JOIN s ON r.source = s.source
         |ORDER BY pos LIMIT 500""".stripMargin,
+
+    "events_twap" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        |  CAST(value AS DOUBLE) AS v FROM events),
+        |w AS (SELECT event_type, us, event_id, v,
+        |  lead(us) OVER o - us AS dur
+        |  FROM e WINDOW o AS (
+        |    PARTITION BY event_type ORDER BY us, event_id)),
+        |r AS (SELECT event_type, dur,
+        |  sum(v * dur) OVER o2 AS num,
+        |  sum(dur) OVER o2 AS den,
+        |  count(*) OVER o2 AS n
+        |  FROM w WINDOW o2 AS (
+        |    PARTITION BY event_type ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+        |CAST(den AS BIGINT) AS span_us,
+        |round(CASE WHEN den > 0 THEN num / den END, 6) AS twap
+        |FROM r WHERE dur IS NULL ORDER BY event_type""".stripMargin,
 
     "events_ewma" ->
       """WITH RECURSIVE daily AS (

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Covariance
+import org.apache.spark.sql.functions._
+
+class CovarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("covarianceMatrix: hand-computed 2-D case (population covariance)") {
+    // (1,2), (2,4), (3,6): var_x = 2/3, cov = 4/3, var_y = 8/3
+    val df = Seq(Seq(1.0, 2.0), Seq(2.0, 4.0), Seq(3.0, 6.0)).toDF("v")
+    val got = Covariance.covarianceMatrix(df, "v", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(6)))).toMap
+    assert(got((0, 0)) === ((3L, 0.666667)))
+    assert(got((0, 1)) === ((3L, 1.333333)))
+    assert(got((1, 1)) === ((3L, 2.666667)))
+  }
+
+  test("covarianceMatrix: kernel grid equals the naive explode form on " +
+      "random data; negative covariance carries +0.0 discipline; " +
+      "layout independent") {
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(40)(Seq(rnd.nextDouble(), -rnd.nextDouble() * 2,
+      rnd.nextDouble() - 0.5))
+    val df = data.toDF("v")
+    val got = Covariance.covarianceMatrix(df, "v", 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(6)).toMap
+    // naive: quantize + explode pairs declaratively
+    val q = df.select(transform(col("v").cast("array<double>"),
+      x => round(x * lit(1000000L), 0).cast("long")).as("qv"))
+    val naive = q.select(posexplode(col("qv")).as(Seq("i", "qi")),
+        col("qv"))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("qi").as("si"), sum("qj").as("sj"),
+        sum(col("qi") * col("qj")).as("sij"))
+      .select(col("i"), col("j"),
+        (round((col("sij").cast("double") / col("n") -
+            (col("si").cast("double") / col("n")) *
+              (col("sj").cast("double") / col("n"))) / lit(1.0e12), 6)
+          + lit(0.0)).as("cov"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(got === naive)
+    val repart = Covariance.covarianceMatrix(df.repartition(7), "v", 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(6))
+      .toMap
+    assert(repart === got)
+  }
+
+  test("principalComponent: rank-1 matrix recovers the exact direction " +
+      "and eigenvalue; sign fixed positive; deterministic") {
+    val df = Seq(Seq(1.0, 2.0), Seq(2.0, 4.0), Seq(3.0, 6.0)).toDF("v")
+    val (l1, v1) = Covariance.principalComponent(df, "v", 2)
+    // C = [[2/3, 4/3], [4/3, 8/3]] (rounded cells): λ1 = trace = 10/3,
+    // eigvec (1, 2)/√5
+    assert(math.abs(l1 - 10.0 / 3.0) < 1e-3)
+    assert(math.abs(v1(0) - 1.0 / math.sqrt(5.0)) < 1e-6)
+    assert(math.abs(v1(1) - 2.0 / math.sqrt(5.0)) < 1e-6)
+    val (l2, v2) = Covariance.principalComponent(df, "v", 2)
+    assert(l1 === l2 && v1.toSeq === v2.toSeq)
+  }
+
+  test("pcaDominanceAudit: empty on random data; guards fire") {
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(30)(Seq.fill(4)(rnd.nextDouble() - 0.3)).toDF("v")
+    assert(Covariance.pcaDominanceAudit(df, "v", 4).count() === 0L)
+    intercept[Exception] {
+      Covariance.covarianceMatrix(df, "v", 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Covariance.covarianceMatrix(df, "v", 0)
+    }
+  }
+}

@@ -358,4 +358,30 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     assert(got === Array((1L, 3, "a\nb\nc"), (2L, 1, "solo")))
   }
+
+  test("timeWeightedAvg: hand case (durations weight the values), " +
+      "single-event key → null, layout independence") {
+    import spark.implicits._
+    // k1: v=10 holds 1 s, v=20 holds 2 s, v=30 unobserved
+    //   → (10·1e6 + 20·2e6) / 3e6 = 16.666667
+    val e = Seq(
+      ("k1", 1L, "2024-01-01 00:00:00", 10.0),
+      ("k1", 2L, "2024-01-01 00:00:01", 20.0),
+      ("k1", 3L, "2024-01-01 00:00:03", 30.0),
+      ("k2", 4L, "2024-01-01 00:00:05", 99.0))
+      .toDF("k", "id", "t", "v")
+      .withColumn("t", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("t")))
+    val got = EventAnalytics.timeWeightedAvg(e, "k", "t", "id", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("k1") === ((3L, 3000000L, Some(16.666667))))
+    assert(got("k2")._1 === 1L && got("k2")._3 === None)
+    val again = EventAnalytics.timeWeightedAvg(e.repartition(7), "k", "t",
+        "id", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(again === got.map { case (k, v) => k -> v._3 })
+  }
 }

@@ -83,4 +83,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(2) === 2)
     assert(r.isNullAt(3))
   }
+
+  test("SQL jaro_winkler matches the kernel incl. boost gate and nulls") {
+    val r = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS a,
+        |jaro_winkler('abcdefgh', 'abcdzzzz') AS b,
+        |jaro_winkler('', '') AS c,
+        |jaro_winkler(CAST(NULL AS STRING), 'x') AS d""".stripMargin)
+      .first()
+    assert(r.getDouble(0) === 0.9611111111111111)
+    assert(r.getDouble(1) === 0.6666666666666666) // jaro ≤ 0.7: no boost
+    assert(r.getDouble(2) === 0.0)
+    assert(r.isNullAt(3))
+  }
 }

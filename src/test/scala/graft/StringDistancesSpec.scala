@@ -79,4 +79,85 @@ class StringDistancesSpec extends SparkSpec {
     assert(got === Array((1L, Some(1)), (2L, Some(1)),
       (3L, None), (4L, None)))
   }
+
+  // ── jaro / jaroWinkler ─────────────────────────────────────────────────
+
+  /** Independent JW reference in "functional" style (index sets instead
+    * of flag arrays) — structurally different from the while-loop
+    * production kernel. */
+  private def refJw(sa: String, sb: String): Double = {
+    val a = sa.getBytes("UTF-8"); val b = sb.getBytes("UTF-8")
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val win = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val taken = scala.collection.mutable.SortedSet.empty[Int]
+    val pairs = a.indices.flatMap { i =>
+      (math.max(0, i - win) until math.min(b.length, i + win + 1))
+        .find(j => !taken(j) && a(i) == b(j))
+        .map { j => taken += j; (i, j) }
+    }
+    val m = pairs.length
+    if (m == 0) return 0.0
+    val aChars = pairs.map(p => a(p._1))
+    val bChars = pairs.map(_._2).sorted.map(b(_))
+    val t = aChars.zip(bChars).count { case (x, y) => x != y } / 2
+    val j = (m.toDouble / a.length + m.toDouble / b.length +
+      (m - t).toDouble / m) / 3.0
+    if (j <= 0.7) j
+    else {
+      val l = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.length
+      j + l * 0.1 * (1.0 - j)
+    }
+  }
+
+  test("jaroWinkler: DuckDB-pinned values — boost gate at exactly 0.7, " +
+      "prefix cap 4, byte-grain unicode, empty-string zero") {
+    val f = (a: String, b: String) =>
+      StringDistances.jaroWinkler(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(f("martha", "marhta") === 0.9611111111111111)
+    assert(f("dixon", "dicksonx") === 0.8133333333333332)
+    assert(f("dwayne", "duane") === 0.8400000000000001)
+    assert(f("", "") === 0.0)          // DuckDB convention, not 1.0
+    assert(f("", "a") === 0.0)
+    assert(f("abc", "abc") === 1.0)
+    assert(f("ab", "ba") === 0.0)      // window 0: no matches
+    // jaro exactly at the gate boundary on one side of it:
+    assert(f("abcdefgh", "abcdzzzz") === 0.6666666666666666) // no boost
+    assert(f("x", "xxxxxxxxxx") === 0.7300000000000001)      // boosted
+    // prefix 5 capped to 4:
+    assert(f("abcdefghi", "abcdezzzz") === 0.8222222222222222)
+    assert(f("über", "uber") === 0.7833333333333333) // ü = 2 bytes
+  }
+
+  test("jaroWinkler agrees with the independent reference on randomized " +
+      "corpora (exact doubles); symmetric") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcde "
+    for (_ <- 1 to 2000) {
+      val s1 = Seq.fill(rnd.nextInt(10))(alpha(rnd.nextInt(6))).mkString
+      val s2 = Seq.fill(rnd.nextInt(10))(alpha(rnd.nextInt(6))).mkString
+      val got = StringDistances.jaroWinkler(
+        s1.getBytes("UTF-8"), s2.getBytes("UTF-8"))
+      assert(got === refJw(s1, s2), s"jw($s1, $s2)")
+      assert(got === StringDistances.jaroWinkler(
+        s2.getBytes("UTF-8"), s1.getBytes("UTF-8")), s"symmetry $s1/$s2")
+    }
+  }
+
+  test("jaroWinklerCol: codegen path in a real plan matches the kernel; " +
+      "null-intolerant") {
+    val df = Seq(
+      (1L, Some("martha"), Some("marhta")),
+      (2L, Some("ab"), Some("ba")),
+      (3L, None: Option[String], Some("x")),
+      (4L, Some("x"), None: Option[String])
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        StringDistances.jaroWinklerCol(col("a"), col("b")).as("s"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got === Array((1L, Some(0.9611111111111111)), (2L, Some(0.0)),
+      (3L, None), (4L, None)))
+  }
 }
