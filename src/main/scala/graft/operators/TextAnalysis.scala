@@ -630,10 +630,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"),
         sum(col("_i") * col("_x")).as("_iwx"))
       .select(col(groupCol), col("n"), col("total"),
-        round(when(col("total") > 0,
+        (round(when(col("total") > 0,
           lit(2.0) * col("_iwx") / (col("n") * col("total")) -
             (col("n") + lit(1.0)) / col("n"))
-          .otherwise(lit(0.0)), decimals).as("gini"))
+          .otherwise(lit(0.0)), decimals) + lit(0.0)).as("gini"))
   }
 
   /** Shannon entropy (nats) of each group's term distribution — the

@@ -337,9 +337,14 @@ object CurationQueries {
     "j_fuzzy_dl" -> ((s, d) => {
       val p = t(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      // lossless prune: DL ≥ |len(a) − len(b)|, so pairs whose lengths
+      // differ by > 2 can never pass the dist ≤ 2 gate — the cheap
+      // length predicate runs INSIDE the join condition, before the
+      // O(m·n) DP ever evaluates.
       p.as("a").join(p.as("b"),
           col("a.p_brand") === col("b.p_brand") &&
-            col("a.p_partkey") < col("b.p_partkey"))
+            col("a.p_partkey") < col("b.p_partkey") &&
+            abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
         .select(col("a.p_brand").as("p_brand"),
           col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
           graft.functions.StringDistances
@@ -355,9 +360,15 @@ object CurationQueries {
     "j_fuzzy_jw" -> ((s, d) => {
       val p = t(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      // lossless prune: sim ≥ 0.9 ⟹ jaro ≥ 5/6 (JW ≤ 0.4 + 0.6·jaro
+      // at prefix cap 4, p = 0.1), and jaro ≤ (2 + min/max)/3, so the
+      // longer name can be at most 2× the shorter — evaluated before
+      // the O(m·n) match scan.
       p.as("a").join(p.as("b"),
           col("a.p_brand") === col("b.p_brand") &&
-            col("a.p_partkey") < col("b.p_partkey"))
+            col("a.p_partkey") < col("b.p_partkey") &&
+            greatest(length(col("a.p_name")), length(col("b.p_name"))) <=
+              least(length(col("a.p_name")), length(col("b.p_name"))) * 2)
         .select(col("a.p_brand").as("p_brand"),
           col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
           graft.functions.StringDistances
@@ -597,7 +608,9 @@ object CurationQueries {
     //    checked together. ─────────────────────────────────────────────────
     "dedup_apply_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      // prefix-filtered generator — identical pair set (theorem); same
+      // clusters, same policy outcome, same oracle.
+      val pairs = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.8)
       val weights = TextAnalysis.qualityFrame(docs, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
@@ -750,7 +763,7 @@ object CurationQueries {
         |SELECT source, n, total,
         |round(CASE WHEN total > 0
         |  THEN 2.0::DOUBLE * iwx / (n * total) - (n + 1.0::DOUBLE) / n
-        |  ELSE 0.0 END, 6) AS gini
+        |  ELSE 0.0 END, 6) + 0.0 AS gini
         |FROM g ORDER BY source""".stripMargin,
 
     "events_scd2" ->

@@ -335,7 +335,10 @@ object ExtensionQueries {
     //    pairs — "A~B, B~C" becomes one keep-decision for {A,B,C}. Oracle
     //    closes the SAME pair SQL transitively with a recursive CTE. ───────
     "dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+      // prefix-filtered generator: same pair set as the naive exact form
+      // (PPJoin theorem — see prefixFilterJaccardPairs scaladoc) at a
+      // fraction of the candidate fan-out; same oracle.
+      val pairs = Dedup.prefixFilterJaccardPairs(t(s, d, "documents"),
         "doc_id", "text", n = 3, threshold = JaccardThreshold)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
@@ -346,7 +349,10 @@ object ExtensionQueries {
     //    them from the transitive closure. ──────────────────────────────────
     "dedup_apply" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      // prefix-filtered generator — identical pair set (theorem), so the
+      // survivor set and oracle are unchanged; avoids the quadratic
+      // shared-shingle fan-out of the naive exact form.
+      val pairs = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = JaccardThreshold)
       Dedup.dropNearDuplicates(docs, "doc_id", pairs)
         .select(col("doc_id"), col("source"))
