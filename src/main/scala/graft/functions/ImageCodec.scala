@@ -1,0 +1,231 @@
+package graft.functions
+
+import java.util.zip.Inflater
+
+/** Pure-JVM image decoding for the multimodal column pipeline — no native
+  * libraries, so it runs in any executor container. Formats:
+  *
+  *  - BMP: uncompressed 24/32-bit (BITMAPINFOHEADER) → full pixel decode
+  *  - PPM/PGM (P5/P6 binary, maxval ≤ 255) → full pixel decode
+  *  - PNG: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced → full
+  *    pixel decode (zlib via `java.util.zip.Inflater`, per-scanline
+  *    defilter: None/Sub/Up/Average/Paeth)
+  *  - JPEG: dimensions + channel count from the SOF marker (entropy
+  *    decode needs a DCT pipeline — out of scope; metadata only)
+  *
+  * Decoded pixels are row-major, top-down, channel-interleaved unsigned
+  * bytes — the batch layout a feature extractor or resize kernel consumes
+  * directly. Every parser is defensive: any structural violation returns
+  * None rather than throwing, so a corrupt payload degrades to the opaque
+  * path instead of failing the task (at 100 TB some payloads WILL be
+  * truncated).
+  */
+object ImageCodec {
+
+  /** format ∈ {bmp, ppm, pgm, png, jpeg}; pixels is None for metadata-only
+    * decodes (jpeg) and Some(row-major interleaved bytes) otherwise. */
+  final case class ImageInfo(format: String, width: Int, height: Int,
+      channels: Int, pixels: Option[Array[Byte]])
+
+  /** Sniff the magic bytes and dispatch; None = not a recognized image. */
+  def decode(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null || bytes.length < 4) return None
+    try {
+      if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else if (bytes(0) == 'P' &&
+        (bytes(1) == '5' || bytes(1) == '6')) decodePnm(bytes)
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        decodeJpegMeta(bytes)
+      else None
+    } catch { case _: Exception => None } // corrupt payload → opaque path
+  }
+
+  // ── BMP ────────────────────────────────────────────────────────────────
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def decodeBmp(b: Array[Byte]): Option[ImageInfo] = {
+    if (b.length < 54) return None
+    val dataOff = le32(b, 10)
+    val width = le32(b, 18)
+    val rawHeight = le32(b, 22)
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (width <= 0 || height == 0 || compression != 0 ||
+      (bpp != 24 && bpp != 32)) return None
+    val ch = bpp / 8
+    val rowRaw = width * ch
+    val stride = (rowRaw + 3) / 4 * 4 // rows pad to 4-byte boundaries
+    if (dataOff.toLong + stride.toLong * height > b.length) return None
+    val out = new Array[Byte](width * height * ch)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOff + (if (bottomUp) (height - 1 - y) else y) * stride
+      var x = 0
+      while (x < width) {
+        val s = srcRow + x * ch
+        val d = (y * width + x) * ch
+        // BMP stores BGR(A); emit RGB(A)
+        out(d) = b(s + 2)
+        out(d + 1) = b(s + 1)
+        out(d + 2) = b(s)
+        if (ch == 4) out(d + 3) = b(s + 3)
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImageInfo("bmp", width, height, ch, Some(out)))
+  }
+
+  // ── PPM / PGM (binary) ────────────────────────────────────────────────
+
+  private def decodePnm(b: Array[Byte]): Option[ImageInfo] = {
+    val ch = if (b(1) == '6') 3 else 1
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments
+      var inComment = false
+      while (pos < b.length && {
+        val c = b(pos)
+        if (inComment) { if (c == '\n') inComment = false; true }
+        else if (c == '#') { inComment = true; true }
+        else c == ' ' || c == '\t' || c == '\r' || c == '\n'
+      }) pos += 1
+      var v = -1
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (b(pos) - '0')
+        pos += 1
+      }
+      v
+    }
+    val width = nextInt()
+    val height = nextInt()
+    val maxval = nextInt()
+    if (width <= 0 || height <= 0 || maxval <= 0 || maxval > 255)
+      return None
+    pos += 1 // exactly one whitespace byte before the raster
+    val n = width * height * ch
+    if (pos + n > b.length) return None
+    Some(ImageInfo(if (ch == 3) "ppm" else "pgm", width, height, ch,
+      Some(java.util.Arrays.copyOfRange(b, pos, pos + n))))
+  }
+
+  // ── PNG ───────────────────────────────────────────────────────────────
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def decodePng(b: Array[Byte]): Option[ImageInfo] = {
+    if (b.length < 33) return None
+    // IHDR is required first: length(4) "IHDR"(4) at offset 8
+    if (be32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' ||
+      b(14) != 'D' || b(15) != 'R') return None
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    if (width <= 0 || height <= 0) return None
+    val ch = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // rgba
+      case _ => return None // palette needs PLTE handling
+    }
+    if (bitDepth != 8 || interlace != 0) return None
+    // concatenate IDAT chunk payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = be32(b, pos)
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      if (len < 0 || pos + 8L + len + 4 > b.length) return None
+      if (typ == "IDAT") idat.write(b, pos + 8, len)
+      if (typ == "IEND") done = true
+      pos += 8 + len + 4 // chunk + CRC
+    }
+    val stride = width * ch
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+    // per-scanline defilter (PNG spec §6): each row = filter byte + data
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
+        val up = if (y > 0) out(dst - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= ch) out(dst - stride + x - ch) & 0xff else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImageInfo("png", width, height, ch, Some(out)))
+  }
+
+  // ── JPEG (metadata only) ──────────────────────────────────────────────
+
+  private def decodeJpegMeta(b: Array[Byte]): Option[ImageInfo] = {
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2 // standalone markers carry no length
+      } else {
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        if (len < 2) return None
+        // SOF0/1/2 (baseline / extended / progressive)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (pos + 9 >= b.length) return None
+          val height = ((b(pos + 5) & 0xff) << 8) | (b(pos + 6) & 0xff)
+          val width = ((b(pos + 7) & 0xff) << 8) | (b(pos + 8) & 0xff)
+          val ch = b(pos + 9) & 0xff
+          if (width <= 0 || height <= 0) return None
+          return Some(ImageInfo("jpeg", width, height, ch, None))
+        }
+        pos += 2 + len
+      }
+    }
+    None
+  }
+}

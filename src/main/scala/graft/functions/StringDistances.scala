@@ -27,6 +27,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StringDistances {
 
+  // Join-shaped workloads evaluate these kernels millions of times per
+  // task; a fresh DP matrix + alphabet table per call is ~1.6 kB of
+  // garbage per pair (gigabytes per partition). Thread-local scratch
+  // buffers amortize that to zero: every cell the DP reads is written
+  // earlier in the SAME call (borders + row-major interior), so dirty
+  // reuse is safe; `da` is the only buffer needing a per-call clear.
+  private val dScratch = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](4096)
+  }
+  private val daScratch = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+  private val matchScratch = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](512)
+  }
+
   /** Lowrance-Wagner DP over byte sequences. Static (object) method so
     * whole-stage codegen calls it directly — the generated Java stays a
     * single static invoke, no boxing. */
@@ -38,7 +54,9 @@ object StringDistances {
     val inf = la + lb
     val w = lb + 2
     // d(i)(j) at flat index i*w + j, i ∈ [0, la+1], j ∈ [0, lb+1]
-    val d = new Array[Int]((la + 2) * w)
+    val need = (la + 2) * w
+    var d = dScratch.get()
+    if (d.length < need) { d = new Array[Int](need); dScratch.set(d) }
     d(0) = inf
     var i = 0
     while (i <= la) {
@@ -52,7 +70,8 @@ object StringDistances {
       d(w + j + 1) = j
       j += 1
     }
-    val da = new Array[Int](256)
+    val da = daScratch.get()
+    java.util.Arrays.fill(da, 0)
     i = 1
     while (i <= la) {
       var db = 0
@@ -97,8 +116,16 @@ object StringDistances {
     if (la == 0 || lb == 0) return 0.0
     var win = (if (la > lb) la else lb) / 2 - 1
     if (win < 0) win = 0
-    val ma = new Array[Boolean](la)
-    val mb = new Array[Boolean](lb)
+    // one scratch array split into [0, la) and [la, la+lb) halves —
+    // cleared only over the bytes this call uses
+    var mball = matchScratch.get()
+    if (mball.length < la + lb) {
+      mball = new Array[Boolean](Integer.highestOneBit(la + lb) * 2)
+      matchScratch.set(mball)
+    }
+    java.util.Arrays.fill(mball, 0, la + lb, false)
+    val ma = mball
+    val mbOff = la
     var m = 0
     var i = 0
     while (i < la) {
@@ -108,8 +135,8 @@ object StringDistances {
       if (hi > lb) hi = lb
       var found = false
       while (j < hi && !found) {
-        if (!mb(j) && a(i) == b(j)) {
-          ma(i) = true; mb(j) = true; m += 1; found = true
+        if (!mball(mbOff + j) && a(i) == b(j)) {
+          ma(i) = true; mball(mbOff + j) = true; m += 1; found = true
         }
         j += 1
       }
@@ -121,7 +148,7 @@ object StringDistances {
     i = 0
     while (i < la) {
       if (ma(i)) {
-        while (!mb(k)) k += 1
+        while (!mball(mbOff + k)) k += 1
         if (a(i) != b(k)) t += 1
         k += 1
       }

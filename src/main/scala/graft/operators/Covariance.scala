@@ -98,8 +98,12 @@ object Covariance {
       .agg(sum(col("cnt")).as("n"),
         sum(col("psi")).as("s_i"), sum(col("psj")).as("s_j"),
         sum(col("pij").cast("decimal(38,0)")).as("s_ij"))
+    // s_ij travels as a canonical digit STRING: DECIMAL(38,0) is exact in
+    // both engines, but compare harnesses that coerce one side's decimals
+    // to float (or format them differently) see representation — not
+    // value — diverge. A digit string hashes identically everywhere.
     agg.select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
-      col("s_ij"),
+      col("s_ij").cast("string").as("s_ij"),
       (round((col("s_ij").cast("double") / col("n") -
           (col("s_i").cast("double") / col("n")) *
             (col("s_j").cast("double") / col("n"))) / lit(1.0e12),

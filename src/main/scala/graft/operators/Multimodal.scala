@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * transform and partition them relationally; only the codec call itself is
   * modality-specific.
   *
-  * The actual decoders (image resize, audio resample, frame sampling) need
-  * native libs not present in this container, so `DecodeStub` is a
-  * clearly-marked deterministic fake with the REAL Spark-side contract:
-  * schema, per-partition batching, and column plumbing are production-shaped;
-  * swap `decodeBatch` for a JNI/codec implementation to go live.
+  * `decode` is REAL for the pure-JVM formats [[graft.functions.ImageCodec]]
+  * handles (BMP/PPM/PGM/PNG full pixel decode, JPEG dimensions); payloads
+  * in any other format fall back to a clearly-marked deterministic opaque
+  * path (format "opaque", width/height/channels −1) so the per-partition
+  * batch shape stays honest for every payload. Audio/video codecs would
+  * slot into the same dispatch (JNI/ffmpeg); the Spark-side contract —
+  * schema, per-partition batching, column plumbing — is production-shaped
+  * either way.
   */
 object Multimodal {
 
@@ -22,7 +25,7 @@ object Multimodal {
   final case class MediaMeta(nBytes: Int, contentHash: String, nFrames: Int)
   final case class MediaRecord(id: Long, bytes: Array[Byte])
   final case class DecodedRecord(id: Long, nBytes: Int, contentHash: String,
-      nFrames: Int)
+      nFrames: Int, format: String, width: Int, height: Int, channels: Int)
 
   /** Column-level feature extraction over an opaque binary column — pure
     * built-ins, codegen'd, oracle-checkable. */
@@ -33,15 +36,22 @@ object Multimodal {
       (pmod(octet_length(col(bytesCol)), lit(8)) + 1).cast("int")
         .as("n_frames"))
 
-  /** STUB decode: a real implementation would decode the codec frame here
-    * (e.g. JPEG → WxH, WAV → samples). Deterministic fake keeps the batch
-    * shape honest for tests. */
+  /** Per-record decode: real image parsing for the formats ImageCodec
+    * recognizes; deterministic opaque metadata otherwise (video/audio
+    * codecs would extend the dispatch — until then their payloads take
+    * the opaque path rather than failing). */
   private def decodeBatch(batch: Iterator[MediaRecord]): Iterator[DecodedRecord] =
     batch.map { rec =>
-      // ??? ← real codec call goes here (libjpeg/ffmpeg via JNI).
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(rec.bytes).map("%02x".format(_)).mkString
-      DecodedRecord(rec.id, rec.bytes.length, hash, rec.bytes.length % 8 + 1)
+      graft.functions.ImageCodec.decode(rec.bytes) match {
+        case Some(info) =>
+          DecodedRecord(rec.id, rec.bytes.length, hash, 1,
+            info.format, info.width, info.height, info.channels)
+        case None =>
+          DecodedRecord(rec.id, rec.bytes.length, hash,
+            rec.bytes.length % 8 + 1, "opaque", -1, -1, -1)
+      }
     }
 
   /** Typed per-partition decode pipeline: the production shape for codec

@@ -189,7 +189,7 @@ object CompressionQueries {
         |  CAST(sum(q.qv[a.i + 1] * q.qv[b.i + 1]) AS DECIMAL(38,0))
         |    AS s_ij
         |  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2)
-        |SELECT i, j, n, s_i, s_j, s_ij,
+        |SELECT i, j, n, s_i, s_j, CAST(s_ij AS VARCHAR) AS s_ij,
         |round((CAST(s_ij AS DOUBLE) / n - (CAST(s_i AS DOUBLE) / n)
         |  * (CAST(s_j AS DOUBLE) / n)) / 1e12, 6) + 0.0 AS cov
         |FROM cells ORDER BY i, j""".stripMargin,

@@ -337,19 +337,24 @@ object CurationQueries {
     "j_fuzzy_dl" -> ((s, d) => {
       val p = t(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
-      // lossless prune: DL ≥ |len(a) − len(b)|, so pairs whose lengths
-      // differ by > 2 can never pass the dist ≤ 2 gate — the cheap
-      // length predicate runs INSIDE the join condition, before the
-      // O(m·n) DP ever evaluates.
+      // Predicate-order discipline: a trailing .filter(dist <= 2) gets
+      // pushed into the join condition AND PREPENDED, so the O(m·n) DP
+      // would run first on every brand pair. Author the full conjunction
+      // here, cheap → expensive (short-circuit AND evaluates in order):
+      // key order, then the lossless length prune (DL ≥ |len(a)−len(b)|),
+      // then the DP only on pairs that survive both. The projection
+      // recomputes the DP for the few survivors — far cheaper than one
+      // DP per candidate pair.
       p.as("a").join(p.as("b"),
           col("a.p_brand") === col("b.p_brand") &&
             col("a.p_partkey") < col("b.p_partkey") &&
-            abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
+            abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2 &&
+            graft.functions.StringDistances
+              .damerauLev(col("a.p_name"), col("b.p_name")) <= 2)
         .select(col("a.p_brand").as("p_brand"),
           col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
           graft.functions.StringDistances
             .damerauLev(col("a.p_name"), col("b.p_name")).as("dist"))
-        .filter(col("dist") <= 2)
         .orderBy(col("p_brand"), col("key_a"), col("key_b"))
     }),
 
@@ -360,20 +365,21 @@ object CurationQueries {
     "j_fuzzy_jw" -> ((s, d) => {
       val p = t(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
-      // lossless prune: sim ≥ 0.9 ⟹ jaro ≥ 5/6 (JW ≤ 0.4 + 0.6·jaro
-      // at prefix cap 4, p = 0.1), and jaro ≤ (2 + min/max)/3, so the
-      // longer name can be at most 2× the shorter — evaluated before
-      // the O(m·n) match scan.
+      // Same predicate-order discipline as j_fuzzy_dl: full conjunction
+      // authored cheap → expensive. Lossless prune: sim ≥ 0.9 ⟹ jaro ≥
+      // 5/6 (JW ≤ 0.4 + 0.6·jaro at prefix cap 4, p = 0.1), and jaro ≤
+      // (2 + min/max)/3, so the longer name is at most 2× the shorter.
       p.as("a").join(p.as("b"),
           col("a.p_brand") === col("b.p_brand") &&
             col("a.p_partkey") < col("b.p_partkey") &&
             greatest(length(col("a.p_name")), length(col("b.p_name"))) <=
-              least(length(col("a.p_name")), length(col("b.p_name"))) * 2)
+              least(length(col("a.p_name")), length(col("b.p_name"))) * 2 &&
+            graft.functions.StringDistances
+              .jaroWinklerCol(col("a.p_name"), col("b.p_name")) >= 0.9)
         .select(col("a.p_brand").as("p_brand"),
           col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
           graft.functions.StringDistances
             .jaroWinklerCol(col("a.p_name"), col("b.p_name")).as("sim"))
-        .filter(col("sim") >= 0.9)
         .orderBy(col("p_brand"), col("key_a"), col("key_b"))
     }),
 
