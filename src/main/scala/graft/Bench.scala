@@ -43,12 +43,9 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Dozens of queries compile hundreds of generated classes; once the
-      // JVM code cache fills, JIT stops compiling and late queries degrade
-      // 10-30×. Each generated class has its own classloader, so a GC after
-      // the plan is dropped lets the JVM unload them and reclaim cache.
-      sinceGc += 1
-      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+      // generated-class hygiene — see JvmHygiene (adaptive: every 8
+      // queries, or immediately under CodeHeap pressure)
+      sinceGc = JvmHygiene.maybeGc(sinceGc)
       (name, dt, ok)
     }
     // The driver keeps only the TAIL (~2 kB) of the run's output

@@ -28,9 +28,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // reclaim generated-class code cache (see Bench).
-      sinceGc += 1
-      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+      // reclaim generated-class code cache (adaptive — see JvmHygiene).
+      sinceGc = JvmHygiene.maybeGc(sinceGc)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
