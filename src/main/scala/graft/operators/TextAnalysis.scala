@@ -674,4 +674,129 @@ object TextAnalysis {
             col("_s_micro") / (col("n_tokens") * lit(1e6)),
           decimals) + lit(0.0)).as("entropy"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): k-token shingles → 32-bit md5-prefix hashes → in every
+    * full window of `w` consecutive shingles select the minimum hash
+    * (ties → leftmost position) → distinct selections. Guarantees: any
+    * shared run of ≥ w + k − 1 tokens between two documents shares at
+    * least one fingerprint, and within-document density is ~2/(w+1) —
+    * the plagiarism/near-dup signature that survives insertions
+    * (rolling fingerprints shift; window minima mostly don't).
+    *
+    * Cross-engine hashing: the md5-prefix idiom every sampler here uses
+    * (`Dsir.scala:48`), so the oracle replays hashes byte-for-byte.
+    *
+    * Scale: tokenize + shingle explode are scan-stage projections; the
+    * window min is ONE (doc)-keyed sort — no shingle self-join, no
+    * all-windows explode (the O(n·w) form exists only in the ORACLE).
+    * Output rows are the selected fingerprints, ~2n/(w+1) per doc.
+    * Output: (doc_id, fp_pos, fp_hash). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      Fingerprints.tokens(col(textCol)).as("ws"))
+    val shingles = base.filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(k)))))
+        .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h"))
+    val winSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val winAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    shingles
+      .withColumn("sel", min(struct(col("h"), col("pos"))).over(winSel))
+      .withColumn("maxp", max(col("pos")).over(winAll))
+      // only FULL windows select (start positions with w members)
+      .filter(col("pos") <= col("maxp") - (w - 1))
+      .select(col("doc_id"), col("sel.pos").as("fp_pos"),
+        col("sel.h").as("fp_hash"))
+      .distinct()
+  }
+
+  /** Trigram stupid-backoff LM scoring (Brants et al. 2007) — the
+    * web-scale quality signal CCNet-style pipelines rank documents by,
+    * with the LM trained on a REFERENCE slice and scored over the full
+    * corpus (the asymmetry that makes backoff actually fire):
+    * S(c|a,b) = c3(abc)/c2(ab) when the trigram is attested, else
+    * α·c2(bc)/c1(b), else α²·c1(c)/N (0 for OOV). Unnormalized by
+    * design — stupid backoff is a SCORE, not a distribution; at corpus
+    * scale it matches Kneser-Ney rankings at a fraction of the cost.
+    *
+    * Numerics: per-position scores round to integer micro-units
+    * in-plan, so the per-doc sum is order-free (the [[termEntropy]]
+    * discipline); fp re-enters only in the final fixed tree.
+    *
+    * Scale: three count tables (map-side-combinable aggregations, the
+    * trigram table prunable by min-count at real scale), then one
+    * aggregated (doc, trigram, m) frame hash-joins the tables by term
+    * keys — no per-position rows, no windows. */
+  def stupidBackoffScores(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column, alpha: Double = 0.4,
+      decimals: Int = 6): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("txt"), refFilter.as("is_ref"))
+      .select(col("doc_id"), col("is_ref"), split(col("txt"), " ").as("ws"))
+    def grams(n: Int, from: DataFrame) =
+      from.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("ws")) - n),
+            i => concat_ws("", slice(col("ws"), i + 1, lit(n)))))
+          .as("g"))
+    val ref = base.filter(col("is_ref"))
+    val c1 = grams(1, ref).groupBy(col("g").as("u1"))
+      .agg(count(lit(1)).as("c1"))
+    val c2 = grams(2, ref).groupBy(col("g").as("u2"))
+      .agg(count(lit(1)).as("c2"))
+    val c3 = grams(3, ref).groupBy(col("g").as("u3"))
+      .agg(count(lit(1)).as("c3"))
+    val nTotal = ref.select(sum(size(col("ws"))).as("n_total"))
+
+    // per-doc distinct trigrams with multiplicity; re-derive the ngram
+    // keys of the context/backoff pieces from the packed trigram
+    val docTri = grams(3, base)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("m"))
+      .select(col("doc_id"), col("m"),
+        col("g").as("tri"),
+        // (a,b) context, (b,c) backoff bigram, b and c unigrams
+        concat_ws("", slice(split(col("g"), ""), 1, 2)).as("ab"),
+        concat_ws("", slice(split(col("g"), ""), 2, 2)).as("bc"),
+        element_at(split(col("g"), ""), 2).as("b"),
+        element_at(split(col("g"), ""), 3).as("c"))
+    val joined = docTri
+      .join(c3.withColumnRenamed("u3", "tri"), Seq("tri"), "left")
+      .join(c2.withColumnRenamed("u2", "ab")
+        .withColumnRenamed("c2", "c2ab"), Seq("ab"), "left")
+      .join(c2.withColumnRenamed("u2", "bc")
+        .withColumnRenamed("c2", "c2bc"), Seq("bc"), "left")
+      .join(c1.withColumnRenamed("u1", "b")
+        .withColumnRenamed("c1", "c1b"), Seq("b"), "left")
+      .join(c1.withColumnRenamed("u1", "c")
+        .withColumnRenamed("c1", "c1c"), Seq("c"), "left")
+      .crossJoin(broadcast(nTotal))
+    val s = when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("c2ab"))
+      .otherwise(lit(alpha) *
+        when(coalesce(col("c2bc"), lit(0L)) > 0,
+          col("c2bc").cast("double") / col("c1b"))
+        .otherwise(lit(alpha) *
+          coalesce(col("c1c"), lit(0L)).cast("double") / col("n_total")))
+    joined
+      .select(col("doc_id"), col("m"),
+        (col("m") * round(s * lit(1e6)).cast("long")).as("s_micro"),
+        when(coalesce(col("c3"), lit(0L)) > 0, col("m"))
+          .otherwise(lit(0L)).as("m_hit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_trigrams"),
+        sum(col("m_hit")).as("n_attested"),
+        sum(col("s_micro")).as("_sm"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_attested"),
+        (round(col("_sm") / (col("n_trigrams") * lit(1e6)), decimals) +
+          lit(0.0)).as("sbo_score"))
+  }
 }

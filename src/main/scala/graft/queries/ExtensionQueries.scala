@@ -496,6 +496,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── winnowing fingerprints (MOSS): k=4 shingles, w=5 window-min
+    //    selection (ties → leftmost) — the insertion-robust dup
+    //    signature; md5-prefix hashes replay exactly in the oracle. One
+    //    doc-keyed window sort; the all-windows explode exists only in
+    //    the ORACLE. ─────────────────────────────────────────────────────
+    "docs_winnow" -> ((s, d) => {
+      TextAnalysis.winnowFingerprints(t(s, d, "documents"),
+          "doc_id", "text", k = 4, w = 5)
+        .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
+    }),
+
+    // ── trigram stupid-backoff LM score: counts trained on the even-id
+    //    reference slice, scored over the whole corpus (so backoff
+    //    FIRES on odd docs); per-position scores micro-rounded in-plan →
+    //    order-free integer sums, the termEntropy discipline ─────────────
+    "docs_sbo_score" -> ((s, d) => {
+      TextAnalysis.stupidBackoffScores(t(s, d, "documents"),
+          "doc_id", "text", refFilter = pmod(col("doc_id"), lit(2)) === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── T15 embedding stand-in: deterministic hash embedder invariants ────
     "docs_hash_embed" -> ((s, d) => {
       t(s, d, "documents")
@@ -1764,6 +1785,81 @@ object ExtensionQueries {
         |round(sum(m * -ln((c12 + 1.0) / (c1 + v))) / sum(m), 4) AS avg_nll
         |FROM bd JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0] AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(unnest(range(len(ws) - 3)) AS INT) AS pos,
+        |  ws FROM toks WHERE len(ws) >= 4),
+        |sh AS (
+        |  SELECT doc_id, pos,
+        |  ('0x' || substr(md5(array_to_string(ws[pos+1:pos+4], ' ')),
+        |    1, 8))::BIGINT AS h
+        |  FROM pos),
+        |wins AS (
+        |  SELECT a.doc_id, a.pos AS s, b.pos AS p, b.h
+        |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 5),
+        |full_w AS (
+        |  SELECT doc_id, s FROM wins GROUP BY 1, 2 HAVING count(*) = 5),
+        |rk AS (
+        |  SELECT w.doc_id, w.p, w.h,
+        |  row_number() OVER (PARTITION BY w.doc_id, w.s
+        |    ORDER BY w.h, w.p) AS rk
+        |  FROM wins w JOIN full_w USING (doc_id, s))
+        |SELECT DISTINCT doc_id, p AS fp_pos, h AS fp_hash
+        |FROM rk WHERE rk = 1 ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    "docs_sbo_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_total FROM ref),
+        |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |  SELECT unnest(ws) AS g FROM ref) GROUP BY 1),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |  SELECT unnest([array_to_string(ws[i+1:i+2], ' ')
+        |    FOR i IN range(len(ws) - 1)]) AS g
+        |  FROM ref WHERE len(ws) >= 2) GROUP BY 1),
+        |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+        |  SELECT unnest([array_to_string(ws[i+1:i+3], ' ')
+        |    FOR i IN range(len(ws) - 2)]) AS g
+        |  FROM ref WHERE len(ws) >= 3) GROUP BY 1),
+        |dt AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS m FROM (
+        |    SELECT doc_id, unnest([array_to_string(ws[i+1:i+3], ' ')
+        |      FOR i IN range(len(ws) - 2)]) AS g
+        |    FROM toks WHERE len(ws) >= 3) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dt.doc_id, dt.m,
+        |  coalesce(c3.c3, 0) AS c3v, c2a.c2 AS c2ab,
+        |  coalesce(c2b.c2, 0) AS c2bc, c1b.c1 AS c1b,
+        |  coalesce(c1c.c1, 0) AS c1c
+        |  FROM (SELECT *, string_split(g, ' ') AS p FROM dt) dt
+        |  LEFT JOIN c3 ON dt.g = c3.g
+        |  LEFT JOIN c2 c2a ON array_to_string(dt.p[1:2], ' ') = c2a.g
+        |  LEFT JOIN c2 c2b ON array_to_string(dt.p[2:3], ' ') = c2b.g
+        |  LEFT JOIN c1 c1b ON dt.p[2] = c1b.g
+        |  LEFT JOIN c1 c1c ON dt.p[3] = c1c.g),
+        |s AS (
+        |  SELECT doc_id, m,
+        |  m * CAST(round((CASE WHEN c3v > 0
+        |      THEN CAST(c3v AS DOUBLE) / c2ab
+        |      ELSE 0.4 * (CASE WHEN c2bc > 0
+        |        THEN CAST(c2bc AS DOUBLE) / c1b
+        |        ELSE 0.4 * CAST(c1c AS DOUBLE) / (SELECT n_total FROM n)
+        |        END) END) * 1e6) AS BIGINT) AS sm,
+        |  CASE WHEN c3v > 0 THEN m ELSE 0 END AS mh
+        |  FROM sc)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+        |CAST(sum(mh) AS BIGINT) AS n_attested,
+        |round(CAST(sum(sm) AS DOUBLE) / (sum(m) * 1e6), 6) + 0.0
+        |  AS sbo_score
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_weighted_mix" ->
       """WITH w AS (
