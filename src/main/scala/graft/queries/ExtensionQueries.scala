@@ -507,6 +507,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
     }),
 
+    // ── winnow candidate pairs: docs sharing ≥ 3 selected fingerprints
+    //    — the MOSS match step. Fingerprint-keyed equi-join (same scale
+    //    shape as an LSH band bucket join: candidates form per shared
+    //    hash, never all-pairs), then a pair-keyed count. ────────────────
+    "dedup_winnow_pairs" -> ((s, d) => {
+      val fp = TextAnalysis.winnowFingerprints(t(s, d, "documents"),
+        "doc_id", "text", k = 4, w = 5)
+      fp.as("a").join(fp.as("b"),
+          col("a.fp_hash") === col("b.fp_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(countDistinct(col("a.fp_hash")).as("shared"))
+        .filter(col("shared") >= 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── trigram stupid-backoff LM score: counts trained on the even-id
     //    reference slice, scored over the whole corpus (so backoff
     //    FIRES on odd docs); per-position scores micro-rounded in-plan →
@@ -1813,6 +1829,38 @@ object ExtensionQueries {
         |  FROM wins w JOIN full_w USING (doc_id, s))
         |SELECT DISTINCT doc_id, p AS fp_pos, h AS fp_hash
         |FROM rk WHERE rk = 1 ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0] AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(unnest(range(len(ws) - 3)) AS INT) AS pos,
+        |  ws FROM toks WHERE len(ws) >= 4),
+        |sh AS (
+        |  SELECT doc_id, pos,
+        |  ('0x' || substr(md5(array_to_string(ws[pos+1:pos+4], ' ')),
+        |    1, 8))::BIGINT AS h
+        |  FROM pos),
+        |wins AS (
+        |  SELECT a.doc_id, a.pos AS s, b.pos AS p, b.h
+        |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id
+        |    AND b.pos >= a.pos AND b.pos < a.pos + 5),
+        |full_w AS (
+        |  SELECT doc_id, s FROM wins GROUP BY 1, 2 HAVING count(*) = 5),
+        |rk AS (
+        |  SELECT w.doc_id, w.s, w.p, w.h,
+        |  row_number() OVER (PARTITION BY w.doc_id, w.s
+        |    ORDER BY w.h, w.p) AS rk
+        |  FROM wins w JOIN full_w USING (doc_id, s)),
+        |fp AS (SELECT DISTINCT doc_id, p, h FROM rk WHERE rk = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(count(DISTINCT a.h) AS BIGINT) AS shared
+        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "docs_sbo_score" ->
       """WITH toks AS (
