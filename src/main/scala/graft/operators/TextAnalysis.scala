@@ -675,6 +675,67 @@ object TextAnalysis {
           decimals) + lit(0.0)).as("entropy"))
   }
 
+  /** Deterministic span masking — MLM/span-corruption data generation:
+    * token at position p of doc d masks iff
+    * md5(d:p:token) (first 8 hex as int) mod 100 < `ratePct`. Content-
+    * keyed hashing, not rand(): the mask set is reproducible across
+    * runs, retries, and engines (the [[graft.operators.Sampling]]
+    * md5-idiom), so a regenerated training set is byte-identical.
+    * Returns (doc_id, n_tokens, n_masked, masked_text). Raw space
+    * tokenization — masking must preserve the original surface text
+    * around the masks. One projection, fully codegen'd. */
+  def spanMask(docs: DataFrame, idCol: String, textCol: String,
+      ratePct: Int = 15, maskTok: String = "<mask>"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, "ratePct must be 0..100")
+    val ws = split(col(textCol), " ")
+    def hit(t: Column, i: Column): Column =
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"), lit(":"), t)), 1, 8), 16, 10).cast("long"),
+        lit(100L)) < ratePct
+    val masked = transform(ws, (t, i) =>
+      when(hit(t, i), lit(maskTok)).otherwise(t))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      size(filter(transform(ws, (t, i) => hit(t, i)),
+        x => x)).cast("long").as("n_masked"),
+      concat_ws(" ", masked).as("masked_text"))
+  }
+
+  /** Compression-ratio quality signal (deflate bytes / raw bytes) — the
+    * Gopher-style compressibility filter: template/boilerplate spam
+    * compresses far below prose, random noise above it. Typed kernel
+    * (one Deflater per partition, reused); level pinned so the ratio is
+    * a stable engine constant (pinned in GoldenValuesSpec; the
+    * 0 < ratio ≤ bound invariant is oracle-gated by docs_gzip_audit).
+    * Empty text → ratio 0. */
+  def gzipRatioFrame(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6, decimals: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val raw = (if (t == null) "" else t).getBytes("UTF-8")
+          if (raw.isEmpty) (id, 0L, 0L, 0.0)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            val ratio = BigDecimal(n.toDouble / raw.length)
+              .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (id, raw.length.toLong, n, ratio)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated", "gzip_ratio")
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): k-token shingles → 32-bit md5-prefix hashes → in every
     * full window of `w` consecutive shingles select the minimum hash

@@ -507,6 +507,39 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
     }),
 
+    // ── deterministic span masking (MLM corruption gen): content-keyed
+    //    md5 mask decisions — reproducible across runs/engines; the
+    //    oracle replays mask-by-mask ─────────────────────────────────────
+    "docs_span_mask" -> ((s, d) => {
+      TextAnalysis.spanMask(t(s, d, "documents"), "doc_id", "text",
+          ratePct = 15)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── gzip-compressibility quality signal (Gopher-style): deflate
+    //    ratio per doc; hash-defined by the zlib constant → rows-only,
+    //    digest pinned in GoldenValuesSpec, invariant oracle-gated by
+    //    docs_gzip_audit ─────────────────────────────────────────────────
+    "docs_gzip_ratio" -> ((s, d) => {
+      TextAnalysis.gzipRatioFrame(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── gzip invariant audit (0-row oracle): every non-empty doc must
+    //    compress to 0 < deflated ≤ raw + 64 (zlib's stored-block bound)
+    //    and the rounded ratio must be consistent with the byte counts —
+    //    violations are emitted ──────────────────────────────────────────
+    "docs_gzip_audit" -> ((s, d) => {
+      TextAnalysis.gzipRatioFrame(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("n_bytes") > 0)
+        .filter(!(col("n_deflated") > 0 &&
+          col("n_deflated") <= col("n_bytes") + 64 &&
+          abs(col("gzip_ratio") -
+            round(col("n_deflated").cast("double") / col("n_bytes"), 4))
+            < lit(1e-9)))
+        .select(col("doc_id"), col("n_bytes"), col("n_deflated"))
+    }),
+
     // ── winnow candidate pairs: docs sharing ≥ 3 selected fingerprints
     //    — the MOSS match step. Fingerprint-keyed equi-join (same scale
     //    shape as an LSH band bucket join: candidates form per shared
@@ -1829,6 +1862,31 @@ object ExtensionQueries {
         |  FROM wins w JOIN full_w USING (doc_id, s))
         |SELECT DISTINCT doc_id, p AS fp_pos, h AS fp_hash
         |FROM rk WHERE rk = 1 ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    "docs_span_mask" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(ws) AS n_tokens,
+        |  [CASE WHEN ('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':'
+        |        || ws[i + 1]), 1, 8))::BIGINT % 100 < 15
+        |    THEN '<mask>' ELSE ws[i + 1] END
+        |   FOR i IN range(len(ws))] AS mt
+        |  FROM toks)
+        |SELECT m.doc_id, CAST(m.n_tokens AS BIGINT) AS n_tokens,
+        |CAST(len([i FOR i IN range(len(t.ws))
+        |  IF ('0x' || substr(md5(CAST(m.doc_id AS VARCHAR) || ':'
+        |    || CAST(i AS VARCHAR) || ':' || t.ws[i + 1]), 1, 8))::BIGINT
+        |    % 100 < 15]) AS BIGINT) AS n_masked,
+        |array_to_string(mt, ' ') AS masked_text
+        |FROM m JOIN toks t ON m.doc_id = t.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
+    "docs_gzip_audit" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
+        |CAST(NULL AS BIGINT) AS n_bytes,
+        |CAST(NULL AS BIGINT) AS n_deflated WHERE FALSE""".stripMargin,
 
     "dedup_winnow_pairs" ->
       """WITH toks AS (
