@@ -507,6 +507,42 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
     }),
 
+    // ── HLL sketch audit: per-day distinct users — the 2 kB register
+    //    sketch's estimate must land within 5% (2σ at p=11) of the
+    //    exact count for EVERY day; exact + flag are the oracle-checked
+    //    output (vocab_cms_audit pattern — the estimate itself is
+    //    hash-defined, pinned in HllSpec) ────────────────────────────────
+    "events_hll_audit" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+      graft.operators.Hll.auditedEstimates(ev, col("user_id"),
+          Seq("day"), p = 11, tol = 0.05)
+        .select(col("day"), col("exact_distinct"), col("within_tol"))
+        .orderBy(col("day"))
+    }),
+
+    // ── HLL union law (0-row oracle): daily sketches merged register-
+    //    wise must estimate the OVERALL distinct count within 5% — the
+    //    mergeability that lets a year of history answer without a
+    //    rescan. Sketches are a days-sized sidecar (m bytes each). ───────
+    "events_hll_union_audit" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+      val daily = graft.operators.Hll.groupSketches(ev, col("user_id"),
+        Seq("day"), p = 11)
+      val sketches = daily.select(col("hll"))
+        .collect().map(_.getAs[Array[Byte]](0))
+      val merged = sketches.reduce(graft.operators.Hll.union)
+      val est = math.round(graft.operators.Hll.estimate(merged))
+      val exact = ev.select(countDistinct(col("user_id"))).first().getLong(0)
+      val ok = math.abs(est - exact).toDouble <= math.max(exact * 0.05, 1.0)
+      if (ok) Seq.empty[(Long, Long)].toDF("union_est", "exact_distinct")
+      else Seq((est, exact)).toDF("union_est", "exact_distinct")
+    }),
+
     // ── deterministic span masking (MLM corruption gen): content-keyed
     //    md5 mask decisions — reproducible across runs/engines; the
     //    oracle replays mask-by-mask ─────────────────────────────────────
@@ -1862,6 +1898,16 @@ object ExtensionQueries {
         |  FROM wins w JOIN full_w USING (doc_id, s))
         |SELECT DISTINCT doc_id, p AS fp_pos, h AS fp_hash
         |FROM rk WHERE rk = 1 ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    "events_hll_audit" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_hll_union_audit" ->
+      """SELECT CAST(NULL AS BIGINT) AS union_est,
+        |CAST(NULL AS BIGINT) AS exact_distinct WHERE FALSE""".stripMargin,
 
     "docs_span_mask" ->
       """WITH toks AS (
