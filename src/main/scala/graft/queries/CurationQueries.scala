@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bpe, Dedup, FuzzyJoin, SimilaritySearch, TextAnalysis}
+import graft.operators.{Bpe, Dedup, FuzzyJoin, SimilaritySearch, TextAnalysis, UnigramLm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -73,6 +73,45 @@ object CurationQueries {
           col("rebuilt") =!= col("word"))
         .select(col("doc_id"), col("word_pos"), col("word"), col("rebuilt"))
         .orderBy(col("doc_id"), col("word_pos"))
+    }),
+
+    // ── unigram-LM (SentencePiece-family) roundtrip audit: train the
+    //    piece vocab (frequency-seeded, 1 EM round), Viterbi-segment
+    //    every word, reassemble — any disagreement with the original
+    //    word table is emitted (0-row oracle, the BPE pattern). This
+    //    certifies segmentation is a pure re-segmentation for ANY vocab
+    //    the trainer produces; the vocab itself is pinned in
+    //    UnigramLmSpec. ─────────────────────────────────────────────────
+    "vocab_unigram_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = UnigramLm.train(docs, "text", vocabSize = 200,
+        emRounds = 1)
+      val seg = UnigramLm.segment(docs, "doc_id", "text", vocab)
+      val rebuilt = seg.groupBy(col("doc_id"), col("word_pos"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("piece_pos"), col("piece")))),
+          x => x.getField("piece")), "").as("rebuilt"))
+      val words = docs.select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(graft.functions.Fingerprints.tokens(col("text")))
+            .as(Seq("word_pos", "word")))
+      words.join(rebuilt, Seq("doc_id", "word_pos"), "full_outer")
+        .filter(col("rebuilt").isNull || col("word").isNull ||
+          col("rebuilt") =!= col("word"))
+        .select(col("doc_id"), col("word_pos"), col("word"), col("rebuilt"))
+        .orderBy(col("doc_id"), col("word_pos"))
+    }),
+
+    // ── unigram-LM top pieces by segmentation usage: multi-char pieces
+    //    the EM actually selects (Viterbi/DP-defined → rows-only; exact
+    //    values pinned in UnigramLmSpec) ─────────────────────────────────
+    "vocab_unigram_top" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = UnigramLm.train(docs, "text", vocabSize = 200,
+        emRounds = 1)
+      UnigramLm.segment(docs, "doc_id", "text", vocab)
+        .filter(length(col("piece")) >= 2)
+        .groupBy(col("piece")).agg(count(lit(1)).as("uses"))
+        .orderBy(desc("uses"), col("piece")).limit(20)
     }),
 
     // ── inverted-index postings for the top-10 document-frequency terms:
@@ -681,6 +720,11 @@ object CurationQueries {
         |GROUP BY 1, 2 ORDER BY cnt DESC, sym_l, sym_r LIMIT 20""".stripMargin,
 
     "vocab_bpe_roundtrip" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS word_pos,
+        |CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS rebuilt
+        |WHERE FALSE""".stripMargin,
+
+    "vocab_unigram_roundtrip" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS word_pos,
         |CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS rebuilt
         |WHERE FALSE""".stripMargin,
