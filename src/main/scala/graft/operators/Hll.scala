@@ -48,6 +48,27 @@ object Hll {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Merge aggregator over ALREADY-BUILT sketches (binary column) —
+    * register-wise max. The incremental-maintenance primitive: persisted
+    * per-segment sketches union with a new batch's without touching raw
+    * history. */
+  final class MergeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.empty[Byte]
+    override def reduce(acc: Array[Byte], v: Array[Byte]): Array[Byte] =
+      merge(acc, v)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+        a
+      }
+    override def finish(regs: Array[Byte]): Array[Byte] = regs
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Estimate the cardinality a register array represents. Driver/executor
     * pure function — sketches are sidecar-sized (m bytes), never data. */
   def estimate(regs: Array[Byte]): Double = {

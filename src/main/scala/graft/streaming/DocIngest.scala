@@ -542,4 +542,58 @@ object DocIngest {
       }
       .start()
   }
+
+  /** Streaming HLL maintenance: per-batch per-day distinct-user sketches
+    * merged into a persisted sketch table — a year of history answers
+    * "distinct users for any day range" by register-max over day rows
+    * (kB each), never by rescanning events. Each micro-batch costs one
+    * map-side-combinable sketch aggregation over the BATCH plus a
+    * days-sized merge; the atomic tmp+swap keeps readers consistent.
+    * Register-max is idempotent, so crash-replayed batches re-merge
+    * harmlessly (the at-least-once window that breaks counters is safe
+    * for sketches). */
+  def startHllDaily(spark: SparkSession, inDir: String, schema: String,
+      sketchDir: String, checkpoint: String,
+      p: Int = 11, pollInterval: String = "1 second"): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val byDay = batch.select(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          val fresh = graft.operators.Hll.groupSketches(
+            byDay, col("user_id"), Seq("day"), p)
+          val cur = new java.io.File(s"$sketchDir/current")
+          val merged =
+            if (cur.exists()) {
+              val mergeAgg = org.apache.spark.sql.functions.udaf(
+                new graft.operators.Hll.MergeAgg)
+              s.read.parquet(cur.getPath).unionByName(fresh)
+                .groupBy(col("day")).agg(mergeAgg(col("hll")).as("hll"))
+            } else fresh
+          // tmp + atomic swap so concurrent readers never see a partial
+          val tmp = s"$sketchDir/tmp-$batchId"
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val next = new java.io.File(s"$sketchDir/next-$batchId")
+          new java.io.File(tmp).renameTo(next)
+          val old = new java.io.File(s"$sketchDir/prev-$batchId")
+          if (cur.exists()) cur.renameTo(old)
+          next.renameTo(cur)
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          if (old.exists()) rm(old)
+        }
+        ()
+      }
+      .start()
+  }
 }

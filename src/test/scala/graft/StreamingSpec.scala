@@ -190,6 +190,44 @@ class StreamingSpec extends SparkSpec {
       === Array(0L, 1L, 3L))
   }
 
+  test("streaming HLL daily sketches: incremental merge across batches, " +
+    "idempotent under replay") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = Files.createTempDirectory("graft_hll_in").toString
+    val out = Files.createTempDirectory("graft_hll_out").toString
+    val ckpt = Files.createTempDirectory("graft_hll_ck").toString
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+
+    val b1 = ((0L until 100L).map(u => (ts(1), u)) ++
+      (50L until 150L).map(u => (ts(2), u))).toDF("ts", "user_id")
+    b1.write.mode("append").parquet(in)
+    val q = DocIngest.startHllDaily(spark, in,
+      "ts TIMESTAMP, user_id LONG", out, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2 extends day 2 with 100 new users
+      (100L until 200L).map(u => (ts(2), u)).toDF("ts", "user_id")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // replayed content (same rows again) must not move any estimate
+      b1.write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sketches = spark.read.parquet(s"$out/current").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(sketches.keySet === Set("2024-01-01", "2024-01-02"))
+    val est1 = graft.operators.Hll.estimate(sketches("2024-01-01"))
+    val est2 = graft.operators.Hll.estimate(sketches("2024-01-02"))
+    assert(math.abs(est1 - 100) <= 100 * 0.05, s"day1 $est1")
+    assert(math.abs(est2 - 150) <= 150 * 0.05, s"day2 $est2")
+    // cross-day union answers the range query without touching events
+    val union = graft.operators.Hll.estimate(graft.operators.Hll.union(
+      sketches("2024-01-01"), sketches("2024-01-02")))
+    assert(math.abs(union - 200) <= 200 * 0.05, s"union $union")
+  }
+
   test("idempotent sink: a replayed batchId writes nothing twice") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_idem_in").toString
