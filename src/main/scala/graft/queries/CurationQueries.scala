@@ -286,6 +286,60 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── k-anonymity audit (privacy DQ): quasi-identifier combos with
+    //    fewer than k carriers re-identify — emit every violating combo
+    //    with its size. One keyed aggregation; length buckets coarsen
+    //    the continuous column the standard way. ───────────────────────
+    "dq_k_anonymity" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), col("source"),
+          (floor(col("n_chars") / 100) * 100).cast("long").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("group_size"))
+        .filter(col("group_size") < 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
+    }),
+
+    // ── Spearman rank correlation between document length and quality
+    //    per source: rank both metrics (average-rank ties via the
+    //    standard two-window form), then Pearson over ranks — the
+    //    robust association check behind "does length proxy quality?".
+    //    Exact integer rank sums; fp only in the final fixed tree. ──────
+    "a_spearman" -> ((s, d) => {
+      val q = TextAnalysis.qualityFrame(t(s, d, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(q, "doc_id")
+      def avgRank(c: String) = {
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col(c), col("doc_id"))
+        // average rank over ties of the VALUE: (min_rank + max_rank)/2
+        // via two value-keyed windows (rank + count)
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col(c))
+        (min(row_number().over(w1)).over(wv).cast("double") +
+          max(row_number().over(w1)).over(wv).cast("double")) / 2.0
+      }
+      docs
+        .withColumn("rx", avgRank("n_chars"))
+        .withColumn("ry", avgRank("quality"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .select(col("source"), col("n").cast("long").as("n"),
+          (round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
+            6) + lit(0.0)).as("spearman"))
+        .orderBy(col("source"))
+    }),
+
     // ── row-level snapshot diff: added/removed/changed with per-column
     //    change attribution; unchanged keys dropped (diff-sized output) ────
     "snapshot_diff" -> ((s, d) => {
@@ -698,6 +752,45 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "dq_k_anonymity" ->
+      """SELECT lang, source,
+        |CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+        |CAST(count(*) AS BIGINT) AS group_size
+        |FROM documents GROUP BY 1, 2, 3
+        |HAVING count(*) < 5
+        |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    "a_spearman" ->
+      s"""WITH $qualityCte,
+        |j AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, q.quality
+        |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
+        |rx AS (
+        |  SELECT doc_id, source,
+        |  (CAST(min(rn) OVER (PARTITION BY source, n_chars) AS DOUBLE)
+        |   + CAST(max(rn) OVER (PARTITION BY source, n_chars) AS DOUBLE))
+        |    / 2.0 AS rx
+        |  FROM (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn FROM j)),
+        |ry AS (
+        |  SELECT doc_id,
+        |  (CAST(min(rn) OVER (PARTITION BY source, quality) AS DOUBLE)
+        |   + CAST(max(rn) OVER (PARTITION BY source, quality) AS DOUBLE))
+        |    / 2.0 AS ry
+        |  FROM (SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality, doc_id) AS rn FROM j)),
+        |g AS (
+        |  SELECT rx.source, rx.rx, ry.ry
+        |  FROM rx JOIN ry ON rx.doc_id = ry.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |round((count(*) * sum(rx * ry) - sum(rx) * sum(ry)) /
+        |  (sqrt(count(*) * sum(rx * rx) - sum(rx) * sum(rx)) *
+        |   sqrt(count(*) * sum(ry * ry) - sum(ry) * sum(ry))), 6) + 0.0
+        |  AS spearman
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
 
     "j_fuzzy_linkage" ->
       """SELECT a.s_suppkey AS left_id, b.s_suppkey AS right_id,
