@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,5 +75,63 @@ object Preference {
       .select(col(itemCol), col(labelCol), col("votes"), col("total"),
         round(col("votes").cast("double") / col("total"), decimals)
           .as("agreement"))
+  }
+
+  /** Cohen's kappa between two raters — the inter-annotator-agreement
+    * gate a labeling pipeline runs before trusting consensus labels:
+    * κ = (p_o − p_e)/(1 − p_e), observed vs chance agreement. Per
+    * (item, rater) the label is the majority vote (ties →
+    * lexicographically smallest — [[majorityVote]]'s rule); only items
+    * BOTH raters labeled count.
+    *
+    * Numerics: p_o and p_e derive from exact integer counts — p_e's
+    * cross-marginal sum runs over Σ cA(l)·cB(l) in INTEGERS with one
+    * final division, so no fp accumulation order exists anywhere; the
+    * output is one fixed expression tree (oracle-exact). Degenerate
+    * p_e = 1 (both raters constant and equal) → κ = 0 by convention.
+    *
+    * Scale: two keyed aggregations (map-side combinable) + a label-
+    * cardinality marginal join — the corpus shuffles once by item. */
+  def cohenKappa(votes: DataFrame, itemCol: String, raterCol: Column,
+      labelCol: String, decimals: Int = 6): DataFrame = {
+    val counts = votes
+      .select(col(itemCol).as("item"), raterCol.as("rater"),
+        col(labelCol).as("label"))
+      .groupBy(col("item"), col("rater"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("item"), col("rater"))
+      .orderBy(col("votes").desc, col("label"))
+    val perRater = counts.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).select(col("item"), col("rater"),
+        col("label"))
+    val paired = perRater.groupBy(col("item"))
+      .agg(count(lit(1)).as("nr"),
+        min(when(col("rater"), col("label"))).as("la"),
+        min(when(!col("rater"), col("label"))).as("lb"))
+      .filter(col("nr") === 2)
+    val agg = paired.agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+    val marginals = paired.select(col("la").as("l")).groupBy("l")
+      .agg(count(lit(1)).as("ca"))
+      .join(paired.select(col("lb").as("l")).groupBy("l")
+        .agg(count(lit(1)).as("cb")), Seq("l"), "full_outer")
+      .agg(sum(coalesce(col("ca"), lit(0L)) *
+        coalesce(col("cb"), lit(0L))).as("cross"))
+    agg.crossJoin(marginals)
+      .select(col("n_items"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_items"), decimals)
+          .as("po"),
+        round(col("cross").cast("double") /
+          (col("n_items") * col("n_items")), decimals).as("pe"),
+        (round(when(
+          col("cross") === col("n_items") * col("n_items"), lit(0.0))
+          .otherwise(
+            (col("n_agree").cast("double") / col("n_items") -
+              col("cross").cast("double") /
+                (col("n_items") * col("n_items"))) /
+            (lit(1.0) - col("cross").cast("double") /
+              (col("n_items") * col("n_items")))), decimals) + lit(0.0))
+          .as("kappa"))
   }
 }

@@ -246,6 +246,15 @@ object CurationQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── inter-annotator agreement: Cohen's κ between the even- and
+    //    odd-event "raters" of each user's label (majority event_type
+    //    per side, ties → smallest) — the labeling-QA gate before
+    //    consensus labels are trusted. Exact integer marginals. ─────────
+    "labels_kappa" -> ((s, d) => {
+      graft.operators.Preference.cohenKappa(t(s, d, "events"),
+        "user_id", pmod(col("event_id"), lit(2)) === 0, "event_type")
+    }),
+
     // ── SFT transcript assembly: per user, time-ordered event lines
     //    joined into one sample string; ordering pinned INSIDE the
     //    aggregation (sort_array), not by collect order ─────────────────────
@@ -979,6 +988,44 @@ object CurationQueries {
         |SELECT user_id, event_type, votes, CAST(total AS BIGINT) AS total,
         |round(CAST(votes AS DOUBLE) / total, 4) AS agreement
         |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "labels_kappa" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id % 2 = 0 AS rater, event_type,
+        |  count(*) AS votes
+        |  FROM events GROUP BY 1, 2, 3),
+        |pr AS (
+        |  SELECT user_id, rater, event_type FROM (
+        |    SELECT user_id, rater, event_type,
+        |    row_number() OVER (PARTITION BY user_id, rater
+        |      ORDER BY votes DESC, event_type) AS rk
+        |    FROM c) WHERE rk = 1),
+        |paired AS (
+        |  SELECT user_id,
+        |  min(CASE WHEN rater THEN event_type END) AS la,
+        |  min(CASE WHEN NOT rater THEN event_type END) AS lb
+        |  FROM pr GROUP BY 1 HAVING count(*) = 2),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree
+        |  FROM paired),
+        |m AS (
+        |  SELECT CAST(sum(coalesce(ca, 0) * coalesce(cb, 0)) AS BIGINT)
+        |    AS crossm
+        |  FROM (SELECT la AS l, count(*) AS ca FROM paired GROUP BY 1) a
+        |  FULL OUTER JOIN
+        |    (SELECT lb AS l, count(*) AS cb FROM paired GROUP BY 1) b
+        |  USING (l))
+        |SELECT n_items, n_agree,
+        |round(CAST(n_agree AS DOUBLE) / n_items, 6) AS po,
+        |round(CAST(crossm AS DOUBLE) / (n_items * n_items), 6) AS pe,
+        |round(CASE WHEN crossm = n_items * n_items THEN 0.0
+        |  ELSE (CAST(n_agree AS DOUBLE) / n_items
+        |    - CAST(crossm AS DOUBLE) / (n_items * n_items))
+        |    / (1.0 - CAST(crossm AS DOUBLE) / (n_items * n_items))
+        |  END, 6) + 0.0 AS kappa
+        |FROM agg, m""".stripMargin,
 
     "sft_transcripts" ->
       """SELECT user_id, CAST(count(*) AS INT) AS n_turns,
