@@ -1,0 +1,65 @@
+package graft
+
+/** Pins load-bearing PHYSICAL-plan properties of round-7 queries — the
+  * ones whose performance rests on plan shape, not just operator code.
+  * A Catalyst upgrade or an innocent-looking query edit that breaks one
+  * of these would keep results correct while silently reintroducing a
+  * 3-10× cost; this spec turns that into a named failure. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("j_fuzzy_dl: the O(mn) DP is the LAST conjunct in the join " +
+      "condition — cheap predicates evaluate first") {
+    val plan = executedPlan("j_fuzzy_dl")
+    val cond = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("damerau_levenshtein"))
+      .getOrElse("")
+    assert(cond.nonEmpty, "join condition with the DP not found")
+    // the length prune must appear BEFORE the DP call in the conjunction
+    val at = cond.indexOf("damerau_levenshtein")
+    val lenAt = cond.indexOf("length")
+    assert(lenAt >= 0 && lenAt < at,
+      s"length prune is not ahead of the DP: $cond")
+  }
+
+  test("j_fuzzy_jw: jaro_winkler is the last conjunct behind the " +
+      "length-ratio prune") {
+    val plan = executedPlan("j_fuzzy_jw")
+    val cond = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("jaro_winkler"))
+      .getOrElse("")
+    assert(cond.nonEmpty)
+    val at = cond.indexOf("jaro_winkler")
+    val lenAt = cond.indexOf("length")
+    assert(lenAt >= 0 && lenAt < at,
+      s"length prune is not ahead of jaro_winkler: $cond")
+  }
+
+  test("docs_winnow: one data exchange feeds both windows; distinct " +
+      "reuses the doc partitioning") {
+    val plan = executedPlan("docs_winnow")
+    // exchanges: one hashpartitioning(doc_id) + the presentation sort's
+    // rangepartitioning — and nothing else
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"docs_winnow grew a third exchange:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window ")) === 2)
+  }
+
+  test("s2_scan_pushdown: filters still reach the parquet scan") {
+    val plan = executedPlan("s2_scan_pushdown")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "LessThan(l_quantity,3.0)]") ||
+      plan.contains("LessThan(l_quantity,3.0)"),
+      s"pushdown lost:\n${plan.take(2000)}")
+  }
+
+  test("q1_agg: partial/final aggregation (map-side combine present)") {
+    val plan = executedPlan("q1_agg")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, "partial+final HashAggregate pair missing")
+  }
+}
