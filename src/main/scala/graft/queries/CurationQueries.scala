@@ -295,6 +295,30 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── mutual information between two categorical columns (feature-
+    //    association audit: does source determine language?): exact
+    //    integer cell/marginal counts; each cell's c·ln(c·N/(cs·cl))
+    //    micro-rounds in-plan → order-free integer sum (termEntropy
+    //    discipline), one fixed tree at the end ──────────────────────────
+    "a_mutual_info" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cells = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val ms = docs.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+      val ml = docs.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      cells.join(ms, "source").join(ml, "lang").crossJoin(broadcast(n))
+        .select((round(col("c") *
+            log(col("c").cast("double") * col("n") /
+              (col("cs").cast("double") * col("cl"))) * lit(1e6))
+          .cast("long")).as("_term_micro"), col("n"))
+        .groupBy(col("n"))
+        .agg(sum(col("_term_micro")).as("_sm"), count(lit(1)).as("n_cells"))
+        .select(col("n"), col("n_cells"),
+          (round(col("_sm") / (col("n") * lit(1e6)), 6) + lit(0.0))
+            .as("mi_nats"))
+    }),
+
     // ── k-anonymity audit (privacy DQ): quasi-identifier combos with
     //    fewer than k carriers re-identify — emit every violating combo
     //    with its size. One keyed aggregation; length buckets coarsen
@@ -761,6 +785,26 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "a_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ms AS (SELECT source, CAST(count(*) AS BIGINT) AS cs
+        |  FROM documents GROUP BY 1),
+        |ml AS (SELECT lang, CAST(count(*) AS BIGINT) AS cl
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |terms AS (
+        |  SELECT n.n,
+        |  CAST(round(c * ln(CAST(c AS DOUBLE) * n.n
+        |    / (CAST(cs AS DOUBLE) * CAST(cl AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS tm
+        |  FROM cells JOIN ms USING (source) JOIN ml USING (lang)
+        |  CROSS JOIN n)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+        |round(CAST(sum(tm) AS DOUBLE) / (n * 1e6), 6) + 0.0 AS mi_nats
+        |FROM terms GROUP BY n""".stripMargin,
 
     "dq_k_anonymity" ->
       """SELECT lang, source,
