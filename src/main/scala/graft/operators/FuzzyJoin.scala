@@ -133,4 +133,82 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select(col("left_id"), col("right_id"), col("dist"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández/Stolfo): order the table by
+    * a blocking key and compare each row only against its `window − 1`
+    * sort successors — the OTHER classic linkage blocking. Where the
+    * deletion neighborhood certifies recall for a known edit radius,
+    * sorted-neighborhood bounds COST unconditionally (n·(w−1) candidate
+    * pairs regardless of string length or distance cutoff) and catches
+    * whatever the key design sorts together. Recall is key-dependent BY
+    * DESIGN (pairs whose keys sort > w−1 apart are missed) — callers
+    * choose keys like soundex or prefix+suffix; the oracle replays the
+    * window definition exactly, so the gated contract is the blocking
+    * semantics, not a recall claim.
+    *
+    * Scale shape — explicitly NOT a global Window (which would funnel
+    * the table into one task): range-partition + sort by (key, id),
+    * then each task slides a (w−1)-row buffer over its partition; the
+    * only cross-partition data is each partition's FIRST w−1 rows,
+    * collected to a (partitions × w)-row broadcast sidecar so the
+    * predecessor task can close its boundary pairs. Degenerate
+    * partitions (fewer than w−1 rows — possible only on tiny or
+    * extremely skewed inputs) fall back to one task to keep the output
+    * contract exact. Verify = thresholded banded levenshtein on
+    * candidates only. Output: (id_a, id_b, dist), a before b in
+    * (key, id) order. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+      keyCol: Column, window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s"), keyCol.cast("string").as("k"))
+      .as[(Long, String, String)]
+    def sortInto(n: Int) = base
+      .repartitionByRange(math.max(n, 1), col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+    var sorted = sortInto(parallelism)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.size)))
+      .collect().toMap
+    if (counts.size > 1 &&
+        counts.filter(_._1 < counts.size - 1).values.exists(_ < window - 1))
+      sorted = sortInto(1) // degenerate partitioning: exactness first
+    val rdd = sorted.rdd
+    val heads = rdd.mapPartitionsWithIndex((i, it) =>
+        Iterator.single((i, it.take(window - 1).toArray)))
+      .collect().toMap
+    val bc = spark.sparkContext.broadcast(heads)
+    val pairs = rdd.mapPartitionsWithIndex { (pi, it) =>
+      // rows beyond the partition come from the successor's head: they
+      // pair as SECOND members with this partition's residents, never
+      // lead pairs themselves (those belong to the successor task)
+      val all = it.map((_, true)) ++
+        bc.value.getOrElse(pi + 1, Array.empty).iterator.map((_, false))
+      val q = scala.collection.mutable.Queue[((Long, String, String), Boolean)]()
+      while (q.size < window && all.hasNext) q.enqueue(all.next())
+      new Iterator[(Long, Long, String, String)] {
+        private var pending: Iterator[(Long, Long, String, String)] =
+          Iterator.empty
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && q.nonEmpty) {
+            val (head, resident) = q.dequeue() // q now holds ≤ w−1 successors
+            if (resident)
+              pending = q.iterator.map { case ((idb, sb, _), _) =>
+                (head._1, idb, head._2, sb)
+              }.toArray.iterator
+            if (all.hasNext) q.enqueue(all.next())
+          }
+          pending.hasNext
+        }
+        override def next(): (Long, Long, String, String) = pending.next()
+      }
+    }.toDF("id_a", "id_b", "sa", "sb")
+    pairs
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

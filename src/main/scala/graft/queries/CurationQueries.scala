@@ -39,6 +39,18 @@ object CurationQueries {
         .orderBy(col("left_id"), col("right_id"))
     }),
 
+    // ── sorted-neighborhood linkage: prefix-key sort, each row vs its
+    //    ≤ 5 sort successors, banded-levenshtein verify — the cost-
+    //    bounded blocking complementing the recall-certified deletion
+    //    neighborhood; no global window (range partitions + broadcast
+    //    boundary heads) ─────────────────────────────────────────────────
+    "j_sorted_neighborhood" -> ((s, d) => {
+      FuzzyJoin.sortedNeighborhoodPairs(t(s, d, "supplier"),
+          "s_suppkey", "s_name", substring(col("s_name"), 1, 4),
+          window = 6, maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── BPE round-0 statistics: the top-20 adjacent character pairs over
     //    all word occurrences (what the first merge maximizes) ────────────
     "vocab_bpe_pairs" -> ((s, d) => {
@@ -1032,6 +1044,18 @@ object CurationQueries {
         |SELECT user_id, event_type, votes, CAST(total AS BIGINT) AS total,
         |round(CAST(votes AS DOUBLE) / total, 4) AS agreement
         |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "j_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT s_suppkey AS id, s_name AS s,
+        |  substr(s_name, 1, 4) AS k FROM supplier),
+        |rk AS (
+        |  SELECT id, s, row_number() OVER (ORDER BY k, id) AS rn FROM r)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "labels_kappa" ->
       """WITH c AS (

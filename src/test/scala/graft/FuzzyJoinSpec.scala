@@ -104,4 +104,36 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(keys.exists(_.name == "h"))
     assert(!keys.exists(_.name == "v"))
   }
+  test("sortedNeighborhoodPairs: exact vs a naive global-order replay, " +
+      "including pairs across range-partition boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
+    // 60 names over a tight key space forces pairs to straddle the
+    // 8 range partitions; window 4 spans boundaries constantly
+    val rows = (0L until 60L).map { i =>
+      val base = s"name${'$'}{i / 3}" // triples sharing a prefix
+      (i, if (i % 3 == 0) base else base + ("x" * (i % 3).toInt))
+    }
+    val df = rows.toDF("id", "name").repartition(8)
+    val got = FuzzyJoin.sortedNeighborhoodPairs(df, "id", "name",
+        substring(col("name"), 1, 5), window = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive replay: global (key, id) sort, all pairs within rank
+    // distance < 4, banded levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sorted = rows.sortBy { case (id, n) => (n.take(5), id) }
+    val expected = (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + 4, sorted.length)
+      dist = lev(sorted(i)._2, sorted(j)._2) if dist <= 2
+    } yield (sorted(i)._1, sorted(j)._1, dist)).toSet
+    assert(got === expected)
+  }
 }
