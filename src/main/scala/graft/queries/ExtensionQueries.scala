@@ -581,8 +581,12 @@ object ExtensionQueries {
     //    shape as an LSH band bucket join: candidates form per shared
     //    hash, never all-pairs), then a pair-keyed count. ────────────────
     "dedup_winnow_pairs" -> ((s, d) => {
+      // localCheckpoint: the self-join would otherwise DERIVE the whole
+      // shingle→window-min pipeline twice (one per side); fingerprints
+      // are a selections-sized table (~2n/(w+1) rows of (id, int, long))
       val fp = TextAnalysis.winnowFingerprints(t(s, d, "documents"),
-        "doc_id", "text", k = 4, w = 5)
+          "doc_id", "text", k = 4, w = 5)
+        .localCheckpoint()
       fp.as("a").join(fp.as("b"),
           col("a.fp_hash") === col("b.fp_hash") &&
             col("a.doc_id") < col("b.doc_id"))
