@@ -24,6 +24,29 @@ object Pipeline {
   final case class LoadReport(pairs: Long, unpaired: Long,
       attempted: Long, added: Long)
 
+  /** E1 from RAW PDF BYTES on disk: scan `pdfDir` with
+    * [[graft.sources.PdfSource]] (pure-JVM PdfCodec), split the
+    * inventory into test booklets (PV) and answer keys (GB, page-0 text
+    * — the reference reads its keys from the key PDF's first page,
+    * enem_pdf_extractor.py:959-966), and run [[processFolder]]. The
+    * whole reference flow — directory to vector collection — in one
+    * call with no fixture boundary, for the PdfCodec-decodable subset. */
+  def processPdfFolder(spark: SparkSession, pdfDir: String,
+      collectionRoot: String, collection: String, dim: Int = 64,
+      statsCsv: Option[String] = None, imagesMode: Boolean = false,
+      embedder: Option[Embedder] = None,
+      embedBatchSize: Int = 64): LoadReport = {
+    val all = graft.sources.PdfSource.pages(spark, pdfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pages = all.filter(TF.kindOf(col("file_name")) === "PV")
+    val keyTexts = all
+      .filter(TF.kindOf(col("file_name")) === "GB" && col("page_idx") === 0)
+      .select(col("file_name"), col("page_text").as("key_text"))
+    try processFolder(spark, pages, keyTexts, collectionRoot, collection,
+      dim, statsCsv, imagesMode, embedder, embedBatchSize)
+    finally { all.unpersist(); () }
+  }
+
   /** pages: (file_name, page_idx, page_text, has_images);
     * keyTexts: (file_name, key_text). */
   def processFolder(spark: SparkSession, pages: DataFrame,

@@ -42,6 +42,46 @@ class PipelineSpec extends SparkSpec {
     assert(ids2 === (0L until 26L).toArray)
   }
 
+  test("E1 from RAW PDF FILES on disk: processPdfFolder renders the same " +
+      "13 points as the fixture path") {
+    val dir = Files.createTempDirectory("graft_pdfetl").toString
+    def writePdf(name: String, pages: Seq[Seq[String]],
+        images: Set[Int]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        PdfFixture.build(pages, images))
+      ()
+    }
+    // booklets: one page per TestBooklet row, real content streams;
+    // D1 page 2 carries an embedded image XObject (drives has_images)
+    writePdf(TestBooklet.d1File,
+      TestBooklet.d1Pages.sortBy(_._2).map(_._3.split("\n").toSeq),
+      images = Set(2))
+    writePdf(TestBooklet.d2File,
+      TestBooklet.d2Pages.sortBy(_._2).map(_._3.split("\n").toSeq),
+      images = Set.empty)
+    // answer keys: GB PDFs whose page 0 carries the key grid
+    writePdf(TestBooklet.d1KeyFile,
+      Seq(TestBooklet.d1KeyText.split("\n").toSeq), Set.empty)
+    writePdf(TestBooklet.d2KeyFile,
+      Seq(TestBooklet.d2KeyText.split("\n").toSeq), Set.empty)
+
+    val root = Files.createTempDirectory("graft_pdfetl_coll").toString
+    VectorCollection.recreate(spark, root, "enem", dim = 64)
+    val report = Pipeline.processPdfFolder(spark, dir, root, "enem",
+      dim = 64)
+    assert(report.pairs === 2)
+    assert(report.attempted === 13)
+    assert(report.added === 13)
+    val coll = VectorCollection.read(spark, root, "enem")
+    assert(coll.count() === 13)
+    // same subjects as the fixture-path run — full parity through the
+    // PDF bytes (cover skip, image-page skip, spanish flag, key join)
+    val bySubject = coll.groupBy("materia").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySubject === Map("eng" -> 5, "spani" -> 3, "lang" -> 1,
+      "natu" -> 4))
+  }
+
   test("E1: external-embedder path — batched client, same collection") {
     CountingEmbedder.reset()
     val root = Files.createTempDirectory("graft_etl3").toString
