@@ -420,4 +420,35 @@ object EventAnalytics {
         round(when(col("_den") > 0, col("_num") / col("_den")), decimals)
           .as("twap"))
   }
+
+  /** Exponentially time-decayed value per key — the recency-weighted
+    * engagement/affinity score feature stores serve: each event
+    * contributes value·2^(−age/halflife), ages measured in exact
+    * integer micros against the stream's own max timestamp (a
+    * data-defined anchor, so the score is a pure function of the data —
+    * no wall clock). Per-event contributions micro-round in-plan →
+    * the per-key sum runs over longs (order-free, the termEntropy
+    * discipline); one keyed exchange, map-side combinable. */
+  def decayedValue(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, halflifeHours: Double,
+      decimals: Int = 6): DataFrame = {
+    require(halflifeHours > 0, "halflife must be positive")
+    val spark = events.sparkSession
+    val hlMicros = halflifeHours * 3600.0 * 1e6
+    val anchor = events.agg(max(unix_micros(col(tsCol))).as("_t0"))
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("_us"),
+        col(valCol).cast("double").as("_v"))
+      .crossJoin(broadcast(anchor))
+      .select(col(keyCol),
+        (round(col("_v") *
+            pow(lit(2.0), -(col("_t0") - col("_us")).cast("double") /
+              lit(hlMicros)) * lit(1e6))
+          .cast("long")).as("_c_micro"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("_c_micro")).as("_sm"))
+      .select(col(keyCol), col("n_events"),
+        (round(col("_sm") / lit(1e6), decimals) + lit(0.0))
+          .as("decayed_value"))
+  }
 }

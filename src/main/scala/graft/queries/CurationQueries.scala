@@ -536,6 +536,15 @@ object CurationQueries {
     //    left fold, so every engine performs the identical IEEE ops in
     //    the identical order — the oracle's recursive CTE reproduces
     //    each sₜ bit-for-bit before the in-plan round. ───────────────────
+    // ── recency-weighted engagement: per-user Σ value·2^(−age/24h),
+    //    ages in exact micros against the stream's max ts (data-defined
+    //    anchor); per-event terms micro-round in-plan → order-free ───────
+    "events_decayed_value" -> ((s, d) => {
+      graft.operators.EventAnalytics.decayedValue(t(s, d, "events"),
+          "user_id", "ts", "value", halflifeHours = 24.0)
+        .orderBy(col("user_id"))
+    }),
+
     "events_ewma" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"),
@@ -1339,6 +1348,19 @@ object CurationQueries {
         |CAST(den AS BIGINT) AS span_us,
         |round(CASE WHEN den > 0 THEN num / den END, 6) AS twap
         |FROM r WHERE dur IS NULL ORDER BY event_type""".stripMargin,
+
+    "events_decayed_value" ->
+      """WITH t0 AS (
+        |  SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS t0 FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |  CAST(round(value * pow(2.0,
+        |    -CAST(t0.t0 - epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |    * 1e6) AS BIGINT) AS cm
+        |  FROM events CROSS JOIN t0)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |round(CAST(sum(cm) AS DOUBLE) / 1e6, 6) + 0.0 AS decayed_value
+        |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "events_ewma" ->
       """WITH RECURSIVE daily AS (
