@@ -166,4 +166,136 @@ object Covariance {
       .filter(col("i") === col("j") && col("cov") > lambda + tol)
       .select(col("i"), col("cov"), lit(lambda).as("lambda1"))
   }
+
+  /** Full symmetric eigendecomposition by cyclic Jacobi rotations on
+    * the DRIVER — the matrix is a dim² sidecar. Deterministic: fixed
+    * sweep order, fixed sweep count (no data-dependent early exit
+    * beyond the rotation threshold, which only SKIPS work). Returns
+    * (eigenvalues, eigenvectors as rows) with eigenvalues descending
+    * and each vector's largest-|·| component positive. */
+  def jacobiEigen(c0: Array[Array[Double]],
+      sweeps: Int = 20): (Array[Double], Array[Array[Double]]) = {
+    val n = c0.length
+    val a = c0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-14) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+          case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case x => x
+        }
+        val cth = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * cth
+        var k = 0
+        while (k < n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = cth * akp - s * akq
+          a(k)(q) = s * akp + cth * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = cth * apk - s * aqk
+          a(q)(k) = s * apk + cth * aqk
+          val vpk = v(p)(k); val vqk = v(q)(k)
+          v(p)(k) = cth * vpk - s * vqk
+          v(q)(k) = s * vpk + cth * vqk
+          k += 1
+        }
+      }
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val row = v(i)
+      val amax = row.indices.maxBy(k => math.abs(row(k)))
+      if (row(amax) < 0) row.map(-_) else row.clone()
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** ZCA whitening: x → W·x with W = E·diag(1/√(λ+eps))·Eᵀ from the
+    * micro-quantized covariance — the embedding-preprocessing transform
+    * that removes feature correlation while staying closest to the
+    * original basis (the property that makes ZCA — not PCA — the
+    * standard for representation whitening). The dim×dim W rides the
+    * closure; the corpus transform is ONE projection (no shuffle).
+    * Returns (idCol, whitened ARRAY<DOUBLE>). */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val cells = covarianceMatrix(df, vecCol, dim).collect()
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(6)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    // W = Eᵀ·diag(1/√(λ+eps))·E with eigenvectors as rows of `evecs`
+    val w = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var acc = 0.0
+        var k = 0
+        while (k < dim) {
+          acc += evecs(k)(i) * evecs(k)(j) /
+            math.sqrt(math.max(evals(k), 0.0) + eps)
+          k += 1
+        }
+        w(i)(j) = acc
+        j += 1
+      }
+      i += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(w)
+    df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val m = bw.value
+        it.map { case (id, vec) =>
+          val x = vec.toArray
+          val out = new Array[Double](m.length)
+          var i = 0
+          while (i < m.length) {
+            var acc = 0.0
+            var j = 0
+            while (j < m.length) { acc += m(i)(j) * x(j); j += 1 }
+            out(i) = acc
+            i += 1
+          }
+          (id, out.toSeq)
+        }
+      }
+      .toDF(idCol, "whitened")
+  }
+
+  /** 0-row whitening audit: the covariance of the WHITENED vectors must
+    * be ≈ identity (diagonal within `tol` of 1 for well-conditioned
+    * directions, off-diagonal within `tol` of 0) — the property that IS
+    * whitening, checked corpus-wide through the same exact covariance
+    * kernel. Directions with near-zero variance (λ ≲ eps) stay shrunk
+    * by design and are exempted via the `minVar` floor. */
+  def whitenAudit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      tol: Double = 0.05, minVar: Double = 1e-4): DataFrame = {
+    val whitened = whiten(df, idCol, vecCol, dim)
+    val cov = covarianceMatrix(whitened, "whitened", dim)
+    val orig = covarianceMatrix(df, vecCol, dim)
+      .filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov").as("orig_var"))
+    cov
+      .join(orig, col("i") === col("d"))
+      .filter(
+        (col("i") === col("j") && col("orig_var") >= minVar &&
+          abs(col("cov") - 1.0) > tol) ||
+        (col("i") =!= col("j") && abs(col("cov")) > tol))
+      .select(col("i"), col("j"), col("cov"))
+  }
 }

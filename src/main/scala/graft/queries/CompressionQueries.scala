@@ -133,7 +133,16 @@ object CompressionQueries {
     //    values pinned in CovarianceSpec. ────────────────────────────────
     "emb_pca_audit" -> ((s, d) =>
       graft.operators.Covariance.pcaDominanceAudit(
-        t(s, d, "embeddings"), "embedding", Dim))
+        t(s, d, "embeddings"), "embedding", Dim)),
+
+    // ── ZCA whitening audit (0-row): the whitened corpus's exact
+    //    covariance must be ≈ identity — the defining property, checked
+    //    through the same integer-quantized covariance kernel. Driver
+    //    work is the dim² Jacobi eigensolve (a sidecar); the transform
+    //    is one broadcast-matrix projection. ───────────────────────────
+    "emb_whiten_audit" -> ((s, d) =>
+      graft.operators.Covariance.whitenAudit(
+        t(s, d, "embeddings"), "vec_id", "embedding", Dim))
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,6 +206,10 @@ object CompressionQueries {
     "emb_pca_audit" ->
       """SELECT CAST(NULL AS INT) AS i, CAST(NULL AS DOUBLE) AS cov,
         |CAST(NULL AS DOUBLE) AS lambda1 WHERE FALSE""".stripMargin,
+
+    "emb_whiten_audit" ->
+      """SELECT CAST(NULL AS INT) AS i, CAST(NULL AS INT) AS j,
+        |CAST(NULL AS DOUBLE) AS cov WHERE FALSE""".stripMargin,
 
     // Exact integer replay: micro-quantized sums, then the identical
     // double expression tree (CAST/divide/multiply/subtract/sqrt are all

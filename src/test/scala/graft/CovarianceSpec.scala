@@ -74,4 +74,49 @@ class CovarianceSpec extends SparkSpec {
       Covariance.covarianceMatrix(df, "v", 0)
     }
   }
+  test("jacobiEigen: hand-built symmetric matrix with known eigenpairs") {
+    // C = [[2,1],[1,2]] → eigenvalues 3, 1; vectors (1,1)/√2, (1,-1)/√2
+    val (evals, evecs) = Covariance.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(evals(0) - 3.0) < 1e-10)
+    assert(math.abs(evals(1) - 1.0) < 1e-10)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(r2, r2)).forall {
+      case (a, b) => math.abs(a - b) < 1e-10 })
+    assert(evecs(1).zip(Array(r2, -r2)).forall {
+      case (a, b) => math.abs(a - b) < 1e-10 })
+  }
+
+  test("jacobiEigen reconstructs the matrix: C = E^T diag(l) E") {
+    val rnd = new scala.util.Random(7)
+    val n = 6
+    val m = Array.tabulate(n, n)((_, _) => rnd.nextDouble() - 0.5)
+    val c = Array.tabulate(n, n)((i, j) =>
+      (0 until n).map(k => m(i)(k) * m(j)(k)).sum) // SPD by construction
+    val (evals, evecs) = Covariance.jacobiEigen(c)
+    for (i <- 0 until n; j <- 0 until n) {
+      val rec = (0 until n).map(k => evecs(k)(i) * evals(k) * evecs(k)(j)).sum
+      assert(math.abs(rec - c(i)(j)) < 1e-9, s"cell ($i,$j)")
+    }
+    // descending eigenvalues
+    assert(evals.toSeq === evals.sortBy(-_).toSeq)
+  }
+
+  test("whiten: whitened covariance is the identity on a correlated " +
+      "2-D cloud") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // strongly correlated pairs (x, 0.9x + noise)
+    val rows = (0L until 400L).map { i =>
+      val x = rnd.nextGaussian()
+      (i, Seq(x, 0.9 * x + 0.1 * rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "v")
+    val w = Covariance.whiten(df, "id", "v", dim = 2)
+    val cov = Covariance.covarianceMatrix(w, "whitened", 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(6))).toMap
+    assert(math.abs(cov((0, 0)) - 1.0) < 0.05, s"var0 ${cov((0, 0))}")
+    assert(math.abs(cov((1, 1)) - 1.0) < 0.05, s"var1 ${cov((1, 1))}")
+    assert(math.abs(cov((0, 1))) < 0.05, s"cross ${cov((0, 1))}")
+  }
 }
