@@ -64,6 +64,40 @@ object CoreQueries {
     // ── TPC-H Q5 shape (regional supplier volume): the 6-table star —
     //    local-supplier constraint (c_nationkey = s_nationkey) rides the
     //    join, dims broadcast, ONE fact shuffle on orderkey ────────────────
+    // ── TPC-H Q6 shape: one filtered scan, one global sum — the
+    //    pushdown-and-prune showcase (no join, no groupBy key) ───────────
+    "q6_revenue_delta" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    // ── TPC-H Q14 shape: promo revenue share — broadcast dim join,
+    //    conditional aggregation, one fixed-ratio output ─────────────────
+    "q14_promo_share" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-06-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"))
+      li.join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type").startsWith("PROMO"), col("rev"))
+            .otherwise(lit(0.0))), 2).as("promo_revenue"),
+          round(sum(col("rev")), 2).as("total_revenue"),
+          round(lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), col("rev"))
+              .otherwise(lit(0.0))) / sum(col("rev")), 4)
+            .as("promo_share_pct"))
+    }),
+
     "q5_region_volume" -> ((s, d) => {
       val ord = t(s, d, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -581,6 +615,28 @@ object CoreQueries {
         |AND l_shipdate >= TIMESTAMP '1998-06-01'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.03 AND 0.07
+        |AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p.p_type, l.l_extendedprice * (1 - l.l_discount) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l.l_shipdate < TIMESTAMP '1996-06-01')
+        |SELECT
+        |round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0.0 END), 2)
+        |  AS promo_revenue,
+        |round(sum(rev), 2) AS total_revenue,
+        |round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+        |  ELSE 0.0 END) / sum(rev), 4) AS promo_share_pct
+        |FROM j""".stripMargin,
 
     "q5_region_volume" ->
       """SELECT n_name,
