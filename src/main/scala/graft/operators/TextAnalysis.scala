@@ -675,6 +675,31 @@ object TextAnalysis {
           decimals) + lit(0.0)).as("entropy"))
   }
 
+  /** Flesch-style readability from exact integer counts: sentences =
+    * `[.!?]` runs (min 1), words = whitespace tokens (min 1),
+    * "syllables" = vowel-group runs per word (the standard cheap proxy;
+    * en-centric, documented) — score = 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W). All counts are exact integers, so the score is ONE
+    * fixed fp tree per row — codegen'd, oracle-replayable. */
+  def readability(docs: DataFrame, idCol: String, textCol: String,
+      decimals: Int = 4): DataFrame = {
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val words = greatest(
+      size(Fingerprints.tokens(col(textCol))), lit(1))
+    val syll = greatest(
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
+        lit(0))), lit(1))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      sentences.cast("long").as("n_sentences"),
+      words.cast("long").as("n_words"),
+      syll.cast("long").as("n_syllables"),
+      (round(lit(206.835) -
+          lit(1.015) * (words.cast("double") / sentences) -
+          lit(84.6) * (syll.cast("double") / words), decimals) + lit(0.0))
+        .as("flesch"))
+  }
+
   /** Deterministic span masking — MLM/span-corruption data generation:
     * token at position p of doc d masks iff
     * md5(d:p:token) (first 8 hex as int) mod 100 < `ratePct`. Content-

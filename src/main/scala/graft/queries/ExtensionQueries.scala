@@ -543,6 +543,14 @@ object ExtensionQueries {
       else Seq((est, exact)).toDF("union_est", "exact_distinct")
     }),
 
+    // ── Flesch-style readability: exact integer sentence/word/vowel-run
+    //    counts → one fixed fp tree per row — the curation-grade
+    //    reading-level signal ────────────────────────────────────────────
+    "docs_readability" -> ((s, d) => {
+      TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── deterministic span masking (MLM corruption gen): content-keyed
     //    md5 mask decisions — reproducible across runs/engines; the
     //    oracle replays mask-by-mask ─────────────────────────────────────
@@ -1912,6 +1920,27 @@ object ExtensionQueries {
     "events_hll_union_audit" ->
       """SELECT CAST(NULL AS BIGINT) AS union_est,
         |CAST(NULL AS BIGINT) AS exact_distinct WHERE FALSE""".stripMargin,
+
+    "docs_readability" ->
+      """SELECT doc_id,
+        |CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |  AS BIGINT) AS n_sentences,
+        |CAST(greatest(len([x FOR x IN
+        |  string_split_regex(lower(text), '\s+') IF len(x) > 0]), 1)
+        |  AS BIGINT) AS n_words,
+        |CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+        |  AS BIGINT) AS n_syllables,
+        |round(206.835
+        |  - 1.015 * (CAST(greatest(len([x FOR x IN
+        |      string_split_regex(lower(text), '\s+') IF len(x) > 0]), 1)
+        |      AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |  - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text),
+        |      '[aeiouy]+')), 1) AS DOUBLE)
+        |    / greatest(len([x FOR x IN
+        |      string_split_regex(lower(text), '\s+') IF len(x) > 0]), 1)),
+        |  4) + 0.0 AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "docs_span_mask" ->
       """WITH toks AS (
