@@ -307,6 +307,33 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── Benford first-digit audit (fraud/synthetic-data DQ): observed
+    //    leading-digit counts of order totals vs log10(1+1/d) expected,
+    //    with per-digit chi-square contributions. The digit derives
+    //    NUMERICALLY (x / 10^floor(log10 x)) — no string formatting to
+    //    diverge between engines; counts exact, one fixed tree per row. ──
+    "a_benford" -> ((s, d) => {
+      val x = col("o_totalprice")
+      val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+      val counts = t(s, d, "orders")
+        .filter(x > 0)
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+      val total = t(s, d, "orders").filter(x > 0)
+        .agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("observed"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("expected_p"),
+          (round(
+            pow(col("observed") -
+              col("n") * log(10.0, lit(1.0) + lit(1.0) / col("digit")),
+              2.0) /
+            (col("n") * log(10.0, lit(1.0) + lit(1.0) / col("digit"))),
+            6) + lit(0.0)).as("chi2_contrib"))
+        .orderBy(col("digit"))
+    }),
+
     // ── mutual information between two categorical columns (feature-
     //    association audit: does source determine language?): exact
     //    integer cell/marginal counts; each cell's c·ln(c·N/(cs·cl))
@@ -806,6 +833,21 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "a_benford" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice
+        |    / pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+        |  FROM b GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        |SELECT digit, observed,
+        |round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected_p,
+        |round(pow(observed - n.n * (ln(1.0 + 1.0 / digit) / ln(10.0)), 2.0)
+        |  / (n.n * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6) + 0.0
+        |  AS chi2_contrib
+        |FROM c CROSS JOIN n ORDER BY digit""".stripMargin,
 
     "a_mutual_info" ->
       """WITH cells AS (
