@@ -307,6 +307,37 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── engagement concentration (Pareto point): per event type, how
+    //    many top users cover 80% of total value. Per-user totals in
+    //    exact DECIMAL (order-free), the cumulative share as a
+    //    rank-ordered window accumulation — deterministic boundary. ──────
+    "events_pareto" -> ((s, d) => {
+      val perUser = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("sv").desc, col("user_id"))
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      perUser
+        .withColumn("rk", row_number().over(w))
+        .withColumn("csum", sum(col("sv")).over(run))
+        .withColumn("total", sum(col("sv")).over(wt))
+        .withColumn("nu", count(lit(1)).over(wt))
+        .filter(col("csum").cast("double") >=
+          col("total").cast("double") * 0.8)
+        .groupBy(col("event_type"))
+        .agg(min(col("rk")).as("users_to_80pct"),
+          max(col("nu")).cast("long").as("n_users"))
+        .select(col("event_type"), col("n_users"), col("users_to_80pct"),
+          round(col("users_to_80pct").cast("double") / col("n_users"), 4)
+            .as("pareto_ratio"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── Benford first-digit audit (fraud/synthetic-data DQ): observed
     //    leading-digit counts of order totals vs log10(1+1/d) expected,
     //    with per-digit chi-square contributions. The digit derives
@@ -833,6 +864,26 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "events_pareto" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, sv,
+        |  row_number() OVER w AS rk,
+        |  sum(sv) OVER (w ROWS UNBOUNDED PRECEDING) AS csum,
+        |  sum(sv) OVER (PARTITION BY event_type) AS total,
+        |  count(*) OVER (PARTITION BY event_type) AS nu
+        |  FROM pu
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY sv DESC, user_id))
+        |SELECT event_type, CAST(max(nu) AS BIGINT) AS n_users,
+        |CAST(min(rk) AS INT) AS users_to_80pct,
+        |round(CAST(min(rk) AS DOUBLE) / max(nu), 4) AS pareto_ratio
+        |FROM r
+        |WHERE CAST(csum AS DOUBLE) >= CAST(total AS DOUBLE) * 0.8
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "a_benford" ->
       """WITH b AS (
