@@ -307,6 +307,39 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── RFM segmentation: recency (days vs the dataset's own max
+    //    order date — data-defined anchor), frequency, monetary (exact
+    //    DECIMAL) per customer, quartile-scored by ntile over a fully
+    //    tie-broken order — every score is a deterministic integer ───────
+    "a_rfm" -> ((s, d) => {
+      val anchor = t(s, d, "orders")
+        .agg(max(col("o_orderdate")).as("maxd"))
+      val base = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey").as("custkey"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary"))
+      def score(orderCols: Seq[org.apache.spark.sql.Column]) =
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(orderCols: _*))
+      base
+        .withColumn("r_score",
+          score(Seq(col("recency_days").asc, col("custkey").asc)))
+        .withColumn("f_score",
+          score(Seq(col("frequency").desc, col("custkey").asc)))
+        .withColumn("m_score",
+          score(Seq(col("monetary").desc, col("custkey").asc)))
+        .select(col("custkey"), col("recency_days"), col("frequency"),
+          col("monetary").cast("string").as("monetary"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_code"))
+        .orderBy(col("custkey"))
+    }),
+
     // ── engagement concentration (Pareto point): per event type, how
     //    many top users cover 80% of total value. Per-user totals in
     //    exact DECIMAL (order-free), the cumulative share as a
@@ -864,6 +897,24 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "a_rfm" ->
+      """WITH a AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |b AS (
+        |  SELECT o_custkey AS custkey,
+        |  date_diff('day', max(o_orderdate), (SELECT maxd FROM a))
+        |    AS recency_days,
+        |  count(*) AS frequency,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |CAST(frequency AS BIGINT) AS frequency,
+        |CAST(monetary AS VARCHAR) AS monetary,
+        |CAST(ntile(4) OVER (ORDER BY recency_days, custkey) * 100
+        | + ntile(4) OVER (ORDER BY frequency DESC, custkey) * 10
+        | + ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INT)
+        |  AS rfm_code
+        |FROM b ORDER BY custkey""".stripMargin,
 
     "events_pareto" ->
       """WITH pu AS (
