@@ -307,6 +307,28 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── contingency association audit: order priority × status cell
+    //    counts vs independence expectations, per-cell chi-square
+    //    contributions as ROWS (no cross-cell fp sum to order) ────────────
+    "a_contingency" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val cells = o.groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("observed"))
+      val rows = o.groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("rn"))
+      val cols = o.groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cn"))
+      val n = o.agg(count(lit(1)).as("n"))
+      val exp = col("rn").cast("double") * col("cn") / col("n")
+      cells.join(rows, "pri").join(cols, "st").crossJoin(broadcast(n))
+        .select(col("pri"), col("st"), col("observed"),
+          round(exp, 4).as("expected"),
+          (round(pow(col("observed") - exp, 2.0) / exp, 6) + lit(0.0))
+            .as("chi2_contrib"))
+        .orderBy(col("pri"), col("st"))
+    }),
+
     // ── RFM segmentation: recency (days vs the dataset's own max
     //    order date — data-defined anchor), frequency, monetary (exact
     //    DECIMAL) per customer, quartile-scored by ntile over a fully
@@ -897,6 +919,23 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "a_contingency" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |  CAST(count(*) AS BIGINT) AS observed
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS rn
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cn
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+        |SELECT pri, st, observed,
+        |round(CAST(rn AS DOUBLE) * cn / n.n, 4) AS expected,
+        |round(pow(observed - CAST(rn AS DOUBLE) * cn / n.n, 2.0)
+        |  / (CAST(rn AS DOUBLE) * cn / n.n), 6) + 0.0 AS chi2_contrib
+        |FROM cells JOIN r USING (pri) JOIN c USING (st) CROSS JOIN n
+        |ORDER BY pri, st""".stripMargin,
 
     "a_rfm" ->
       """WITH a AS (SELECT max(o_orderdate) AS maxd FROM orders),
