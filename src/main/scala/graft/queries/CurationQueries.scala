@@ -307,6 +307,34 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── cohort LTV curves: per first-seen-day cohort, cumulative value
+    //    by day offset (exact DECIMAL sums; the cumulative is a rank-
+    //    ordered window accumulation). The retention table's revenue
+    //    sibling. ───────────────────────────────────────────────────────
+    "events_cohort_ltv" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val daily = ev.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(sum(col("v")).as("day_value"),
+          countDistinct(col("user_id")).as("active_users"))
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      daily
+        .withColumn("cum_value", sum(col("day_value")).over(run))
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("day_offset"), col("active_users"),
+          col("day_value").cast("string").as("day_value"),
+          col("cum_value").cast("string").as("cum_value"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // ── contingency association audit: order priority × status cell
     //    counts vs independence expectations, per-cell chi-square
     //    contributions as ROWS (no cross-cell fp sum to order) ────────────
@@ -919,6 +947,27 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "events_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |daily AS (
+        |  SELECT fd.cohort_day,
+        |  CAST(ev.day - fd.cohort_day AS INT) AS day_offset,
+        |  sum(ev.v) AS day_value,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+        |  FROM ev JOIN fd ON ev.user_id = fd.user_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset,
+        |active_users,
+        |CAST(day_value AS VARCHAR) AS day_value,
+        |CAST(sum(day_value) OVER (PARTITION BY cohort_day
+        |  ORDER BY day_offset ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+        |  AS cum_value
+        |FROM daily ORDER BY cohort_day, day_offset""".stripMargin,
 
     "a_contingency" ->
       """WITH cells AS (
