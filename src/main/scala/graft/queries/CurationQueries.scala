@@ -307,6 +307,21 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── Herfindahl concentration of the corpus source mix: HHI =
+    //    Σ share² computed as Σcs²/N² — the squared-count sum is an
+    //    exact INTEGER aggregation (order-free), fp only in the final
+    //    division ─────────────────────────────────────────────────────────
+    "a_hhi" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("cs"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("cs")).as("n_docs"),
+          sum(col("cs") * col("cs")).as("_ss"))
+        .select(col("n_sources"), col("n_docs"),
+          (round(col("_ss").cast("double") /
+            (col("n_docs") * col("n_docs")), 6) + lit(0.0)).as("hhi"))
+    }),
+
     // ── cohort LTV curves: per first-seen-day cohort, cumulative value
     //    by day offset (exact DECIMAL sums; the cumulative is a rank-
     //    ordered window accumulation). The retention table's revenue
@@ -947,6 +962,16 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "a_hhi" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS cs
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |CAST(sum(cs) AS BIGINT) AS n_docs,
+        |round(CAST(sum(cs * cs) AS DOUBLE) / (sum(cs) * sum(cs)), 6)
+        |  + 0.0 AS hhi
+        |FROM c""".stripMargin,
 
     "events_cohort_ltv" ->
       """WITH ev AS (
