@@ -307,6 +307,33 @@ object CurationQueries {
         ForeignKey("l_orderkey", t(s, d, "orders"), "o_orderkey")))
     }),
 
+    // ── audience overlap: pairwise Jaccard of event types' user sets —
+    //    distinct (type, user) pairs self-join on user (the bounded
+    //    type-pair fan-out), exact integer intersections/unions ───────────
+    "events_type_overlap" -> ((s, d) => {
+      val tu = t(s, d, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nu"))
+      val inter = tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("event_type").as("type_a"),
+          col("nu").as("na")), "type_a")
+        .join(sizes.select(col("event_type").as("type_b"),
+          col("nu").as("nb")), "type_b")
+        .select(col("type_a"), col("type_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("union_size"),
+          (round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 6) + lit(0.0))
+            .as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // ── Herfindahl concentration of the corpus source mix: HHI =
     //    Σ share² computed as Σcs²/N² — the squared-count sum is an
     //    exact INTEGER aggregation (order-free), fp only in the final
@@ -962,6 +989,25 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
+
+    "events_type_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |  FROM tu GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, inter,
+        |CAST(sa.nu + sb.nu - inter AS BIGINT) AS union_size,
+        |round(CAST(inter AS DOUBLE) / (sa.nu + sb.nu - inter), 6) + 0.0
+        |  AS jaccard
+        |FROM i JOIN s sa ON i.type_a = sa.event_type
+        |JOIN s sb ON i.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "a_hhi" ->
       """WITH c AS (
