@@ -615,25 +615,42 @@ object TextAnalysis {
 
   /** Per-group Gini concentration of a non-negative integer measure
     * (token counts per doc within each source — "does one doc hold all
-    * the tokens?"): G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending
-    * (ties → id order). Σ i·xᵢ and Σx are exact integer window/group
-    * sums, so the only fp is the final fixed tree. Output:
-    * (group, n, total, gini). Groups with zero total emit gini 0. */
+    * the tokens?"): G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) with xᵢ ascending
+    * (ties → id order).
+    *
+    * Numerics (cross-engine discipline): NO fp `round()` anywhere —
+    * engine round(DOUBLE, d) semantics differ at half boundaries
+    * (Spark HALF_UP on the decimal repr vs scaled-multiply fp round),
+    * which kept this red for two rounds. Instead the half-up rounding
+    * itself runs in exact DECIMAL(38,0) integer arithmetic:
+    * micro = (2·10⁶·(2·iwx − (n+1)·total) + n·total) div (2·n·total),
+    * then one exact int→IEEE conversion micro/10⁶. G ≥ 0 always
+    * (Chebyshev's sum inequality for the ascending arrangement), so
+    * half-up == half-away and floor-div == trunc-div on both engines.
+    * Output: (group, n, total, gini). Groups with zero total emit 0. */
   def giniByGroup(df: DataFrame, groupCol: String, idCol: String,
       measure: Column, decimals: Int = 6): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("_x").asc, col(idCol).asc)
+    val scale = math.pow(10, decimals).toLong
+    // `div` (IntegralDivide) on DECIMAL(38,0): exact truncating integer
+    // division — decimal `/` would round HALF_UP which is NOT integer div.
+    val micro =
+      s"""((2 * CAST($scale AS DECIMAL(38,0)) *
+         |    CAST(2 * _iwx - (n + 1) * total AS DECIMAL(38,0)) +
+         |    CAST(n AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))
+         | div
+         | (2 * CAST(n AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))))
+         |""".stripMargin.replace('\n', ' ')
     df.select(col(groupCol), col(idCol), measure.cast("long").as("_x"))
       .withColumn("_i", row_number().over(w))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"),
         sum(col("_i") * col("_x")).as("_iwx"))
-      .select(col(groupCol), col("n"), col("total"),
-        (round(when(col("total") > 0,
-          lit(2.0) * col("_iwx") / (col("n") * col("total")) -
-            (col("n") + lit(1.0)) / col("n"))
-          .otherwise(lit(0.0)), decimals) + lit(0.0)).as("gini"))
+      .selectExpr(groupCol, "n", "total",
+        s"CASE WHEN total > 0 THEN CAST($micro AS DOUBLE) / $scale.0D " +
+          "ELSE 0.0D END AS gini")
   }
 
   /** Shannon entropy (nats) of each group's term distribution — the

@@ -1272,6 +1272,12 @@ object CurationQueries {
         |FROM p, n
         |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
 
+    // NO fp round(): half-up rounding done in exact HUGEINT arithmetic
+    // (micro = (2·10⁶·num + den) // (2·den), num = 2·iwx − (n+1)·total ≥ 0,
+    // den = n·total), then one exact int→DOUBLE conversion — the identical
+    // integer discipline as graft.operators.TextAnalysis.giniByGroup, so
+    // both engines produce bit-equal doubles regardless of their
+    // round(DOUBLE, d) half-boundary semantics.
     "source_gini" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars AS x,
@@ -1281,9 +1287,11 @@ object CurationQueries {
         |g AS (SELECT source, count(*) AS n, sum(x) AS total,
         |  sum(i * x) AS iwx FROM r GROUP BY 1)
         |SELECT source, n, total,
-        |round(CASE WHEN total > 0
-        |  THEN 2.0::DOUBLE * iwx / (n * total) - (n + 1.0::DOUBLE) / n
-        |  ELSE 0.0 END, 6) + 0.0 AS gini
+        |CASE WHEN total > 0 THEN
+        |  CAST((2 * 1000000::HUGEINT * (2*iwx - (n+1)*total)::HUGEINT
+        |        + (n::HUGEINT * total::HUGEINT))
+        |       // (2 * n::HUGEINT * total::HUGEINT) AS DOUBLE) / 1000000.0
+        |ELSE 0.0 END AS gini
         |FROM g ORDER BY source""".stripMargin,
 
     "events_scd2" ->
