@@ -22,6 +22,12 @@ import java.util.zip.Inflater
   */
 object ImageCodec {
 
+  /** Sanity cap on header-declared pixel counts for formats whose raster
+    * is COMPRESSED (PNG: output size isn't bounded by input size, unlike
+    * BMP/PNM which validate against the file length before allocating).
+    * 64M pixels ≈ 256 MB RGBA — far above any document image. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   /** format ∈ {bmp, ppm, pgm, png, jpeg}; pixels is None for metadata-only
     * decodes (jpeg) and Some(row-major interleaved bytes) otherwise. */
   final case class ImageInfo(format: String, width: Int, height: Int,
@@ -135,6 +141,12 @@ object ImageCodec {
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
     if (width <= 0 || height <= 0) return None
+    // header-derived allocation bound (ADVICE r7 #3): a hostile IHDR
+    // claiming 50000×50000 RGBA would force multi-GB allocations and an
+    // uncatchable OutOfMemoryError before any IDAT data is validated —
+    // cap total samples BEFORE allocating so corrupt payloads degrade to
+    // None per the decode contract instead of killing the executor.
+    if (width.toLong * height > MaxPixels) return None
     val ch = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb

@@ -35,7 +35,10 @@ object TextFunctions {
     * slice so downstream numbering (W1) counts markers, not surviving rows.
     * Returns ARRAY<STRING>; `posexplode` it for (pos_in_page, body). */
   def questionSlices(pageText: Column, marker: String = Marker): Column = {
-    val parts = split(pageText, marker)
+    // T4 sentinel: the reference appends " QUESTÃO" before slicing
+    // (enem_pdf_extractor.py:263), so the page's LAST slice carries the
+    // sentinel's leading space — byte-significant for golden parity.
+    val parts = split(concat(pageText, lit(" ")), marker)
     // drop element 1 (header before the first marker); keep one slice per
     // marker even if its body is empty, so counts stay faithful.
     slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))

@@ -169,17 +169,25 @@ object FuzzyJoin {
     def sortInto(n: Int) = base
       .repartitionByRange(math.max(n, 1), col("k"), col("id"))
       .sortWithinPartitions("k", "id")
+    // counts AND heads come from ONE pass over the sorted partitions
+    // (ADVICE r7 #4: separate it.size / heads jobs re-ran the
+    // range-shuffle+sort once each; now the sort runs once for the
+    // sidecar and once for the pair pass — two jobs total, not three)
+    def partStats(ds: org.apache.spark.sql.Dataset[(Long, String, String)])
+        : Map[Int, (Int, Array[(Long, String, String)])] =
+      ds.rdd.mapPartitionsWithIndex { (i, it) =>
+        val head = it.take(window - 1).toArray
+        Iterator.single((i, (head.length + it.size, head)))
+      }.collect().toMap
     var sorted = sortInto(parallelism)
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.size)))
-      .collect().toMap
-    if (counts.size > 1 &&
-        counts.filter(_._1 < counts.size - 1).values.exists(_ < window - 1))
+    var stats = partStats(sorted)
+    if (stats.size > 1 &&
+        stats.filter(_._1 < stats.size - 1).values.exists(_._1 < window - 1)) {
       sorted = sortInto(1) // degenerate partitioning: exactness first
+      stats = partStats(sorted)
+    }
     val rdd = sorted.rdd
-    val heads = rdd.mapPartitionsWithIndex((i, it) =>
-        Iterator.single((i, it.take(window - 1).toArray)))
-      .collect().toMap
+    val heads = stats.map { case (i, (_, h)) => (i, h) }
     val bc = spark.sparkContext.broadcast(heads)
     val pairs = rdd.mapPartitionsWithIndex { (pi, it) =>
       // rows beyond the partition come from the successor's head: they

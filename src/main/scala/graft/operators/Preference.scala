@@ -118,14 +118,22 @@ object Preference {
         .agg(count(lit(1)).as("cb")), Seq("l"), "full_outer")
       .agg(sum(coalesce(col("ca"), lit(0L)) *
         coalesce(col("cb"), lit(0L))).as("cross"))
+    // empty-overlap convention (ADVICE r7 #5): with no item labeled by
+    // BOTH raters, n_items = 0 and every ratio divides by zero — emit
+    // the explicit degenerate row (n_items=0, po/pe/kappa = 0.0) instead
+    // of nulls from a 0/0.
     agg.crossJoin(marginals)
       .select(col("n_items"), col("n_agree"),
-        round(col("n_agree").cast("double") / col("n_items"), decimals)
-          .as("po"),
-        round(col("cross").cast("double") /
-          (col("n_items") * col("n_items")), decimals).as("pe"),
-        (round(when(
-          col("cross") === col("n_items") * col("n_items"), lit(0.0))
+        round(when(col("n_items") > 0,
+          col("n_agree").cast("double") / col("n_items"))
+          .otherwise(lit(0.0)), decimals).as("po"),
+        round(when(col("n_items") > 0,
+          col("cross").cast("double") /
+            (col("n_items") * col("n_items")))
+          .otherwise(lit(0.0)), decimals).as("pe"),
+        (round(when(col("n_items") === 0, lit(0.0))
+          .when(
+            col("cross") === col("n_items") * col("n_items"), lit(0.0))
           .otherwise(
             (col("n_agree").cast("double") / col("n_items") -
               col("cross").cast("double") /

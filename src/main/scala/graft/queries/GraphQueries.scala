@@ -320,23 +320,18 @@ object GraphQueries {
         |  ELSE 0.0 END, 4) AS recall_k,
         |round(CAST(hits AS DOUBLE) / 10.0, 4) AS precision_k
         |FROM f),
-        |m AS (SELECT
-        |  sum(rr) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING) AS srr,
-        |  sum(ndcg) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING)
-        |    AS snd,
-        |  sum(recall_k) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING)
-        |    AS src_,
-        |  sum(precision_k) OVER (ORDER BY query_id
-        |    ROWS UNBOUNDED PRECEDING) AS spr,
-        |  count(*) OVER (ORDER BY query_id ROWS UNBOUNDED PRECEDING)
-        |    AS cnt,
-        |  row_number() OVER (ORDER BY query_id DESC) AS last
+        |m AS (SELECT count(*) AS cnt,
+        |  sum(CAST(round(rr * 10000) AS BIGINT)) AS srr,
+        |  sum(CAST(round(ndcg * 10000) AS BIGINT)) AS snd,
+        |  sum(CAST(round(recall_k * 10000) AS BIGINT)) AS src_,
+        |  sum(CAST(round(precision_k * 10000) AS BIGINT)) AS spr
         |  FROM perq)
         |SELECT CAST(cnt AS BIGINT) AS n_queries,
-        |round(srr / cnt, 4) AS mrr, round(snd / cnt, 4) AS mean_ndcg,
-        |round(src_ / cnt, 4) AS mean_recall,
-        |round(spr / cnt, 4) AS mean_precision
-        |FROM m WHERE last = 1""".stripMargin
+        |round(CAST(srr AS DOUBLE) / 10000.0 / cnt, 4) AS mrr,
+        |round(CAST(snd AS DOUBLE) / 10000.0 / cnt, 4) AS mean_ndcg,
+        |round(CAST(src_ AS DOUBLE) / 10000.0 / cnt, 4) AS mean_recall,
+        |round(CAST(spr AS DOUBLE) / 10000.0 / cnt, 4) AS mean_precision
+        |FROM m""".stripMargin
   )
 
   /** Bench-only variant: the gate's graph_beam_recall pays an exact N²

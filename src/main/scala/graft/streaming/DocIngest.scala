@@ -543,15 +543,51 @@ object DocIngest {
       .start()
   }
 
+  /** Resolve the published sketch-table version: reads the `CURRENT`
+    * pointer file and returns the versioned directory it names, or None
+    * before the first publish. Works on any Hadoop filesystem (the
+    * normal Spark deployment), not just the driver's local disk. */
+  def currentSketchPath(spark: SparkSession,
+      sketchDir: String): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val ptr = new org.apache.hadoop.fs.Path(dir, "CURRENT")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val v = scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim
+        if (v.isEmpty) None else Some(s"$sketchDir/$v")
+      } finally in.close()
+    }
+  }
+
+  /** The published sketch table (day, hll), or an error if none yet. */
+  def currentSketches(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(currentSketchPath(spark, sketchDir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"$sketchDir/CURRENT: no sketch table published yet")))
+
   /** Streaming HLL maintenance: per-batch per-day distinct-user sketches
     * merged into a persisted sketch table — a year of history answers
     * "distinct users for any day range" by register-max over day rows
     * (kB each), never by rescanning events. Each micro-batch costs one
     * map-side-combinable sketch aggregation over the BATCH plus a
-    * days-sized merge; the atomic tmp+swap keeps readers consistent.
-    * Register-max is idempotent, so crash-replayed batches re-merge
-    * harmlessly (the at-least-once window that breaks counters is safe
-    * for sketches). */
+    * days-sized merge.
+    *
+    * Publication protocol (works on HDFS/S3, not just local disk —
+    * ADVICE r7 #1): each batch writes an immutable versioned directory
+    * `v-<batchId>`, then atomically republishes the `CURRENT` pointer
+    * file naming it (tmp file + rename — a single-FILE rename, atomic
+    * on HDFS and on local disk; there is never a moment without a
+    * readable published version, readers resolve via
+    * [[currentSketchPath]]). Every filesystem call goes through
+    * `org.apache.hadoop.fs.FileSystem` with CHECKED return values — a
+    * failed rename fails the batch loudly instead of silently dropping
+    * the merge. Register-max is idempotent, so crash-replayed batches
+    * re-merge harmlessly (the at-least-once window that breaks counters
+    * is safe for sketches). */
   def startHllDaily(spark: SparkSession, inDir: String, schema: String,
       sketchDir: String, checkpoint: String,
       p: Int = 11, pollInterval: String = "1 second"): StreamingQuery = {
@@ -569,28 +605,47 @@ object DocIngest {
             col("user_id"))
           val fresh = graft.operators.Hll.groupSketches(
             byDay, col("user_id"), Seq("day"), p)
-          val cur = new java.io.File(s"$sketchDir/current")
-          val merged =
-            if (cur.exists()) {
+          val prev = currentSketchPath(s, sketchDir)
+          val merged = prev match {
+            case Some(path) =>
               val mergeAgg = org.apache.spark.sql.functions.udaf(
                 new graft.operators.Hll.MergeAgg)
-              s.read.parquet(cur.getPath).unionByName(fresh)
+              s.read.parquet(path).unionByName(fresh)
                 .groupBy(col("day")).agg(mergeAgg(col("hll")).as("hll"))
-            } else fresh
-          // tmp + atomic swap so concurrent readers never see a partial
-          val tmp = s"$sketchDir/tmp-$batchId"
-          merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val next = new java.io.File(s"$sketchDir/next-$batchId")
-          new java.io.File(tmp).renameTo(next)
-          val old = new java.io.File(s"$sketchDir/prev-$batchId")
-          if (cur.exists()) cur.renameTo(old)
-          next.renameTo(cur)
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles()
-            if (kids != null) kids.foreach(rm)
-            f.delete(); ()
+            case None => fresh
           }
-          if (old.exists()) rm(old)
+          // 1. immutable versioned directory for this batch's table
+          val version = s"v-$batchId"
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$sketchDir/$version")
+          // 2. atomic pointer republish: write tmp FILE, rename onto
+          //    CURRENT (single-file rename; checked)
+          val dir = new org.apache.hadoop.fs.Path(sketchDir)
+          val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+          val tmpPtr = new org.apache.hadoop.fs.Path(dir,
+            s"CURRENT.tmp-$batchId")
+          val out = fs.create(tmpPtr, true)
+          try out.write(version.getBytes("UTF-8")) finally out.close()
+          val ptr = new org.apache.hadoop.fs.Path(dir, "CURRENT")
+          if (fs.exists(ptr) && !fs.delete(ptr, false))
+            throw new java.io.IOException(
+              s"failed to retire old CURRENT pointer in $sketchDir")
+          if (!fs.rename(tmpPtr, ptr))
+            throw new java.io.IOException(
+              s"failed to publish CURRENT pointer in $sketchDir")
+          // 3. retire superseded versions EXCEPT the immediately
+          //    previous one (in-flight readers may still hold it)
+          val keep = Set(version) ++ prev.map(p0 =>
+            p0.substring(p0.lastIndexOf('/') + 1))
+          fs.listStatus(dir).foreach { st =>
+            val name = st.getPath.getName
+            if (st.isDirectory && name.startsWith("v-") &&
+                !keep.contains(name)) {
+              if (!fs.delete(st.getPath, true))
+                throw new java.io.IOException(
+                  s"failed to retire $name in $sketchDir")
+            }
+          }
         }
         ()
       }

@@ -113,7 +113,9 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(got.length === 3)
     assert(got.map(_.pageIdx) === Seq(0, 1, 2))
     got.zip(pages).foreach { case (p, lines) =>
-      assert(p.text === lines.mkString("\n"),
+      // pymupdf's get_text ends every page with a trailing newline —
+      // the codec reproduces that (proven against the reference goldens)
+      assert(p.text === lines.mkString("", "\n", "\n"),
         s"page ${p.pageIdx} text mismatch")
     }
   }
@@ -123,7 +125,7 @@ class PdfCodecSpec extends AnyFunSuite {
       "par(ê)nteses e acentos: ção, médio",
       "backslash \\ done"))
     val got = PdfCodec.extractPages(PdfFixture.build(tricky))
-    assert(got.head.text === tricky.head.mkString("\n"))
+    assert(got.head.text === tricky.head.mkString("", "\n", "\n"))
   }
 
   test("image XObjects: flags, names, and payload bytes") {

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{ExtractPipeline, Pairing}
+import org.apache.spark.sql.functions._
+
+/** THE reference's true end-to-end oracle, from RAW BYTES: run
+  * `PdfSource → ExtractPipeline.extract` over the actual 2023 booklet
+  * (`pdfs_enem/2023/2023_PV_impresso_D2_CD7.pdf`, 16 Identity-H CID
+  * fonts + 124 ToUnicode CMaps) and its ObjStm-packed answer key, and
+  * require every one of the 35 committed golden math records
+  * (`pdf_content_to_files/2023_D2_/2023_math_questions.json`, produced
+  * by the reference's pymupdf run — `enem_pdf_extractor.py:959-996`) to
+  * match byte-exactly: question_text, alternatives, correct_answer, ID,
+  * year, day, question_num.
+  *
+  * GoldenParitySpec covers the same transform chain from reconstructed
+  * fixture text; this spec pins the DECODER (PdfCodec) end of the chain.
+  */
+class PdfGoldenSpec extends SparkSpec {
+
+  private val pdfDir = "/root/reference/pdfs_enem/2023"
+  private val goldenPath =
+    "/root/reference/pdf_content_to_files/2023_D2_/2023_math_questions.json"
+
+  private def available: Boolean =
+    new java.io.File(s"$pdfDir/2023_PV_impresso_D2_CD7.pdf").exists() &&
+      new java.io.File(goldenPath).exists()
+
+  test("35 golden 2023 D2 math records reproduce from raw PDF bytes") {
+    assume(available, "reference PDFs not present")
+
+    val all = graft.sources.PdfSource.pages(spark, pdfDir)
+    val pages = all.filter(col("file_name").contains("PV"))
+    val keyTexts = all
+      .filter(col("file_name").contains("GB") && col("page_idx") === 0)
+      .select(col("file_name"), col("page_text").as("key_text"))
+    val files = pages.select(col("file_name"))
+      .union(keyTexts.select(col("file_name"))).distinct()
+    val pairs = Pairing.pair(files)
+
+    val mine = ExtractPipeline.extract(pages, keyTexts, pairs)
+      .filter(col("subject") === "math")
+      .select(col("question_num"), col("question_text"),
+        col("alternatives"), col("correct_answer"), col("id"),
+        col("year"), col("day"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getSeq[String](2),
+        r.getString(3), r.getString(4), r.getInt(5), r.getString(6))))
+      .toMap
+
+    val golden = spark.read.option("multiLine", "true").json(goldenPath)
+      .select(col("question_num").cast("int"), col("question_text"),
+        col("alternatives"), col("correct_answer"), col("ID"),
+        col("year").cast("int"), col("day"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getSeq[String](2),
+        r.getString(3), r.getString(4), r.getInt(5), r.getString(6))))
+      .toMap
+
+    assert(golden.size === 35)
+    assert(mine.keySet === golden.keySet,
+      s"question-number sets differ: missing=${golden.keySet -- mine.keySet}" +
+        s" extra=${mine.keySet -- golden.keySet}")
+    golden.foreach { case (num, g) =>
+      val m = mine(num)
+      assert(m._1 === g._1, s"Q$num question_text differs")
+      assert(m._2 === g._2, s"Q$num alternatives differ")
+      assert(m._3 === g._3, s"Q$num correct_answer differs")
+      assert(m._4 === g._4, s"Q$num ID differs")
+      assert(m._5 === g._5, s"Q$num year differs")
+      assert(m._6 === g._6, s"Q$num day differs")
+    }
+  }
+
+  test("ObjStm answer keys parse for every committed GB PDF") {
+    assume(new java.io.File("/root/reference/pdfs_enem").isDirectory)
+    // every year's GB file stores objects in /ObjStm (2021-2023) or
+    // classic objects (2020): all must yield a non-trivial parsed key
+    val years = Seq("2020", "2021", "2022", "2023")
+    years.foreach { y =>
+      val dir = new java.io.File(s"/root/reference/pdfs_enem/$y")
+      val gbs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.contains("GB"))
+      gbs.foreach { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val pages = graft.functions.PdfCodec.extractPages(bytes)
+        assert(pages.nonEmpty, s"${f.getName}: no pages decoded")
+        val keyText = pages.head.text
+        // the key grid must surface as short number/letter lines (F7)
+        val shortLines = keyText.split("\n")
+          .count(l => l.trim.matches("^\\d{1,3}$"))
+        assert(shortLines >= 40,
+          s"${f.getName}: only $shortLines question-number lines decoded")
+      }
+    }
+  }
+}

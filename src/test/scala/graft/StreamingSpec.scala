@@ -215,7 +215,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val sketches = spark.read.parquet(s"$out/current").collect()
+    val sketches = DocIngest.currentSketches(spark, out).collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     assert(sketches.keySet === Set("2024-01-01", "2024-01-02"))
     val est1 = graft.operators.Hll.estimate(sketches("2024-01-01"))
