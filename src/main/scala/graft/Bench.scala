@@ -27,6 +27,10 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Fail fast with ONE named error if the testdata's engine-visible
+    // schema drifted (driver regeneration) — otherwise every query fails
+    // with its own analysis error and the round's bench is garbage.
+    graft.queries.SchemaContract.enforce(spark, sfDir)
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 times a subset
     // (unset in driver runs — full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -45,6 +49,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // generated-class hygiene — see JvmHygiene (adaptive: every 8
       // queries, or immediately under CodeHeap pressure)
+      JvmHygiene.purgeBlocks(spark) // drop leaked persisted/checkpoint blocks
       sinceGc = JvmHygiene.maybeGc(sinceGc)
       (name, dt, ok)
     }

@@ -23,4 +23,21 @@ object JvmHygiene {
   def maybeGc(sinceGc: Int, every: Int = 8): Int =
     if (sinceGc + 1 >= every || codeCachePressed) { System.gc(); 0 }
     else sinceGc + 1
+
+  /** Cross-query block hygiene (r7 bench-tail adjudication): queries
+    * that localCheckpoint (LSH connected components, winnow fingerprint
+    * frames) or persist internally leave their blocks pinned in the
+    * block manager after the plan reference dies — across 225 queries
+    * the accumulated blocks raise memory pressure until mid-suite
+    * readings inflate 4-40× over isolated runs (dedup_substring_spans
+    * 48.5 s in-suite vs 12.7 s isolated on UNCHANGED code). Queries are
+    * independent, so between them every tracked cache entry and leaked
+    * persistent RDD is droppable. */
+  def purgeBlocks(spark: org.apache.spark.sql.SparkSession): Unit = {
+    try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    } catch { case _: Exception => () }
+  }
 }

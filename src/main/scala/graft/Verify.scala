@@ -29,6 +29,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // reclaim generated-class code cache (adaptive — see JvmHygiene).
+      JvmHygiene.purgeBlocks(spark) // drop leaked persisted/checkpoint blocks
       sinceGc = JvmHygiene.maybeGc(sinceGc)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -50,7 +50,10 @@ object Drift {
       .groupBy(col(valueCol).cast("long").as("v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("da"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("db"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    // explicit single-partition spec on the distinct-value sidecar:
+    // same execution as the implied global window, no warning noise
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val tot = pts.agg(sum(col("da")).as("n_a"), sum(col("db")).as("n_b"))

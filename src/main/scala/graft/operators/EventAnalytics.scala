@@ -150,7 +150,9 @@ object EventAnalytics {
       .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"))
       .agg(count(lit(1)).as("n"))
       .withColumn("epoch", unix_timestamp(col("hour_ts")))
-    val w = Window.orderBy(col("epoch"))
+    // explicit single-partition spec on the hourly sidecar frame (a
+    // year is ~9k rows): same execution, no WindowExec warning noise
+    val w = Window.partitionBy(lit(1)).orderBy(col("epoch"))
       .rangeBetween(-baselineSecs, -gapSecs)
     val a = avg(col("n")).over(w)
     val s = stddev_samp(col("n")).over(w)

@@ -408,7 +408,11 @@ object Sampling {
     // over that sidecar only, never over data.
     val srcs = df.select(col(sourceCol)).distinct()
       .withColumn("_si",
-        row_number().over(Window.orderBy(col(sourceCol))) - 1)
+        // partitionBy(lit(1)): same single-partition execution the
+        // global window already implied, but EXPLICIT — silences the
+        // WindowExec no-partition warning on this sidecar-sized frame
+        row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col(sourceCol))) - 1)
       .withColumn("_ns", count(lit(1)).over(
         Window.partitionBy(lit(1))))
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))

@@ -42,11 +42,13 @@ object RankingQueries {
       val q = queryVec(s, d).toSeq
       val dense = SimilaritySearch.topK(emb, "vec_id", "embedding", q, 20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), col("vec_id").asc)))
+          Window.partitionBy(lit(1)) // top-20 frame; explicit spec
+            .orderBy(desc("score"), col("vec_id").asc)))
         .select(col("vec_id").as("id"), col("rank"))
       val ham = BinaryQuant.hammingTopK(emb, "vec_id", "embedding", 64, q, 20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("hamming").asc, col("vec_id").asc)))
+          Window.partitionBy(lit(1)) // top-20 frame; explicit spec
+            .orderBy(col("hamming").asc, col("vec_id").asc)))
         .select(col("vec_id").as("id"), col("rank"))
       Ranking.rrfFuse(Seq(dense, ham), kRrf = 60, topN = 10)
     }),

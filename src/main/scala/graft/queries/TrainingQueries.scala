@@ -345,7 +345,8 @@ object TrainingQueries {
       val stats = scored.withColumn("stage", stage)
         .groupBy("stage")
         .agg(count(lit(1)).as("n"), avg("score").as("mean_score"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy("stage") // 4-row sidecar frame
       stats
         .withColumn("prev_mean", lag("mean_score", 1).over(w))
         .filter(col("prev_mean").isNotNull &&
