@@ -28,8 +28,9 @@ object ImageCodec {
     * 64M pixels ≈ 256 MB RGBA — far above any document image. */
   val MaxPixels: Long = 64L * 1024 * 1024
 
-  /** format ∈ {bmp, ppm, pgm, png, jpeg}; pixels is None for metadata-only
-    * decodes (jpeg) and Some(row-major interleaved bytes) otherwise. */
+  /** format ∈ {bmp, ppm, pgm, png, jpeg}; pixels is Some(row-major
+    * interleaved bytes), or None when only metadata could be recovered
+    * (e.g. a JPEG whose scan data is truncated/unsupported). */
   final case class ImageInfo(format: String, width: Int, height: Int,
       channels: Int, pixels: Option[Array[Byte]])
 
@@ -214,9 +215,10 @@ object ImageCodec {
     Some(ImageInfo("png", width, height, ch, Some(out)))
   }
 
-  // ── JPEG (metadata only) ──────────────────────────────────────────────
+  // ── JPEG ──────────────────────────────────────────────────────────────
 
-  private def decodeJpegMeta(b: Array[Byte]): Option[ImageInfo] = {
+  /** SOF-header scan: (width, height, channels). */
+  private def jpegSof(b: Array[Byte]): Option[(Int, Int, Int)] = {
     var pos = 2
     while (pos + 4 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
@@ -233,11 +235,121 @@ object ImageCodec {
           val width = ((b(pos + 7) & 0xff) << 8) | (b(pos + 8) & 0xff)
           val ch = b(pos + 9) & 0xff
           if (width <= 0 || height <= 0) return None
-          return Some(ImageInfo("jpeg", width, height, ch, None))
+          return Some((width, height, ch))
         }
         pos += 2 + len
       }
     }
     None
   }
+
+  /** Adobe APP14 transform flag (2 = YCCK for 4-channel), if present. */
+  private def adobeTransform(b: Array[Byte]): Option[Int] = {
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else if (marker == 0xda) return None // scan data: stop
+      else {
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        if (len < 2) return None
+        if (marker == 0xee && len >= 13 && pos + 4 + 5 <= b.length &&
+            new String(b, pos + 4, 5, "US-ASCII") == "Adobe")
+          return Some(b(pos + 2 + len - 1) & 0xff)
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Full JPEG pixel decode via the JDK's ImageIO reader (part of Java
+    * SE — no external dependency), with a raw-raster fallback for CMYK/
+    * YCCK payloads that the default reader rejects (Adobe APP14
+    * transform 2), mirroring the reference's CMYK→RGB page-image path
+    * (`enem_pdf_extractor.py:297-335`). Pixels come back as row-major
+    * interleaved RGB; anything undecodable degrades to the SOF
+    * metadata-only record (pixels = None), never a throw. */
+  private def decodeJpegMeta(b: Array[Byte]): Option[ImageInfo] = {
+    val sof = jpegSof(b)
+    if (sof.isEmpty) return None
+    val (w0, h0, ch0) = sof.get
+    // header-derived bound BEFORE ImageIO allocates the raster
+    if (w0.toLong * h0 > MaxPixels)
+      return Some(ImageInfo("jpeg", w0, h0, ch0, None))
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))
+      if (img != null) {
+        val w = img.getWidth
+        val h = img.getHeight
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < argb.length) {
+          out(i * 3) = ((argb(i) >> 16) & 0xff).toByte
+          out(i * 3 + 1) = ((argb(i) >> 8) & 0xff).toByte
+          out(i * 3 + 2) = (argb(i) & 0xff).toByte
+          i += 1
+        }
+        Some(ImageInfo("jpeg", w, h, 3, Some(out)))
+      } else decodeJpegCmyk(b, w0, h0, ch0)
+    } catch {
+      case _: Exception => decodeJpegCmyk(b, w0, h0, ch0)
+    }
+  }
+
+  /** CMYK/YCCK fallback: read the raw 4-band raster (the Huffman/DCT
+    * layer works even when the reader rejects the color space), undo the
+    * YCCK transform if APP14 says so, and apply the Adobe-inverted
+    * CMYK→RGB conversion. */
+  private def decodeJpegCmyk(b: Array[Byte], w0: Int, h0: Int,
+      ch0: Int): Option[ImageInfo] = {
+    val metaOnly = Some(ImageInfo("jpeg", w0, h0, ch0, None))
+    if (ch0 != 4) return metaOnly
+    try {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+      if (!readers.hasNext) return metaOnly
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      reader.setInput(iis)
+      val raster = reader.readRaster(0, null)
+      reader.dispose()
+      val w = raster.getWidth
+      val h = raster.getHeight
+      if (raster.getNumBands != 4 || w.toLong * h > MaxPixels)
+        return metaOnly
+      val ycck = adobeTransform(b).contains(2)
+      val out = new Array[Byte](w * h * 3)
+      val row = new Array[Int](w * 4)
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var x = 0
+        while (x < w) {
+          var c = row(x * 4); var m = row(x * 4 + 1)
+          var ye = row(x * 4 + 2); val k = row(x * 4 + 3)
+          if (ycck) {
+            // YCCK: first convert YCbCr→RGB, then treat as inverted CMY
+            val yy = c.toDouble; val cb = m.toDouble; val cr = ye.toDouble
+            c = clamp255(yy + 1.402 * (cr - 128))
+            m = clamp255(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+            ye = clamp255(yy + 1.772 * (cb - 128))
+          }
+          // Adobe JPEGs store CMYK INVERTED: stored value v == 255−ink
+          val d = (y * w + x) * 3
+          out(d) = ((c * k) / 255).toByte
+          out(d + 1) = ((m * k) / 255).toByte
+          out(d + 2) = ((ye * k) / 255).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageInfo("jpeg", w, h, 3, Some(out)))
+    } catch { case _: Exception => metaOnly }
+  }
+
+  private def clamp255(v: Double): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
 }

@@ -161,10 +161,56 @@ class ImageCodecSpec extends AnyFunSuite {
   }
 
   test("JPEG SOF parse yields dimensions and channels, no pixels") {
+    // header-only payload (no scan data): degrades to metadata-only
     val info = ImageCodec.decode(buildJpegHeader(640, 480, 3)).get
     assert(info.format === "jpeg")
     assert((info.width, info.height, info.channels) === ((640, 480, 3)))
     assert(info.pixels.isEmpty)
+  }
+
+  test("baseline JPEG decodes real pixels (ADVICE/VERDICT r7 task 5)") {
+    // encode a solid-color image with the JDK encoder, decode with the
+    // codec, and require the lossy roundtrip to stay within JPEG noise
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xC83214 else 0x1432C8)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val info = ImageCodec.decode(bos.toByteArray).get
+    assert(info.format === "jpeg")
+    assert((info.width, info.height, info.channels) === ((w, h, 3)))
+    val px = info.pixels.get
+    assert(px.length === w * h * 3)
+    // sample interior pixels of each half (away from the lossy edge)
+    def rgb(x: Int, y: Int) = {
+      val d = (y * w + x) * 3
+      ((px(d) & 0xff), (px(d + 1) & 0xff), (px(d + 2) & 0xff))
+    }
+    val (r1, g1, b1) = rgb(4, 12)
+    assert(math.abs(r1 - 0xC8) < 24 && math.abs(g1 - 0x32) < 24 &&
+      math.abs(b1 - 0x14) < 24, s"left half off: ($r1,$g1,$b1)")
+    val (r2, g2, b2) = rgb(w - 4, 12)
+    assert(math.abs(r2 - 0x14) < 24 && math.abs(g2 - 0x32) < 24 &&
+      math.abs(b2 - 0xC8) < 24, s"right half off: ($r2,$g2,$b2)")
+  }
+
+  test("real DCTDecode page images from the reference PDFs decode") {
+    val f = new java.io.File(
+      "/root/reference/pdfs_enem/2023/2023_PV_impresso_D2_CD7.pdf")
+    assume(f.exists(), "reference PDFs not present")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val jpegs = graft.functions.PdfCodec.extractImages(bytes)
+      .filter(_.filter == "DCTDecode")
+    assume(jpegs.nonEmpty, "no DCTDecode images in the booklet")
+    val decoded = jpegs.map(im => ImageCodec.decode(im.bytes))
+    // every DCT payload must at least carry SOF metadata; the decodable
+    // majority must carry real pixels
+    assert(decoded.forall(_.isDefined))
+    val withPixels = decoded.flatten.count(_.pixels.isDefined)
+    assert(withPixels > 0,
+      s"0 of ${decoded.size} page JPEGs produced pixels")
   }
 
   test("corrupt and non-image payloads return None, never throw") {
