@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object AnswerKey {
 
-  /** keysText: (file_name, key_text) one row per answer PDF. */
+  /** keysText: (file_name, key_text) one row per answer PDF.
+    *
+    * Two real key-grid layouts feed `occurrence` (both observed in the
+    * reference's own GB PDFs): (a) the language block prints the number
+    * ONCE followed by BOTH letters — `1\nC\nC` = English then Spanish
+    * (2021/2023 D1 keys; the reference reads them at char offsets +2
+    * and +4, enem_pdf_extractor.py:203-213) — captured via a two-ahead
+    * lookahead; (b) the number is listed TWICE (English block then
+    * Spanish block) — captured by the duplicate-number rank. */
   def parse(keyText: DataFrame, fileCol: String, textCol: String): DataFrame = {
     // F7: keep only short lines (the number/letter columns of the key grid).
     val lines = keyText.select(col(fileCol).as("key_file"),
@@ -27,21 +35,32 @@ object AnswerKey {
       .filter(length(trim(col("line"))) <= 4 && length(trim(col("line"))) > 0)
       .select(col("key_file"), col("line_no"), trim(col("line")).as("line"))
 
-    // pair each question-number line with the next answer-letter line.
+    // pair each question-number line with the next answer-letter line —
+    // and, when the line after THAT is also a letter (layout (a)), emit
+    // it as the Spanish occurrence.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key_file")).orderBy(col("line_no"))
-    val paired = lines
+    val eyed = lines
       .withColumn("next_line", lead(col("line"), 1).over(w))
+      .withColumn("next2_line", lead(col("line"), 2).over(w))
       .filter(col("line").rlike("^[0-9]{1,3}$") &&
         col("next_line").rlike("^[A-E]$"))
+    val paired = eyed
       .select(col("key_file"), col("line_no"),
         col("line").cast("int").as("question_num"),
-        col("next_line").as("answer"))
+        col("next_line").as("answer"), lit(0).as("slot"))
+      .unionByName(eyed
+        .filter(col("next2_line").rlike("^[A-E]$"))
+        .select(col("key_file"), col("line_no"),
+          col("line").cast("int").as("question_num"),
+          col("next2_line").as("answer"), lit(1).as("slot")))
 
-    // occurrence index for duplicated numbers (D1 English/Spanish overlap).
+    // occurrence: rank within a question number across BOTH layouts —
+    // (line_no, slot) orders English before Spanish in layout (a) and
+    // first listing before second in layout (b).
     val occ = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key_file"), col("question_num"))
-      .orderBy(col("line_no"))
+      .orderBy(col("line_no"), col("slot"))
     paired.withColumn("occurrence", row_number().over(occ) - 1)
       .select(col("key_file"), col("question_num"), col("occurrence"),
         col("answer"))

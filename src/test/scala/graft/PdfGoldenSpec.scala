@@ -72,6 +72,39 @@ class PdfGoldenSpec extends SparkSpec {
     }
   }
 
+  test("D1 keys: the num/English/Spanish language block parses both " +
+      "occurrences from real bytes") {
+    // the real D1 grids print `1\nC\nC` (number once, English then
+    // Spanish letter — read at +2/+4 by the reference,
+    // enem_pdf_extractor.py:203-213); AnswerKey.parse must emit both
+    // occurrence rows from the raw ObjStm GB bytes
+    val f = new java.io.File(
+      "/root/reference/pdfs_enem/2021/2021_GB_impresso_D1_CD1.pdf")
+    assume(f.exists(), "reference PDFs not present")
+    import org.apache.spark.sql.functions.{col => c}
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val page0 = graft.functions.PdfCodec.extractPages(bytes).head.text
+    import spark.implicits._
+    val keyDf = Seq(("2021_GB_impresso_D1_CD1.pdf", page0))
+      .toDF("file_name", "key_text")
+    val parsed = graft.operators.AnswerKey
+      .parse(keyDf, "file_name", "key_text")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getString(3)).toMap
+    // language questions 1-5 carry BOTH occurrences
+    (1 to 5).foreach { n =>
+      assert(parsed.contains((n, 0)), s"q$n English answer missing")
+      assert(parsed.contains((n, 1)), s"q$n Spanish answer missing")
+    }
+    // 2021 D1: English and Spanish answers diverge on q3/q4/q5
+    assert(parsed((1, 0)) === "C" && parsed((1, 1)) === "C")
+    assert(parsed((3, 0)) === "A" && parsed((3, 1)) === "E")
+    assert(parsed((4, 0)) === "B" && parsed((4, 1)) === "A")
+    // non-language questions have exactly one occurrence
+    assert(parsed.contains((46, 0)) && !parsed.contains((46, 1)))
+    assert(parsed((46, 0)) === "B")
+  }
+
   test("ObjStm answer keys parse for every committed GB PDF") {
     assume(new java.io.File("/root/reference/pdfs_enem").isDirectory)
     // every year's GB file stores objects in /ObjStm (2021-2023) or
