@@ -465,10 +465,44 @@ object PdfCodec {
 
   private val DiffTokRe = """(\d+)|/([\w.]+)""".r
 
+  /** Standard Monotype/Adobe core-font GID layout (Arial, Helvetica,
+    * Times, Courier families): GID 3 = space, 4-34 ASCII punctuation/
+    * digits in code order, 36-61 = A-Z, 68-93 = a-z. Subset fonts from
+    * print-production tools name /Differences glyphs `gNN` by ORIGINAL
+    * GID; for these families the embedded font's cmap (which pymupdf
+    * reads) follows this layout, so the table recovers the ASCII range.
+    * Verified against the 2021 booklets' own sparse ToUnicode CMaps,
+    * which agree on every overlapping code. */
+  private val CoreGidToChar: Map[Int, String] = {
+    val ascii = " !\"#$%&'()*+,-./0123456789:;<=>?@"
+    val m = mutable.Map[Int, String]()
+    ascii.zipWithIndex.foreach { case (ch, i) =>
+      m(3 + i) = ch.toString
+    }
+    ('A' to 'Z').zipWithIndex.foreach { case (ch, i) =>
+      m(36 + i) = ch.toString
+    }
+    "[\\]^_`".zipWithIndex.foreach { case (ch, i) => m(62 + i) = ch.toString }
+    ('a' to 'z').zipWithIndex.foreach { case (ch, i) =>
+      m(68 + i) = ch.toString
+    }
+    m.toMap
+  }
+
+  private val GidNameRe = """g(\d+)""".r
+
+  private def isCoreFamily(baseFont: String): Boolean =
+    baseFont != null && (baseFont.contains("Arial") ||
+      baseFont.contains("Helvetica") || baseFont.contains("Times") ||
+      baseFont.contains("Courier"))
+
   /** /Encoding /Differences glyph names → unicode via the AGL subset.
-    * Unknown names (gNN subset glyphs) become U+FFFD — MuPDF's
-    * observable behavior on the reference booklets. */
-  private def parseDifferences(encDict: String): Map[Int, String] = {
+    * `gNN` subset-glyph names resolve through [[CoreGidToChar]] for the
+    * core font families (matching pymupdf's embedded-cmap lookup); any
+    * other unknown name becomes U+FFFD — MuPDF's observable behavior on
+    * the reference booklets (golden Q170's SymbolMT glyphs are FFFD). */
+  private def parseDifferences(encDict: String,
+      baseFont: String = ""): Map[Int, String] = {
     val at = encDict.indexOf("/Differences")
     if (at < 0) return null
     val rest = encDict.substring(at + "/Differences".length)
@@ -486,7 +520,11 @@ object PdfCodec {
           else if (name.length == 1) name
           else if (name.matches("uni[0-9A-Fa-f]{4}"))
             String.valueOf(Integer.parseInt(name.substring(3), 16).toChar)
-          else "�"
+          else name match {
+            case GidNameRe(gid) if isCoreFamily(baseFont) =>
+              CoreGidToChar.getOrElse(gid.toInt, "�")
+            case _ => "�"
+          }
         code += 1
       }
     }
@@ -556,11 +594,21 @@ object PdfCodec {
             if (parsed.nonEmpty) cmap = parsed
           }
         }
-        if (cmap == null && cb == 1) {
-          // simple font without ToUnicode: /Encoding /Differences names
+        if (cb == 1) {
+          // simple fonts: /Encoding /Differences glyph names fill every
+          // code the (possibly sparse) ToUnicode CMap misses — subset
+          // Type1 fonts routinely ship a 40-entry ToUnicode plus a full
+          // Differences array (the 2021 booklets), and ToUnicode wins
+          // per code where both speak
           val encDict = dictRef(d, "/Encoding").flatMap(objs.get)
             .map(_.dict).getOrElse(nestedDictSlice(d, "/Encoding"))
-          if (encDict.nonEmpty) cmap = parseDifferences(encDict)
+          if (encDict.nonEmpty) {
+            val baseFont = """/BaseFont\s*/([\w+\-.]+)""".r
+              .findFirstMatchIn(d).map(_.group(1)).getOrElse("")
+            val diff = parseDifferences(encDict, baseFont)
+            if (diff != null)
+              cmap = if (cmap == null) diff else diff ++ cmap
+          }
         }
         var widths: Array[Double] = null
         var first = 0
