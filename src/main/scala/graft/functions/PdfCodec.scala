@@ -465,28 +465,37 @@ object PdfCodec {
 
   private val DiffTokRe = """(\d+)|/([\w.]+)""".r
 
-  /** Standard Monotype/Adobe core-font GID layout (Arial, Helvetica,
-    * Times, Courier families): GID 3 = space, 4-34 ASCII punctuation/
-    * digits in code order, 36-61 = A-Z, 68-93 = a-z. Subset fonts from
-    * print-production tools name /Differences glyphs `gNN` by ORIGINAL
-    * GID; for these families the embedded font's cmap (which pymupdf
-    * reads) follows this layout, so the table recovers the ASCII range.
-    * Verified against the 2021 booklets' own sparse ToUnicode CMaps,
-    * which agree on every overlapping code. */
+  /** Core-font glyph-ID layout (Arial, Helvetica, Times, Courier
+    * families): the standard Macintosh glyph order of the TrueType
+    * `post` table spec, as actually shipped in the Monotype core fonts
+    * — which omit `nonbreakingspace` (calibrated against the 2021
+    * booklets: with it, every glyph past ~170 was off by one — fi
+    * rendered ›, “ rendered —). Subset fonts from print-production
+    * tools name /Differences glyphs `gNN` by ORIGINAL GID; this table
+    * recovers them the way pymupdf's embedded-cmap lookup does.
+    * Cross-validated against the files' own sparse ToUnicode CMaps
+    * (agreement on every overlapping code) and the decoded Portuguese/
+    * English body text of both 2021 booklets. */
   private val CoreGidToChar: Map[Int, String] = {
-    val ascii = " !\"#$%&'()*+,-./0123456789:;<=>?@"
-    val m = mutable.Map[Int, String]()
-    ascii.zipWithIndex.foreach { case (ch, i) =>
-      m(3 + i) = ch.toString
-    }
-    ('A' to 'Z').zipWithIndex.foreach { case (ch, i) =>
-      m(36 + i) = ch.toString
-    }
-    "[\\]^_`".zipWithIndex.foreach { case (ch, i) => m(62 + i) = ch.toString }
-    ('a' to 'z').zipWithIndex.foreach { case (ch, i) =>
-      m(68 + i) = ch.toString
-    }
-    m.toMap
+    val order: Array[String] = (
+      " !\"#$%&'()*+,-./0123456789:;<=>?@".map(_.toString) ++
+        ('A' to 'Z').map(_.toString) ++
+        "[\\]^_`".map(_.toString) ++
+        ('a' to 'z').map(_.toString) ++
+        "{|}~".map(_.toString) ++
+        Array(
+          "Ä", "Å", "Ç", "É", "Ñ", "Ö", "Ü", "á", "à", "â", "ä", "ã",
+          "å", "ç", "é", "è", "ê", "ë", "í", "ì", "î", "ï", "ñ", "ó",
+          "ò", "ô", "ö", "õ", "ú", "ù", "û", "ü", "†", "°", "¢", "£",
+          "§", "•", "¶", "ß", "®", "©", "™", "´", "¨", "≠", "Æ", "Ø",
+          "∞", "±", "≤", "≥", "¥", "μ", "∂", "∑", "∏", "π", "∫", "ª",
+          "º", "Ω", "æ", "ø", "¿", "¡", "¬", "√", "ƒ", "≈", "Δ", "«",
+          "»", "…", "À", "Ã", "Õ", "Œ", "œ", "–", "—", "“", "”", "‘",
+          "’", "÷", "◊", "ÿ", "Ÿ", "⁄", "¤", "‹", "›", "fi", "fl", "‡",
+          "·", "‚", "„", "‰", "Â", "Ê", "Á", "Ë", "È", "Í", "Î", "Ï",
+          "Ì", "Ó", "Ô", "", "Ò", "Ú", "Û", "Ù", "ı", "ˆ", "˜", "¯",
+          "˘", "˙", "˚", "¸", "˝", "˛", "ˇ")).toArray
+    order.zipWithIndex.map { case (s, i) => (3 + i) -> s }.toMap
   }
 
   private val GidNameRe = """g(\d+)""".r

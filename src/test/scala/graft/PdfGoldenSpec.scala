@@ -137,7 +137,18 @@ class PdfGoldenSpec extends SparkSpec {
       // ToUnicode/Differences), so many alternative blocks garble and
       // F4 drops them — the structural pipeline (numbering, pairing,
       // key join) is what this gate pins, not 2021 text fidelity.
-      Seq(("D2", "natu"), ("D2", "math")).foreach { k =>
+      bySubject.toSeq.sortBy(_._1).foreach { case (k, (n, a)) =>
+        info(s"$k: $n records, $a answered")
+      }
+      // text-heavy subjects decode near-fully (the GID-layout recovery
+      // — see PdfCodec.CoreGidToChar); image-heavy pages are F3-skipped
+      // in no-images mode, so natu/eng/spani counts are structurally low
+      // (the reference's own 2020 metadata has NO natu row for the same
+      // reason)
+      assert(bySubject(("D2", "math"))._1 >= 30, "math under-extracted")
+      assert(bySubject(("D1", "huma"))._1 >= 30, "huma under-extracted")
+      Seq(("D1", "lang"), ("D1", "eng"), ("D1", "spani"),
+          ("D2", "natu"), ("D2", "math")).foreach { k =>
         assert(bySubject.contains(k), s"no records for $k")
         val (n, answered) = bySubject(k)
         assert(n >= 1, s"$k: no records")

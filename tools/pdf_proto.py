@@ -344,8 +344,9 @@ def parse_differences(enc_dict):
             elif re.fullmatch(r'uni([0-9A-Fa-f]{4})', name):
                 out[code] = chr(int(name[3:], 16))
             else:
-                # MuPDF emits U+FFFD for glyphs it cannot map (gNN names)
-                out[code] = '\ufffd'
+                m2 = re.fullmatch(r'g(\d+)', name)
+                u = gid_to_unicode(int(m2.group(1)), AGL) if m2 else None
+                out[code] = u if u is not None else '\ufffd'
             code += 1
     return out or None
 
@@ -373,14 +374,16 @@ def font_decoders(res_dict, objs):
             if '/FlateDecode' in objs[tu][0]:
                 data = inflate(data)
             _, cmap = parse_tounicode(data)
-        if cmap is None and cb == 1:
-            # simple font without ToUnicode: /Encoding /Differences
-            # glyph names resolve through the Adobe Glyph List
+        if cb == 1:
+            # /Differences fills codes the (possibly sparse) ToUnicode
+            # misses; ToUnicode wins per code
             enc = dict_ref(d, '/Encoding')
             enc_dict = objs[enc][0] if (enc is not None and enc in objs) \
                 else nested_dict_slice(d, '/Encoding')
             if enc_dict:
-                cmap = parse_differences(enc_dict)
+                diff = parse_differences(enc_dict)
+                if diff:
+                    cmap = diff if cmap is None else {**diff, **cmap}
         widths = None
         first = 0
         dw = 500.0
@@ -855,3 +858,77 @@ if __name__ == '__main__':
     for i in which:
         print(f'===== page {i} =====')
         print(pages[i])
+
+
+# Standard Macintosh glyph order (TrueType 'post' table spec), indexes
+# 3..257 — subset fonts name /Differences glyphs gNN by original GID and
+# the core Monotype fonts follow this order.
+MAC_GLYPH_ORDER = (
+    'space exclam quotedbl numbersign dollar percent ampersand '
+    'quotesingle parenleft parenright asterisk plus comma hyphen period '
+    'slash zero one two three four five six seven eight nine colon '
+    'semicolon less equal greater question at A B C D E F G H I J K L M '
+    'N O P Q R S T U V W X Y Z bracketleft backslash bracketright '
+    'asciicircum underscore grave a b c d e f g h i j k l m n o p q r s '
+    't u v w x y z braceleft bar braceright asciitilde Adieresis Aring '
+    'Ccedilla Eacute Ntilde Odieresis Udieresis aacute agrave '
+    'acircumflex adieresis atilde aring ccedilla eacute egrave '
+    'ecircumflex edieresis iacute igrave icircumflex idieresis ntilde '
+    'oacute ograve ocircumflex odieresis otilde uacute ugrave '
+    'ucircumflex udieresis dagger degree cent sterling section bullet '
+    'paragraph germandbls registered copyright trademark acute dieresis '
+    'notequal AE Oslash infinity plusminus lessequal greaterequal yen '
+    'mu partialdiff summation product pi integral ordfeminine '
+    'ordmasculine Omega ae oslash questiondown exclamdown logicalnot '
+    'radical florin approxequal Delta guillemotleft guillemotright '
+    'ellipsis Agrave Atilde Otilde OE oe endash emdash '
+    'quotedblleft quotedblright quoteleft quoteright divide lozenge '
+    'ydieresis Ydieresis fraction currency guilsinglleft guilsinglright '
+    'fi fl daggerdbl periodcentered quotesinglbase quotedblbase '
+    'perthousand Acircumflex Ecircumflex Aacute Edieresis Egrave Iacute '
+    'Icircumflex Idieresis Igrave Oacute Ocircumflex apple Ograve Uacute '
+    'Ucircumflex Ugrave dotlessi circumflex tilde macron breve dotaccent '
+    'ring cedilla hungarumlaut ogonek caron').split()
+
+EXTRA_AGL = {
+    'nonbreakingspace': '\u00a0', 'dagger': '\u2020', 'cent': '\u00a2',
+    'sterling': '\u00a3', 'paragraph': '\u00b6',
+    'germandbls': '\u00df', 'acute': '\u00b4', 'dieresis': '\u00a8',
+    'notequal': '\u2260', 'AE': '\u00c6', 'Oslash': '\u00d8',
+    'infinity': '\u221e', 'plusminus': '\u00b1',
+    'lessequal': '\u2264', 'greaterequal': '\u2265', 'yen': '\u00a5',
+    'partialdiff': '\u2202', 'summation': '\u2211',
+    'product': '\u220f', 'integral': '\u222b', 'Omega': '\u03a9',
+    'ae': '\u00e6', 'oslash': '\u00f8', 'questiondown': '\u00bf',
+    'exclamdown': '\u00a1', 'logicalnot': '\u00ac',
+    'radical': '\u221a', 'florin': '\u0192', 'approxequal': '\u2248',
+    'guillemotleft': '\u00ab', 'guillemotright': '\u00bb',
+    'OE': '\u0152', 'oe': '\u0153', 'lozenge': '\u25ca',
+    'ydieresis': '\u00ff', 'Ydieresis': '\u0178',
+    'fraction': '\u2044', 'currency': '\u00a4',
+    'guilsinglleft': '\u2039', 'guilsinglright': '\u203a',
+    'fi': 'fi', 'fl': 'fl', 'daggerdbl': '\u2021',
+    'quotesinglbase': '\u201a', 'quotedblbase': '\u201e',
+    'perthousand': '\u2030', 'Edieresis': '\u00cb',
+    'Egrave': '\u00c8', 'Icircumflex': '\u00ce',
+    'Idieresis': '\u00cf', 'Igrave': '\u00cc', 'apple': '',
+    'Ograve': '\u00d2', 'Ucircumflex': '\u00db', 'Ugrave': '\u00d9',
+    'dotlessi': '\u0131', 'circumflex': '\u02c6', 'tilde': '\u02dc',
+    'macron': '\u00af', 'breve': '\u02d8', 'dotaccent': '\u02d9',
+    'ring': '\u02da', 'hungarumlaut': '\u02dd', 'ogonek': '\u02db',
+    'caron': '\u02c7', 'Aring': '\u00c5', 'Ntilde': '\u00d1',
+    'Odieresis': '\u00d6', 'Udieresis': '\u00c4'.replace('\u00c4','\u00dc'),
+    'Adieresis': '\u00c4', 'aring': '\u00e5',
+    'egrave': '\u00e8', 'edieresis': '\u00eb', 'igrave': '\u00ec',
+    'icircumflex': '\u00ee', 'idieresis': '\u00ef',
+    'ograve': '\u00f2', 'quoteleft': '\u2018', 'quoteright': '\u2019',
+}
+
+def gid_to_unicode(gid, agl):
+    i = gid - 3
+    if 0 <= i < len(MAC_GLYPH_ORDER):
+        nm = MAC_GLYPH_ORDER[i]
+        if nm in agl: return agl[nm]
+        if nm in EXTRA_AGL: return EXTRA_AGL[nm]
+        if len(nm) == 1: return nm
+    return None
