@@ -246,6 +246,10 @@ object Dedup {
       textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // NOTE: the shingle frame feeds four consumers (df counts, prefix
+    // build, both verify sides) and recomputes per branch — measured
+    // FASTER than persisting it (caching the exploded-array frame costs
+    // 2× the recompute in serialization + lost pipelining at sf0.1)
     val base = shingleFrame(docs, idCol, textCol, n, k = 0)
       .withColumn("n_sh", size($"shs"))
     val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
@@ -260,15 +264,22 @@ object Dedup {
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val common = cand
-      .join(sh.select($"id".as("id_a"), $"sg"), "id_a")
-      .join(sh.select($"id".as("id_b"), $"sg"), Seq("id_b", "sg"))
-      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
-    common
-      .join(base.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
-      .join(base.select($"id".as("id_b"), $"n_sh".as("nb")), "id_b")
+    // exact verify WITHOUT shingle-grain shuffles: the candidate set is
+    // prefix-bounded (orders of magnitude below the shingle table), so
+    // join each side's doc-level shingle SET back (doc-grain rows) and
+    // intersect in-row — `shs` is distinct per doc, so
+    // size(array_intersect) IS the common-shingle count. Replaces two
+    // full-shingle-table exchanges + a pair-grain aggregation from the
+    // r7-profiled form (dedup_apply's dominant cost).
+    val sets = base.select($"id", $"shs", $"n_sh")
+    cand
+      .join(sets.select($"id".as("id_a"), $"shs".as("_sa"),
+        $"n_sh".as("na")), "id_a")
+      .join(sets.select($"id".as("id_b"), $"shs".as("_sb"),
+        $"n_sh".as("nb")), "id_b")
+      .withColumn("_c", size(array_intersect($"_sa", $"_sb")))
       .select($"id_a", $"id_b",
-        ($"c" / ($"na" + $"nb" - $"c")).as("jaccard"))
+        ($"_c" / ($"na" + $"nb" - $"_c")).as("jaccard"))
       .filter($"jaccard" >= threshold)
   }
 
