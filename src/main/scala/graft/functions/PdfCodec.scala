@@ -987,7 +987,7 @@ object PdfCodec {
               ctm = matMul(nums.takeRight(6).toArray, ctm)
             case "Do" =>
               xobjs.get(lastName).flatMap(objs.get).foreach { xo =>
-                if (xo.stream.isDefined && xo.dict.contains("/Form")) {
+                if (xo.stream.isDefined && isFormObj(xo.dict)) {
                   val data2 =
                     if (xo.dict.contains("/FlateDecode"))
                       inflate(xo.stream.get)
@@ -1016,6 +1016,17 @@ object PdfCodec {
     * page's /Resources — recursively through Form XObjects, matching
     * pymupdf `page.get_images()` (the F3 image-page skip must fire for
     * form-nested images too). */
+  // anchored /Subtype match: a bare contains("/Image") also matches the
+  // /ProcSet [/PDF /ImageB /ImageC ...] array every form dict carries,
+  // misclassifying Form XObjects as images (and wrongly flipping F3's
+  // has_images on their pages)
+  private val SubtypeImageRe = """/Subtype\s*/Image""".r
+  private val SubtypeFormRe = """/Subtype\s*/Form""".r
+  private def isImageObj(dict: String): Boolean =
+    SubtypeImageRe.findFirstIn(dict).isDefined
+  private def isFormObj(dict: String): Boolean =
+    SubtypeFormRe.findFirstIn(dict).isDefined
+
   private def pageImages(page: PdfObj,
       objs: Map[Int, PdfObj]): Seq[(String, PdfObj)] = {
     def walk(resDict: String, depth: Int): Seq[(String, PdfObj)] = {
@@ -1025,8 +1036,8 @@ object PdfCodec {
       val sub = resDict.substring(xAt)
       FontEntryRe.findAllMatchIn(sub).flatMap { m =>
         objs.get(m.group(2).toInt).toSeq.flatMap { o =>
-          if (o.dict.contains("/Image")) Seq((m.group(1), o))
-          else if (o.dict.contains("/Form"))
+          if (isImageObj(o.dict)) Seq((m.group(1), o))
+          else if (isFormObj(o.dict))
             walk(resourcesOf(o.dict, objs), depth + 1)
           else Nil
         }
