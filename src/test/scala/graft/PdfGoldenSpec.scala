@@ -176,6 +176,32 @@ class PdfGoldenSpec extends SparkSpec {
     } finally { q.unpersist(); () }
   }
 
+  test("mutation fuzz: corrupted real-PDF bytes never throw") {
+    val f = new java.io.File(
+      "/root/reference/pdfs_enem/2023/2023_GB_impresso_D2_CD7.pdf")
+    assume(f.exists(), "reference PDFs not present")
+    val base = java.nio.file.Files.readAllBytes(f.toPath)
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible
+    (1 to 25).foreach { trial =>
+      val b = base.clone()
+      // flip a burst of bytes at a random offset (hits xref, ObjStm
+      // headers, stream payloads, dicts...)
+      val at = rnd.nextInt(b.length - 64)
+      (0 until 1 + rnd.nextInt(64)).foreach { k =>
+        b(at + k) = rnd.nextInt(256).toByte
+      }
+      // contract: degrade (fewer/garbled pages), never throw
+      val pages = graft.functions.PdfCodec.extractPages(b)
+      val images = graft.functions.PdfCodec.extractImages(b)
+      assert(pages != null && images != null, s"trial $trial")
+    }
+    // truncations at every granularity
+    Seq(0, 1, 16, 1024, base.length / 2, base.length - 3).foreach { n =>
+      val b = java.util.Arrays.copyOf(base, n)
+      assert(graft.functions.PdfCodec.extractPages(b) != null)
+    }
+  }
+
   test("ObjStm answer keys parse for every committed GB PDF") {
     assume(new java.io.File("/root/reference/pdfs_enem").isDirectory)
     // every year's GB file stores objects in /ObjStm (2021-2023) or
