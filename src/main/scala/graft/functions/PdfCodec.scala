@@ -856,8 +856,26 @@ object PdfCodec {
           var j = i
           while (j < n && !ws(d(j)) && !delim(d(j))) j += 1
           if (j > i) {
-            nextTok = Tok(2, 0, new String(d, i, j - i, "US-ASCII"), null)
-            i = j
+            val opText = new String(d, i, j - i, "US-ASCII")
+            if (opText == "BI") {
+              // inline image: raw sample bytes follow the ID keyword —
+              // skip to the whitespace-bounded EI so they can't
+              // masquerade as content tokens (string-safe: this runs at
+              // the operator position, never inside a literal). The
+              // reference corpus uses XObject images only; robustness
+              // for arbitrary inputs.
+              var k = j
+              var ei = -1
+              while (k < n - 2 && ei < 0) {
+                if (d(k) == 'E' && d(k + 1) == 'I' && ws(d(k - 1)) &&
+                    (k + 2 >= n || ws(d(k + 2)))) ei = k + 2
+                k += 1
+              }
+              i = if (ei < 0) n else ei
+            } else {
+              nextTok = Tok(2, 0, opText, null)
+              i = j
+            }
           } else i += 1
         }
       }
