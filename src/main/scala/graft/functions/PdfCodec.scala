@@ -30,8 +30,12 @@ import scala.collection.mutable
   *
   * Documented limitations: encrypted PDFs are rejected; glyphs with no
   * ToUnicode/Differences mapping decode as the raw code (simple fonts,
-  * Latin-1-compatible) or U+FFFD-style fallback (unknown /Differences
-  * names), matching MuPDF's observable behavior on the reference files.
+  * Latin-1-compatible); `gNN` subset-glyph names resolve through the
+  * core-font glyph-ID table ([[CoreGidToChar]] — Arial/Helvetica/Times/
+  * Courier families) and otherwise emit U+FFFD, matching MuPDF's
+  * observable behavior on the reference files; custom encodings living
+  * only in an embedded font program (no ToUnicode, no Differences) are
+  * undecodable by design.
   */
 object PdfCodec {
 

@@ -176,6 +176,28 @@ class PdfGoldenSpec extends SparkSpec {
     } finally { q.unpersist(); () }
   }
 
+  test("core-font GID recovery: 2021 subset-font body text decodes") {
+    // pins CoreGidToChar end-to-end: these sentences render entirely
+    // through gNN /Differences names (sparse ToUnicode), including
+    // accents, the fi ligature, and curly quotes
+    val d1 = new java.io.File(
+      "/root/reference/pdfs_enem/2021/2021_PV_impresso_D1_CD1.pdf")
+    assume(d1.exists(), "reference PDFs not present")
+    val t1 = graft.functions.PdfCodec.extractPages(
+      java.nio.file.Files.readAllBytes(d1.toPath))(2).text
+    assert(t1.contains("Back in the ancestral homeland of Michelle Obama"))
+    assert(t1.contains("honorific Miss or"), "fi ligature (g192)")
+    assert(t1.contains("“gal” or “auntie”"), "curly quotes")
+    assert(t1.contains("Disponível em"), "iacute (g118)")
+    val d2 = new java.io.File(
+      "/root/reference/pdfs_enem/2021/2021_PV_impresso_D2_CD7.pdf")
+    val t2 = graft.functions.PdfCodec.extractPages(
+      java.nio.file.Files.readAllBytes(d2.toPath))(3).text
+    assert(t2.contains(
+      "Na cidade de São Paulo, as ilhas de calor são"))
+    assert(t2.contains("região de mananciais"), "atilde + ccedilla")
+  }
+
   test("mutation fuzz: corrupted real-PDF bytes never throw") {
     val f = new java.io.File(
       "/root/reference/pdfs_enem/2023/2023_GB_impresso_D2_CD7.pdf")
