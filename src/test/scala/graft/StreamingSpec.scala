@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.DocIngest
+import graft.streaming.{DocIngest, PdfIngest}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -502,5 +502,43 @@ class StreamingSpec extends SparkSpec {
     assert(got === Array(
       (1L, 1, "A", 100L, 300L),
       (1L, 2, "B", 300L, 500L)))
+  }
+
+  test("streaming PDF-folder ingest extracts the golden records " +
+      "continuously and exactly once") {
+    val src = new java.io.File("/root/reference/pdfs_enem/2023")
+    assume(new java.io.File(src,
+      "2023_PV_impresso_D2_CD7.pdf").exists(), "reference PDFs absent")
+    val in = Files.createTempDirectory("graft_pdf_in").toString
+    val out = Files.createTempDirectory("graft_pdf_out").toString + "/q"
+    val ckpt = Files.createTempDirectory("graft_pdf_ck").toString
+
+    def drop(name: String): Unit = {
+      java.nio.file.Files.copy(
+        new java.io.File(src, name).toPath,
+        java.nio.file.Paths.get(in, name)); ()
+    }
+    // batch 1: booklet + its key arrive together (the folder contract)
+    drop("2023_PV_impresso_D2_CD7.pdf")
+    drop("2023_GB_impresso_D2_CD7.pdf")
+
+    val q = PdfIngest.start(spark, in, out, ckpt,
+      pollInterval = "200 milliseconds")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(out)
+    // the stream's output IS the batch extract: 35 math records with
+    // the golden answers (PdfGoldenSpec pins the byte-level parity)
+    import org.apache.spark.sql.functions.col
+    assert(got.filter(col("subject") === "math").count() === 35L)
+    assert(got.filter(col("subject") === "math" &&
+      col("question_num") === 136).select("correct_answer")
+      .collect()(0).getString(0) === "B")
+    // replaying the same checkpointed batch commits nothing twice
+    val q2 = PdfIngest.start(spark, in, out, ckpt,
+      pollInterval = "200 milliseconds")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out)
+      .filter(col("subject") === "math").count() === 35L)
   }
 }
