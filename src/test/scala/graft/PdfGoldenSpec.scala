@@ -176,6 +176,33 @@ class PdfGoldenSpec extends SparkSpec {
     } finally { q.unpersist(); () }
   }
 
+  test("images mode on real bytes keeps the F3-skipped questions") {
+    assume(available, "reference PDFs not present")
+    val all = graft.sources.PdfSource.pages(spark, pdfDir)
+    val pages = all.filter(col("file_name").contains("PV"))
+    val keyTexts = all
+      .filter(col("file_name").contains("GB") && col("page_idx") === 0)
+      .select(col("file_name"), col("page_text").as("key_text"))
+    val files = pages.select(col("file_name"))
+      .union(keyTexts.select(col("file_name"))).distinct()
+    val pairs = Pairing.pair(files)
+    def mathNums(imagesMode: Boolean): Set[Int] =
+      ExtractPipeline.extract(pages, keyTexts, pairs, imagesMode)
+        .filter(col("subject") === "math")
+        .select(col("question_num")).collect().map(_.getInt(0)).toSet
+    val noImg = mathNums(imagesMode = false)
+    val withImg = mathNums(imagesMode = true)
+    // images mode keeps pages F3 drops: a strict superset, including
+    // questions the golden (no-images) run is missing
+    assert(noImg.subsetOf(withImg),
+      s"images mode lost ${noImg -- withImg}")
+    assert((withImg -- noImg).nonEmpty,
+      "images mode recovered no image-page questions")
+    assert((withImg -- noImg).exists(n => Seq(144, 145, 146, 149,
+      163, 164, 165, 178, 179, 180).contains(n)),
+      s"recovered set ${withImg -- noImg} misses the known image pages")
+  }
+
   test("core-font GID recovery: 2021 subset-font body text decodes") {
     // pins CoreGidToChar end-to-end: these sentences render entirely
     // through gNN /Differences names (sparse ToUnicode), including
