@@ -361,8 +361,22 @@ object PdfCodec {
       else fallback(code)
     private def fallback(code: Int): String =
       if (cb == 2) { if (code == 0) "" else String.valueOf(code.toChar) }
-      else String.valueOf(code.toChar)
+      else if (code >= 0x80 && code <= 0x9F) {
+        // WinAnsiEncoding (CP1252): 0x80-0x9F are typographic glyphs
+        // (dashes, curly quotes, ellipsis), never C1 controls — the
+        // booklets' ion-diagram en-dashes live at 0x96
+        PdfCodec.WinAnsiHigh.getOrElse(code, String.valueOf(code.toChar))
+      } else String.valueOf(code.toChar)
   }
+
+  /** CP1252 0x80-0x9F (WinAnsiEncoding's typographic range). */
+  private val WinAnsiHigh: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„", 0x85 -> "…",
+    0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ", 0x89 -> "‰", 0x8A -> "Š",
+    0x8B -> "‹", 0x8C -> "Œ", 0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’",
+    0x93 -> "“", 0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›", 0x9C -> "œ",
+    0x9E -> "ž", 0x9F -> "Ÿ")
 
   private val DefaultFont =
     new PdfFont(1, null, null, 0, 500.0, null)
@@ -676,9 +690,10 @@ object PdfCodec {
     private val cur = new StringBuilder
     private var lastEndX, lastEndY = 0.0
     private var lastDirX, lastDirY = 0.0
+    private var lastStartX, lastStartY = 0.0
+    private var lastGlyph = ""
     private var lastSize = 0.0
     private var haveLast = false
-    private var wasTab = false
 
     private def newline(): Unit = {
       out += cur.toString
@@ -688,9 +703,20 @@ object PdfCodec {
 
     def show(raw: String, x0: Double, y0: Double, x1: Double, y1: Double,
         dirX: Double, dirY: Double, size: Double): Unit = {
-      val isTab = raw.nonEmpty && raw.forall(_ == '\t')
       val s = raw.replace('\t', ' ')
       if (s.isEmpty) return
+      // overprint dedup (MuPDF stext behavior): the SAME decoded glyph
+      // re-drawn CONSECUTIVELY at the EXACT same origin emits once.
+      // Covers fake-bold double-draw (chart markers `B``B`, ion `⋅``⋅`)
+      // and the tab-glyph + space-glyph overprint ('exatamente ' case).
+      // The epsilon is EXACT equality up to fp noise (1e-4 pt): the
+      // measured overprints sit at 0.0000 offset, while intentional
+      // double-spacing pairs ('voucher,  ' at 0.012, 'proveniente  '
+      // at 0.002) both emit; doubled list markers `A` `A` have a space
+      // glyph between them, so consecutiveness keeps them too.
+      if (haveLast && s == lastGlyph &&
+          math.abs(x0 - lastStartX) < 1e-4 &&
+          math.abs(y0 - lastStartY) < 1e-4) return
       val sz = math.max(math.max(size, lastSize), 1e-6)
       if (cur.nonEmpty && haveLast) {
         val dx = x0 - lastEndX
@@ -703,16 +729,15 @@ object PdfCodec {
         else if (along > sz * SpaceDist) {
           val prevSpace = cur.nonEmpty && cur.charAt(cur.length - 1) == ' '
           if (!prevSpace && !s.startsWith(" ")) cur.append(' ')
-        } else if (along < -0.05 * sz && s.trim.isEmpty && wasTab) {
-          return // real space overprinted on the tab glyph: emit once
         }
       }
       cur.append(s)
       lastEndX = x1; lastEndY = y1
       lastDirX = dirX; lastDirY = dirY
+      lastStartX = x0; lastStartY = y0
+      lastGlyph = s
       lastSize = size
       haveLast = true
-      wasTab = isTab
     }
 
     def finish(): String = {
@@ -911,7 +936,14 @@ object PdfCodec {
     val nums = mutable.ArrayBuffer[Double]()
     var tm: Mat = null
     var tlm: Mat = null
-    val gstack = mutable.Stack[Mat]()
+    // q/Q save/restore the FULL graphics state — the TEXT state (Tc,
+    // Tw, Tz, TL, font, size) included, per the PDF spec. Restoring
+    // only the CTM leaks letterspacing set inside a q..Q scope into
+    // later text (a stale 0.579 Tc letterspaced a whole paragraph of
+    // the 2023 natu booklet before this carried the text params).
+    final case class GState(ctm: Mat, font: PdfFont, size: Double,
+      tc: Double, tw: Double, tz: Double, tl: Double)
+    val gstack = mutable.Stack[GState]()
     var inArray = false
     // TJ array elements: Left = kern number, Right = glyph codes
     val arrItems = mutable.ArrayBuffer[Either[Double, Array[Int]]]()
@@ -1003,8 +1035,13 @@ object PdfCodec {
                 wordSp = nums(nums.length - 2); charSp = nums.last
               }
               setLine(0, -leading); flushShows()
-            case "q" => gstack.push(ctm.clone())
-            case "Q" => if (gstack.nonEmpty) ctm = gstack.pop()
+            case "q" => gstack.push(GState(ctm.clone(), curFont,
+              fontSize, charSp, wordSp, hscale, leading))
+            case "Q" => if (gstack.nonEmpty) {
+              val g = gstack.pop()
+              ctm = g.ctm; curFont = g.font; fontSize = g.size
+              charSp = g.tc; wordSp = g.tw; hscale = g.tz; leading = g.tl
+            }
             case "cm" if nums.length >= 6 =>
               ctm = matMul(nums.takeRight(6).toArray, ctm)
             case "Do" =>

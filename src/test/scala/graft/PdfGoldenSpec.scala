@@ -176,6 +176,36 @@ class PdfGoldenSpec extends SparkSpec {
     } finally { q.unpersist(); () }
   }
 
+  test("TXT-mode golden files reproduce byte-exactly from raw bytes") {
+    // S5 parity from the decoder end: the committed
+    // 2023_{math,natu}_questions.txt are the reference's TXT-mode runs
+    // (template enem_pdf_extractor.py:47, concatenated in question
+    // order) — rebuild them from the raw PDFs and require byte equality
+    assume(available, "reference PDFs not present")
+    val all = graft.sources.PdfSource.pages(spark, pdfDir)
+    val pages = all.filter(col("file_name").contains("PV"))
+    val keyTexts = all
+      .filter(col("file_name").contains("GB") && col("page_idx") === 0)
+      .select(col("file_name"), col("page_text").as("key_text"))
+    val files = pages.select(col("file_name"))
+      .union(keyTexts.select(col("file_name"))).distinct()
+    val q = ExtractPipeline.extract(pages, keyTexts, Pairing.pair(files))
+    val txt = ExtractPipeline.toTxtRecords(q.orderBy(col("question_num")))
+      .select(col("subject"), col("record"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).mkString).toMap
+    Seq("math", "natu").foreach { subject =>
+      val goldenFile = new java.io.File(
+        s"/root/reference/pdf_content_to_files/2023_D2_/" +
+          s"2023_${subject}_questions.txt")
+      assume(goldenFile.exists(), s"$subject golden txt absent")
+      val golden = new String(
+        java.nio.file.Files.readAllBytes(goldenFile.toPath), "UTF-8")
+      assert(txt.getOrElse(subject, "") === golden,
+        s"$subject TXT-mode output differs from the committed golden")
+    }
+  }
+
   test("images mode on real bytes keeps the F3-skipped questions") {
     assume(available, "reference PDFs not present")
     val all = graft.sources.PdfSource.pages(spark, pdfDir)
