@@ -26,7 +26,8 @@ class PdfGoldenSpec extends SparkSpec {
     new java.io.File(s"$pdfDir/2023_PV_impresso_D2_CD7.pdf").exists() &&
       new java.io.File(goldenPath).exists()
 
-  test("35 golden 2023 D2 math records reproduce from raw PDF bytes") {
+  test("all 72 golden 2023 D2 records (math + natu) reproduce from " +
+      "raw PDF bytes") {
     assume(available, "reference PDFs not present")
 
     val all = graft.sources.PdfSource.pages(spark, pdfDir)
@@ -37,39 +38,45 @@ class PdfGoldenSpec extends SparkSpec {
     val files = pages.select(col("file_name"))
       .union(keyTexts.select(col("file_name"))).distinct()
     val pairs = Pairing.pair(files)
+    val extracted = ExtractPipeline.extract(pages, keyTexts, pairs)
+      .persist()
+    try Seq(("math", goldenPath, 35),
+        ("natu", goldenPath.replace("math", "natu"), 37)).foreach {
+      case (subject, path, expected) =>
+        val mine = extracted
+          .filter(col("subject") === subject)
+          .select(col("question_num"), col("question_text"),
+            col("alternatives"), col("correct_answer"), col("id"),
+            col("year"), col("day"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getString(1), r.getSeq[String](2),
+            r.getString(3), r.getString(4), r.getInt(5), r.getString(6))))
+          .toMap
 
-    val mine = ExtractPipeline.extract(pages, keyTexts, pairs)
-      .filter(col("subject") === "math")
-      .select(col("question_num"), col("question_text"),
-        col("alternatives"), col("correct_answer"), col("id"),
-        col("year"), col("day"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getString(1), r.getSeq[String](2),
-        r.getString(3), r.getString(4), r.getInt(5), r.getString(6))))
-      .toMap
+        val golden = spark.read.option("multiLine", "true").json(path)
+          .select(col("question_num").cast("int"), col("question_text"),
+            col("alternatives"), col("correct_answer"), col("ID"),
+            col("year").cast("int"), col("day"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getString(1), r.getSeq[String](2),
+            r.getString(3), r.getString(4), r.getInt(5), r.getString(6))))
+          .toMap
 
-    val golden = spark.read.option("multiLine", "true").json(goldenPath)
-      .select(col("question_num").cast("int"), col("question_text"),
-        col("alternatives"), col("correct_answer"), col("ID"),
-        col("year").cast("int"), col("day"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getString(1), r.getSeq[String](2),
-        r.getString(3), r.getString(4), r.getInt(5), r.getString(6))))
-      .toMap
-
-    assert(golden.size === 35)
-    assert(mine.keySet === golden.keySet,
-      s"question-number sets differ: missing=${golden.keySet -- mine.keySet}" +
-        s" extra=${mine.keySet -- golden.keySet}")
-    golden.foreach { case (num, g) =>
-      val m = mine(num)
-      assert(m._1 === g._1, s"Q$num question_text differs")
-      assert(m._2 === g._2, s"Q$num alternatives differ")
-      assert(m._3 === g._3, s"Q$num correct_answer differs")
-      assert(m._4 === g._4, s"Q$num ID differs")
-      assert(m._5 === g._5, s"Q$num year differs")
-      assert(m._6 === g._6, s"Q$num day differs")
-    }
+        assert(golden.size === expected, s"$subject golden size")
+        assert(mine.keySet === golden.keySet,
+          s"$subject question-number sets differ: " +
+            s"missing=${golden.keySet -- mine.keySet}" +
+            s" extra=${mine.keySet -- golden.keySet}")
+        golden.foreach { case (num, g) =>
+          val m = mine(num)
+          assert(m._1 === g._1, s"$subject Q$num question_text differs")
+          assert(m._2 === g._2, s"$subject Q$num alternatives differ")
+          assert(m._3 === g._3, s"$subject Q$num correct_answer differs")
+          assert(m._4 === g._4, s"$subject Q$num ID differs")
+          assert(m._5 === g._5, s"$subject Q$num year differs")
+          assert(m._6 === g._6, s"$subject Q$num day differs")
+        }
+    } finally { extracted.unpersist(); () }
   }
 
   test("D1 keys: the num/English/Spanish language block parses both " +
