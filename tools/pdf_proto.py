@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Dev-only prototype of the PdfCodec v2 decode algorithm (ObjStm +
 ToUnicode/CID + matrix-tracked line assembly). Used to iterate against the
-reference goldens before porting the exact same logic to Scala
-(graft.functions.PdfCodec). NOT part of the engine."""
+reference goldens before porting the logic to Scala. NOT part of the
+engine, and BEHIND the Scala implementation on late round-8 findings
+(q/Q text-state restore, WinAnsi 0x80-0x9F fallback, exact-origin
+overprint dedup, core-family gating of the GID table) —
+graft.functions.PdfCodec is authoritative."""
 import re, sys, zlib
 
 WS = b' \t\r\n\x00\x0c'
