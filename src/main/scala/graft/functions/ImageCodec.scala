@@ -7,11 +7,13 @@ import java.util.zip.Inflater
   *
   *  - BMP: uncompressed 24/32-bit (BITMAPINFOHEADER) → full pixel decode
   *  - PPM/PGM (P5/P6 binary, maxval ≤ 255) → full pixel decode
-  *  - PNG: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced → full
-  *    pixel decode (zlib via `java.util.zip.Inflater`, per-scanline
-  *    defilter: None/Sub/Up/Average/Paeth)
-  *  - JPEG: dimensions + channel count from the SOF marker (entropy
-  *    decode needs a DCT pipeline — out of scope; metadata only)
+  *  - PNG: 8-bit gray / gray+alpha / RGB / RGBA / palette (PLTE-indexed,
+  *    expanded to RGB), non-interlaced → full pixel decode (zlib via
+  *    `java.util.zip.Inflater`, per-scanline defilter:
+  *    None/Sub/Up/Average/Paeth)
+  *  - JPEG: full pixel decode via the JDK ImageIO reader (baseline +
+  *    progressive; CMYK/YCCK raster fallback with Adobe APP14
+  *    handling); SOF metadata-only degradation for unsupported scans
   *
   * Decoded pixels are row-major, top-down, channel-interleaved unsigned
   * bytes — the batch layout a feature extractor or resize kernel consumes
@@ -148,16 +150,19 @@ object ImageCodec {
     // cap total samples BEFORE allocating so corrupt payloads degrade to
     // None per the decode contract instead of killing the executor.
     if (width.toLong * height > MaxPixels) return None
+    val isPalette = colorType == 3
     val ch = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb
+      case 3 => 1 // palette index per pixel (expanded to RGB below)
       case 4 => 2 // gray + alpha
       case 6 => 4 // rgba
-      case _ => return None // palette needs PLTE handling
+      case _ => return None
     }
     if (bitDepth != 8 || interlace != 0) return None
-    // concatenate IDAT chunk payloads
+    // concatenate IDAT chunk payloads; collect PLTE for palette images
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var pos = 33
     var done = false
     while (!done && pos + 8 <= b.length) {
@@ -165,9 +170,12 @@ object ImageCodec {
       val typ = new String(b, pos + 4, 4, "US-ASCII")
       if (len < 0 || pos + 8L + len + 4 > b.length) return None
       if (typ == "IDAT") idat.write(b, pos + 8, len)
+      if (typ == "PLTE" && len % 3 == 0 && len <= 768)
+        plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
       if (typ == "IEND") done = true
       pos += 8 + len + 4 // chunk + CRC
     }
+    if (isPalette && plte == null) return None
     val stride = width * ch
     val raw = new Array[Byte]((stride + 1) * height)
     val inf = new Inflater()
@@ -212,7 +220,22 @@ object ImageCodec {
       }
       y += 1
     }
-    Some(ImageInfo("png", width, height, ch, Some(out)))
+    if (isPalette) {
+      // expand palette indexes to interleaved RGB (out-of-range index =
+      // corrupt payload -> degrade to None per the decode contract)
+      val n = plte.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < width * height) {
+        val idx = out(i) & 0xff
+        if (idx >= n) return None
+        rgb(i * 3) = plte(idx * 3)
+        rgb(i * 3 + 1) = plte(idx * 3 + 1)
+        rgb(i * 3 + 2) = plte(idx * 3 + 2)
+        i += 1
+      }
+      Some(ImageInfo("png", width, height, 3, Some(rgb)))
+    } else Some(ImageInfo("png", width, height, ch, Some(out)))
   }
 
   // ── JPEG ──────────────────────────────────────────────────────────────

@@ -213,6 +213,28 @@ class ImageCodecSpec extends AnyFunSuite {
       s"0 of ${decoded.size} page JPEGs produced pixels")
   }
 
+  test("palette PNG expands PLTE indexes to RGB") {
+    val (w, h) = (10, 6)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val info = ImageCodec.decode(bos.toByteArray).get
+    assert(info.format === "png")
+    assert((info.width, info.height, info.channels) === ((w, h, 3)))
+    val px = info.pixels.get
+    def rgb(x: Int, y: Int) = {
+      val d = (y * w + x) * 3
+      ((px(d) & 0xff), (px(d + 1) & 0xff), (px(d + 2) & 0xff))
+    }
+    // indexed encoding is lossless: exact colors back
+    assert(rgb(0, 0) === ((0xFF, 0, 0)))
+    assert(rgb(1, 0) === ((0, 0, 0xFF)))
+    assert(rgb(3, 2) === ((0, 0, 0xFF)))
+  }
+
   test("corrupt and non-image payloads return None, never throw") {
     assert(ImageCodec.decode(null).isEmpty)
     assert(ImageCodec.decode("not an image".getBytes).isEmpty)
