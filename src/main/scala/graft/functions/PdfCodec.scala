@@ -54,8 +54,9 @@ object PdfCodec {
   def extractPages(bytes: Array[Byte]): Seq[PdfPage] =
     try {
       val objs = expandObjStm(scanObjects(bytes))
+      val fontCache = mutable.Map[Int, PdfFont]()
       orderedPageObjects(objs).zipWithIndex.map { case (page, idx) =>
-        val text = pageText(page, objs)
+        val text = pageText(page, objs, fontCache)
         val images = pageImages(page, objs)
         PdfPage(idx, text, images.nonEmpty, images.map(_._1))
       }
@@ -598,14 +599,19 @@ object PdfCodec {
 
   private val FontEntryRe = """/([\w.]+)\s+(\d+)\s+\d+\s+R""".r
 
-  /** /Font resources → name → PdfFont. */
-  private def fontDecoders(resDict: String,
-      objs: Map[Int, PdfObj]): Map[String, PdfFont] = {
+  /** /Font resources → name → PdfFont. Decoded fonts are cached per
+    * DOCUMENT by object number (`cache`): fonts are shared across pages
+    * and forms, and re-parsing every ToUnicode CMap per page roughly
+    * doubles whole-booklet decode time. */
+  private def fontDecoders(resDict: String, objs: Map[Int, PdfObj],
+      cache: mutable.Map[Int, PdfFont]): Map[String, PdfFont] = {
     val fdict = nestedDictSlice(resDict, "/Font")
     if (fdict.isEmpty) return Map.empty
     FontEntryRe.findAllMatchIn(fdict).flatMap { m =>
       val name = m.group(1)
-      objs.get(m.group(2).toInt).map { fo =>
+      val ref = m.group(2).toInt
+      cache.get(ref).map(f => Iterator.single(name -> f))
+        .getOrElse(objs.get(ref).iterator.map { fo =>
         val d = fo.dict
         // code width comes from the FONT TYPE (Type0/Identity-H = 2-byte
         // CIDs, simple fonts = 1 byte) — NEVER from the ToUnicode CMap,
@@ -659,8 +665,10 @@ object PdfCodec {
               .map(_.toDouble).toArray
           }
         }
-        name -> new PdfFont(cb, cmap, widths, first, dw, cidw)
-      }
+        val font = new PdfFont(cb, cmap, widths, first, dw, cidw)
+        cache(ref) = font
+        name -> font
+      })
     }.toMap
   }
 
@@ -760,10 +768,11 @@ object PdfCodec {
 
   private val Identity: Mat = Array(1, 0, 0, 1, 0, 0)
 
-  private def pageText(page: PdfObj, objs: Map[Int, PdfObj]): String = {
+  private def pageText(page: PdfObj, objs: Map[Int, PdfObj],
+      fontCache: mutable.Map[Int, PdfFont]): String = {
     val state = new TextAssembler
     runContent(contentBytes(page, objs), resourcesOf(page.dict, objs),
-      objs, state, Identity, 0)
+      objs, state, Identity, 0, fontCache)
     state.finish()
   }
 
@@ -918,10 +927,10 @@ object PdfCodec {
 
   private def runContent(data: Array[Byte], resDict: String,
       objs: Map[Int, PdfObj], state: TextAssembler, ctm0: Mat,
-      depth: Int): Unit = {
+      depth: Int, fontCache: mutable.Map[Int, PdfFont]): Unit = {
     if (depth > 8) return
     var ctm = ctm0
-    val fonts = fontDecoders(resDict, objs)
+    val fonts = fontDecoders(resDict, objs, fontCache)
     val xdict = nestedDictSlice(resDict, "/XObject")
     val xobjs = FontEntryRe.findAllMatchIn(xdict)
       .map(m => m.group(1) -> m.group(2).toInt).toMap
@@ -1059,7 +1068,7 @@ object PdfCodec {
                       if (mv.length == 6) Some(matMul(mv, ctm)) else None
                   }.getOrElse(ctm)
                   runContent(data2, resourcesOf(xo.dict, objs), objs,
-                    state, fctm, depth + 1)
+                    state, fctm, depth + 1, fontCache)
                 }
               }
             case _ => ()
