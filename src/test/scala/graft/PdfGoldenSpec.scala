@@ -138,12 +138,12 @@ class PdfGoldenSpec extends SparkSpec {
         .collect()
         .map(r => (r.getString(0), r.getString(1)) ->
           ((r.getLong(2), r.getLong(3)))).toMap
-      // Both D2 subjects must extract SOME complete records. The 2021
-      // bodies use subset fonts whose 0x20+ codes carry custom
-      // encodings derivable only from the embedded font program (not
-      // ToUnicode/Differences), so many alternative blocks garble and
-      // F4 drops them — the structural pipeline (numbering, pairing,
-      // key join) is what this gate pins, not 2021 text fidelity.
+      // Both D2 subjects must extract SOME complete records. Science
+      // subjects run chart/diagram alternatives whose markers overprint
+      // (fake-bold at one origin) — the doubled-letter parse rejects
+      // them just as the reference's own 2023 natu golden drops its
+      // chart questions (110-113/132-135), so low natu counts are
+      // reference-faithful F4 behavior, not a decode defect.
       bySubject.toSeq.sortBy(_._1).foreach { case (k, (n, a)) =>
         info(s"$k: $n records, $a answered")
       }
