@@ -375,4 +375,56 @@ object ImageCodec {
 
   private def clamp255(v: Double): Int =
     if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  // ── perceptual hash ────────────────────────────────────────────────────
+
+  /** 64-bit difference hash (dHash) over a decoded raster: grayscale →
+    * box-resample to 9×8 → bit (y,x) = gray(y,x) < gray(y,x+1), MSB
+    * first. Near-duplicate images (recompression, slight crops/blur)
+    * land within a few bits of Hamming distance; unrelated images are
+    * ~32 bits apart. None when the image has no materialized pixels
+    * (metadata-only formats) or degenerate dimensions. */
+  def dHash64(info: ImageInfo): Option[Long] = info.pixels match {
+    case Some(px) if info.width > 0 && info.height > 0 =>
+      val (w, h, ch) = (info.width, info.height, info.channels)
+      // 9×8 box-average luma grid; integer bucket edges (i*dim/9) so the
+      // hash is exactly reproducible across platforms — no fp resampling
+      val grid = Array.ofDim[Double](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = math.max((gx + 1) * w / 9, x0 + 1)
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val base = (y * w + x) * ch
+              var c = 0; var s = 0
+              while (c < ch) { s += px(base + c) & 0xff; c += 1 }
+              sum += s / ch; n += 1
+              x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = if (n == 0) 0.0 else sum.toDouble / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        val (y, x) = (i / 8, i % 8)
+        hash = (hash << 1) | (if (grid(y)(x) < grid(y)(x + 1)) 1L else 0L)
+        i += 1
+      }
+      Some(hash)
+    case _ => None
+  }
+
+  /** Decode + hash in one call; None for undecodable/pixel-less payloads. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = decode(bytes).flatMap(dHash64)
 }

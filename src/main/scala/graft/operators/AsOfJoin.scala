@@ -97,6 +97,28 @@ object AsOfJoin {
         payloadCols.map(c => col(s"$prefix$c")): _*)
   }
 
+  /** Tolerance-bounded backward as-of (the pandas `merge_asof(...,
+    * tolerance=)` shape): the latest right row with
+    * left.ts − tolerance <= right.ts <= left.ts. A match older than the
+    * tolerance is nulled out — "the most recent prior quote, but only if
+    * it is fresh enough". Same single-exchange union-window plan as
+    * [[asOfBackward]]; the staleness bound is one post-window projection,
+    * so the cost is identical to the unbounded form. */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String], toleranceSeconds: Long,
+      prefix: String = "asof_"): DataFrame = {
+    require(toleranceSeconds >= 0, "tolerance must be non-negative")
+    val leftCols = left.columns.toSeq
+    val joined =
+      asOfBackward(left, right, keyCol, tsCol, payloadCols, prefix)
+    val fresh = col(s"${prefix}ts").isNotNull &&
+      col(tsCol).cast("double") - col(s"${prefix}ts").cast("double") <=
+        lit(toleranceSeconds.toDouble)
+    joined.select(leftCols.map(col) ++
+      (s"${prefix}ts" +: payloadCols.map(c => s"$prefix$c")).map(c =>
+        when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   /** Nearest-neighbor-in-time join: for each left row, the right row
     * minimizing |right.ts − left.ts| in either direction — the sensor/
     * log-alignment shape ("the reading closest to each observation").

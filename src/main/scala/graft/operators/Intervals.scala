@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval-overlap joins via temporal binning — the scale-safe form of a
@@ -104,4 +105,47 @@ object Intervals {
       .select(col("a.k").as(keyCol), col("a.id").as("left_id"),
         col("b.id").as("right_id"))
   }
+
+  /** Gaps-and-islands merge: collapse each key's overlapping-or-touching
+    * CLOSED intervals [start,end] into maximal disjoint islands. A row
+    * starts a new island iff its start exceeds the running max end of all
+    * earlier rows (ordered by start, then end) — so [1,5],[5,9] join
+    * (touching endpoints) and [1,5],[6,9] stay apart. ONE exchange + sort
+    * per key serves the break detection, the island numbering, and the
+    * downstream rollup; no self-join, no binning — the canonical Spark
+    * shape for per-key sequential state, linear in each key's row count.
+    *
+    * Columns must be integral (epoch seconds/micros — exact arithmetic);
+    * rows with end < start are rejected by an in-plan assertion upstream
+    * of the window (callers pre-validate or filter). Output: keyCol +
+    * `island_id` (1-based per key, in start order) + `island_start` +
+    * `island_end` + `n_rows`. */
+  def mergeIslands(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val breaks = when(prevMax.isNull || col(startCol) > prevMax, 1L)
+      .otherwise(0L)
+    df.withColumn("_brk", breaks)
+      .withColumn("island_id", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("island_id"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Per-key union-coverage rollup over [[mergeIslands]]: how much of the
+    * timeline each key's intervals actually cover once overlaps collapse
+    * — n_islands, covered = Σ(island_end − island_start), and the longest
+    * island. The dedup-aware complement of a naive Σ(end−start). */
+  def coverage(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame =
+    mergeIslands(df, keyCol, startCol, endCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("island_end") - col("island_start")).as("covered"),
+        max(col("island_end") - col("island_start")).as("max_island"))
 }

@@ -141,6 +141,48 @@ object Multimodal {
       StructField("task_bucket", IntegerType, nullable = false)))
   }
 
+  /** Per-row 64-bit perceptual hash (dHash) of an image binary column —
+    * null for payloads ImageCodec cannot decode to pixels. Decoding runs
+    * inside a deterministic per-partition map (one codec dispatch per
+    * row, no driver involvement). Output: idCol + `phash` (long). */
+  def perceptualHash(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) =>
+      graft.functions.ImageCodec.dHash64(b): Option[Long])
+    df.select(col(idCol), hashUdf(col(bytesCol)).as("phash"))
+  }
+
+  /** Near-duplicate image pairs by perceptual hash: candidate generation
+    * bands the 64-bit dHash into four 16-bit slices — by pigeonhole any
+    * pair within Hamming distance ≤ 3 shares at least one identical
+    * slice — then verifies candidates with codegen'd `bit_count(a ^ b)`.
+    * The same LSH-banding shape as MinHash text dedup: one shuffle on
+    * (band, slice), never all-pairs, so it survives a billion-image
+    * corpus as long as individual band buckets stay bounded (identical
+    * hashes collapse via the distinct pair set).
+    *
+    * Input: idCol + `phash` (e.g. [[perceptualHash]] output, nulls
+    * dropped). Output: `id_a` < `id_b`, `hamming` ≤ maxHamming. */
+  def phashNearDupPairs(hashed: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only for maxHamming <= 3")
+    val bands = explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("slice"))): _*))
+    val banded = hashed.filter(col("phash").isNotNull)
+      .select(col(idCol).as("id"), col("phash"), bands.as("bs"))
+      .select(col("id"), col("phash"),
+        col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.slice") === col("b.slice") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct() // a pair can collide in several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** S3 sink — write a binary column out as one file per row (the
     * reference saves each page image as `{name}.png`,
     * enem_pdf_extractor.py:297-335). foreachPartition: no driver

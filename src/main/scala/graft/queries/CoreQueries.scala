@@ -402,6 +402,25 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ── tolerance-bounded as-of: latest prior click, but only if within
+    //    48h of the purchase (pandas merge_asof tolerance= shape) — stale
+    //    matches null out; same single-exchange plan as j_asof ─────────────
+    "j_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOfTolerance(purchases, clicks,
+          "user_id", "ts", Seq("click_value"),
+          toleranceSeconds = 48L * 3600, prefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          round(col("click_click_value"), 4).as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── forward as-of join: NEXT click at-or-after each purchase ──────────
     "j_asof_forward" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -825,6 +844,22 @@ object CoreQueries {
         |SELECT p.event_id, p.user_id,
         |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
         |round(c.click_value, 4) AS click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "j_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |CASE WHEN p.ts - c.ts <= INTERVAL 48 HOUR
+        |  THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+        |CASE WHEN p.ts - c.ts <= INTERVAL 48 HOUR
+        |  THEN round(c.click_value, 4) END AS click_value
         |FROM purch p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,

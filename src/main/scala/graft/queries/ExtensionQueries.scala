@@ -832,6 +832,20 @@ object ExtensionQueries {
         .orderBy(col("l_suppkey"), col("id_a"), col("id_b"))
     }),
 
+    // ── gaps-and-islands union coverage: per-supplier ship intervals
+    //    collapse into maximal disjoint islands (touching endpoints join);
+    //    n_islands / covered / max_island from ONE keyed exchange + sort —
+    //    the dedup-aware "how much timeline is actually covered" rollup ────
+    "a_interval_coverage" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (unix_timestamp(col("l_shipdate")) / 86400).cast("long").as("s"),
+          ((unix_timestamp(col("l_shipdate")) / 86400).cast("long")
+            + col("l_linenumber")).as("e"))
+      graft.operators.Intervals.coverage(li, "l_suppkey", "s", "e")
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ── exact k-NN graph (k=3): every vector's nearest neighbors with
     //    rank — the SemDeDup/graph-dedup building block; all-pairs form,
     //    the labeled verification baseline for knnGraphCells ────────────────
@@ -1135,6 +1149,30 @@ object ExtensionQueries {
         .select(col("doc_id"), col("frame_idx"),
           octet_length(col("frame_bytes")).as("n_bytes"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ── image near-dup by perceptual hash: deterministic 16×16 PGM images
+    //    rendered from doc bytes → real ImageCodec pixel decode → 64-bit
+    //    dHash → 4-band LSH candidates → codegen'd bit_count verify. The
+    //    hash is engine-defined (no SQL oracle); the exact sf0.001 pair
+    //    set is pinned in GoldenValuesSpec, and identical payloads must
+    //    surface as hamming-0 pairs (the exact-dup docs in testdata). ─────
+    "multimodal_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val imgs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          val header = "P5 16 16 255\n".getBytes("US-ASCII")
+          val px = Array.tabulate(256)(i =>
+            if (b.isEmpty) 0.toByte else b(i % b.length))
+          (id, header ++ px)
+        }.toDF("doc_id", "bytes")
+      val hashed = graft.operators.Multimodal
+        .perceptualHash(imgs, "doc_id", "bytes")
+      graft.operators.Multimodal
+        .phashNearDupPairs(hashed, "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1732,6 +1770,31 @@ object ExtensionQueries {
         |FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
         |AND a.item_id < b.item_id AND a.s <= b.e AND b.s <= a.e
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "a_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey, CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS s,
+        |  CAST(epoch(l_shipdate) // 86400 AS BIGINT) + l_linenumber AS e
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_suppkey, s, e,
+        |  max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |g AS (
+        |  SELECT l_suppkey, s, e,
+        |  sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        |  FROM m),
+        |isl AS (
+        |  SELECT l_suppkey, island_id,
+        |  min(s) AS island_start, max(e) AS island_end
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_suppkey, count(*) AS n_islands,
+        |CAST(sum(island_end - island_start) AS BIGINT) AS covered,
+        |max(island_end - island_start) AS max_island
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "knn_graph" ->
       """WITH p AS (

@@ -31,6 +31,34 @@ class AsOfJoinSpec extends SparkSpec {
       103L -> None, 104L -> None))
   }
 
+  test("tolerance as-of: stale matches null out; boundary is inclusive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq((1L, ts(0), 10.0), (1L, ts(10), 11.0), (2L, ts(5), 20.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq(
+      (100L, 1L, ts(12)), // prior at :10, 120 s ago → within 300 s
+      (101L, 1L, ts(15)), // prior at :10, 300 s ago → inclusive boundary
+      (102L, 1L, ts(16)), // prior at :10, 360 s ago → stale, nulled
+      (103L, 2L, ts(1)),  // no prior at all → null
+      (104L, 1L, ts(5)))  // prior at :00, 300 s ago → inclusive boundary
+      .toDF("trade_id", "key", "ts")
+
+    val got = AsOfJoin.asOfTolerance(trades, quotes, "key", "ts",
+        Seq("px"), toleranceSeconds = 300)
+      .select(col("trade_id"), col("asof_px"), col("asof_ts"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+          r.isNullAt(2)))
+      .toMap
+    assert(got === Map(
+      100L -> (Some(11.0), false), 101L -> (Some(11.0), false),
+      102L -> (None, true), 103L -> (None, true),
+      104L -> (Some(10.0), false)))
+  }
+
   test("forward as-of: earliest following row attaches; equal-ts matches " +
     "inclusively; no-follower yields null") {
     import spark.implicits._

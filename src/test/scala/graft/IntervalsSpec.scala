@@ -131,4 +131,29 @@ class IntervalsSpec extends SparkSpec {
       || Option(e2.getCause).exists(_.getMessage.contains("overlapSelfJoin")),
       e2.getMessage)
   }
+
+  test("mergeIslands: touching endpoints join, gaps split, nesting and " +
+    "duplicates collapse; coverage sums only distinct timeline") {
+    import spark.implicits._
+    val iv = Seq(
+      // key 1: [1,5]+[5,9] touch → island [1,9]; [11,12] separate;
+      //        [2,3] nested inside the first island; duplicate [1,5]
+      (1L, 1L, 5L), (1L, 5L, 9L), (1L, 11L, 12L), (1L, 2L, 3L), (1L, 1L, 5L),
+      // key 2: single interval
+      (2L, 100L, 104L))
+      .toDF("k", "s", "e")
+    val islands = Intervals.mergeIslands(iv, "k", "s", "e")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(islands === Array(
+      (1L, 1L, 1L, 9L, 4L), (1L, 2L, 11L, 12L, 1L),
+      (2L, 1L, 100L, 104L, 1L)))
+    val cov = Intervals.coverage(iv, "k", "s", "e")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(cov === Array((1L, 2L, 9L, 8L), (2L, 1L, 4L, 4L)))
+  }
 }

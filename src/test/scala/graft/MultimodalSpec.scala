@@ -119,4 +119,57 @@ class MultimodalSpec extends SparkSpec {
       assert(f.frame_bytes.toSeq === full.frame_bytes.toSeq)
     }
   }
+
+  /** 16×16 grayscale PGM whose pixel (y,x) is f(y*16+x) — a deterministic
+    * image fixture; two fixtures with mostly-equal pixel functions decode
+    * to near-identical rasters and thus near-equal dHashes. */
+  private def pgm16(f: Int => Int): Array[Byte] = {
+    val header = "P5 16 16 255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(256)(i => (f(i) & 0xff).toByte)
+  }
+
+  test("perceptualHash: near-identical images land within Hamming 3, " +
+    "unrelated images far apart, undecodable payloads null") {
+    import spark.implicits._
+    def base(i: Int) = (i * 7 + (i / 16) * 31) % 256
+    val rows = Seq(
+      0L -> pgm16(base),                                 // original
+      1L -> pgm16(i => if (i == 40) base(i) + 4 else base(i)), // 1px nudge
+      2L -> pgm16(i => 255 - base(i)),                   // inverted
+      3L -> "not an image".getBytes("UTF-8"))            // undecodable
+    val hashed = Multimodal.perceptualHash(
+      rows.toDF("id", "bytes"), "id", "bytes")
+    val got = hashed.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(3L) === None)
+    val Seq(h0, h1, h2) = Seq(0L, 1L, 2L).map(got(_).get)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 3)
+    assert(java.lang.Long.bitCount(h0 ^ h2) > 16) // inversion flips the hash
+    // determinism: same bytes → same hash via the bytes-level entry point
+    assert(graft.functions.ImageCodec.dHash64(pgm16(base)) === Some(h0))
+  }
+
+  test("phashNearDupPairs: banded candidates find planted near-dups and " +
+    "nothing else; hamming verified exactly") {
+    import spark.implicits._
+    def base(i: Int) = (i * 11 + (i / 16) * 13) % 256
+    val rows = Seq(
+      0L -> pgm16(base),
+      1L -> pgm16(i => if (i == 100) base(i) + 6 else base(i)), // near-dup of 0
+      2L -> pgm16(i => (i * 97 + 55) % 256),                    // unrelated
+      3L -> pgm16(base))                                        // exact dup of 0
+    val hashed = Multimodal.perceptualHash(
+      rows.toDF("id", "bytes"), "id", "bytes")
+    val pairs = Multimodal.phashNearDupPairs(hashed, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue))
+      .sortBy(p => (p._1, p._2))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((0L, 3L))) // exact dup, hamming 0
+    assert(pairSet.contains((0L, 1L)) && pairSet.contains((1L, 3L)))
+    assert(!pairSet.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated out
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 0L)
+    pairs.foreach(p => assert(p._3 <= 3L))
+  }
 }

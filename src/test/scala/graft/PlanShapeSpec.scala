@@ -62,4 +62,25 @@ class PlanShapeSpec extends SparkSpec {
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, "partial+final HashAggregate pair missing")
   }
+
+  test("multimodal_phash_pairs: banded equi-join, no nested-loop " +
+      "cartesian — the LSH shape holds in the physical plan") {
+    val plan = executedPlan("multimodal_phash_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"phash pair generation fell back to a non-equi join:\n${plan.take(2000)}")
+    assert(plan.contains("Join"), "no join found at all")
+  }
+
+  test("a_interval_coverage: the window's key exchange serves BOTH " +
+      "aggregations — islands and rollup add no shuffle") {
+    val plan = executedPlan("a_interval_coverage")
+    // hashpartitioning(l_suppkey) for the window; rangepartitioning for
+    // the presentation orderBy — the (key, island) and (key) aggregates
+    // must reuse the window's clustering (subset rule), not re-exchange
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"coverage grew an aggregation exchange:\n${plan.take(3000)}")
+    assert(plan.linesIterator.count(_.contains("Window ")) >= 1)
+  }
 }
