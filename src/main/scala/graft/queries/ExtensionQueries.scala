@@ -1127,6 +1127,25 @@ object ExtensionQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── hour-of-week seasonal profile: cross-week seasonality per event
+    //    type (the baseline a seasonal anomaly detector subtracts). Two
+    //    aggs: hourly grain first (map-side combinable — events never
+    //    shuffle at full grain), then the 168-bucket profile; the second
+    //    exchange moves only hour-bucketed rows. ────────────────────────────
+    "events_seasonal_profile" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .select(col("event_type"),
+          ((dayofweek(col("ts")) - 1) * 24 + hour(col("ts"))).as("how"),
+          date_trunc("hour", col("ts")).as("h"))
+        .groupBy(col("event_type"), col("how"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"), col("how"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"),
+          round(sum(col("n")).cast("double") / count(lit(1)), 4)
+            .as("avg_per_hour"))
+        .orderBy(col("event_type"), col("how"))
+    }),
+
     // ── multimodal: opaque binary column + deterministic feature stub ─────
     "multimodal_features" -> ((s, d) => {
       graft.operators.Multimodal
@@ -1158,23 +1177,42 @@ object ExtensionQueries {
     //    set is pinned in GoldenValuesSpec, and identical payloads must
     //    surface as hamming-0 pairs (the exact-dup docs in testdata). ─────
     "multimodal_phash_pairs" -> ((s, d) => {
-      import s.implicits._
-      val imgs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val b = text.getBytes("UTF-8")
-          val header = "P5 16 16 255\n".getBytes("US-ASCII")
-          val px = Array.tabulate(256)(i =>
-            if (b.isEmpty) 0.toByte else b(i % b.length))
-          (id, header ++ px)
-        }.toDF("doc_id", "bytes")
-      val hashed = graft.operators.Multimodal
-        .perceptualHash(imgs, "doc_id", "bytes")
-      graft.operators.Multimodal
-        .phashNearDupPairs(hashed, "doc_id", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val pairs = docPhashPairs(s, d)
+      pairs.orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── image dedup ACTION: phash pairs → connected components → keep the
+    //    smallest id per cluster (the text-LSH apply pattern on the image
+    //    axis; survivors anti-join on ids only). Engine-defined pair set →
+    //    rows-only gate; survivor set pinned at sf0.001 in GoldenValuesSpec.
+    "multimodal_phash_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.dropNearDuplicates(docs, "doc_id",
+          docPhashPairs(s, d).select(col("id_a"), col("id_b")))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Shared by the phash pair and apply queries: deterministic 16×16 PGM
+    * images rendered from doc bytes → real ImageCodec pixel decode →
+    * 64-bit dHash → 4-band LSH candidate pairs (Hamming ≤ 3). */
+  private def docPhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        val header = "P5 16 16 255\n".getBytes("US-ASCII")
+        val px = Array.tabulate(256)(i =>
+          if (b.isEmpty) 0.toByte else b(i % b.length))
+        (id, header ++ px)
+      }.toDF("doc_id", "bytes")
+    val hashed = graft.operators.Multimodal
+      .perceptualHash(imgs, "doc_id", "bytes")
+    graft.operators.Multimodal
+      .phashNearDupPairs(hashed, "doc_id", maxHamming = 3)
+  }
 
   // shared by the pair oracle and the clusters oracle (which closes the
   // same pairs transitively with a recursive CTE)
@@ -2378,6 +2416,17 @@ object ExtensionQueries {
         |min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_seasonal_profile" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |  CAST(dayofweek(ts) * 24 + hour(ts) AS INT) AS how,
+        |  date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, how, count(*) AS n_hours,
+        |CAST(sum(n) AS BIGINT) AS n_events,
+        |round(sum(n)::DOUBLE / count(*), 4) AS avg_per_hour
+        |FROM hourly GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,
