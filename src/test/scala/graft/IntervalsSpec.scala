@@ -156,4 +156,39 @@ class IntervalsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(cov === Array((1L, 2L, 9L, 8L), (2L, 1L, 4L, 4L)))
   }
+
+  test("mergeIslands matches a sequential sweep replay on random data, " +
+    "independent of input partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val iv = Seq.fill(600) {
+      val k = rnd.nextInt(5).toLong
+      val s = rnd.nextInt(200).toLong
+      (k, s, s + rnd.nextInt(12).toLong)
+    }
+    // reference: per-key sequential sweep over (start, end)-sorted rows
+    val expected = iv.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sorted
+      val islands = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // (start, end, nRows)
+      for ((s, e) <- sorted) {
+        if (islands.nonEmpty && s <= islands.last._2) {
+          val (is, ie, n) = islands.last
+          islands(islands.length - 1) = (is, math.max(ie, e), n + 1)
+        } else islands += ((s, e, 1L))
+      }
+      islands.zipWithIndex.map { case ((s, e, n), i) =>
+        (k, (i + 1).toLong, s, e, n)
+      }
+    }.toSeq.sorted
+    for (nPart <- Seq(1, 7)) {
+      val got = Intervals.mergeIslands(
+          iv.toDF("k", "s", "e").repartition(nPart), "k", "s", "e")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSeq.sorted
+      assert(got === expected, s"partitioning $nPart diverged")
+    }
+  }
 }

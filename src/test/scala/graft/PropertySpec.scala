@@ -122,4 +122,48 @@ object GraftProperties extends Properties("graft") {
       val raw = s"QUESTÃO\n${body.mkString(" ")}\nA\nA $a\nB\nB $b\n"
       !Alternatives.parse(raw).standard
     }
+
+  // ── perceptual hash algebra ────────────────────────────────────────────
+  import graft.functions.ImageCodec
+  import graft.functions.ImageCodec.ImageInfo
+
+  /** A 9×8 grayscale raster — one pixel per dHash grid cell, so the
+    * resampler is the identity and properties about the comparator are
+    * exact. */
+  private val raster9x8: Gen[Array[Byte]] =
+    Gen.containerOfN[Array, Int](72, Gen.choose(0, 255))
+      .map(_.map(_.toByte))
+
+  private def info(px: Array[Byte], w: Int = 9, h: Int = 8) =
+    ImageInfo("pgm", w, h, 1, Some(px))
+
+  property("dHash is invariant under uniform brightness shift " +
+    "(no clipping)") = forAll(raster9x8, Gen.choose(1, 40)) { (px, c) =>
+    // compress into [0, 215] first so +c never clips
+    val base = px.map(b => ((b & 0xff) * 215 / 255).toByte)
+    val shifted = base.map(b => ((b & 0xff) + c).toByte)
+    ImageCodec.dHash64(info(base)) == ImageCodec.dHash64(info(shifted))
+  }
+
+  property("dHash is invariant under 2x pixel replication (the integer-" +
+    "bucket resampler is scale-exact)") = forAll(raster9x8) { px =>
+    val up = Array.ofDim[Byte](18 * 16)
+    for (y <- 0 until 16; x <- 0 until 18)
+      up(y * 18 + x) = px((y / 2) * 9 + (x / 2))
+    ImageCodec.dHash64(info(px)) == ImageCodec.dHash64(info(up, 18, 16))
+  }
+
+  property("dHash of the inverted image is the complement when no " +
+    "adjacent cells tie") = forAll(raster9x8) { px =>
+    val vals = px.map(_ & 0xff)
+    val noTies = (0 until 8).forall(y => (0 until 8).forall(x =>
+      vals(y * 9 + x) != vals(y * 9 + x + 1)))
+    val inv = px.map(b => (255 - (b & 0xff)).toByte)
+    lazy val complement =
+      (ImageCodec.dHash64(info(px)), ImageCodec.dHash64(info(inv))) match {
+        case (Some(h), Some(hi)) => hi == ~h
+        case _ => false
+      }
+    !noTies || complement
+  }
 }
