@@ -80,7 +80,12 @@ object GraftExtensions {
         info("jaro_winkler",
           "jaro_winkler(a, b) - Jaro-Winkler similarity (UTF-8 byte " +
             "grain, boost >0.7, prefix cap 4; DuckDB-compatible)"),
-        (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))))
+        (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))),
+      (FunctionIdentifier("dhash64"),
+        info("dhash64",
+          "dhash64(bytes) - 64-bit perceptual difference hash of an " +
+            "image BINARY column (NULL when undecodable)"),
+        (args: Seq[Expression]) => graft.functions.DHash64Expr(args(0))))
 
   /** Register on an already-running session (idempotent): SQL functions
     * into the registry, planner strategies into

@@ -427,4 +427,64 @@ object ImageCodec {
 
   /** Decode + hash in one call; None for undecodable/pixel-less payloads. */
   def dHash64(bytes: Array[Byte]): Option[Long] = decode(bytes).flatMap(dHash64)
+
+  /** Boxed-null form for the codegen path ([[DHash64Expr]]): one static
+    * call per row, null = undecodable. */
+  def dHash64OrNull(bytes: Array[Byte]): java.lang.Long =
+    dHash64(bytes).map(java.lang.Long.valueOf).orNull
+
+  // ── resize ─────────────────────────────────────────────────────────────
+
+  /** Box-average resample to `ow`×`oh`, preserving channel count — the
+    * same integer-bucket-edge scheme as [[dHash64]]'s grid (pixel (gy,gx)
+    * averages source rows [gy·h/oh, (gy+1)·h/oh) × cols [gx·w/ow,
+    * (gx+1)·w/ow), each bucket at least one source pixel), so results are
+    * exactly reproducible across platforms and an n× pixel replication
+    * resizes back to the original raster bit-exactly. None for inputs
+    * without materialized pixels or non-positive targets. */
+  def resize(info: ImageInfo, ow: Int, oh: Int): Option[ImageInfo] =
+    info.pixels match {
+      case Some(px) if ow > 0 && oh > 0 && info.width > 0 && info.height > 0 =>
+        val (w, h, ch) = (info.width, info.height, info.channels)
+        val out = new Array[Byte](ow * oh * ch)
+        var gy = 0
+        while (gy < oh) {
+          val y0 = gy * h / oh; val y1 = math.max((gy + 1) * h / oh, y0 + 1)
+          var gx = 0
+          while (gx < ow) {
+            val x0 = gx * w / ow; val x1 = math.max((gx + 1) * w / ow, x0 + 1)
+            var c = 0
+            while (c < ch) {
+              var sum = 0L; var n = 0
+              var y = y0
+              while (y < math.min(y1, h)) {
+                var x = x0
+                while (x < math.min(x1, w)) {
+                  sum += px((y * w + x) * ch + c) & 0xff; n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              out((gy * ow + gx) * ch + c) =
+                (if (n == 0) 0 else (sum / n).toInt).toByte
+              c += 1
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        Some(ImageInfo(info.format, ow, oh, ch, Some(out)))
+      case _ => None
+    }
+
+  /** Serialize a decoded raster as a binary PNM payload (P5 for 1
+    * channel, P6 for 3) — the round-trippable re-encode for resize
+    * pipelines; None for channel counts PNM cannot carry. */
+  def encodePnm(info: ImageInfo): Option[Array[Byte]] = info.pixels match {
+    case Some(px) if info.channels == 1 || info.channels == 3 =>
+      val magic = if (info.channels == 1) "P5" else "P6"
+      Some(s"$magic ${info.width} ${info.height} 255\n"
+        .getBytes("US-ASCII") ++ px)
+    case _ => None
+  }
 }

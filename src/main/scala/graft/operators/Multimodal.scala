@@ -142,13 +142,33 @@ object Multimodal {
   }
 
   /** Per-row 64-bit perceptual hash (dHash) of an image binary column —
-    * null for payloads ImageCodec cannot decode to pixels. Decoding runs
-    * inside a deterministic per-partition map (one codec dispatch per
-    * row, no driver involvement). Output: idCol + `phash` (long). */
-  def perceptualHash(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
-    val hashUdf = udf((b: Array[Byte]) =>
-      graft.functions.ImageCodec.dHash64(b): Option[Long])
-    df.select(col(idCol), hashUdf(col(bytesCol)).as("phash"))
+    * null for payloads ImageCodec cannot decode to pixels. The hash is a
+    * native codegen expression ([[graft.functions.DHash64Expr]] — one
+    * static codec call per row inside whole-stage codegen, no UDF
+    * ser/de), so the projection fuses with up/downstream operators.
+    * Output: idCol + `phash` (long). */
+  def perceptualHash(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.DHash64Expr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(bytesCol))))
+        .as("phash"))
+
+  /** Thumbnail/normalize transform over an image binary column: decode →
+    * box-resample to `w`×`h` ([[graft.functions.ImageCodec.resize]]) →
+    * re-encode as binary PNM. The standard pre-embedding normalization
+    * step of a multimodal training pipeline, run as a deterministic
+    * per-partition map (one codec dispatch per row, no driver
+    * involvement); undecodable payloads yield null rather than failing
+    * the task. Output: idCol + `resized` (binary, nullable). */
+  def resizeImages(df: DataFrame, idCol: String, bytesCol: String,
+      w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    val resizeUdf = udf((b: Array[Byte]) =>
+      graft.functions.ImageCodec.decode(b)
+        .flatMap(graft.functions.ImageCodec.resize(_, w, h))
+        .flatMap(graft.functions.ImageCodec.encodePnm): Option[Array[Byte]])
+    df.select(col(idCol), resizeUdf(col(bytesCol)).as("resized"))
   }
 
   /** Near-duplicate image pairs by perceptual hash: candidate generation

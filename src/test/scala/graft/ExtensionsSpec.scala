@@ -96,4 +96,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0)
     assert(r.isNullAt(3))
   }
+
+  test("SQL dhash64 matches the kernel; undecodable and null payloads " +
+    "are NULL (null-producing codegen path)") {
+    import spark.implicits._
+    val pgm = ("P5 16 16 255\n".getBytes("US-ASCII") ++
+      Array.tabulate(256)(i => ((i * 7 + (i / 16) * 31) % 256).toByte))
+    Seq((1L, pgm), (2L, "not an image".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes").createOrReplaceTempView("imgs")
+    val rows = spark.sql(
+      "SELECT id, dhash64(bytes) AS h FROM imgs ORDER BY id").collect()
+    val expected = graft.functions.ImageCodec.dHash64(pgm).get
+    assert(rows(0).getLong(1) === expected)
+    assert(rows(1).isNullAt(1)) // undecodable non-null input → null OUTPUT
+    assert(rows(2).isNullAt(1)) // null input short-circuits
+  }
 }

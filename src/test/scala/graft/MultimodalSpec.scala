@@ -150,6 +150,31 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.ImageCodec.dHash64(pgm16(base)) === Some(h0))
   }
 
+  test("resizeImages: downscale of a 2x-replicated image recovers the " +
+    "base raster bit-exactly; undecodable payloads null; dims honored") {
+    import spark.implicits._
+    def base(i: Int) = (i * 7 + (i / 16) * 31) % 256
+    val b16 = pgm16(base)
+    // 32×32 upscale by pixel replication of the same 16×16 raster
+    val up = ("P5 32 32 255\n".getBytes("US-ASCII") ++
+      Array.tabulate(1024) { i =>
+        val (y, x) = (i / 32, i % 32)
+        (base((y / 2) * 16 + x / 2) & 0xff).toByte
+      })
+    val rows = Seq(1L -> up, 2L -> "junk".getBytes("UTF-8"))
+    val got = Multimodal.resizeImages(
+        rows.toDF("id", "bytes"), "id", "bytes", w = 16, h = 16)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getAs[Array[Byte]](1))))
+      .toMap
+    assert(got(2L) === None)
+    assert(got(1L).get.toSeq === b16.toSeq) // bit-exact round trip
+    val redecoded = graft.functions.ImageCodec.decode(got(1L).get).get
+    assert(redecoded.width === 16 && redecoded.height === 16 &&
+      redecoded.channels === 1)
+  }
+
   test("phashNearDupPairs: banded candidates find planted near-dups and " +
     "nothing else; hamming verified exactly") {
     import spark.implicits._
