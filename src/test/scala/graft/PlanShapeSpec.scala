@@ -70,6 +70,11 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"phash pair generation fell back to a non-equi join:\n${plan.take(2000)}")
     assert(plan.contains("Join"), "no join found at all")
+    // the hash is the NATIVE expression, not a UDF wrapper — dhash64
+    // appears in a projection and no ScalaUDF/BatchEval node exists
+    assert(plan.contains("dhash64"), "native dhash64 expression missing")
+    assert(!plan.contains("UDF"),
+      s"phash regressed to a UDF:\n${plan.take(2000)}")
   }
 
   test("a_interval_coverage: the window's key exchange serves BOTH " +
