@@ -198,6 +198,73 @@ object TextAnalysis {
         "stopword_ratio", "quality")
   }
 
+  /** The Gopher quality-rule battery (Rae et al. 2021, table A1 — the
+    * standard pretraining curation gate): per-document attribution of all
+    * seven rules plus the conjunction verdict, entirely in codegen'd
+    * built-ins (split + higher-order array functions) — ONE projection,
+    * no shuffle, the text column never leaves its scan partition.
+    *
+    * Rules: 50 ≤ n_words ≤ 100000; 3 ≤ mean_word_len ≤ 10; symbol-to-
+    * word ratio ('#' chars + '...' runs) < 0.1; < 90% of lines bullet-
+    * started; < 30% of lines ellipsis-ended; > 80% of words contain an
+    * alphabetic char; ≥ 2 distinct core stopwords present. Ratio columns
+    * round(…, 4); zero-word docs emit null ratios and fail the verdict
+    * through the word-count rule. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > lit(0))
+    val lines = filter(split(col(textCol), "\n"),
+      l => length(trim(l)) > lit(0))
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    val base = docs.select(col(idCol),
+      size(words).as("n_words"),
+      aggregate(transform(words, w => length(w)), lit(0L),
+        (acc, x) => acc + x).as("_wlen"),
+      (length(col(textCol)) -
+        length(replace(col(textCol), lit("#"), lit("")))).as("_hash_c"),
+      ((length(col(textCol)) -
+        length(replace(col(textCol), lit("..."), lit("")))) / 3)
+        .cast("long").as("_ell_c"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l => ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+        .as("_bullet_c"),
+      size(filter(lines, l => rtrim(l).endsWith("...") ||
+        rtrim(l).endsWith("…"))).as("_ellend_c"),
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).as("_alpha_c"),
+      size(array_intersect(
+        array_distinct(transform(words, w => lower(w))), stops))
+        .as("stopword_hits"))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den, 4))
+    base.select(col(idCol), col("n_words"),
+        ratio(col("_wlen"), col("n_words")).as("mean_word_len"),
+        ratio(col("_hash_c") + col("_ell_c"), col("n_words"))
+          .as("symbol_ratio"),
+        ratio(col("_bullet_c"), col("n_lines")).as("bullet_frac"),
+        ratio(col("_ellend_c"), col("n_lines")).as("ellipsis_frac"),
+        ratio(col("_alpha_c"), col("n_words")).as("alpha_frac"),
+        col("stopword_hits"))
+      .withColumn("r_words",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_word_len", coalesce(
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0,
+        lit(false)))
+      .withColumn("r_symbol",
+        coalesce(col("symbol_ratio") < 0.1, lit(false)))
+      .withColumn("r_bullet",
+        coalesce(col("bullet_frac") < 0.9, lit(true)))
+      .withColumn("r_ellipsis",
+        coalesce(col("ellipsis_frac") < 0.3, lit(true)))
+      .withColumn("r_alpha",
+        coalesce(col("alpha_frac") > 0.8, lit(false)))
+      .withColumn("r_stopwords", col("stopword_hits") >= 2)
+      .withColumn("verdict",
+        col("r_words") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopwords"))
+  }
+
   private val subwordPattern =
     java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
 

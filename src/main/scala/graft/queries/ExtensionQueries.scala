@@ -463,6 +463,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the Gopher quality-rule battery (Rae et al. 2021): all seven
+    //    rules attributed per doc + conjunction verdict, pure codegen'd
+    //    built-ins, one projection, no shuffle ──────────────────────────────
+    "docs_gopher_rules" -> ((s, d) => {
+      TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── text analysis: content fingerprints (md5/sha256 oracle-checked) ───
     "docs_fingerprint" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -2363,6 +2371,63 @@ object ExtensionQueries {
          |     WHEN total > 0 AND s_zh = b THEN 'zh'
          |     ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin,
+
+    "docs_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |  [x FOR x IN string_split_regex(text, '\s+') IF len(x) > 0]
+        |    AS ws,
+        |  [l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0]
+        |    AS ls,
+        |  length(text) - length(replace(text, '#', '')) AS hash_c,
+        |  (length(text) - length(replace(text, '...', ''))) // 3 AS ell_c
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  CAST(list_sum([len(x) FOR x IN ws]) AS BIGINT) AS wlen,
+        |  hash_c + ell_c AS sym_c,
+        |  len(ls) AS n_lines,
+        |  len([l FOR l IN ls IF starts_with(ltrim(l), '-')
+        |    OR starts_with(ltrim(l), '*')
+        |    OR starts_with(ltrim(l), '•')]) AS bullet_c,
+        |  len([l FOR l IN ls IF ends_with(rtrim(l), '...')
+        |    OR ends_with(rtrim(l), '…')]) AS ellend_c,
+        |  len([x FOR x IN ws IF regexp_matches(x, '[a-zA-Z]')]) AS alpha_c,
+        |  CAST(len(list_intersect(list_distinct([lower(x) FOR x IN ws]),
+        |    ['the','be','to','of','and','that','have','with'])) AS INT)
+        |    AS stopword_hits
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0
+        |    THEN round(wlen::DOUBLE / n_words, 4) END AS mean_word_len,
+        |  CASE WHEN n_words > 0
+        |    THEN round(sym_c::DOUBLE / n_words, 4) END AS symbol_ratio,
+        |  CASE WHEN n_lines > 0
+        |    THEN round(bullet_c::DOUBLE / n_lines, 4) END AS bullet_frac,
+        |  CASE WHEN n_lines > 0
+        |    THEN round(ellend_c::DOUBLE / n_lines, 4) END AS ellipsis_frac,
+        |  CASE WHEN n_words > 0
+        |    THEN round(alpha_c::DOUBLE / n_words, 4) END AS alpha_frac,
+        |  stopword_hits FROM c)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |ellipsis_frac, alpha_frac, stopword_hits,
+        |n_words BETWEEN 50 AND 100000 AS r_words,
+        |coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false) AS r_word_len,
+        |coalesce(symbol_ratio < 0.1, false) AS r_symbol,
+        |coalesce(bullet_frac < 0.9, true) AS r_bullet,
+        |coalesce(ellipsis_frac < 0.3, true) AS r_ellipsis,
+        |coalesce(alpha_frac > 0.8, false) AS r_alpha,
+        |stopword_hits >= 2 AS r_stopwords,
+        |(n_words BETWEEN 50 AND 100000)
+        |  AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+        |  AND coalesce(symbol_ratio < 0.1, false)
+        |  AND coalesce(bullet_frac < 0.9, true)
+        |  AND coalesce(ellipsis_frac < 0.3, true)
+        |  AND coalesce(alpha_frac > 0.8, false)
+        |  AND stopword_hits >= 2 AS verdict
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "docs_quality" ->
       """WITH f AS (

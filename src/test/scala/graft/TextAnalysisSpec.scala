@@ -284,4 +284,49 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(repart === got.map { case (k, v) => k -> v._3 })
   }
+
+  test("gopherRules: per-rule attribution on hand-built boundary docs") {
+    import spark.implicits._
+    // 1: clean doc — 52 words with stopwords, passes everything
+    val clean = ("the quick brown fox jumps over and rests with care " +
+      Seq.tabulate(42)(i => s"word$i").mkString(" "))
+    // 2: bullet-heavy — every line bullet-started (fails r_bullet);
+    //    words padded past 50 so only the bullet rule fails... but
+    //    bullets also sink stopwords/alpha? keep words normal.
+    val bullets = Seq.tabulate(10)(i =>
+      s"- the item$i and that have with of to be more line").mkString("\n")
+    // 3: symbol-heavy — '#' per word pushes symbol ratio over 0.1
+    val symbols = ("the and that have with " +
+      Seq.tabulate(50)(i => s"#tag$i").mkString(" "))
+    // 4: too short
+    val short = "the and that"
+    // 5: empty
+    val empty = ""
+    val docs = Seq((1L, clean), (2L, bullets), (3L, symbols), (4L, short),
+      (5L, empty)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val clean1 = got(1L)
+    assert(clean1.getAs[Boolean]("verdict"),
+      s"clean doc failed: $clean1")
+    assert(clean1.getAs[Int]("n_words") === 52)
+
+    val b = got(2L)
+    assert(!b.getAs[Boolean]("r_bullet") && !b.getAs[Boolean]("verdict"))
+    assert(b.getAs[Double]("bullet_frac") === 1.0)
+    assert(b.getAs[Boolean]("r_stopwords")) // stopwords still present
+
+    val sy = got(3L)
+    assert(!sy.getAs[Boolean]("r_symbol") && !sy.getAs[Boolean]("verdict"))
+    assert(sy.getAs[Double]("symbol_ratio") >= 0.1)
+
+    val sh = got(4L)
+    assert(!sh.getAs[Boolean]("r_words") && !sh.getAs[Boolean]("verdict"))
+
+    val e = got(5L)
+    assert(e.getAs[Int]("n_words") === 0)
+    assert(e.isNullAt(e.fieldIndex("mean_word_len")))
+    assert(!e.getAs[Boolean]("verdict"))
+  }
 }
