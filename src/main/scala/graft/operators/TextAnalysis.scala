@@ -265,6 +265,42 @@ object TextAnalysis {
           col("r_stopwords"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the other
+    * canonical curation gate, line-grain where Gopher is doc-grain):
+    * keep lines that end in terminal punctuation AND have ≥ `minLineWords`
+    * words; then drop the whole page when it mentions "lorem ipsum",
+    * contains a curly brace (code leakage), or retains fewer than
+    * `minSentences` sentences (terminal-punct marks in the kept text).
+    * Same execution shape as [[gopherRules]]: codegen'd built-ins, one
+    * projection, no shuffle. Output: doc_id + n_lines + n_kept +
+    * kept_md5 (hash of the newline-joined kept text — pins the exact
+    * transform, null when nothing kept) + drop_reason (null = page
+    * survives; else 'lorem_ipsum' | 'curly_brace' | 'too_few_sentences'
+    * — first match in that order). */
+  def c4LineClean(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keep = (l: Column) => {
+      val r = rtrim(l)
+      (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") ||
+        r.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), w => length(w) > lit(0))) >=
+          lit(minLineWords)
+    }
+    val keptArr = filter(lines, keep)
+    val keptText = array_join(keptArr, "\n")
+    val sentences = length(keptText) -
+      length(translate(keptText, ".!?", ""))
+    docs.select(col(idCol),
+        size(lines).as("n_lines"), size(keptArr).as("n_kept"),
+        when(size(keptArr) > 0, md5(keptText)).as("kept_md5"),
+        when(contains(lower(col(textCol)), lit("lorem ipsum")),
+            lit("lorem_ipsum"))
+          .when(contains(col(textCol), lit("{")), lit("curly_brace"))
+          .when(sentences < minSentences, lit("too_few_sentences"))
+          .as("drop_reason"))
+  }
+
   private val subwordPattern =
     java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
 

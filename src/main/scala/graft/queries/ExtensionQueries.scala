@@ -471,6 +471,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── C4 line-level cleaning (Raffel et al. 2020): terminal-punct +
+    //    min-words line keep, lorem/brace/sentence-count page drop; the
+    //    kept text pinned by md5 — full-value oracle. The raw synthetic
+    //    docs are single-line and unpunctuated (every line would drop),
+    //    so the query first rebuilds sentence-structured pages
+    //    DETERMINISTICALLY (16-word lines, every 3rd unpunctuated,
+    //    lorem/brace markers on doc_id moduli) — identically in the
+    //    oracle — so all four outcomes are exercised. ───────────────────────
+    "docs_c4_clean" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val starts = sequence(lit(1), greatest(size(ws), lit(1)), lit(16))
+      val lines = transform(starts, i =>
+        concat(array_join(slice(ws, i, lit(16)), " "),
+          when(pmod(((i - 1) / 16).cast("int"), lit(3)) === 2, lit(""))
+            .otherwise(lit("."))))
+      val rebuilt = concat(array_join(lines, "\n"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("\nmore lorem ipsum filler.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("\nconfig { value }")).otherwise(lit("")))
+      val pages = t(s, d, "documents")
+        .select(col("doc_id"), rebuilt.as("text"))
+      TextAnalysis.c4LineClean(pages, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── text analysis: content fingerprints (md5/sha256 oracle-checked) ───
     "docs_fingerprint" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -2371,6 +2397,50 @@ object ExtensionQueries {
          |     WHEN total > 0 AND s_zh = b THEN 'zh'
          |     ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin,
+
+    "docs_c4_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |reb AS (
+        |  SELECT doc_id,
+        |  [array_to_string(ws[i:i+15], ' ') ||
+        |    (CASE WHEN ((i-1)//16) % 3 = 2 THEN '' ELSE '.' END)
+        |   FOR i IN range(1, greatest(len(ws), 1) + 1, 16)] AS lines
+        |  FROM raw),
+        |page AS (
+        |  SELECT doc_id,
+        |  list_aggregate(lines, 'string_agg', chr(10))
+        |  || (CASE WHEN doc_id % 13 = 0
+        |      THEN chr(10) || 'more lorem ipsum filler.' ELSE '' END)
+        |  || (CASE WHEN doc_id % 17 = 0
+        |      THEN chr(10) || 'config { value }' ELSE '' END) AS text
+        |  FROM reb),
+        |base AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls, text
+        |  FROM page),
+        |k AS (
+        |  SELECT doc_id, ls, text,
+        |  [l FOR l IN ls IF
+        |    (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+        |      OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+        |    AND len([x FOR x IN string_split_regex(l, '\s+')
+        |      IF len(x) > 0]) >= 5] AS kept
+        |  FROM base),
+        |j AS (
+        |  SELECT doc_id, ls, text, kept,
+        |  list_aggregate(kept, 'string_agg', chr(10)) AS kt
+        |  FROM k)
+        |SELECT doc_id,
+        |CAST(len(ls) AS INT) AS n_lines,
+        |CAST(len(kept) AS INT) AS n_kept,
+        |CASE WHEN len(kept) > 0 THEN md5(kt) END AS kept_md5,
+        |CASE
+        |  WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+        |  WHEN contains(text, '{') THEN 'curly_brace'
+        |  WHEN coalesce(length(kt) - length(translate(kt, '.!?', '')), 0)
+        |    < 3 THEN 'too_few_sentences'
+        |END AS drop_reason
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "docs_gopher_rules" ->
       """WITH w AS (

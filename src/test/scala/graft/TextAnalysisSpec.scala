@@ -285,6 +285,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(repart === got.map { case (k, v) => k -> v._3 })
   }
 
+  test("c4LineClean: line keep rules, page-drop precedence, md5 pins " +
+    "the exact kept text") {
+    import spark.implicits._
+    val good = "this line has enough words here.\n" +
+      "short one.\n" +                       // < 5 words → dropped
+      "no terminal punctuation on this line\n" + // no punct → dropped
+      "another full sentence with five words!\n" +
+      "a third full sentence keeps page alive."
+    val lorem = "Lorem Ipsum dolor sit amet consectetur." // case-folded match
+    val brace = "some code { return 1; } follows here.\n" +
+      "plus a normal sentence with words.\n" +
+      "and another one right after that.\n" +
+      "and one more to pass three."
+    val sparse = "only one good sentence lives here.\nrest\nis\nnoise"
+    val docs = Seq((1L, good), (2L, lorem), (3L, brace), (4L, sparse))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineClean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val g = got(1L)
+    assert(g.getAs[Int]("n_lines") === 5 && g.getAs[Int]("n_kept") === 3)
+    assert(g.isNullAt(g.fieldIndex("drop_reason")))
+    val keptText = "this line has enough words here.\n" +
+      "another full sentence with five words!\n" +
+      "a third full sentence keeps page alive."
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(keptText.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(g.getAs[String]("kept_md5") === md5)
+
+    assert(got(2L).getAs[String]("drop_reason") === "lorem_ipsum")
+    // brace wins over sentence-count by precedence; kept lines exist
+    assert(got(3L).getAs[String]("drop_reason") === "curly_brace")
+    assert(got(4L).getAs[String]("drop_reason") === "too_few_sentences")
+    assert(got(4L).getAs[Int]("n_kept") === 1)
+  }
+
   test("gopherRules: per-rule attribution on hand-built boundary docs") {
     import spark.implicits._
     // 1: clean doc — 52 words with stopwords, passes everything
