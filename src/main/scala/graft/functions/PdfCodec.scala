@@ -50,13 +50,17 @@ object PdfCodec {
   // ── public API ────────────────────────────────────────────────────────
 
   /** All pages in page-tree order with extracted text + image flags.
-    * Returns Nil (never throws) for bytes this parser cannot handle. */
-  def extractPages(bytes: Array[Byte]): Seq[PdfPage] =
+    * Returns Nil (never throws) for bytes this parser cannot handle.
+    * `withText = false` skips content-stream + font decoding entirely
+    * (the dominant per-page cost) and emits empty text — the projection-
+    * pruned path of [[graft.sources.v2.PdfDataSource]]. */
+  def extractPages(bytes: Array[Byte],
+      withText: Boolean = true): Seq[PdfPage] =
     try {
       val objs = expandObjStm(scanObjects(bytes))
       val fontCache = mutable.Map[Int, PdfFont]()
       orderedPageObjects(objs).zipWithIndex.map { case (page, idx) =>
-        val text = pageText(page, objs, fontCache)
+        val text = if (withText) pageText(page, objs, fontCache) else ""
         val images = pageImages(page, objs)
         PdfPage(idx, text, images.nonEmpty, images.map(_._1))
       }
