@@ -82,26 +82,61 @@ private[v2] class PdfTable(tablePath: Option[String])
 }
 
 private[v2] class PdfScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
+
   private var required: StructType = PdfDataSource.schema
+  private var fileFilters: Seq[Filter] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = PdfScan(path, required)
+  /** `file_name` predicates prune the DRIVER-SIDE LISTING — a filtered
+    * scan never even stats the excluded files, the file-level analogue
+    * of parquet partition pruning. Everything else stays a post-scan
+    * filter (returned back to Spark untouched). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushable, rest) = filters.partition {
+      case EqualTo("file_name", _: String) => true
+      case In("file_name", vs) => vs.forall(_.isInstanceOf[String])
+      case StringStartsWith("file_name", _) => true
+      case _ => false
+    }
+    fileFilters = pushable.toSeq
+    rest // Spark re-applies these after the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = fileFilters.toArray
+
+  override def build(): Scan = PdfScan(path, required, fileFilters)
 }
 
-private[v2] case class PdfScan(path: String, required: StructType)
+private[v2] case class PdfScan(path: String, required: StructType,
+    fileFilters: Seq[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
+  import org.apache.spark.sql.sources.{EqualTo, In, StringStartsWith}
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-pdf $path cols=[${required.fieldNames.mkString(",")}]"
+    s"graft-pdf $path cols=[${required.fieldNames.mkString(",")}]" +
+      (if (fileFilters.nonEmpty) s" pushed=[${fileFilters.mkString(",")}]"
+       else "")
+
+  private def nameMatches(name: String): Boolean = fileFilters.forall {
+    case EqualTo("file_name", v: String) => name == v
+    case In("file_name", vs) => vs.exists(_ == name)
+    case StringStartsWith("file_name", p) => name.startsWith(p)
+    case _ => true
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.SparkContext.getOrCreate()
       .hadoopConfiguration
     PdfDataSource.listPdfs(path, conf)
+      .filter(f => nameMatches(
+        f.substring(f.lastIndexOf('/') + 1)))
       .map(PdfFilePartition(_): InputPartition).toArray
   }
 

@@ -51,6 +51,26 @@ class PdfV2SourceSpec extends SparkSpec {
     assert(names === Array(("a.pdf", 0), ("a.pdf", 1), ("b.pdf", 0)))
   }
 
+  test("file_name filters prune the listing — only matching files are " +
+    "planned as partitions") {
+    val dir = writeFixtures()
+    val q = spark.read.format("graft-pdf").load(dir)
+      .filter(org.apache.spark.sql.functions.col("file_name") === "b.pdf")
+      .select("file_name", "page_idx")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("b.pdf"),
+      s"file filter not pushed:\n${plan.take(1500)}")
+    assert(q.rdd.getNumPartitions === 1,
+      "excluded file still planned as a partition")
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("b.pdf"))
+    // prefix form
+    val pre = spark.read.format("graft-pdf").load(dir)
+      .filter(org.apache.spark.sql.functions.col("file_name")
+        .startsWith("a"))
+    assert(pre.rdd.getNumPartitions === 1)
+    assert(pre.count() === 2)
+  }
+
   test("loading a single real ObjStm-compressed PDF file works through " +
     "the connector") {
     val real = new java.io.File(
