@@ -265,6 +265,93 @@ object TextAnalysis {
           col("r_stopwords"))
   }
 
+  /** The Gopher REPETITION battery (Rae et al. 2021 table A1, the
+    * n-gram half — [[gopherRules]] covers the quality half): per doc,
+    * the character fraction of the most frequent word n-gram (n = 2..4)
+    * and the character fraction COVERED by duplicated n-grams
+    * (n ∈ dupNs), in the position-coverage form — each word position
+    * inside ANY duplicated n-gram occurrence counts once (distinct
+    * positions, no double counting), then its word's characters weigh
+    * the fraction.
+    *
+    * Shape: ONE explode produces every (n, start, gram) for all
+    * requested n; (doc, n, gram) counts aggregate map-side; the top pick
+    * is a (doc, n)-keyed window; dup coverage re-joins starts to the
+    * duplicated grams, explodes their position ranges, distincts, and
+    * weights by word length — every stage keyed by doc_id, so the plan
+    * is a handful of same-key exchanges regardless of corpus size. Docs
+    * shorter than n (or empty) emit 0.0 for that n. Ties for "most
+    * frequent" break to the lexicographically smallest gram. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > lit(0))
+    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .withColumn("m", size(col("ws")))
+      .withColumn("total_chars",
+        aggregate(transform(col("ws"), w => length(w)), lit(0L),
+          (a, x) => a + x))
+    val emptyGrams =
+      array().cast("array<struct<n:int,s:int,g:string>>")
+    val gramArr = flatten(array(allNs.map(n =>
+      when(col("m") >= n, transform(sequence(lit(0), col("m") - n),
+        j => struct(lit(n).as("n"), j.cast("int").as("s"),
+          array_join(slice(col("ws"), j + 1, lit(n)), " ").as("g"))))
+        .otherwise(emptyGrams)): _*))
+    val grams = base
+      .select(col("doc_id"), col("total_chars"), explode(gramArr).as("t"))
+      .select(col("doc_id"), col("total_chars"),
+        col("t.n").as("n"), col("t.s").as("s"), col("t.g").as("g"))
+    val counts = grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"), first(col("total_chars")).as("tc"))
+
+    // top n-gram char fraction: cnt × chars(gram) / total_chars
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("cnt").desc, col("g"))
+    val top = counts.filter(col("n").isin(topNs: _*))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n"),
+        round(col("cnt") *
+          length(replace(col("g"), lit(" "), lit(""))).cast("double") /
+          col("tc"), 4).as("frac"))
+    // dup coverage: distinct positions inside duplicated n-gram spans,
+    // weighted by the word length at each position
+    val pos = base.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p"), length(col("w")).as("wl"))
+    val dupStarts = grams.filter(col("n").isin(dupNs: _*))
+      .join(counts.filter(col("cnt") > 1)
+          .select(col("doc_id"), col("n"), col("g")),
+        Seq("doc_id", "n", "g"))
+    val covered = dupStarts
+      .select(col("doc_id"), col("n"), col("total_chars"),
+        explode(sequence(col("s"), col("s") + col("n") - 1)).as("p"))
+      .dropDuplicates("doc_id", "n", "p")
+      .join(pos, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(round(sum(col("wl")).cast("double") /
+        first(col("total_chars")), 4).as("frac"))
+
+    val perDoc = top.select(col("doc_id"), col("n"), col("frac"))
+      .unionByName(covered.select(col("doc_id"),
+        (col("n") + 1000).as("n"), col("frac")))
+    // n + 1000 disambiguates a value of n appearing in BOTH families
+    val topColsKeyed = topNs.map(n =>
+      coalesce(max(when(col("n") === n, col("frac"))), lit(0.0))
+        .as(s"top_${n}gram_frac"))
+    val dupColsKeyed = dupNs.map(n =>
+      coalesce(max(when(col("n") === n + 1000, col("frac"))), lit(0.0))
+        .as(s"dup_${n}gram_frac"))
+    base.select(col("doc_id"))
+      .join(perDoc.groupBy(col("doc_id"))
+          .agg(topColsKeyed.head, (topColsKeyed.tail ++ dupColsKeyed): _*),
+        Seq("doc_id"), "left")
+      .na.fill(0.0)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the other
     * canonical curation gate, line-grain where Gopher is doc-grain):
     * keep lines that end in terminal punctuation AND have ≥ `minLineWords`

@@ -497,6 +497,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the Gopher REPETITION battery: top n-gram char fractions
+    //    (n = 2..4) + duplicated-n-gram position-coverage fractions
+    //    (n = 5, 10) — full-value oracle, in-row replay in DuckDB ──────────
+    "docs_gopher_repetition" -> ((s, d) => {
+      TextAnalysis.gopherRepetition(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── text analysis: content fingerprints (md5/sha256 oracle-checked) ───
     "docs_fingerprint" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -1246,6 +1254,62 @@ object ExtensionQueries {
       .perceptualHash(imgs, "doc_id", "bytes")
     graft.operators.Multimodal
       .phashNearDupPairs(hashed, "doc_id", maxHamming = 3)
+  }
+
+  /** In-row DuckDB replay of [[TextAnalysis.gopherRepetition]]: per n the
+    * gram list, multiplicities via nested list_filter, the top pick by
+    * (count desc, gram asc), and dup coverage as the position set whose
+    * covering window contains any duplicated gram start. Generated per n
+    * so engine and oracle stay parameter-for-parameter aligned. */
+  private def gopherRepetitionOracle: String = {
+    val topNs = Seq(2, 3, 4); val dupNs = Seq(5, 10)
+    val gramCols = (topNs ++ dupNs).distinct.sorted.map(n =>
+      s"""CASE WHEN m >= $n THEN
+         |  [array_to_string(ws[i:i+${n - 1}], ' ')
+         |   FOR i IN range(1, m - $n + 2)]
+         |  ELSE CAST([] AS VARCHAR[]) END AS gr$n""".stripMargin)
+      .mkString(",\n")
+    val dupSetCols = dupNs.map(n =>
+      s"""[x FOR x IN list_distinct(gr$n)
+         |  IF len(list_filter(gr$n, y -> y = x)) > 1] AS ds$n"""
+        .stripMargin).mkString(",\n")
+    val topExprs = topNs.map(n =>
+      s"""CASE WHEN tc > 0 AND len(gr$n) > 0 THEN
+         |  round(list_max([len(list_filter(gr$n, y -> y = x))
+         |      FOR x IN gr$n]) *
+         |    len(replace(list_aggregate(
+         |      [x FOR x IN gr$n
+         |       IF len(list_filter(gr$n, y -> y = x)) =
+         |         list_max([len(list_filter(gr$n, z -> z = w))
+         |           FOR w IN gr$n])], 'min'), ' ', ''))::DOUBLE / tc, 4)
+         |  ELSE 0.0 END AS top_${n}gram_frac""".stripMargin)
+    val dupExprs = dupNs.map(n =>
+      s"""CASE WHEN tc > 0 THEN
+         |  round(coalesce(list_sum([len(ws[i]) FOR i IN range(1, m + 1)
+         |    IF len([j FOR j IN range(greatest(1, i - $n + 1),
+         |      least(i, m - $n + 1) + 1)
+         |      IF list_contains(ds$n, gr$n[j])]) > 0]), 0)::DOUBLE
+         |    / tc, 4)
+         |  ELSE 0.0 END AS dup_${n}gram_frac""".stripMargin)
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |  [x FOR x IN string_split_regex(text, '\\s+') IF len(x) > 0] AS ws
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws, len(ws) AS m,
+       |  coalesce(CAST(list_sum([len(x) FOR x IN ws]) AS BIGINT), 0) AS tc
+       |  FROM b),
+       |g AS (
+       |  SELECT doc_id, ws, m, tc,
+       |$gramCols
+       |  FROM c),
+       |d AS (
+       |  SELECT *,
+       |$dupSetCols
+       |  FROM g)
+       |SELECT doc_id,
+       |${(topExprs ++ dupExprs).mkString(",\n")}
+       |FROM d ORDER BY doc_id""".stripMargin
   }
 
   // shared by the pair oracle and the clusters oracle (which closes the
@@ -2441,6 +2505,8 @@ object ExtensionQueries {
         |    < 3 THEN 'too_few_sentences'
         |END AS drop_reason
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "docs_gopher_repetition" -> gopherRepetitionOracle,
 
     "docs_gopher_rules" ->
       """WITH w AS (

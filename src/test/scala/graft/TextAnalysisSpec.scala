@@ -285,6 +285,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(repart === got.map { case (k, v) => k -> v._3 })
   }
 
+  test("gopherRepetition: hand-computed top and coverage fractions, " +
+    "planted repeats, degenerate docs") {
+    import spark.implicits._
+    // "a b c d e x a b c d e": the 5-gram "a b c d e" repeats at word
+    // positions 0 and 6 → covered positions {0..4, 6..10} = 10 of 11
+    // one-char words; 2/3/4-gram tops all have count 2, lexicographic
+    // smallest gram wins the tie
+    val planted = "a b c d e x a b c d e"
+    val docs = Seq((1L, planted), (2L, "one two"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val p = got(1L)
+    assert(p.getAs[Double]("top_2gram_frac") === 0.3636) //  4/11
+    assert(p.getAs[Double]("top_3gram_frac") === 0.5455) //  6/11
+    assert(p.getAs[Double]("top_4gram_frac") === 0.7273) //  8/11
+    assert(p.getAs[Double]("dup_5gram_frac") === 0.9091) // 10/11
+    assert(p.getAs[Double]("dup_10gram_frac") === 0.0) // no repeated 10-gram
+
+    val s = got(2L) // two words: one 2-gram, nothing longer
+    assert(s.getAs[Double]("top_2gram_frac") === 1.0)
+    assert(s.getAs[Double]("top_3gram_frac") === 0.0)
+    assert(s.getAs[Double]("dup_5gram_frac") === 0.0)
+
+    val e = got(3L) // empty doc: all zeros, still one output row
+    assert(Seq("top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+      "dup_5gram_frac", "dup_10gram_frac")
+      .forall(c => e.getAs[Double](c) === 0.0))
+  }
+
   test("c4LineClean: line keep rules, page-drop precedence, md5 pins " +
     "the exact kept text") {
     import spark.implicits._
