@@ -77,6 +77,24 @@ class PlanShapeSpec extends SparkSpec {
       s"phash regressed to a UDF:\n${plan.take(2000)}")
   }
 
+  test("docs_gopher_rules and docs_c4_clean are single-stage: the only " +
+      "exchange is the presentation sort — text never shuffles") {
+    for (q <- Seq("docs_gopher_rules", "docs_c4_clean")) {
+      val plan = executedPlan(q)
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$q grew a data exchange:\n${plan.take(2000)}")
+      assert(!plan.contains("UDF"), s"$q regressed to a UDF")
+    }
+  }
+
+  test("docs_gopher_repetition: all stages keyed, no nested-loop or " +
+      "cartesian fallback") {
+    val plan = executedPlan("docs_gopher_repetition")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"repetition fell back to a non-equi join:\n${plan.take(2000)}")
+  }
+
   test("a_interval_coverage: the window's key exchange serves BOTH " +
       "aggregations — islands and rollup add no shuffle") {
     val plan = executedPlan("a_interval_coverage")
