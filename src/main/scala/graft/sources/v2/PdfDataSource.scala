@@ -40,8 +40,14 @@ class PdfDataSource extends TableProvider with DataSourceRegister {
     PdfDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    // a user-supplied .schema(...) that differs from the fixed page schema
+    // would silently mislabel reader output — reject it loudly instead
+    require(schema == PdfDataSource.schema,
+      s"graft-pdf has a fixed schema ${PdfDataSource.schema.simpleString}; " +
+        s"got ${schema.simpleString}. Drop the .schema(...) call.")
     new PdfTable(Option(properties.get("path")))
+  }
 }
 
 object PdfDataSource {

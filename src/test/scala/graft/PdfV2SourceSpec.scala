@@ -71,6 +71,23 @@ class PdfV2SourceSpec extends SparkSpec {
     assert(pre.count() === 2)
   }
 
+  test("a mismatched user-supplied schema is rejected loudly, not " +
+    "silently mislabeled") {
+    val dir = writeFixtures()
+    val e = intercept[Exception] {
+      spark.read.format("graft-pdf")
+        .schema("file_name STRING, wrong_col INT")
+        .load(dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // Spark's own supportsExternalMetadata gate fires first; the
+    // provider's require covers direct catalog-level getTable calls
+    assert(msgs(e).exists(m => m.contains("fixed schema") ||
+      m.contains("does not support user-specified schema")),
+      msgs(e).mkString("; "))
+  }
+
   test("loading a single real ObjStm-compressed PDF file works through " +
     "the connector") {
     val real = new java.io.File(
