@@ -78,6 +78,28 @@ object CoreQueries {
 
     // ── TPC-H Q14 shape: promo revenue share — broadcast dim join,
     //    conditional aggregation, one fixed-ratio output ─────────────────
+    // ── TPC-H q19 shape (adapted to the trimmed part schema): a
+    //    DISJUNCTION of brand/size/quantity conjunctions — the classic
+    //    OR-pushdown exercise; the quantity disjuncts must reach the
+    //    lineitem scan as Or(...) pushed filters (PlanShapeSpec) and the
+    //    small part side must broadcast ─────────────────────────────────────
+    "q19_disjunctive" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_quantity") <= 11 || col("l_quantity") >= 40)
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"))
+      val p = broadcast(t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(p, col("l_partkey") === col("p_partkey") &&
+          ((col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && col("l_quantity") <= 11) ||
+           (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+            && col("l_quantity") >= 40)))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q14_promo_share" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
@@ -642,6 +664,16 @@ object CoreQueries {
         |AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.03 AND 0.07
         |AND l_quantity < 24""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |  AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 40)""".stripMargin,
 
     "q14_promo_share" ->
       """WITH j AS (

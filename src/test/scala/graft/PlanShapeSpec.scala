@@ -63,6 +63,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs >= 2, "partial+final HashAggregate pair missing")
   }
 
+  test("q19_disjunctive: the quantity OR-disjunction reaches the scan " +
+      "as a pushed filter; the part side broadcasts") {
+    val plan = executedPlan("q19_disjunctive")
+    assert(plan.contains("Or(LessThanOrEqual(l_quantity,11.0)") ||
+      plan.contains("PushedFilters: [Or("),
+      s"OR pushdown lost:\n${plan.take(2500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "part side no longer broadcasts")
+  }
+
   test("multimodal_phash_pairs: banded equi-join, no nested-loop " +
       "cartesian — the LSH shape holds in the physical plan") {
     val plan = executedPlan("multimodal_phash_pairs")
