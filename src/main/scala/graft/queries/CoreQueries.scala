@@ -494,6 +494,36 @@ object CoreQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ── session-duration distribution: the sessionize rollup feeding an
+    //    exact percentile profile (p50/p90/p99 of session length) — the
+    //    engagement-monitoring summary a product team reads daily ──────────
+    "events_session_percentiles" -> ((s, d) => {
+      val gapMinutes = 30
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >
+              gapMinutes * 60L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        // exact integer MICROseconds — floor(a)-floor(b) on seconds
+        // diverges from the oracle on sub-second timestamps
+        .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"),
+          count(lit(1)).as("n_events"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        round(expr("percentile(dur_us, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(dur_us, 0.9)"), 4).as("p90_us"),
+        round(expr("percentile(dur_us, 0.99)"), 4).as("p99_us"),
+        max(col("dur_us")).as("max_us"),
+        round(avg(col("n_events")), 4).as("avg_events"))
+    }),
+
     // ── rollup: hierarchical totals (event_type ⊂ grand total) ────────────
     "events_rollup" -> ((s, d) => {
       t(s, d, "events")
@@ -950,6 +980,33 @@ object CoreQueries {
         |round(sum(value), 4) AS session_value,
         |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_session_percentiles" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM lagged),
+        |s AS (
+        |  SELECT user_id, session_id,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+        |  count(*) AS n_events
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |round(quantile_cont(dur_us, 0.5), 4) AS p50_us,
+        |round(quantile_cont(dur_us, 0.9), 4) AS p90_us,
+        |round(quantile_cont(dur_us, 0.99), 4) AS p99_us,
+        |max(dur_us) AS max_us,
+        |round(avg(n_events), 4) AS avg_events
+        |FROM s""".stripMargin,
 
     "events_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
