@@ -524,6 +524,29 @@ object CoreQueries {
         round(avg(col("n_events")), 4).as("avg_events"))
     }),
 
+    // ── DAU/WAU stickiness: daily actives over trailing-7-day actives.
+    //    EXACT distinct-user counts: the (day,user) grain dedups first, a
+    //    user's activity then votes into each of the 7 windows it covers
+    //    (explode + second distinct) — no approximate sketches, no
+    //    quadratic self-join; every stage keyed on (day) or (day,user) ─────
+    "events_dau_wau" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = daily
+        .select(explode(sequence(col("day"),
+          date_add(col("day"), 6))).as("win_day"), col("user_id"))
+        .distinct()
+        .groupBy(col("win_day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day") === col("win_day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // ── rollup: hierarchical totals (event_type ⊂ grand total) ────────────
     "events_rollup" -> ((s, d) => {
       t(s, d, "events")
@@ -980,6 +1003,19 @@ object CoreQueries {
         |round(sum(value), 4) AS session_value,
         |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+        |wau AS (
+        |  SELECT win_day, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT CAST(day + i * INTERVAL 1 DAY AS DATE) AS win_day,
+        |    user_id FROM daily, range(0, 7) t(i))
+        |  GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |round(d.dau::DOUBLE / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.win_day ORDER BY 1""".stripMargin,
 
     "events_session_percentiles" ->
       """WITH lagged AS (
