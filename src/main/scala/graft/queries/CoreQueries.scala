@@ -100,6 +100,23 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // ── TPC-H q4 shape: priority counts over a dated window where an
+    //    EXISTS lineitem predicate holds (adapted: quantity > 45 stands in
+    //    for the absent commit/receipt dates) — plans as a semi join, the
+    //    orders side never duplicates ───────────────────────────────────────
+    "q4_order_priority" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q14_promo_share" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
@@ -717,6 +734,15 @@ object CoreQueries {
         |AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.03 AND 0.07
         |AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
