@@ -117,6 +117,86 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── TPC-H q7 shape: shipping volume between two nation pairs — the
+    //    SAME broadcast dimension joined twice under different roles
+    //    (customer nation vs supplier nation), volume by year ───────────────
+    "q7_nation_volume" -> ((s, d) => {
+      val n = t(s, d, "nation").select(col("n_nationkey"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          when(col("n_nationkey") < 12, "EAST").otherwise("WEST")
+            .as("cust_region"))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          when(col("n_nationkey") < 12, "EAST").otherwise("WEST")
+            .as("supp_region"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("cust_region") =!= col("supp_region"))
+        .groupBy(col("cust_region"), col("supp_region"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("cust_region"), col("supp_region"), col("l_year"))
+    }),
+
+    // ── TPC-H q13 shape: customer order-count distribution — LEFT outer
+    //    join so zero-order customers land in the 0 bucket ──────────────────
+    "q13_order_distribution" -> ((s, d) => {
+      val perCust = t(s, d, "customer").select(col("c_custkey"))
+        .join(t(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ── TPC-H q18 shape: large-volume orders — a HAVING-filtered
+    //    aggregate feeding a semi join back to the detail ──────────────────
+    "q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 120)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("total_qty"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ── TPC-H q22 shape: positive-balance customers above the average
+    //    (scalar-subquery broadcast) with NO orders (anti join) ─────────────
+    "q22_churned_customers" -> ((s, d) => {
+      // q22 adapted: every customer in this testdata has SOME order, so
+      // the anti join runs against RECENT orders — positive-balance
+      // customers with no order since 2000 ("churned, money on the
+      // table"); the average-balance threshold stays a broadcast scalar
+      val c = t(s, d, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("a"))
+      val rich = c.join(broadcast(avgBal), col("c_acctbal") > col("a"))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "q14_promo_share" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
@@ -734,6 +814,54 @@ object CoreQueries {
         |AND l_shipdate < TIMESTAMP '1997-01-01'
         |AND l_discount BETWEEN 0.03 AND 0.07
         |AND l_quantity < 24""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT
+        |CASE WHEN cn.n_nationkey < 12 THEN 'EAST' ELSE 'WEST' END
+        |  AS cust_region,
+        |CASE WHEN sn.n_nationkey < 12 THEN 'EAST' ELSE 'WEST' END
+        |  AS supp_region,
+        |CAST(year(l_shipdate) AS INT) AS l_year,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (cn.n_nationkey < 12) <> (sn.n_nationkey < 12)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 120)
+        |SELECT o_orderkey, o_custkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |round(o_totalprice, 2) AS o_totalprice,
+        |round(total_qty, 2) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_churned_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
