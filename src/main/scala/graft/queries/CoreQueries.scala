@@ -145,6 +145,36 @@ object CoreQueries {
         .orderBy(col("cust_region"), col("supp_region"), col("l_year"))
     }),
 
+    // ── TPC-H q8 shape: market share — the share of each year's customer-
+    //    region revenue supplied by EAST suppliers; a conditional-sum
+    //    ratio over the same two-role dimension join as q7 ─────────────────
+    "q8_market_share" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "region")
+            .join(broadcast(n), col("r_regionkey") === col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("r_name").as("cust_region"))
+      val supp = t(s, d, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_nationkey") < 12).as("east_supp"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("cust_region"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(when(col("east_supp"),
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))), 2).as("east_revenue"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        .withColumn("east_share",
+          round(col("east_revenue") / col("total_revenue"), 4))
+        .orderBy(col("cust_region"), col("l_year"))
+    }),
+
     // ── TPC-H q13 shape: customer order-count distribution — LEFT outer
     //    join so zero-order customers land in the 0 bucket ──────────────────
     "q13_order_distribution" -> ((s, d) => {
@@ -831,6 +861,26 @@ object CoreQueries {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |WHERE (cn.n_nationkey < 12) <> (sn.n_nationkey < 12)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH rev AS (
+        |  SELECT r_name AS cust_region,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  l_extendedprice * (1 - l_discount) AS rv,
+        |  s_nationkey < 12 AS east_supp
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT cust_region, l_year,
+        |round(sum(CASE WHEN east_supp THEN rv ELSE 0.0 END), 2)
+        |  AS east_revenue,
+        |round(sum(rv), 2) AS total_revenue,
+        |round(round(sum(CASE WHEN east_supp THEN rv ELSE 0.0 END), 2)
+        |  / round(sum(rv), 2), 4) AS east_share
+        |FROM rev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q13_order_distribution" ->
       """WITH per_cust AS (

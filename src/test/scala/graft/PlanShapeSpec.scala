@@ -73,6 +73,19 @@ class PlanShapeSpec extends SparkSpec {
       "part side no longer broadcasts")
   }
 
+  test("TPC-H adaptations keep their declared join strategies: q4 " +
+      "semi, q22 anti, q7/q8 broadcast dims, q13 outer") {
+    assert(executedPlan("q4_order_priority").contains("LeftSemi"),
+      "q4 lost the semi join")
+    assert(executedPlan("q22_churned_customers").contains("LeftAnti"),
+      "q22 lost the anti join")
+    for (q <- Seq("q7_nation_volume", "q8_market_share"))
+      assert(executedPlan(q).contains("BroadcastHashJoin"),
+        s"$q dimensions no longer broadcast")
+    val q13 = executedPlan("q13_order_distribution")
+    assert(q13.contains("LeftOuter"), "q13 lost the outer join")
+  }
+
   test("multimodal_phash_pairs: banded equi-join, no nested-loop " +
       "cartesian — the LSH shape holds in the physical plan") {
     val plan = executedPlan("multimodal_phash_pairs")
