@@ -748,6 +748,29 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ── ranking-function family: rank / dense_rank / percent_rank /
+    //    cume_dist over one keyed window (ties included by construction:
+    //    l_quantity repeats within a suppkey) — completes the window-
+    //    function surface next to row_number / ntile / lag-lead ────────────
+    "w_rank_functions" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))
+      val wAll = Window.partitionBy(col("l_suppkey"))
+      // percent_rank/cume_dist emit exact rationals (r−1)/(n−1) and k/n;
+      // round(x, 6) hits half boundaries (the source_gini lesson), so the
+      // gate compares their exact INTEGER certificates instead:
+      // round(pr·(n−1)) = r−1 and round(cd·n) = k, exact for n ≪ 2^26
+      val n = count(lit(1)).over(wAll)
+      t(s, d, "lineitem").filter(col("l_suppkey") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w) * (n - 1)).cast("long")
+            .as("prnk_num"),
+          round(cume_dist().over(w) * n).cast("long").as("cdist_num"),
+          n.as("n_part"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ── full outer join: reconciliation shape (rows surviving on either
     //    side with defaults) — completes the join-type family ──────────────
     "j_full_outer" -> ((s, d) => {
@@ -1278,6 +1301,20 @@ object CoreQueries {
         |coalesce(hod, -1) AS hod,
         |count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM base GROUP BY CUBE (event_type, hod) ORDER BY 1, 2""".stripMargin,
+
+    "w_rank_functions" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |CAST(rank() OVER w AS INT) AS rnk,
+        |CAST(dense_rank() OVER w AS INT) AS drnk,
+        |CAST(round(percent_rank() OVER w *
+        |  (count(*) OVER p - 1)) AS BIGINT) AS prnk_num,
+        |CAST(round(cume_dist() OVER w *
+        |  count(*) OVER p) AS BIGINT) AS cdist_num,
+        |count(*) OVER p AS n_part
+        |FROM lineitem WHERE l_suppkey < 10
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity),
+        |       p AS (PARTITION BY l_suppkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "w_ntile" ->
       """SELECT event_id, ntile(10) OVER
