@@ -587,6 +587,22 @@ object CoreQueries {
     }),
 
     // ── exact percentiles (median / p90, linear interpolation) ────────────
+    // ── modal value per group with a DETERMINISTIC tie-break (highest
+    //    count, then smallest value — engine mode() functions leave ties
+    //    undefined, so the argmax is composed explicitly) ──────────────────
+    "a_mode" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt").as("mode_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "a_percentiles" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(
@@ -1203,6 +1219,16 @@ object CoreQueries {
         |FROM purch p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "a_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, l_quantity) AS rk FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     "a_percentiles" ->
       """SELECT l_returnflag,

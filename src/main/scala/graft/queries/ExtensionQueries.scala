@@ -505,6 +505,38 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Zipf-law audit: least-squares slope of ln(count) vs ln(rank)
+    //    over the top-100 terms — natural corpora sit near −1. The ln
+    //    values quantize to integer micro-units BEFORE summing (the
+    //    repo's order-free discipline: exact BIGINT sums, one fp
+    //    division at the end), so shuffle order cannot move the answer ─────
+    "vocab_zipf_audit" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          tk => length(tk) > lit(0))).as("term"))
+      val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      // vocab-sized global rank window — the documented bounded-sidecar
+      // frame (same shape as vocab_top_terms)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term"))
+      val top = counts.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+      val x = round(log(col("r").cast("double")) * 1e6).cast("long")
+      val y = round(log(col("cnt").cast("double")) * 1e6).cast("long")
+      top.select(col("r"), col("term"), col("cnt"), x.as("x"), y.as("y"))
+        .agg(count(lit(1)).as("n_terms"),
+          max(when(col("r") === 1, col("term"))).as("top_term"),
+          max(when(col("r") === 1, col("cnt"))).as("top_count"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_terms"), col("top_term"), col("top_count"),
+          round((col("n_terms") * col("sxy") -
+              col("sx") * col("sy")).cast("double") /
+            (col("n_terms") * col("sxx") -
+              col("sx") * col("sx")).cast("double"), 4).as("zipf_slope"))
+    }),
+
     // ── text analysis: content fingerprints (md5/sha256 oracle-checked) ───
     "docs_fingerprint" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -2461,6 +2493,29 @@ object ExtensionQueries {
          |     WHEN total > 0 AND s_zh = b THEN 'zh'
          |     ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin,
+
+    "vocab_zipf_audit" ->
+      """WITH toks AS (
+        |  SELECT unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |top AS (
+        |  SELECT term, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, term) AS r FROM c
+        |  QUALIFY r <= 100),
+        |q AS (
+        |  SELECT r, term, cnt,
+        |  CAST(round(ln(r) * 1e6) AS BIGINT) AS x,
+        |  CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y FROM top)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |max(CASE WHEN r = 1 THEN term END) AS top_term,
+        |max(CASE WHEN r = 1 THEN cnt END) AS top_count,
+        |round((count(*) * CAST(sum(x * y) AS BIGINT)
+        |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT))::DOUBLE
+        |  / (count(*) * CAST(sum(x * x) AS BIGINT)
+        |    - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)), 4)
+        |  AS zipf_slope
+        |FROM q""".stripMargin,
 
     "docs_c4_clean" ->
       """WITH raw AS (
