@@ -175,6 +175,38 @@ object CoreQueries {
         .orderBy(col("cust_region"), col("l_year"))
     }),
 
+    // ── TPC-H q17 shape: small-quantity revenue — the correlated
+    //    avg-per-part subquery decorrelates into one aggregate joined
+    //    back on the part key (broadcast: part-count-sized) ─────────────────
+    "q17_small_quantity" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ap"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      li.join(broadcast(avgQty), col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ── TPC-H q15 shape: top supplier(s) by shipped revenue in a
+    //    quarter — the revenue "view" feeds a broadcast scalar max and a
+    //    tie-keeping equality filter ────────────────────────────────────────
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(top), col("total_revenue") === col("mx"))
+        .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ── TPC-H q13 shape: customer order-count distribution — LEFT outer
     //    join so zero-order customers land in the 0 bucket ──────────────────
     "q13_order_distribution" -> ((s, d) => {
@@ -920,6 +952,28 @@ object CoreQueries {
         |round(round(sum(CASE WHEN east_supp THEN rv ELSE 0.0 END), 2)
         |  / round(sum(rv), 2), 4) AS east_share
         |FROM rev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |count(*) AS n_items
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem WHERE l_partkey = l.l_partkey)
+        |""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q13_order_distribution" ->
       """WITH per_cust AS (
