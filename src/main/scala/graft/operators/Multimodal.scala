@@ -186,14 +186,7 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band pigeonhole guarantees recall only for maxHamming <= 3")
-    val bands = explode(array((0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("phash"), b * 16)
-          .bitwiseAND(lit(0xffffL)).as("slice"))): _*))
-    val banded = hashed.filter(col("phash").isNotNull)
-      .select(col(idCol).as("id"), col("phash"), bands.as("bs"))
-      .select(col("id"), col("phash"),
-        col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val banded = bandedHashes(hashed, idCol)
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.slice") === col("b.slice") && col("a.id") < col("b.id"))
@@ -201,6 +194,38 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct() // a pair can collide in several bands
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Band-expand a hashed frame to (id, phash, band, slice) — shared by
+    * the self-join pair generator and the cross-table incremental form. */
+  private def bandedHashes(hashed: DataFrame, idCol: String): DataFrame = {
+    val bands = explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("slice"))): _*))
+    hashed.filter(col("phash").isNotNull)
+      .select(col(idCol).as("id"), col("phash"), bands.as("bs"))
+      .select(col("id"), col("phash"),
+        col("bs.band").as("band"), col("bs.slice").as("slice"))
+  }
+
+  /** Incremental near-dup check: ids from `newHashed` whose dHash lies
+    * within `maxHamming` of ANY row of `corpusHashed` — the cross-table
+    * twin of [[phashNearDupPairs]] (same 4-band pigeonhole candidates,
+    * same codegen'd verify), for dedup-on-ingest gates: only band-slice
+    * collisions join, so the corpus side prunes to the candidate buckets
+    * regardless of its size. Output: distinct `idCol`. */
+  def phashIncrementalHits(newHashed: DataFrame, corpusHashed: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only for maxHamming <= 3")
+    val a = bandedHashes(newHashed, idCol).alias("a")
+    val b = bandedHashes(corpusHashed, idCol).alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.slice") === col("b.slice"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+        <= maxHamming)
+      .select(col("a.id").as(idCol)).distinct()
   }
 
   /** S3 sink — write a binary column out as one file per row (the

@@ -378,6 +378,65 @@ object DocIngest {
       }
       .start()
 
+  /** Streaming IMAGE dedup-on-ingest: the [[startNearDupGated]] contract
+    * on the multimodal axis. Each arriving batch of (idCol, bytes)
+    * rows: (1) perceptual-hash via the native dhash64 expression;
+    * (2) in-batch dedup — exact-hash keep-lowest-id, then 4-band
+    * near-dup pairs → keep-first; (3) against the collection, only
+    * band-slice COLLISIONS join (`Multimodal.phashIncrementalHits`), so
+    * the corpus side prunes to candidate buckets at any size; survivors
+    * append WITH their phash (the collection doubles as the hash index —
+    * ingest never re-decodes old payloads). Undecodable payloads
+    * (phash null) pass ungated by policy: a gate that cannot judge a
+    * payload must not silently drop it. Deterministic: hashing is an
+    * engine constant, survivors are chosen by lowest id, so batch replay
+    * reproduces byte-identical decisions. */
+  def startImageDedupGated(spark: SparkSession, inDir: String,
+      schema: String, collectionPath: String, checkpoint: String,
+      idCol: String, maxHamming: Int = 3,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Multimodal
+        import org.apache.spark.sql.expressions.Window
+        val ss = batch.sparkSession
+        if (!batch.isEmpty) {
+          val hashed = batch.join(
+            Multimodal.perceptualHash(batch, idCol, "bytes"), Seq(idCol))
+          // exact-hash keep-lowest-id (deterministic, retry-reproducible)
+          val exactW = Window.partitionBy(col("phash")).orderBy(col(idCol))
+          val exactClean = hashed.filter(col("phash").isNotNull)
+            .withColumn("_rk", row_number().over(exactW))
+            .filter(col("_rk") === 1).drop("_rk")
+            .unionByName(hashed.filter(col("phash").isNull))
+          val innerPairs = Multimodal.phashNearDupPairs(
+            exactClean.select(col(idCol), col("phash")), idCol, maxHamming)
+          val batchClean = graft.operators.Dedup.dropNearDuplicates(
+            exactClean, idCol, innerPairs.select(col("id_a"), col("id_b")))
+          val collDir = new org.apache.hadoop.fs.Path(collectionPath)
+          val fs = collDir
+            .getFileSystem(ss.sparkContext.hadoopConfiguration)
+          val accepted =
+            if (!fs.exists(collDir)) batchClean
+            else {
+              val corpus = ss.read.parquet(collectionPath)
+                .select(col(idCol), col("phash"))
+              val hits = Multimodal.phashIncrementalHits(
+                batchClean.select(col(idCol), col("phash")), corpus,
+                idCol, maxHamming)
+              batchClean.join(hits, Seq(idCol), "left_anti")
+            }
+          accepted.write.mode("append").parquet(collectionPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming curation gate: score every arriving document with a
     * pre-trained quality classifier (over the same hash-embedding the
     * batch pipeline uses) AND a DSIR importance weight, then route it —

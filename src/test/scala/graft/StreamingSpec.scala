@@ -366,6 +366,51 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(0L, 2L, 12L))
   }
 
+  test("image-dedup-gated ingest: exact and near-dup images rejected " +
+      "in-batch and cross-batch; novel and undecodable admitted; the " +
+      "collection carries the hash index") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_idg_in").toString
+    val out = Files.createTempDirectory("graft_idg_out").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_idg_ck").toString
+    def pgm(f: Int => Int): Array[Byte] =
+      "P5 16 16 255\n".getBytes("US-ASCII") ++
+        Array.tabulate(256)(i => (f(i) & 0xff).toByte)
+    def base(i: Int) = (i * 7 + (i / 16) * 31) % 256
+    def other(i: Int) = (i * 97 + 55) % 256
+
+    // batch 1: base image, its 1-px near-dup (dropped in-batch,
+    // keep-first by id), a distinct image, an undecodable payload
+    Seq((0L, pgm(base)),
+        (1L, pgm(i => if (i == 40) base(i) + 4 else base(i))),
+        (2L, pgm(other)),
+        (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "bytes").write.mode("append").parquet(in)
+
+    val q = DocIngest.startImageDedupGated(spark, in,
+      "doc_id LONG, bytes BINARY", out, ckpt, "doc_id",
+      pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      // batch 2: near-dup of the ACCEPTED base (rejected), exact re-send
+      // of the other image (rejected), and a genuinely novel image
+      Seq((10L, pgm(i => if (i == 100) base(i) + 6 else base(i))),
+          (11L, pgm(other)),
+          (12L, pgm(i => (i * 131 + 17) % 256)))
+        .toDF("doc_id", "bytes").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val coll = spark.read.parquet(out)
+    val ids = coll.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 2L, 3L, 12L))
+    // the collection doubles as the hash index: phash stored, null only
+    // for the undecodable row
+    val nullHash = coll.filter(col("phash").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nullHash === Set(3L))
+  }
+
   test("curation gate stream routes every doc to exactly one sink and " +
       "reproduces the batch pipeline's decisions byte-for-byte") {
     import graft.operators.{Classifier, Dsir}
