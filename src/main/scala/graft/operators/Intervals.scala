@@ -116,8 +116,9 @@ object Intervals {
     * shape for per-key sequential state, linear in each key's row count.
     *
     * Columns must be integral (epoch seconds/micros — exact arithmetic);
-    * rows with end < start are rejected by an in-plan assertion upstream
-    * of the window (callers pre-validate or filter). Output: keyCol +
+    * a null-bounded or inverted (end < start) row fails the job loudly
+    * with its key in the message — a silent merge over garbage intervals
+    * would corrupt every downstream island. Output: keyCol +
     * `island_id` (1-based per key, in start order) + `island_start` +
     * `island_end` + `n_rows`. */
   def mergeIslands(df: DataFrame, keyCol: String, startCol: String,
@@ -126,8 +127,16 @@ object Intervals {
       .orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val breaks = when(prevMax.isNull || col(startCol) > prevMax, 1L)
-      .otherwise(0L)
+    // the guard rides the USED column (a dropped sentinel column would be
+    // dead-code-eliminated with the raise_error inside it); wellFormed is
+    // NULL (not false) for null bounds — the otherwise branch catches that
+    val wellFormed = col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(startCol) <= col(endCol)
+    val breaks = when(wellFormed,
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .otherwise(raise_error(concat(
+        lit("mergeIslands: null bounds or inverted interval for key "),
+        coalesce(col(keyCol).cast("string"), lit("NULL")))))
     df.withColumn("_brk", breaks)
       .withColumn("island_id", sum(col("_brk"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -157,6 +157,22 @@ class IntervalsSpec extends SparkSpec {
     assert(cov === Array((1L, 2L, 9L, 8L), (2L, 1L, 4L, 4L)))
   }
 
+  test("mergeIslands rejects inverted and null-bounded intervals loudly") {
+    import spark.implicits._
+    val inverted = Seq((1L, 9L, 5L)).toDF("k", "s", "e")
+    val e1 = intercept[Exception] {
+      Intervals.mergeIslands(inverted, "k", "s", "e").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e1).contains("mergeIslands"), msgs(e1))
+    val nullB = Seq((2L, Some(1L), None: Option[Long])).toDF("k", "s", "e")
+    val e2 = intercept[Exception] {
+      Intervals.mergeIslands(nullB, "k", "s", "e").collect()
+    }
+    assert(msgs(e2).contains("mergeIslands"), msgs(e2))
+  }
+
   test("mergeIslands matches a sequential sweep replay on random data, " +
     "independent of input partitioning") {
     import spark.implicits._
