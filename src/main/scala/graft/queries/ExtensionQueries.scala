@@ -537,6 +537,31 @@ object ExtensionQueries {
               col("sx") * col("sx")).cast("double"), 4).as("zipf_slope"))
     }),
 
+    // ── lexical diversity: per-doc type-token ratio + hapax fraction
+    //    (the vocabulary-richness features a quality classifier eats);
+    //    all in-row array built-ins, one projection, no shuffle ─────────────
+    "docs_lexical_diversity" -> ((s, d) => {
+      val ws = filter(split(lower(col("text")), "\\s+"),
+        w => length(w) > lit(0))
+      val types = array_distinct(ws)
+      // hapax count via an in-row nested filter: types whose occurrence
+      // count in the token array is exactly 1
+      val hapax = size(filter(types, ty =>
+        size(filter(ws, w => w === ty)) === lit(1)))
+      t(s, d, "documents").select(col("doc_id"),
+          size(ws).as("n_tokens"), size(types).as("n_types"),
+          hapax.as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          when(col("n_tokens") > 0,
+            round(col("n_types").cast("double") / col("n_tokens"), 4))
+            .as("ttr"),
+          when(col("n_types") > 0,
+            round(col("n_hapax").cast("double") / col("n_types"), 4))
+            .as("hapax_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── text analysis: content fingerprints (md5/sha256 oracle-checked) ───
     "docs_fingerprint" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -2493,6 +2518,26 @@ object ExtensionQueries {
          |     WHEN total > 0 AND s_zh = b THEN 'zh'
          |     ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin,
+
+    "docs_lexical_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+')
+        |   IF len(x) > 0] AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS INT) AS n_types,
+        |  CAST(len([t FOR t IN list_distinct(ws)
+        |    IF len([x FOR x IN ws IF x = t]) = 1]) AS INT) AS n_hapax
+        |  FROM w)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |CASE WHEN n_tokens > 0
+        |  THEN round(n_types::DOUBLE / n_tokens, 4) END AS ttr,
+        |CASE WHEN n_types > 0
+        |  THEN round(n_hapax::DOUBLE / n_types, 4) END AS hapax_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "vocab_zipf_audit" ->
       """WITH toks AS (
