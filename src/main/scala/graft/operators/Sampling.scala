@@ -37,6 +37,18 @@ object Sampling {
   private def threshold(frac: Double): Int =
     math.round(frac * 256).toInt.min(256).max(0)
 
+  /** Add a `fold` column ∈ [0, k): deterministic k-fold assignment for
+    * cross-validation, keyed on content like [[hashSplit]] — identical
+    * keys always share a fold, so exact duplicates can never straddle a
+    * train/eval boundary, and re-runs reproduce every fold bit-for-bit.
+    * Uses 4 md5 hex chars (65536 buckets) so fold sizes stay within
+    * ~1/256 of uniform for any k ≤ ~100. */
+  def kFold(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(key), 1, 4), 16, 10).cast("int"), lit(k)))
+  }
+
   /** Add a `split` column ∈ {train, val, test}: trainFrac/valFrac quantized
     * to 1/256; the remainder is test. Keyed on `key` (typically the text or
     * a stable id) so identical content always lands in the same split —

@@ -732,6 +732,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── deterministic k-fold assignment (cross-validation; content-keyed
+    //    so exact duplicates never straddle a fold boundary) ───────────────
+    "sample_kfold" -> ((s, d) => {
+      graft.operators.Sampling.kFold(t(s, d, "documents"), col("text"),
+          k = 5)
+        .select(col("doc_id"), col("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── deterministic per-group sample (exactly 3 per source) ─────────────
     "sample_per_group" -> ((s, d) => {
       graft.operators.Sampling.perGroupSample(t(s, d, "documents"),
@@ -1653,6 +1662,12 @@ object ExtensionQueries {
     // LSH candidates are exact-verified and recall-1 at the threshold gap,
     // so the scale path's survivors equal the exact form's.
     "dedup_apply_lsh" -> dedupApplyOracle,
+
+    "sample_kfold" ->
+      """SELECT doc_id,
+        |CAST(('0x' || substring(md5(text), 1, 4))::INT % 5 AS INT)
+        |  AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_hash_split" ->
       """SELECT doc_id,
