@@ -24,6 +24,49 @@ object JvmHygiene {
     if (sinceGc + 1 >= every || codeCachePressed) { System.gc(); 0 }
     else sinceGc + 1
 
+  /** Silence WindowExec's `No Partition Defined` warning in the harness
+    * mains. Every unpartitioned window in the suite is intentional and
+    * bounded (top-k / vocab / sidecar frames, or gate forms mirroring a
+    * global-order oracle), and the EXACT query→count list is pinned in
+    * `GlobalWindowSpec` — an accidental data-sized global window fails a
+    * named test there, which is a stronger gate than an anonymous log
+    * line. Spark 4's `EliminateWindowPartitions` folds the old
+    * `partitionBy(lit(1))` idiom back to an empty spec, so per-site
+    * suppression is no longer possible. */
+  def silenceGatedWarnings(): Unit = {
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+  }
+
+  /** Best-effort flush of Catalyst's STATIC whole-stage-codegen class
+    * cache (`CodeGenerator.cache`, a JVM-wide NonFateSharingLoadingCache
+    * keyed by (classloader-weakref, source)). Recycling the SparkSession
+    * does not touch it: cached `GeneratedClass` instances keep their
+    * per-class classloaders — and thus their JIT'd CodeHeap slabs —
+    * reachable after the plans that made them are gone. Across 249
+    * distinct plans that residue is the remaining suspect for the 2×
+    * in-suite bench inflation (r8 adjudication: top-8 entries 270 s
+    * in-suite vs 37.8 s isolated on identical code). Reflection because
+    * the field is private with no public eviction API; silently a no-op
+    * if the internals move. */
+  def purgeCodegenCache(): Unit = {
+    try {
+      val clazz = Class.forName(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator$")
+      val module = clazz.getField("MODULE$").get(null)
+      val m = clazz.getDeclaredMethod("cache")
+      m.setAccessible(true)
+      val nfs = m.invoke(module)
+      val lc = nfs.getClass.getMethod("loadingCache").invoke(nfs)
+      // invoke through the public Cache interface: the concrete
+      // LocalLoadingCache class is package-private to (shaded) guava
+      Class.forName("org.sparkproject.guava.cache.Cache")
+        .getMethod("invalidateAll").invoke(lc)
+    } catch { case _: Throwable => () }
+  }
+
   /** Cross-query block hygiene (r7 bench-tail adjudication): queries
     * that localCheckpoint (LSH connected components, winnow fingerprint
     * frames) or persist internally leave their blocks pinned in the

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    JvmHygiene.silenceGatedWarnings() // GlobalWindowSpec carries this gate
     new java.io.File(outDir).mkdirs()
     // Local-iteration escape hatch (mirrors Bench): SPARK_GRAFT_ONLY=q1,q2
     // dumps a subset. Unset in driver runs — full suite.

@@ -111,9 +111,13 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val joined =
       asOfBackward(left, right, keyCol, tsCol, payloadCols, prefix)
+    // exact integer MICROseconds, not double seconds: at current epochs a
+    // double carries ~2^-22 s rounding, enough to misclassify a match whose
+    // age is exactly the (inclusive) tolerance when timestamps have
+    // sub-second parts
     val fresh = col(s"${prefix}ts").isNotNull &&
-      col(tsCol).cast("double") - col(s"${prefix}ts").cast("double") <=
-        lit(toleranceSeconds.toDouble)
+      unix_micros(col(tsCol)) - unix_micros(col(s"${prefix}ts")) <=
+        lit(toleranceSeconds * 1000000L)
     joined.select(leftCols.map(col) ++
       (s"${prefix}ts" +: payloadCols.map(c => s"$prefix$c")).map(c =>
         when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)

@@ -250,12 +250,16 @@ object TextAnalysis {
       .withColumn("r_word_len", coalesce(
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0,
         lit(false)))
+      // <=, not <: Rae et al. drop docs whose ratio is strictly ABOVE the
+      // cutoff ("more than 90% of lines", "greater than 0.1"), so a doc
+      // landing exactly on a threshold (possible — ratios round to 4
+      // decimals) must KEEP passing
       .withColumn("r_symbol",
-        coalesce(col("symbol_ratio") < 0.1, lit(false)))
+        coalesce(col("symbol_ratio") <= 0.1, lit(false)))
       .withColumn("r_bullet",
-        coalesce(col("bullet_frac") < 0.9, lit(true)))
+        coalesce(col("bullet_frac") <= 0.9, lit(true)))
       .withColumn("r_ellipsis",
-        coalesce(col("ellipsis_frac") < 0.3, lit(true)))
+        coalesce(col("ellipsis_frac") <= 0.3, lit(true)))
       .withColumn("r_alpha",
         coalesce(col("alpha_frac") > 0.8, lit(false)))
       .withColumn("r_stopwords", col("stopword_hits") >= 2)

@@ -1397,8 +1397,8 @@ object CoreQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "w_ntile" ->
-      """SELECT event_id, ntile(10) OVER
-        |(PARTITION BY event_type ORDER BY value, event_id) AS decile
+      """SELECT event_id, CAST(ntile(10) OVER
+        |(PARTITION BY event_type ORDER BY value, event_id) AS INT) AS decile
         |FROM events ORDER BY event_id""".stripMargin,
 
     "j_full_outer" ->

@@ -403,6 +403,13 @@ object CurationQueries {
     //    order date — data-defined anchor), frequency, monetary (exact
     //    DECIMAL) per customer, quartile-scored by ntile over a fully
     //    tie-broken order — every score is a deterministic integer ───────
+    // ── RFM quartile scoring: exact ntile(4) is a global order by
+    //    definition (gate form, matches the oracle exactly). The frame is
+    //    the per-customer AGGREGATE, not raw orders; at 100 TB the
+    //    production form computes approx-quantile cutpoints (3 doubles per
+    //    dimension, one pass) and assigns scores by comparison — same
+    //    buckets up to boundary ties, no global sort. Allowlisted in
+    //    GlobalWindowSpec. ─────────────────────────────────────────────────
     "a_rfm" -> ((s, d) => {
       val anchor = t(s, d, "orders")
         .agg(max(col("o_orderdate")).as("maxd"))
@@ -1286,7 +1293,7 @@ object CurationQueries {
         |  FROM documents),
         |g AS (SELECT source, count(*) AS n, sum(x) AS total,
         |  sum(i * x) AS iwx FROM r GROUP BY 1)
-        |SELECT source, n, total,
+        |SELECT source, n, CAST(total AS BIGINT) AS total,
         |CASE WHEN total > 0 THEN
         |  CAST((2 * 1000000::HUGEINT * (2*iwx - (n+1)*total)::HUGEINT
         |        + (n::HUGEINT * total::HUGEINT))

@@ -2666,16 +2666,16 @@ object ExtensionQueries {
         |ellipsis_frac, alpha_frac, stopword_hits,
         |n_words BETWEEN 50 AND 100000 AS r_words,
         |coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false) AS r_word_len,
-        |coalesce(symbol_ratio < 0.1, false) AS r_symbol,
-        |coalesce(bullet_frac < 0.9, true) AS r_bullet,
-        |coalesce(ellipsis_frac < 0.3, true) AS r_ellipsis,
+        |coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
+        |coalesce(bullet_frac <= 0.9, true) AS r_bullet,
+        |coalesce(ellipsis_frac <= 0.3, true) AS r_ellipsis,
         |coalesce(alpha_frac > 0.8, false) AS r_alpha,
         |stopword_hits >= 2 AS r_stopwords,
         |(n_words BETWEEN 50 AND 100000)
         |  AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
-        |  AND coalesce(symbol_ratio < 0.1, false)
-        |  AND coalesce(bullet_frac < 0.9, true)
-        |  AND coalesce(ellipsis_frac < 0.3, true)
+        |  AND coalesce(symbol_ratio <= 0.1, false)
+        |  AND coalesce(bullet_frac <= 0.9, true)
+        |  AND coalesce(ellipsis_frac <= 0.3, true)
         |  AND coalesce(alpha_frac > 0.8, false)
         |  AND stopword_hits >= 2 AS verdict
         |FROM r ORDER BY doc_id""".stripMargin,
@@ -2714,7 +2714,7 @@ object ExtensionQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "docs_hash_embed" ->
-      """SELECT doc_id, 64 AS dim, 1.0 AS norm
+      """SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "j_bloom_semi" ->

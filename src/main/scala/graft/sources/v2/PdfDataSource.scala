@@ -84,10 +84,11 @@ private[v2] class PdfTable(tablePath: Option[String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PdfScanBuilder(tablePath.orElse(Option(options.get("path")))
       .getOrElse(throw new IllegalArgumentException(
-        "graft-pdf: no path given — use .load(dir)")))
+        "graft-pdf: no path given — use .load(dir)")),
+      options.asCaseSensitiveMap().asScala.toMap)
 }
 
-private[v2] class PdfScanBuilder(path: String)
+private[v2] class PdfScanBuilder(path: String, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
@@ -115,11 +116,12 @@ private[v2] class PdfScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = fileFilters.toArray
 
-  override def build(): Scan = PdfScan(path, required, fileFilters)
+  override def build(): Scan = PdfScan(path, required, fileFilters, opts)
 }
 
 private[v2] case class PdfScan(path: String, required: StructType,
-    fileFilters: Seq[org.apache.spark.sql.sources.Filter])
+    fileFilters: Seq[org.apache.spark.sql.sources.Filter],
+    opts: Map[String, String])
     extends Scan with Batch {
   import org.apache.spark.sql.sources.{EqualTo, In, StringStartsWith}
 
@@ -137,10 +139,17 @@ private[v2] case class PdfScan(path: String, required: StructType,
     case _ => true
   }
 
+  /** Session-level Hadoop conf with the per-read options folded in — the
+    * same resolution file sources use (`newHadoopConfWithOptions`), so
+    * FS credentials set via `spark.read.option(...)` or session confs
+    * reach the listing and the executors (the raw
+    * `SparkContext.hadoopConfiguration` would silently drop both). */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState
+      .newHadoopConfWithOptions(opts)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.SparkContext.getOrCreate()
-      .hadoopConfiguration
-    PdfDataSource.listPdfs(path, conf)
+    PdfDataSource.listPdfs(path, hadoopConf())
       .filter(f => nameMatches(
         f.substring(f.lastIndexOf('/') + 1)))
       .map(PdfFilePartition(_): InputPartition).toArray
@@ -148,8 +157,7 @@ private[v2] case class PdfScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     PdfReaderFactory(required.fieldNames,
-      new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf()))
 }
 
 private[v2] case class PdfFilePartition(file: String) extends InputPartition
@@ -171,8 +179,12 @@ private[v2] class PdfPartitionReader(file: String, fields: Array[String],
   private lazy val rows: Iterator[InternalRow] = {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(conf.value)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
+    val len = fs.getFileStatus(p).getLen
+    // a >= 2 GiB file would overflow toInt (negative allocation or silent
+    // truncation) — fail with a named message instead
+    require(len <= Int.MaxValue,
+      s"graft-pdf: $file is $len bytes, over the 2 GiB single-buffer limit")
+    val bytes = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
     val name = p.getName

@@ -372,7 +372,11 @@ object DocIngest {
               batchClean.join(exactHits.union(nearHits).distinct(),
                 Seq(idCol), "left_anti")
             }
-          accepted.write.mode("append").parquet(collectionPath)
+          // exactly-once, not blind append: a crash between the write and
+          // the checkpoint commit replays this batch, and a replayed blind
+          // append would re-insert the accepted rows. commitBatch's
+          // batch=<id> rename protocol makes the replay a no-op.
+          commitBatch(accepted, batchId, collectionPath)
         }
         ()
       }
@@ -431,7 +435,9 @@ object DocIngest {
                 idCol, maxHamming)
               batchClean.join(hits, Seq(idCol), "left_anti")
             }
-          accepted.write.mode("append").parquet(collectionPath)
+          // exactly-once via the batch=<id> rename protocol (see the text
+          // gate above) — crash replay must not re-append survivors.
+          commitBatch(accepted, batchId, collectionPath)
         }
         ()
       }

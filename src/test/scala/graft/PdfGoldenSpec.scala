@@ -288,6 +288,54 @@ class PdfGoldenSpec extends SparkSpec {
     }
   }
 
+  test("2022 key grids parse COMPLETELY from raw bytes, both days") {
+    // the reference ships NO 2022 PV booklets (pdfs_enem/2022 holds only
+    // the two GB keys), so the 119-record 2022 E1 parity stays a fixture
+    // proof (GoldenParitySpec) and full-folder raw-bytes E1 is proven on
+    // 2021. What IS provable from the 2022 artifacts: the complete
+    // answer-key GRIDS — D1 covers q1-90 with the q1-5 language double
+    // occurrence, D2 covers q91-180, every answer a letter (or the
+    // annulled sentinel) — i.e. the exact key surface the reference's
+    // extractor would consume for 2022.
+    val dir = new java.io.File("/root/reference/pdfs_enem/2022")
+    assume(dir.isDirectory, "reference PDFs not present")
+    import spark.implicits._
+    Seq(("2022_GB_impresso_D1_CD1.pdf", 1 to 90, true),
+        ("2022_GB_impresso_D2_CD7.pdf", 91 to 180, false)).foreach {
+      case (name, range, langBlock) =>
+        val bytes = java.nio.file.Files
+          .readAllBytes(new java.io.File(dir, name).toPath)
+        val page0 = graft.functions.PdfCodec.extractPages(bytes).head.text
+        val parsed = graft.operators.AnswerKey
+          .parse(Seq((name, page0)).toDF("file_name", "key_text"),
+            "file_name", "key_text")
+          .collect()
+          .map(r => (r.getInt(1), r.getInt(2)) -> r.getString(3)).toMap
+        val nums = parsed.keySet.map(_._1)
+        // annulled cells print "Anulado" instead of a letter and are
+        // (correctly) dropped by the parse — 2022 D2 annuls q157. A
+        // missing number is acceptable ONLY if the raw grid really marks
+        // it annulled; anything else is a decode defect.
+        val missing = range.toSet -- nums
+        missing.foreach { m =>
+          assert(page0.matches(s"(?s).*\\b$m\\s*\\n\\s*Anulado.*"),
+            s"$name: q$m missing from parse but NOT annulled in the grid")
+        }
+        assert(missing.size <= 2,
+          s"$name: too many missing numbers $missing")
+        assert((nums -- range.toSet).isEmpty,
+          s"$name: unexpected extra numbers ${nums -- range.toSet}")
+        if (langBlock) (1 to 5).foreach { n =>
+          assert(parsed.contains((n, 0)) && parsed.contains((n, 1)),
+            s"$name: q$n language double-occurrence missing")
+        }
+        // every parsed answer is a letter; annulled cells may surface as
+        // non-letters but must stay rare (ENEM annuls ≤ a couple per day)
+        val bad = parsed.filterNot(_._2.matches("^[A-E]$"))
+        assert(bad.size <= 2, s"$name: non-letter answers $bad")
+    }
+  }
+
   test("ObjStm answer keys parse for every committed GB PDF") {
     assume(new java.io.File("/root/reference/pdfs_enem").isDirectory)
     // every year's GB file stores objects in /ObjStm (2021-2023) or

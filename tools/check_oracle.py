@@ -64,7 +64,21 @@ def main(sfdir, outdir):
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
-        if scols != ocols:
+        # Type audit: the driver's hash is type-sensitive (DuckDB
+        # sum(INTEGER) -> HUGEINT vs Spark BIGINT broke source_gini for
+        # three rounds despite value-identical rows). Compare the DuckDB
+        # type of each oracle column against the DuckDB type of the same
+        # column read back from the Spark parquet dump — any drift
+        # (HUGEINT, DECIMAL, INTEGER-vs-BIGINT) is a FAIL here even when
+        # every value matches.
+        stypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+        otypes = {c: str(t) for c, t in zip(orel.columns, orel.types)}
+        tbad = [(c, stypes[c], otypes[c]) for c in sorted(set(stypes) & set(otypes))
+                if stypes[c] != otypes[c]]
+        if tbad:
+            results[name] = ("TYPE_MISMATCH " +
+                             "; ".join(f"{c}: spark={s} oracle={o}" for c, s, o in tbad))
+        elif scols != ocols:
             results[name] = f"SCHEMA_MISMATCH spark={scols} oracle={ocols}"
         elif len(srows) != len(orows):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} oracle={len(orows)}"
