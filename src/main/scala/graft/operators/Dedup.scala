@@ -246,12 +246,16 @@ object Dedup {
       textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // NOTE: the shingle frame feeds four consumers (df counts, prefix
-    // build, both verify sides) and recomputes per branch — measured
-    // FASTER than persisting it (caching the exploded-array frame costs
-    // 2× the recompute in serialization + lost pipelining at sf0.1)
+    // The shingle frame feeds four consumers (df counts, prefix build,
+    // both verify sides): localCheckpoint it so the corpus scan +
+    // shingling kernel runs ONCE. Measured at sf0.1 (r9): checkpoint
+    // ~9.5-10.1 s vs recompute ~11-16 s for dedup_apply end-to-end —
+    // and the gap only widens when the corpus scan is expensive (the
+    // 100 TB case). The r8 note that recompute won predates the
+    // observe-based CC (fewer competing jobs changed the balance).
     val base = shingleFrame(docs, idCol, textCol, n, k = 0)
       .withColumn("n_sh", size($"shs"))
+      .localCheckpoint()
     val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
     val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -585,30 +589,48 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // neighbor-min pass: node ← min(own, min over incoming neighbor labels)
+      // neighbor-min pass: node ← min(own, min over incoming neighbor
+      // labels). Convergence detection rides THIS materialization as an
+      // Observation (zero extra jobs): if the neighbor-min pass decreases
+      // no label, then by edge symmetry comp[a] == comp[b] on every edge —
+      // labels are constant per component, and since comp values are node
+      // ids bounded below by the component min (whose own label is itself),
+      // that constant IS the min id: fully converged. The previous
+      // next-vs-prev count join spent one whole job per round re-proving
+      // the same fact.
+      val obs = org.apache.spark.sql.Observation(s"cc_chg_$iter")
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "a"), "a")
         .groupBy($"b".as("id"))
         .agg(min($"comp").as("ncomp"))
-      val prev = labels
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select($"id", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+        .select($"id", $"comp",
+          coalesce($"ncomp", $"comp").as("ncomp"))
+        .observe(obs,
+          sum(when($"ncomp" < $"comp", 1L).otherwise(0L)).as("chg"))
+        .select($"id", least($"comp", $"ncomp").as("comp"))
         .localCheckpoint()
-      // pointer-jumping shortcut: node ← label OF its label. Every comp
-      // value is itself a node id (the min id seen so far), so the self-join
-      // is total; composing the two hops halves the remaining depth each
-      // round — O(log diameter) rounds instead of O(diameter), which is
-      // what survives a chain-shaped component at corpus scale. Labels are
-      // still (long, long) rows; the extra join shuffles label pairs only.
-      val next = stepped.as("l")
-        .join(stepped.as("r"), col("l.comp") === col("r.id"))
-        .select(col("l.id").as("id"), col("r.comp").as("comp"))
-        .localCheckpoint()
-      stepped.unpersist()
-      changed = next.join(prev.withColumnRenamed("comp", "old"), "id")
-        .filter($"comp" =!= $"old").count()
-      prev.unpersist()
-      labels = next
+      changed = Option(obs.get.getOrElse("chg", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (changed == 0L) {
+        // stable: labels already hold the converged assignment
+        stepped.unpersist()
+      } else {
+        // pointer-jumping shortcut: node ← label OF its label. Every comp
+        // value is itself a node id (the min id seen so far), so the self-
+        // join is total; composing the two hops halves the remaining depth
+        // each round — O(log diameter) rounds instead of O(diameter), which
+        // is what survives a chain-shaped component at corpus scale. Labels
+        // are still (long, long) rows; the extra join shuffles label pairs
+        // only.
+        val next = stepped.as("l")
+          .join(stepped.as("r"), col("l.comp") === col("r.id"))
+          .select(col("l.id").as("id"), col("r.comp").as("comp"))
+          .localCheckpoint()
+        stepped.unpersist()
+        labels.unpersist()
+        labels = next
+      }
       iter += 1
     }
     edges.unpersist()
