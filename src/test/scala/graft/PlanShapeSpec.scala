@@ -86,6 +86,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(q13.contains("LeftOuter"), "q13 lost the outer join")
   }
 
+  test("TPC-H r9 additions keep their declared strategies: q16 anti + " +
+      "broadcast dims, q20 semi, q9 broadcast dims, q21 no subquery " +
+      "re-scan") {
+    val q16 = executedPlan("q16_supplier_counts")
+    assert(q16.contains("LeftAnti"), "q16 lost the NOT-IN anti join")
+    assert(q16.contains("BroadcastHashJoin"),
+      "q16 part/exclusion dims no longer broadcast")
+    assert(executedPlan("q20_excess_shipments").contains("LeftSemi"),
+      "q20 lost the IN-subquery semi join")
+    assert(executedPlan("q9_product_profit").contains("BroadcastHashJoin"),
+      "q9 dimensions no longer broadcast")
+    // the EXISTS/NOT-EXISTS pair is decorrelated into ONE per-order
+    // aggregate: the plan must not contain a nested-loop join, and the
+    // supplier probe stays broadcast
+    val q21 = executedPlan("q21_waiting_suppliers")
+    assert(!q21.contains("BroadcastNestedLoopJoin") &&
+      !q21.contains("CartesianProduct"),
+      "q21 regressed to a nested-loop/cartesian plan")
+    assert(q21.contains("BroadcastHashJoin"),
+      "q21 supplier probe no longer broadcast")
+  }
+
   test("multimodal_phash_pairs: banded equi-join, no nested-loop " +
       "cartesian — the LSH shape holds in the physical plan") {
     val plan = executedPlan("multimodal_phash_pairs")
