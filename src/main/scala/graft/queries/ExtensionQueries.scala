@@ -1235,6 +1235,26 @@ object ExtensionQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── Spark 4 VARIANT path for semi-structured payloads: parse_json
+    //    ONCE into the binary variant encoding, then typed variant_get
+    //    access — the scale-correct shape when several fields are
+    //    extracted from one payload (one parse, n cheap typed reads,
+    //    vs get_json_object re-parsing the string per field). Here the
+    //    extracted value feeds a GROUPING key (decade histogram), so the
+    //    variant column must stay pruned out of the shuffle — only
+    //    (event_type, k) travel. ───────────────────────────────────────────
+    "events_props_variant" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "int").as("k"))
+        .groupBy(col("event_type"),
+          floor(col("k") / 10).cast("int").as("k_decade"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("k_decade"))
+    }),
+
     // ── hour-of-week seasonal profile: cross-week seasonality per event
     //    type (the baseline a seasonal anomaly detector subtracts). Two
     //    aggs: hourly grain first (map-side combinable — events never
@@ -2732,6 +2752,15 @@ object ExtensionQueries {
         |min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_props_variant" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(floor(k / 10.0) AS INT) AS k_decade,
+        |count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, k_decade""".stripMargin,
 
     "events_seasonal_profile" ->
       """WITH hourly AS (

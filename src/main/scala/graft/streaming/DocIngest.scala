@@ -33,6 +33,35 @@ object DocIngest {
       }
       .start()
 
+  /** Spark-NATIVE streaming dedup: `dropDuplicatesWithinWatermark` keyed
+    * on `idCol`. Unlike the custom hash-index gates (which remember the
+    * whole collection), dedup state here is BOUNDED BY THE WATERMARK — a
+    * key is dropped from the state store once the event-time watermark
+    * passes its last occurrence plus `delay` — so an unbounded stream
+    * runs in O(keys per watermark window) state. The right primitive
+    * when duplicates are RE-DELIVERY artifacts (retries, at-least-once
+    * upstreams) arriving close together in event time; content
+    * re-submissions beyond the window need the hash-index gates
+    * ([[startNearDupGated]]). Accepted rows commit through
+    * [[commitBatch]], so the sink stays exactly-once under replay. */
+  def startWatermarkDedup(spark: SparkSession, inDir: String,
+      schema: String, outDir: String, checkpoint: String,
+      idCol: String = "doc_id", tsCol: String = "ts",
+      delay: String = "1 hour",
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, outDir); ()
+      }
+      .start()
+
   /** Event-time windowed ingest statistics with a watermark: per
     * (window, subject) document counts — the streaming form of the A3/A4
     * load-stats aggregation. Late rows beyond the watermark are dropped;

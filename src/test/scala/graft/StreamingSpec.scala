@@ -332,6 +332,39 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) === "doc two")
   }
 
+  test("watermark dedup: re-delivered ids within the watermark drop " +
+      "(in-batch and cross-batch), novel ids pass, first-seen row wins") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_wmd_in").toString
+    val out = Files.createTempDirectory("graft_wmd_out").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_wmd_ck").toString
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+
+    // batch 1: id 1 re-delivered twice (1 s apart), id 2 once
+    Seq((1L, ts(0), "first payload"), (1L, ts(1), "retry payload"),
+        (2L, ts(2), "second doc"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+
+    val q = DocIngest.startWatermarkDedup(spark, in,
+      "doc_id LONG, ts TIMESTAMP, text STRING", out, ckpt,
+      delay = "1 hour", pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      // batch 2: id 1 re-delivered again (still inside the watermark
+      // window -> dropped), id 3 novel (admitted)
+      Seq((1L, ts(10), "late retry"), (3L, ts(11), "third doc"))
+        .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // within-watermark dedup keeps the FIRST-processed occurrence
+    assert(got(1L) === "first payload")
+  }
+
   test("near-dup-gated ingest: batch-internal and cross-batch near-dups " +
       "are rejected; novel docs admitted") {
     import spark.implicits._
