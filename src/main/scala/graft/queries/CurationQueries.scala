@@ -439,6 +439,40 @@ object CurationQueries {
         .orderBy(col("custkey"))
     }),
 
+    // ── the a_rfm PRODUCTION form: order-statistic cutpoint scoring
+    //    (Quantiles.cutpointScores) instead of the global-sort ntile —
+    //    distinct-value histogram → ceil(p·n)-th order statistics →
+    //    broadcast comparison, no data-sized single partition. Buckets
+    //    are tie-STABLE (equal values share a bucket where ntile splits
+    //    by sort position), so the codes differ from a_rfm exactly at
+    //    tied quartile boundaries; the oracle replays the same
+    //    order-statistic definition, making this a FULL value gate of
+    //    the scale path itself. ────────────────────────────────────────────
+    "a_rfm_cutpoints" -> ((s, d) => {
+      val anchor = t(s, d, "orders")
+        .agg(max(col("o_orderdate")).as("maxd"))
+      val base = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey").as("custkey"),
+          datediff(col("maxd"), col("lastd")).cast("long")
+            .as("recency_days"),
+          col("frequency"), col("monetary"))
+      import graft.operators.Quantiles
+      val scored = Quantiles.cutpointScoresMulti(base, Seq(
+        Quantiles.Dim("recency_days", 4, "r_score"),
+        Quantiles.Dim("frequency", 4, "f_score", ascending = false),
+        Quantiles.Dim("monetary", 4, "m_score", ascending = false)))
+      scored.select(col("custkey"), col("recency_days"), col("frequency"),
+          col("monetary").cast("string").as("monetary"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_code"))
+        .orderBy(col("custkey"))
+    }),
+
     // ── engagement concentration (Pareto point): per event type, how
     //    many top users cover 80% of total value. Per-user totals in
     //    exact DECIMAL (order-free), the cumulative share as a
@@ -1081,6 +1115,52 @@ object CurationQueries {
         | + ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INT)
         |  AS rfm_code
         |FROM b ORDER BY custkey""".stripMargin,
+
+    // cutpoint scoring replayed with the SAME order-statistic definition:
+    // cut_p = min v with cumcount >= ceil(p*n/4); score = 1 + #{cuts < v}
+    // (descending dims negate v). list(... ORDER BY ...) keeps the cut
+    // order deterministic.
+    "a_rfm_cutpoints" ->
+      """WITH a AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |b AS (
+        |  SELECT o_custkey AS custkey,
+        |  CAST(date_diff('day', max(o_orderdate), (SELECT maxd FROM a))
+        |    AS BIGINT) AS recency_days,
+        |  count(*) AS frequency,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |hr AS (SELECT CAST(recency_days AS DOUBLE) AS v, count(*) AS c
+        |  FROM b GROUP BY 1),
+        |cr AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |  sum(c) OVER () AS n FROM hr),
+        |kr AS (SELECT list(cut ORDER BY cut) AS cuts FROM (
+        |  SELECT p, min(v) AS cut FROM cr, (SELECT unnest([1,2,3]) AS p)
+        |  WHERE cum >= ceil(p * n / 4.0) GROUP BY p)),
+        |hf AS (SELECT -CAST(frequency AS DOUBLE) AS v, count(*) AS c
+        |  FROM b GROUP BY 1),
+        |cf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |  sum(c) OVER () AS n FROM hf),
+        |kf AS (SELECT list(cut ORDER BY cut) AS cuts FROM (
+        |  SELECT p, min(v) AS cut FROM cf, (SELECT unnest([1,2,3]) AS p)
+        |  WHERE cum >= ceil(p * n / 4.0) GROUP BY p)),
+        |hm AS (SELECT -CAST(monetary AS DOUBLE) AS v, count(*) AS c
+        |  FROM b GROUP BY 1),
+        |cm AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |  sum(c) OVER () AS n FROM hm),
+        |km AS (SELECT list(cut ORDER BY cut) AS cuts FROM (
+        |  SELECT p, min(v) AS cut FROM cm, (SELECT unnest([1,2,3]) AS p)
+        |  WHERE cum >= ceil(p * n / 4.0) GROUP BY p))
+        |SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |CAST(frequency AS BIGINT) AS frequency,
+        |CAST(monetary AS VARCHAR) AS monetary,
+        |CAST(
+        |  (1 + len([c FOR c IN kr.cuts
+        |    IF CAST(recency_days AS DOUBLE) > c])) * 100
+        |  + (1 + len([c FOR c IN kf.cuts
+        |    IF -CAST(frequency AS DOUBLE) > c])) * 10
+        |  + (1 + len([c FOR c IN km.cuts
+        |    IF -CAST(monetary AS DOUBLE) > c])) AS INT) AS rfm_code
+        |FROM b, kr, kf, km ORDER BY custkey""".stripMargin,
 
     "events_pareto" ->
       """WITH pu AS (

@@ -40,6 +40,9 @@ class GlobalWindowSpec extends SparkSpec {
 
   private val allowed: Map[String, Int] = Map(
     "a_rfm" -> 3,
+    // cutpointScoresMulti: one distinct-value cumulative window per RFM
+    // dimension (order statistics ARE global); frames are histogram-sized
+    "a_rfm_cutpoints" -> 3,
     "ann_ivf_dominance" -> 2,
     "ann_ivfpq_dominance" -> 2,
     "ann_pqindex_topk" -> 2,
