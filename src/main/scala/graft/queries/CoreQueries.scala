@@ -259,6 +259,90 @@ object CoreQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ── TPC-H q2 shape (adapted: lineitem's per-(part, supplier) minimum
+    //    unit price stands in for partsupp's supply cost): for each small
+    //    part, the supplier(s) offering the MINIMUM unit price — the
+    //    correlated-MIN subquery, decorrelated into a per-part min joined
+    //    back on EXACT equality. unit prices are per-row divisions and
+    //    min() picks actual values, so the equality is fp-safe (no sums,
+    //    no rounding anywhere); unit_price emits as the RAW double. ────────
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val small = broadcast(t(s, d, "part").filter(col("p_size") < 10)
+        .select(col("p_partkey")))
+      val ps = t(s, d, "lineitem")
+        .join(small, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit"))
+      val mins = ps.groupBy(col("p_partkey").as("pk"))
+        .agg(min(col("unit")).as("mu"))
+      ps.join(mins, col("p_partkey") === col("pk") &&
+          col("unit") === col("mu"))
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("s_name"), col("n_name"),
+          col("unit").as("unit_price"), col("s_acctbal"))
+        .orderBy(col("p_partkey"), col("s_name"))
+    }),
+
+    // ── TPC-H q11 shape (adapted: shipped quantity × retail price stands
+    //    in for partsupp stock value): nations holding an outsized share
+    //    of total inventory value. Exact DECIMAL per-nation sums; the 2%
+    //    threshold compares as IDENTICAL doubles on both engines (cast
+    //    the exact decimals, multiply by the same double constant). ────────
+    "q11_important_stock" -> ((s, d) => {
+      val sup = broadcast(t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val prt = broadcast(t(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice")))
+      val nat = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val v = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_quantity").cast("decimal(4,0)") *
+          col("p_retailprice").cast("decimal(6,2)")).as("val"))
+      val thr = v.agg((sum(col("val")).cast("double") * lit(0.02))
+        .as("_thr"))
+      v.crossJoin(broadcast(thr))
+        .filter(col("val").cast("double") > col("_thr"))
+        .select(col("n_name"), col("val").cast("double").as("value"))
+        .orderBy(desc("value"), col("n_name"))
+    }),
+
+    // ── TPC-H q12 shape (adapted: the schema has no ship mode, so the
+    //    classifying dimension is LATENESS — shipped more than 60 days
+    //    after ordering, the q21 definition): high- vs low-priority line
+    //    counts per lateness class. One join, conditional counts, exact
+    //    integers throughout. ──────────────────────────────────────────────
+    "q12_late_priority" -> ((s, d) => {
+      val high = Seq("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lateness",
+          when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAY"), "LATE")
+            .otherwise("ON-TIME"))
+        .groupBy(col("lateness"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(high: _*), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin(high: _*), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("lateness"))
+    }),
+
     // ── TPC-H q9 shape (adapted: no partsupp table, so supply cost is
     //    modeled as 10% of retail price — deterministic and documented):
     //    profit by SUPPLIER nation × order year over one part family.
@@ -1149,6 +1233,47 @@ object CoreQueries {
         |       AND l_quantity <= 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
         |       AND l_quantity >= 40)""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |  min(l_extendedprice / l_quantity) AS unit
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size < 10 GROUP BY 1, 2)
+        |SELECT l_partkey AS p_partkey, s_name, n_name,
+        |unit AS unit_price, s_acctbal
+        |FROM ps
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE unit = (SELECT min(unit) FROM ps p2
+        |              WHERE p2.l_partkey = ps.l_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT n_name,
+        |  sum(CAST(l_quantity AS DECIMAL(4,0)) *
+        |      CAST(p_retailprice AS DECIMAL(6,2))) AS val
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, CAST(val AS DOUBLE) AS value FROM v
+        |WHERE CAST(val AS DOUBLE) >
+        |  (SELECT CAST(sum(val) AS DOUBLE) * 0.02 FROM v)
+        |ORDER BY value DESC, n_name""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT
+        |CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  THEN 'LATE' ELSE 'ON-TIME' END AS lateness,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,

@@ -106,6 +106,17 @@ class PlanShapeSpec extends SparkSpec {
       "q21 regressed to a nested-loop/cartesian plan")
     assert(q21.contains("BroadcastHashJoin"),
       "q21 supplier probe no longer broadcast")
+    // q2's correlated MIN decorrelates into a per-part aggregate joined
+    // back on equality — no nested-loop, dims broadcast
+    val q2 = executedPlan("q2_min_cost_supplier")
+    assert(!q2.contains("BroadcastNestedLoopJoin") &&
+      !q2.contains("CartesianProduct"),
+      "q2 regressed to a nested-loop/cartesian plan")
+    assert(q2.contains("BroadcastHashJoin"),
+      "q2 dimensions no longer broadcast")
+    assert(executedPlan("q11_important_stock")
+      .contains("BroadcastHashJoin"),
+      "q11 dimensions no longer broadcast")
   }
 
   test("multimodal_phash_pairs: banded equi-join, no nested-loop " +
