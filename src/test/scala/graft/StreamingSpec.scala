@@ -365,6 +365,46 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) === "first payload")
   }
 
+  test("source quota gate (transformWithState): per-source cap holds " +
+      "across batches, lowest ids win, state is per-key exact") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_qg_in").toString
+    val out = Files.createTempDirectory("graft_qg_out").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_qg_ck").toString
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // batch 1: 3 docs from source a (quota 2 -> ids 0,1 admitted),
+      // 1 doc from b
+      Seq((2L, "a", "a2"), (0L, "a", "a0"), (1L, "a", "a1"),
+          (10L, "b", "b0"))
+        .toDF("doc_id", "source", "text").write.mode("append").parquet(in)
+      val q = graft.streaming.QuotaGate.start(spark, in,
+        "doc_id LONG, source STRING, text STRING", out, ckpt,
+        maxPerSource = 2L, pollInterval = "200 milliseconds")
+      try {
+        q.processAllAvailable()
+        // batch 2: a is FULL (3 dropped), b admits one more (11) and
+        // drops the second (12); c is fresh
+        Seq((3L, "a", "a3"), (11L, "b", "b1"), (12L, "b", "b2"),
+            (20L, "c", "c0"))
+          .toDF("doc_id", "source", "text").write.mode("append")
+          .parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      val ids = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(0L, 1L, 10L, 11L, 20L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("near-dup-gated ingest: batch-internal and cross-batch near-dups " +
       "are rejected; novel docs admitted") {
     import spark.implicits._
