@@ -171,6 +171,47 @@ object Multimodal {
     df.select(col(idCol), resizeUdf(col(bytesCol)).as("resized"))
   }
 
+  /** Audio content features over a WAV binary column — the audio leg of
+    * the multimodal axis ([[graft.functions.WavCodec]]): duration,
+    * sample rate, channel count, RMS/peak energy, zero-crossing rate and
+    * silence fraction (each milli-quantized — integer outputs, identical
+    * on every executor/retry). Undecodable payloads emit a row with null
+    * features rather than failing the task. One deterministic
+    * per-partition pass, no driver involvement. Output: idCol +
+    * (duration_ms, sample_rate, channels, rms_milli, peak_milli,
+    * zcr_milli, silence_milli), all nullable longs/ints. */
+  def audioFeatures(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val featUdf = udf((b: Array[Byte]) =>
+      graft.functions.WavCodec.decode(b).map { w =>
+        val f = graft.functions.WavCodec.features(w)
+        (f.durationMs, f.sampleRate, f.channels, f.rmsMilli, f.peakMilli,
+          f.zcrMilli, f.silenceMilli)
+      }: Option[(Long, Int, Int, Long, Long, Long, Long)])
+    df.select(col(idCol), featUdf(col(bytesCol)).as("_f"))
+      .select(col(idCol),
+        col("_f._1").as("duration_ms"), col("_f._2").as("sample_rate"),
+        col("_f._3").as("channels"), col("_f._4").as("rms_milli"),
+        col("_f._5").as("peak_milli"), col("_f._6").as("zcr_milli"),
+        col("_f._7").as("silence_milli"))
+  }
+
+  /** 64-bit energy-contour fingerprints of a WAV binary column, emitted
+    * under the SAME (id, phash) contract as [[perceptualHash]] — so
+    * [[phashNearDupPairs]] and [[phashIncrementalHits]] (4×16-bit band
+    * LSH, pigeonhole-complete ≤ 3 bits, codegen'd Hamming verify) work
+    * unchanged on the audio axis: near-dup audio detection and the
+    * streaming dedup-on-ingest gate come for free. Amplitude-invariant
+    * by construction (frame-energy COMPARISONS, not magnitudes).
+    * Undecodable or sub-frame-length payloads hash to null. */
+  def audioFingerprints(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val fpUdf = udf((b: Array[Byte]) =>
+      graft.functions.WavCodec.decode(b)
+        .flatMap(graft.functions.WavCodec.fingerprint64): Option[Long])
+    df.select(col(idCol), fpUdf(col(bytesCol)).as("phash"))
+  }
+
   /** Near-duplicate image pairs by perceptual hash: candidate generation
     * bands the 64-bit dHash into four 16-bit slices — by pigeonhole any
     * pair within Hamming distance ≤ 3 shares at least one identical

@@ -197,4 +197,87 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 === 0L)
     pairs.foreach(p => assert(p._3 <= 3L))
   }
+
+  test("WavCodec: PCM16 round trip preserves features; malformed bytes " +
+      "decode to None") {
+    import graft.functions.WavCodec
+    // 1 kHz-ish square-ish tone at 8 kHz, 0.5 s, amplitude 0.5
+    val sr = 8000
+    val tone = Array.tabulate(sr / 2)(i =>
+      if ((i / 4) % 2 == 0) 0.5f else -0.5f)
+    val bytes = WavCodec.encodePcm16(sr, tone)
+    val w = WavCodec.decode(bytes).get
+    assert(w.sampleRate === sr && w.channels === 1 &&
+      w.samples.length === tone.length)
+    val f = WavCodec.features(w)
+    assert(f.durationMs === 500L)
+    // RMS of a +-0.5 square wave is 0.5 -> 500 milli
+    assert(math.abs(f.rmsMilli - 500L) <= 1L)
+    assert(math.abs(f.peakMilli - 500L) <= 1L)
+    assert(f.silenceMilli === 0L)
+    // period 8 samples -> 2 crossings per period -> 250 per 1000
+    assert(math.abs(f.zcrMilli - 250L) <= 2L)
+    // malformed: wrong magic, truncation, empty
+    assert(WavCodec.decode("not a wav at all".getBytes("UTF-8")).isEmpty)
+    assert(WavCodec.decode(java.util.Arrays.copyOf(bytes, 30)).isEmpty)
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audioFeatures: per-row features through the frame; undecodable " +
+      "payloads keep their row with null features") {
+    import spark.implicits._
+    import graft.functions.WavCodec
+    val sr = 8000
+    val silence = Array.fill(sr)(0.0f)
+    val loud = Array.tabulate(sr)(i => if (i % 2 == 0) 0.9f else -0.9f)
+    val rows = Seq(
+      (0L, WavCodec.encodePcm16(sr, silence)),
+      (1L, WavCodec.encodePcm16(sr, loud)),
+      (2L, "junk".getBytes("UTF-8")))
+    val got = graft.operators.Multimodal.audioFeatures(
+        rows.toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Long]("silence_milli") === 1000L)
+    assert(got(0L).getAs[Long]("duration_ms") === 1000L)
+    assert(got(1L).getAs[Long]("silence_milli") === 0L)
+    assert(got(1L).getAs[Long]("rms_milli") >= 890L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("duration_ms")))
+  }
+
+  test("audioFingerprints: amplitude-scaled copy collides exactly, " +
+      "different content lands far, and the image-axis LSH pair " +
+      "generator works unchanged") {
+    import spark.implicits._
+    import graft.functions.WavCodec
+    val sr = 8000
+    // a 2 s "melody": 20 segments of 0.1 s, each at a seed-derived level
+    def melody(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val levels = Array.fill(20)(0.1f + r.nextInt(8) * 0.1f)
+      Array.tabulate(sr * 2) { i =>
+        val amp = levels(math.min(19, i / (sr / 10)))
+        if (i % 2 == 0) amp else -amp
+      }
+    }
+    val base = melody(1)
+    val scaled = base.map(x => x * 0.5f) // uniform gain
+    val other = melody(9)
+    val rows = Seq((0L, WavCodec.encodePcm16(sr, base)),
+      (1L, WavCodec.encodePcm16(sr, scaled)),
+      (2L, WavCodec.encodePcm16(sr, other)),
+      (3L, "junk".getBytes("UTF-8")))
+    val hashed = graft.operators.Multimodal.audioFingerprints(
+      rows.toDF("doc_id", "bytes"), "doc_id", "bytes")
+    val hs = hashed.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hs(0L).isDefined && hs(3L).isEmpty)
+    // amplitude invariance: energy COMPARISONS are gain-invariant
+    assert(hs(0L) === hs(1L))
+    assert(java.lang.Long.bitCount(hs(0L).get ^ hs(2L).get) > 3)
+    val pairs = graft.operators.Multimodal.phashNearDupPairs(
+        hashed, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
 }
