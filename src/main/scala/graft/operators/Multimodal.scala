@@ -212,6 +212,64 @@ object Multimodal {
     df.select(col(idCol), fpUdf(col(bytesCol)).as("phash"))
   }
 
+  /** Container metadata over an AVI video binary column
+    * ([[graft.functions.AviCodec]]) — the video leg of the multimodal
+    * axis: dimensions, frame interval (fps as milli-fps, integer), the
+    * header's declared frame count AND the actual `movi` chunk count
+    * (real-world files disagree; a curation gate wants both).
+    * Undecodable payloads keep their row with null metadata. */
+  def videoMeta(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val metaUdf = udf((b: Array[Byte]) =>
+      graft.functions.AviCodec.decodeInfo(b).map { i =>
+        val fpsMilli =
+          if (i.usPerFrame > 0) 1000000000L / i.usPerFrame else 0L
+        (i.width, i.height, fpsMilli, i.declaredFrames, i.frameChunks)
+      }: Option[(Int, Int, Long, Int, Int)])
+    df.select(col(idCol), metaUdf(col(bytesCol)).as("_m"))
+      .select(col(idCol),
+        col("_m._1").as("width"), col("_m._2").as("height"),
+        col("_m._3").as("fps_milli"), col("_m._4").as("declared_frames"),
+        col("_m._5").as("frame_chunks"))
+  }
+
+  /** Frame sampling: every `every`-th frame payload of each video,
+    * EXPLODED to (id, frame_idx, frame_bytes) rows — the decode-fan-out
+    * step of a video training pipeline (each output row then flows
+    * through the IMAGE stack: dHash, resize, features — AVI frame
+    * payloads are JPEGs in real MJPG files, exactly what ImageCodec
+    * decodes). Row-grain memory is one container per task; a long-video
+    * production path would stream chunk offsets instead, same contract. */
+  def videoFrameSample(df: DataFrame, idCol: String, bytesCol: String,
+      every: Int = 1): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    val framesUdf = udf((b: Array[Byte]) =>
+      graft.functions.AviCodec.frames(b).zipWithIndex.collect {
+        case (f, i) if i % every == 0 => (i, f)
+      }: Seq[(Int, Array[Byte])])
+    df.select(col(idCol), explode(framesUdf(col(bytesCol))).as("_f"))
+      .select(col(idCol), col("_f._1").as("frame_idx"),
+        col("_f._2").as("frame_bytes"))
+  }
+
+  /** 64-bit video fingerprint under the (id, phash) contract: the image
+    * dHash of the MIDDLE sampled frame (deterministic, re-encode-stable
+    * for the common trim-free near-dup case) — so [[phashNearDupPairs]]
+    * / [[phashIncrementalHits]] and the streaming dedup gate work
+    * unchanged on video, like [[audioFingerprints]] on audio. Videos
+    * with no decodable frame hash to null. */
+  def videoFingerprints(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val fpUdf = udf { (b: Array[Byte]) =>
+      val fs = graft.functions.AviCodec.frames(b)
+      (if (fs.isEmpty) None
+       else graft.functions.ImageCodec.dHash64(fs(fs.length / 2))
+         .orElse(fs.iterator
+           .flatMap(f => graft.functions.ImageCodec.dHash64(f))
+           .take(1).toSeq.headOption)): Option[Long]
+    }
+    df.select(col(idCol), fpUdf(col(bytesCol)).as("phash"))
+  }
+
   /** Near-duplicate image pairs by perceptual hash: candidate generation
     * bands the 64-bit dHash into four 16-bit slices — by pigeonhole any
     * pair within Hamming distance ≤ 3 shares at least one identical

@@ -280,4 +280,83 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("AviCodec: encode/parse round trip — header metadata, frame " +
+      "count and payload bytes; malformed containers degrade to None") {
+    import graft.functions.AviCodec
+    val frames = (0 until 5).map(i => s"frame payload number $i x".getBytes("UTF-8"))
+    val avi = AviCodec.encode(320, 240, 40000, frames) // 25 fps
+    val info = AviCodec.decodeInfo(avi).get
+    assert(info.width === 320 && info.height === 240)
+    assert(info.usPerFrame === 40000 && info.declaredFrames === 5)
+    assert(info.frameChunks === 5)
+    val got = AviCodec.frames(avi)
+    assert(got.length === 5)
+    got.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(AviCodec.decodeInfo("RIFFjunk".getBytes("UTF-8")).isEmpty)
+    assert(AviCodec.decodeInfo(java.util.Arrays.copyOf(avi, 20)).isEmpty)
+    assert(AviCodec.frames(java.util.Arrays.copyOf(avi, 40)).isEmpty)
+  }
+
+  test("videoMeta + videoFrameSample: every-Nth frames explode and " +
+      "decode through the image stack; undecodable keeps a null row") {
+    import spark.implicits._
+    import graft.functions.AviCodec
+    def pgm(seed: Int): Array[Byte] =
+      "P5 16 16 255\n".getBytes("US-ASCII") ++
+        Array.tabulate(256)(i => (((i * 7 + seed * 31) % 256) & 0xff).toByte)
+    val frames = (0 until 6).map(pgm)
+    val avi = AviCodec.encode(16, 16, 100000, frames)
+    val rows = Seq((0L, avi), (1L, "not avi".getBytes("UTF-8")))
+    val meta = graft.operators.Multimodal.videoMeta(
+        rows.toDF("vid", "bytes"), "vid", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(0L).getAs[Int]("width") === 16)
+    assert(meta(0L).getAs[Long]("fps_milli") === 10000L)
+    assert(meta(0L).getAs[Int]("frame_chunks") === 6)
+    assert(meta(1L).isNullAt(meta(1L).fieldIndex("width")))
+    val sampled = graft.operators.Multimodal.videoFrameSample(
+        rows.toDF("vid", "bytes"), "vid", "bytes", every = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]]("frame_bytes")))
+    assert(sampled.map(x => (x._1, x._2)).toSet ===
+      Set((0L, 0), (0L, 2), (0L, 4)))
+    // every sampled frame decodes through ImageCodec (image stack reuse)
+    sampled.foreach { case (_, idx, b) =>
+      assert(graft.functions.ImageCodec.dHash64(b).isDefined, s"frame $idx")
+      assert(b.sameElements(frames(idx)))
+    }
+  }
+
+  test("videoFingerprints: re-encoded copy collides, different content " +
+      "far, LSH pair generator unchanged on the video axis") {
+    import spark.implicits._
+    import graft.functions.AviCodec
+    def pgm(f: Int => Int): Array[Byte] =
+      "P5 16 16 255\n".getBytes("US-ASCII") ++
+        Array.tabulate(256)(i => (f(i) & 0xff).toByte)
+    def gradient(i: Int) = (i * 7 + (i / 16) * 31) % 256
+    def noise(i: Int) = (i * 97 + 55) % 256
+    val a = AviCodec.encode(16, 16, 40000,
+      (0 until 5).map(_ => pgm(gradient)))
+    // same content, different container timing + one extra frame
+    val b = AviCodec.encode(16, 16, 33333,
+      (0 until 6).map(_ => pgm(gradient)))
+    val c = AviCodec.encode(16, 16, 40000,
+      (0 until 5).map(_ => pgm(noise)))
+    val rows = Seq((0L, a), (1L, b), (2L, c),
+      (3L, "garbage".getBytes("UTF-8")))
+    val hashed = graft.operators.Multimodal.videoFingerprints(
+      rows.toDF("vid", "bytes"), "vid", "bytes")
+    val hs = hashed.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hs(0L).isDefined && hs(3L).isEmpty)
+    assert(hs(0L) === hs(1L))
+    assert(java.lang.Long.bitCount(hs(0L).get ^ hs(2L).get) > 3)
+    val pairs = graft.operators.Multimodal.phashNearDupPairs(
+        hashed, "vid", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
 }
