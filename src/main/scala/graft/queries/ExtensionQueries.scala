@@ -1283,6 +1283,49 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── multimodal AUDIO features through the REAL WAV codec: per-doc
+    //    PCM16 bytes synthesized IN-PLAN (square wave, amp (doc_id%9+1)/10,
+    //    n_chars samples @ 8 kHz) → encodePcm16 → decode → features. The
+    //    oracle computes every expected feature in CLOSED FORM from the
+    //    table columns (rms/peak = amp·1000 after PCM16 quantization —
+    //    verified to round exactly for all 9 amp levels; zcr = 1000 for a
+    //    sign-alternating signal; duration = floor(n·1000/8000)) — full
+    //    byte-level encode→decode→feature parity without DuckDB ever
+    //    seeing a WAV. ──────────────────────────────────────────────────────
+    "multimodal_audio_features" -> ((s, d) => {
+      val synth = udf((id: Long, n: Int) => {
+        val amp = ((id % 9) + 1).toFloat / 10.0f
+        graft.functions.WavCodec.encodePcm16(8000,
+          Array.tabulate(math.max(2, n))(i =>
+            if (i % 2 == 0) amp else -amp))
+      })
+      graft.operators.Multimodal.audioFeatures(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              synth(col("doc_id"), col("n_chars")).as("bytes")),
+          "doc_id", "bytes")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── multimodal VIDEO metadata through the REAL AVI codec: per-doc
+    //    containers synthesized IN-PLAN ((doc_id%3+1) PGM frames, 16×16,
+    //    40 ms/frame) → AviCodec.encode → decodeInfo. Closed-form oracle
+    //    (25000 milli-fps, declared = actual = doc_id%3+1). ─────────────────
+    "multimodal_video_meta" -> ((s, d) => {
+      val synth = udf((id: Long) => {
+        val nf = ((id % 3) + 1).toInt
+        val frame = "P5 16 16 255\n".getBytes("US-ASCII") ++
+          Array.tabulate(256)(i => (((i * 7 + id) % 256) & 0xff).toByte)
+        graft.functions.AviCodec.encode(16, 16, 40000,
+          Seq.fill(nf)(frame))
+      })
+      graft.operators.Multimodal.videoMeta(
+          t(s, d, "documents")
+            .select(col("doc_id"), synth(col("doc_id")).as("bytes")),
+          "doc_id", "bytes")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── multimodal frame sampling: one row per sampled frame (stub codec,
     //    real per-partition flatMap plumbing); the slicing arithmetic is
     //    oracle-checked, slice CONTENT re-assembly is spec-checked ──────────
@@ -2772,6 +2815,25 @@ object ExtensionQueries {
         |CAST(sum(n) AS BIGINT) AS n_events,
         |round(sum(n)::DOUBLE / count(*), 4) AS avg_per_hour
         |FROM hourly GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "multimodal_audio_features" ->
+      """SELECT doc_id,
+        |CAST(GREATEST(n_chars, 2) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |CAST(8000 AS INT) AS sample_rate,
+        |CAST(1 AS INT) AS channels,
+        |CAST((doc_id % 9 + 1) * 100 AS BIGINT) AS rms_milli,
+        |CAST((doc_id % 9 + 1) * 100 AS BIGINT) AS peak_milli,
+        |CAST(1000 AS BIGINT) AS zcr_milli,
+        |CAST(0 AS BIGINT) AS silence_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_video_meta" ->
+      """SELECT doc_id,
+        |CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |CAST(25000 AS BIGINT) AS fps_milli,
+        |CAST(doc_id % 3 + 1 AS INT) AS declared_frames,
+        |CAST(doc_id % 3 + 1 AS INT) AS frame_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,
