@@ -1326,6 +1326,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── multimodal VIDEO frame sampling through the real container: the
+    //    synthesized (doc_id%3+1)-frame AVIs again, every-2nd frame
+    //    exploded; the oracle replays the sampling arithmetic (indices
+    //    0,2,… and the fixed 269-byte PGM payload size) in closed form ─────
+    "multimodal_video_frames" -> ((s, d) => {
+      val synth = udf((id: Long) => {
+        val nf = ((id % 3) + 1).toInt
+        val frame = "P5 16 16 255\n".getBytes("US-ASCII") ++
+          Array.tabulate(256)(i => (((i * 7 + id) % 256) & 0xff).toByte)
+        graft.functions.AviCodec.encode(16, 16, 40000,
+          Seq.fill(nf)(frame))
+      })
+      graft.operators.Multimodal.videoFrameSample(
+          t(s, d, "documents")
+            .select(col("doc_id"), synth(col("doc_id")).as("bytes")),
+          "doc_id", "bytes", every = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).as("n_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // ── multimodal frame sampling: one row per sampled frame (stub codec,
     //    real per-partition flatMap plumbing); the slicing arithmetic is
     //    oracle-checked, slice CONTENT re-assembly is spec-checked ──────────
@@ -2834,6 +2855,14 @@ object ExtensionQueries {
         |CAST(doc_id % 3 + 1 AS INT) AS declared_frames,
         |CAST(doc_id % 3 + 1 AS INT) AS frame_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_video_frames" ->
+      """SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |CAST(269 AS INT) AS n_bytes
+        |FROM documents,
+        |  (SELECT unnest([0, 2]) AS i) u
+        |WHERE u.i < doc_id % 3 + 1
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,
