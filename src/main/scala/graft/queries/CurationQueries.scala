@@ -473,6 +473,39 @@ object CurationQueries {
         .orderBy(col("custkey"))
     }),
 
+    // ── market-basket association: part pairs co-purchased in ≥ 3
+    //    orders, with support counts, confidence and lift. Scale shape:
+    //    one DISTINCT (order, part) shuffle, a self-join keyed on the
+    //    ORDER (never all part pairs — only within-basket pairs
+    //    enumerate), per-part counts broadcast back. All counts exact
+    //    integers; confidence/lift are single divisions of exact ints —
+    //    identical IEEE doubles on both engines, no rounding anywhere. ──────
+    "basket_lift" -> ((s, d) => {
+      val op = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pc = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val n = op.agg(countDistinct(col("l_orderkey")).as("n"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(broadcast(pc.select(col("l_partkey").as("part_a"),
+          col("c").as("c_a"))), "part_a")
+        .join(broadcast(pc.select(col("l_partkey").as("part_b"),
+          col("c").as("c_b"))), "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("c_a"), col("c_b"),
+          col("c_ab"),
+          (col("c_ab").cast("double") / col("c_a")).as("confidence"),
+          ((col("n") * col("c_ab")).cast("double") /
+            (col("c_a") * col("c_b"))).as("lift"))
+        .orderBy(desc("lift"), col("part_a"), col("part_b"))
+    }),
+
     // ── engagement concentration (Pareto point): per event type, how
     //    many top users cover 80% of total value. Per-user totals in
     //    exact DECIMAL (order-free), the cumulative share as a
@@ -1161,6 +1194,25 @@ object CurationQueries {
         |  + (1 + len([c FOR c IN km.cuts
         |    IF -CAST(monetary AS DOUBLE) > c])) AS INT) AS rfm_code
         |FROM b, kr, kf, km ORDER BY custkey""".stripMargin,
+
+    "basket_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS c_ab
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b,
+        |ca.c AS c_a, cb.c AS c_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |CAST(c_ab AS DOUBLE) / ca.c AS confidence,
+        |CAST(n.n * c_ab AS DOUBLE) / (ca.c * cb.c) AS lift
+        |FROM pairs
+        |JOIN pc ca ON ca.l_partkey = part_a
+        |JOIN pc cb ON cb.l_partkey = part_b, n
+        |ORDER BY lift DESC, part_a, part_b""".stripMargin,
 
     "events_pareto" ->
       """WITH pu AS (

@@ -405,6 +405,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer sessionization (transformWithState, event-time timers): " +
+      "sessions close exactly when the watermark passes end+gap; " +
+      "cross-batch extension re-arms the timer") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ts_in").toString
+    val out = Files.createTempDirectory("graft_ts_out").toString + "/sess"
+    val ckpt = Files.createTempDirectory("graft_ts_ck").toString
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    try {
+      // batch 1: user 1 events at t0, t0+10; user 2 at t0+5
+      Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+        .toDF("user_id", "ts").write.mode("append").parquet(in)
+      val q = graft.streaming.TimerSessionize.start(spark, in,
+        "user_id LONG, ts TIMESTAMP", out, ckpt, gapSeconds = 30L,
+        pollInterval = "200 milliseconds")
+      try {
+        q.processAllAvailable()
+        // nothing closed yet: watermark is only at t0+10
+        // batch 2: user 1 extends its session at t0+20 (re-arms timer);
+        // user 3 far in the future advances the watermark past
+        // everyone's end+gap on the NEXT batch
+        Seq((1L, ts(20)), (3L, ts(500)))
+          .toDF("user_id", "ts").write.mode("append").parquet(in)
+        q.processAllAvailable()
+        // batch 3: another future event advances the watermark again so
+        // user 3's own session can close too
+        Seq((4L, ts(1000))).toDF("user_id", "ts")
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+        .collect().map(r => r.getLong(r.fieldIndex("user_id")) ->
+          ((r.getTimestamp(r.fieldIndex("start_ts")).getTime,
+            r.getTimestamp(r.fieldIndex("end_ts")).getTime,
+            r.getLong(r.fieldIndex("n_events"))))).toMap
+      // users 1, 2, 3 closed; user 4's session is still open
+      assert(got.keySet === Set(1L, 2L, 3L))
+      assert(got(1L) === ((ts(0).getTime, ts(20).getTime, 3L)),
+        "user 1's cross-batch extension did not merge/re-arm")
+      assert(got(2L) === ((ts(5).getTime, ts(5).getTime, 1L)))
+      assert(got(3L) === ((ts(500).getTime, ts(500).getTime, 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("near-dup-gated ingest: batch-internal and cross-batch near-dups " +
       "are rejected; novel docs admitted") {
     import spark.implicits._
