@@ -70,6 +70,19 @@ object Dedup {
     }.toDF("id", "shs", "sig")
   }
 
+  /** Signature table for the persisted-index path ([[LshIndex]]): the
+    * same (id, shs, sig) kernel the in-process pair generators use, so
+    * an index built today collides correctly with batches signed
+    * tomorrow. */
+  private[operators] def signatureFrame(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): DataFrame =
+    shingleFrame(docs, idCol, textCol, n, k)
+
+  /** Band-bucket keys for the persisted-index path — see
+    * [[signatureFrame]]. */
+  private[operators] def bandBucketsOf(sig: DataFrame, bands: Int,
+      rows: Int): DataFrame = bandBuckets(sig, bands, rows)
+
   /** Public signature table: (id, sig ARRAY<BIGINT> length k) per doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame =

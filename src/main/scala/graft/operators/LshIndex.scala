@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH index — the scale form
+  * [[Dedup.incrementalLshPairs]]'s scaladoc promises: sign and band the
+  * corpus ONCE, persist, and make every subsequent ingest batch pay only
+  * for ITS OWN signatures plus a bucket-keyed join against the stored
+  * table — O(batch + collisions) per batch, independent of corpus size,
+  * where the unindexed form re-signs the whole corpus every call.
+  *
+  * Layout at `path`:
+  *  - `buckets/` — (id, bucket, pb) parquet, directory-PARTITIONED by
+  *    `pb = pmod(bucket, 64)` (the raw xxhash64 bucket domain is too wide
+  *    to be a partition column; the 64-way fold keeps directories bounded
+  *    while still letting a small probe prune most files).
+  *  - `sigs/`    — (id, shs) shingle sets for exact-Jaccard verification.
+  *
+  * `probePairs` emits the SAME (new_id, corpus_id, jaccard) contract as
+  * `incrementalLshPairs` (spec-pinned equality), and `append` folds an
+  * accepted batch into the index so the next batch collides against it —
+  * the maintenance loop of a dedup-on-ingest service. */
+object LshIndex {
+
+  private def bucketsPath(path: String) = s"$path/buckets"
+  private def sigsPath(path: String) = s"$path/sigs"
+  private val PartMod = 64
+
+  /** (id, bucket) band keys + (id, shs) verification sets for `docs`,
+    * using [[Dedup]]'s machine-independent signature kernel. */
+  private def signed(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
+    val sig = Dedup.signatureFrame(docs, idCol, textCol, n, k)
+    (Dedup.bandBucketsOf(sig, bands, k / bands), sig.select(col("id"),
+      col("shs")))
+  }
+
+  /** Build (or rebuild) the index: one corpus pass for signatures, two
+    * writes. */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val (buckets, sigs) = signed(corpus, idCol, textCol, n, k, bands)
+    buckets.withColumn("pb", pmod(col("bucket"), lit(PartMod)).cast("int"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pb")
+      .parquet(bucketsPath(path))
+    sigs.write.mode(SaveMode.Overwrite).parquet(sigsPath(path))
+  }
+
+  /** Near-dup pairs of `newDocs` against the PERSISTED corpus: the new
+    * batch is signed fresh; the corpus side is the stored bucket table
+    * (filtered to the batch's `pb` folds — partition pruning bounds the
+    * files read when the batch touches few folds) and the stored shingle
+    * sets (joined by id only for verified candidates). Same output
+    * contract as [[Dedup.incrementalLshPairs]]. */
+  def probePairs(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val (newBuckets, newSigs) = signed(newDocs, idCol, textCol, n, k, bands)
+    val nb = newBuckets
+      .withColumn("pb", pmod(col("bucket"), lit(PartMod)).cast("int"))
+    val folds = nb.select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ 64 ints — bounded sidecar
+    val corpusBuckets = spark.read.parquet(bucketsPath(path))
+      .filter(col("pb").isin(folds: _*))
+    val cand = nb.as("a")
+      .join(corpusBuckets.as("b"), Seq("bucket", "pb"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val corpusSigs = spark.read.parquet(sigsPath(path))
+    cand
+      .join(newSigs.select(col("id").as("new_id"), col("shs").as("sha")),
+        "new_id")
+      .join(corpusSigs.select(col("id").as("corpus_id"),
+        col("shs").as("shb")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Fold an accepted batch into the index (plain partition append —
+    * untouched `pb=` folds are not rewritten). The next probe collides
+    * against it immediately. */
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val (buckets, sigs) = signed(newDocs, idCol, textCol, n, k, bands)
+    buckets.withColumn("pb", pmod(col("bucket"), lit(PartMod)).cast("int"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("pb")
+      .parquet(bucketsPath(path))
+    sigs.write.mode(SaveMode.Append).parquet(sigsPath(path))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, LshIndex}
+import org.apache.spark.sql.functions._
+
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "o rato roeu a roupa do rei de roma e depois fugiu " +
+    "para o campo onde encontrou um queijo enorme perto do moinho antigo"
+  private val bread = "receita de pao caseiro com fermento natural agua " +
+    "farinha sal e tempo de descanso longo na geladeira durante a noite"
+  private val corpus = Seq((0L, base), (1L, bread),
+    (2L, "um documento completamente diferente sobre motores spark e " +
+      "planos de execucao distribuida em larga escala com muitos nos"))
+
+  test("probePairs equals the unindexed incrementalLshPairs contract " +
+      "(pairs, jaccard) for a mixed batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx")
+      .toString + "/idx"
+    val corpusDf = corpus.toDF("doc_id", "text")
+    LshIndex.build(corpusDf, "doc_id", "text", dir)
+    val batch = Seq(
+      (10L, base.replace("queijo", "bolo")), // near-dup of corpus 0
+      (11L, bread),                          // exact re-send of corpus 1
+      (12L, "texto novo sobre assuntos nunca vistos antes em nenhum " +
+        "documento do corpus atual de testes pequenos"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val idx = canon(LshIndex.probePairs(spark, dir, batch, "doc_id",
+      "text", threshold = 0.5))
+    val ref = canon(Dedup.incrementalLshPairs(batch, corpusDf, "doc_id",
+      "text", threshold = 0.5))
+    assert(idx === ref)
+    assert(idx.map(p => (p._1, p._2)) === Set((10L, 0L), (11L, 1L)))
+  }
+
+  test("append folds a batch in; the NEXT probe collides against it " +
+      "without rebuilding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx2")
+      .toString + "/idx"
+    LshIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val accepted = Seq((20L, "frase original sobre jardins botanicos e " +
+      "estufas de vidro com plantas raras de climas tropicais umidos"))
+      .toDF("doc_id", "text")
+    LshIndex.append(accepted, "doc_id", "text", dir)
+    val probe = Seq((30L, "frase original sobre jardins botanicos e " +
+      "estufas de vidro com plantas raras de climas tropicais secos"))
+      .toDF("doc_id", "text")
+    val hits = LshIndex.probePairs(spark, dir, probe, "doc_id", "text",
+        threshold = 0.5)
+      .select(col("new_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((30L, 20L)),
+      "appended doc not visible to the next probe")
+  }
+
+  test("probe reads only the batch's pb partition folds (file pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx3")
+      .toString + "/idx"
+    LshIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val batch = Seq((40L, base)).toDF("doc_id", "text")
+    // plan-level check: the buckets scan must carry a pb IN (...) filter
+    // with < 64 folds, i.e. partition pruning is active
+    val pairs = LshIndex.probePairs(spark, dir, batch, "doc_id", "text",
+      threshold = 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("pb"), "pb partition column missing from plan")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((40L, 0L)))
+  }
+}
