@@ -25,7 +25,15 @@ object LshIndex {
 
   private def bucketsPath(path: String) = s"$path/buckets"
   private def sigsPath(path: String) = s"$path/sigs"
+  private def fpsPath(path: String) = s"$path/fps"
   private val PartMod = 64
+
+  /** True once `build`/`append` has written the index (the streaming
+    * gate's first batch starts from nothing). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(bucketsPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** (id, bucket) band keys + (id, shs) verification sets for `docs`,
     * using [[Dedup]]'s machine-independent signature kernel. */
@@ -47,6 +55,24 @@ object LshIndex {
       .partitionBy("pb")
       .parquet(bucketsPath(path))
     sigs.write.mode(SaveMode.Overwrite).parquet(sigsPath(path))
+    // exact-duplicate fingerprints cover EVERY doc — including ones too
+    // short to shingle, which have no signature row and would otherwise
+    // slip any exact-re-send check
+    corpus.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("fp"))
+      .write.mode(SaveMode.Overwrite).parquet(fpsPath(path))
+  }
+
+  /** Ids of `batch` whose text is an EXACT duplicate (md5) of any indexed
+    * doc — the companion check to [[probePairs]] for sub-shingle-width
+    * documents. */
+  def exactHits(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fps = spark.read.parquet(fpsPath(path)).select(col("fp"))
+      .distinct()
+    batch.select(col(idCol), md5(col(textCol)).as("fp"))
+      .join(fps, Seq("fp"), "left_semi")
+      .select(col(idCol))
   }
 
   /** Near-dup pairs of `newDocs` against the PERSISTED corpus: the new
@@ -94,5 +120,8 @@ object LshIndex {
       .partitionBy("pb")
       .parquet(bucketsPath(path))
     sigs.write.mode(SaveMode.Append).parquet(sigsPath(path))
+    newDocs.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("fp"))
+      .write.mode(SaveMode.Append).parquet(fpsPath(path))
   }
 }

@@ -411,6 +411,57 @@ object DocIngest {
       }
       .start()
 
+  /** [[startNearDupGated]] with the PERSISTED index — the production
+    * form its scaladoc promises: the corpus is never re-signed; each
+    * batch pays for its own signatures plus bucket-keyed joins against
+    * [[graft.operators.LshIndex]]'s stored tables (O(batch + collisions)
+    * per batch at ANY corpus size). Admissions: in-batch exact keep-
+    * lowest-id, in-batch near-dup keep-first, then index exact-md5 and
+    * near-dup hits reject. Accepted rows commit via [[commitBatch]]
+    * (exactly-once), then fold into the index. Index appends are
+    * AT-LEAST-ONCE by design: on crash replay the commit is a no-op but
+    * the append re-runs, and duplicate index entries only add redundant
+    * candidates — admissions anti-join on distinct ids, so decisions
+    * never change. */
+  def startIndexedNearDupGated(spark: SparkSession, inDir: String,
+      schema: String, collectionPath: String, indexPath: String,
+      checkpoint: String, idCol: String, threshold: Double = 0.8,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, LshIndex}
+        val ss = batch.sparkSession
+        if (!batch.isEmpty) {
+          val exactClean = Dedup.dropExactDuplicates(batch, idCol, "text")
+          val innerPairs = Dedup.minhashLshPairs(exactClean, idCol,
+            "text", threshold = threshold)
+          val batchClean = Dedup.dropNearDuplicates(exactClean, idCol,
+            innerPairs)
+          val accepted =
+            if (!LshIndex.exists(ss, indexPath)) batchClean
+            else {
+              val exact = LshIndex.exactHits(ss, indexPath, batchClean,
+                idCol, "text")
+              val near = LshIndex.probePairs(ss, indexPath, batchClean,
+                  idCol, "text", threshold = threshold)
+                .select(col("new_id").as(idCol)).distinct()
+              batchClean.join(exact.union(near).distinct(),
+                Seq(idCol), "left_anti")
+            }
+          commitBatch(accepted, batchId, collectionPath)
+          if (LshIndex.exists(ss, indexPath))
+            LshIndex.append(accepted, idCol, "text", indexPath)
+          else LshIndex.build(accepted, idCol, "text", indexPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming IMAGE dedup-on-ingest: the [[startNearDupGated]] contract
     * on the multimodal axis. Each arriving batch of (idCol, bytes)
     * rows: (1) perceptual-hash via the native dhash64 expression;

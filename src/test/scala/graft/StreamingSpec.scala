@@ -458,6 +458,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("INDEXED near-dup gate: same admissions as the unindexed gate, " +
+      "corpus never re-signed, short-doc exact re-sends still caught") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_indg_in").toString
+    val out = Files.createTempDirectory("graft_indg_out").toString + "/coll"
+    val idx = Files.createTempDirectory("graft_indg_ix").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_indg_ck").toString
+
+    val base = "o rato roeu a roupa do rei de roma e depois fugiu para o " +
+      "campo onde encontrou um queijo enorme perto do moinho antigo"
+    val other = "receita de pao caseiro com fermento natural agua farinha " +
+      "sal e tempo de descanso longo na geladeira durante a noite fria"
+    // batch 1: base + its near-dup (in-batch drop), a distinct doc, and
+    // a doc too short to shingle (no signature row — exact-fp territory)
+    Seq((0L, base), (1L, base.replace("queijo", "bolo")), (2L, other),
+        (3L, "curto"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+
+    val q = DocIngest.startIndexedNearDupGated(spark, in, schema, out,
+      idx, ckpt, "doc_id", threshold = 0.5,
+      pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      // batch 2: near-dup of accepted corpus doc (reject via index
+      // probe), exact re-send (reject), exact re-send of the SHORT doc
+      // (reject via the fp table — probePairs cannot see it), novel doc
+      Seq((10L, base.replace("campo", "prado")), (11L, other),
+          (13L, "curto"),
+          (12L, "um texto totalmente novo sobre processamento " +
+            "distribuido de documentos em spark com operadores"))
+        .toDF("doc_id", "text").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 2L, 3L, 12L))
+  }
+
   test("near-dup-gated ingest: batch-internal and cross-batch near-dups " +
       "are rejected; novel docs admitted") {
     import spark.implicits._
