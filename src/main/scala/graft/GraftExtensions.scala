@@ -85,7 +85,14 @@ object GraftExtensions {
         info("dhash64",
           "dhash64(bytes) - 64-bit perceptual difference hash of an " +
             "image BINARY column (NULL when undecodable)"),
-        (args: Seq[Expression]) => graft.functions.DHash64Expr(args(0))))
+        (args: Seq[Expression]) => graft.functions.DHash64Expr(args(0))),
+      (FunctionIdentifier("audio_fingerprint64"),
+        info("audio_fingerprint64",
+          "audio_fingerprint64(bytes) - 64-bit energy-contour " +
+            "fingerprint of a WAV BINARY column, amplitude-invariant " +
+            "(NULL when undecodable or shorter than 65 samples)"),
+        (args: Seq[Expression]) =>
+          graft.functions.AudioFingerprintExpr(args(0))))
 
   /** Register on an already-running session (idempotent): SQL functions
     * into the registry, planner strategies into

@@ -154,6 +154,15 @@ object WavCodec {
     Some(bits)
   }
 
+  /** Static entry point for the codegen expression
+    * ([[AudioFingerprintExpr]]): boxed Long or null, no Option crossing
+    * the generated-code boundary. */
+  def fingerprint64OrNull(bytes: Array[Byte]): java.lang.Long =
+    decode(bytes).flatMap(fingerprint64) match {
+      case Some(v) => java.lang.Long.valueOf(v)
+      case None => null
+    }
+
   /** Minimal PCM16 mono WAV writer — the test-fixture twin of decode
     * (spec round-trips rely on it; also the re-encode path of a
     * normalize step). */

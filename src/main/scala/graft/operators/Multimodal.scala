@@ -205,12 +205,15 @@ object Multimodal {
     * by construction (frame-energy COMPARISONS, not magnitudes).
     * Undecodable or sub-frame-length payloads hash to null. */
   def audioFingerprints(df: DataFrame, idCol: String,
-      bytesCol: String): DataFrame = {
-    val fpUdf = udf((b: Array[Byte]) =>
-      graft.functions.WavCodec.decode(b)
-        .flatMap(graft.functions.WavCodec.fingerprint64): Option[Long])
-    df.select(col(idCol), fpUdf(col(bytesCol)).as("phash"))
-  }
+      bytesCol: String): DataFrame =
+    // native codegen expression, not a UDF — one static codec call per
+    // row inside whole-stage codegen (the DHash64Expr pattern)
+    df.select(col(idCol),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.AudioFingerprintExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            col(bytesCol))))
+        .as("phash"))
 
   /** Container metadata over an AVI video binary column
     * ([[graft.functions.AviCodec]]) — the video leg of the multimodal

@@ -112,4 +112,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(1)) // undecodable non-null input → null OUTPUT
     assert(rows(2).isNullAt(1)) // null input short-circuits
   }
+
+  test("SQL audio_fingerprint64 matches the kernel; undecodable, " +
+    "too-short, and null payloads are NULL") {
+    import spark.implicits._
+    val wav = graft.functions.WavCodec.encodePcm16(8000,
+      Array.tabulate(800)(i =>
+        (0.2f + (i / 100) * 0.1f) * (if (i % 2 == 0) 1 else -1)))
+    val short = graft.functions.WavCodec.encodePcm16(8000,
+      Array.fill(10)(0.5f)) // decodes, but < 65 samples → no frames
+    Seq((1L, wav), (2L, "junk".getBytes("UTF-8")), (3L, short),
+        (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes").createOrReplaceTempView("wavs")
+    val rows = spark.sql(
+      "SELECT id, audio_fingerprint64(bytes) AS h FROM wavs ORDER BY id")
+      .collect()
+    val expected = graft.functions.WavCodec
+      .decode(wav).flatMap(graft.functions.WavCodec.fingerprint64).get
+    assert(rows(0).getLong(1) === expected)
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(1))
+    assert(rows(3).isNullAt(1))
+  }
 }
