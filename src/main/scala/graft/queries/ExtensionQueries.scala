@@ -1326,6 +1326,40 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── multimodal AUDIO near-dup pairs, FULL-oracle: docs sharing a
+    //    (doc_id % 50) group get byte-identical synthesized WAVs →
+    //    identical energy-contour fingerprints → the banded LSH pair
+    //    generator must emit EXACTLY the same-group pairs at Hamming 0
+    //    (identical hashes always collide; cross-group patterns are
+    //    20-segment seeded-random contours, so a ≤3-bit collision is
+    //    ~2^-40 per pair — the pair set is closed-form). Drives the
+    //    audio fingerprint + LSH reuse end-to-end under the driver gate. ───
+    "multimodal_audio_pairs" -> ((s, d) => {
+      val synth = udf((g: Long) => {
+        val r = new scala.util.Random(g * 7919L + 13L)
+        // 64 seeded-random segments over 1600 samples ≈ one per contour
+        // frame — nearly every fingerprint bit is an independent
+        // level-comparison, so cross-group contours differ in ~32 bits
+        // (20 coarse segments left most bits as uninformative equal-
+        // energy zeros and two groups collided within 3 bits)
+        val levels = Array.fill(64)(0.1f + r.nextInt(8) * 0.1f)
+        graft.functions.WavCodec.encodePcm16(8000,
+          Array.tabulate(1600) { i =>
+            val a = levels(math.min(63, i / 25))
+            if (i % 2 == 0) a else -a
+          })
+      })
+      val hashed = graft.operators.Multimodal.audioFingerprints(
+        t(s, d, "documents")
+          .select(col("doc_id"), synth(col("doc_id") % 50).as("bytes")),
+        "doc_id", "bytes")
+      graft.operators.Multimodal.phashNearDupPairs(hashed, "doc_id",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── multimodal VIDEO frame sampling through the real container: the
     //    synthesized (doc_id%3+1)-frame AVIs again, every-2nd frame
     //    exploded; the oracle replays the sampling arithmetic (indices
@@ -2855,6 +2889,13 @@ object ExtensionQueries {
         |CAST(doc_id % 3 + 1 AS INT) AS declared_frames,
         |CAST(doc_id % 3 + 1 AS INT) AS frame_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "multimodal_video_frames" ->
       """SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
