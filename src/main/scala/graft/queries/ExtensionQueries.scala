@@ -1360,6 +1360,29 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── multimodal VIDEO near-dup pairs, FULL-oracle (the audio_pairs
+    //    construction on the video axis): same-group docs get identical
+    //    single-frame AVIs whose frame is a seeded-random 16×16 raster —
+    //    cross-group dHashes differ in ~32 bits, so the pair set is
+    //    exactly the same-group pairs at Hamming 0. ─────────────────────────
+    "multimodal_video_pairs" -> ((s, d) => {
+      val synth = udf((g: Long) => {
+        val r = new scala.util.Random(g * 104729L + 7L)
+        val frame = "P5 16 16 255\n".getBytes("US-ASCII") ++
+          Array.fill(256)((r.nextInt(256) & 0xff).toByte)
+        graft.functions.AviCodec.encode(16, 16, 40000, Seq(frame))
+      })
+      val hashed = graft.operators.Multimodal.videoFingerprints(
+        t(s, d, "documents")
+          .select(col("doc_id"), synth(col("doc_id") % 50).as("bytes")),
+        "doc_id", "bytes")
+      graft.operators.Multimodal.phashNearDupPairs(hashed, "doc_id",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── multimodal VIDEO frame sampling through the real container: the
     //    synthesized (doc_id%3+1)-frame AVIs again, every-2nd frame
     //    exploded; the oracle replays the sampling arithmetic (indices
@@ -2891,6 +2914,13 @@ object ExtensionQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_audio_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "multimodal_video_pairs" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b
