@@ -359,4 +359,31 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("WAV/AVI mutation fuzz: corrupted and truncated containers never " +
+      "throw — decode degrades to None/empty") {
+    import graft.functions.{AviCodec, WavCodec}
+    val wav = WavCodec.encodePcm16(8000,
+      Array.tabulate(4000)(i => if (i % 2 == 0) 0.4f else -0.4f))
+    val avi = AviCodec.encode(16, 16, 40000,
+      (0 until 4).map(k => s"frame payload $k".getBytes("UTF-8")))
+    val rnd = new scala.util.Random(42)
+    for (base <- Seq(wav, avi); trial <- 1 to 25) {
+      val b = base.clone()
+      val at = rnd.nextInt(b.length - 64)
+      (0 until 1 + rnd.nextInt(64)).foreach { k =>
+        b(at + k) = rnd.nextInt(256).toByte
+      }
+      // contract: degrade, never throw
+      WavCodec.decode(b).foreach(w => assert(w.samples.nonEmpty))
+      assert(AviCodec.frames(b) != null)
+      AviCodec.decodeInfo(b).foreach(i => assert(i.width > 0))
+    }
+    for (base <- Seq(wav, avi);
+         n <- Seq(0, 1, 8, 43, 44, 45, base.length / 2, base.length - 3)) {
+      val b = java.util.Arrays.copyOf(base, n)
+      WavCodec.decode(b) // must not throw
+      assert(AviCodec.frames(b) != null)
+    }
+  }
 }
