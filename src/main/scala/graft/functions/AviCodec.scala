@@ -33,9 +33,14 @@ object AviCodec {
       (id.substring(2) == "dc" || id.substring(2) == "db")
 
   /** Walk a chunk range, recursing into LISTs, invoking `f` per leaf
-    * chunk (id, bodyOffset, bodyLen). Bounded by the byte array. */
+    * chunk (id, bodyOffset, bodyLen). Bounded by the byte array AND by a
+    * nesting-depth cap: real AVIs nest ≤ 3 deep (RIFF → hdrl/movi →
+    * rec ), but a crafted file of nothing-but-LIST headers would
+    * otherwise recurse once per 12 bytes — a StackOverflowError, which
+    * is an Error the lenient catch-Exception contract would NOT contain. */
   private def walk(b: Array[Byte], from: Int, until: Int,
-      f: (String, Int, Int) => Unit): Unit = {
+      f: (String, Int, Int) => Unit, depth: Int = 0): Unit = {
+    if (depth > 16) return
     var off = from
     while (off + 8 <= until) {
       val id = fourcc(b, off)
@@ -44,7 +49,7 @@ object AviCodec {
       val body = off + 8
       val end = math.min(until.toLong, body.toLong + len).toInt
       if (id == "LIST" && body + 4 <= until)
-        walk(b, body + 4, end, f)
+        walk(b, body + 4, end, f, depth + 1)
       else if (body <= until)
         f(id, body, math.max(0, end - body))
       off = body + len.toInt + (len.toInt & 1)

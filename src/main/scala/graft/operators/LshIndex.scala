@@ -28,11 +28,16 @@ object LshIndex {
   private def fpsPath(path: String) = s"$path/fps"
   private val PartMod = 64
 
-  /** True once `build`/`append` has written the index (the streaming
-    * gate's first batch starts from nothing). */
+  /** True once `build`/`append` has written the COMPLETE index (all
+    * three tables — a crash between build's writes must read as absent,
+    * or the next probe/exactHits would fail on the missing table; the
+    * streaming gate then rebuilds from its batch). */
   def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(bucketsPath(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(bucketsPath(path), sigsPath(path), fpsPath(path)).forall { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).exists(p)
+    }
   }
 
   /** (id, bucket) band keys + (id, shs) verification sets for `docs`,
