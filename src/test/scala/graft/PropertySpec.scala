@@ -166,4 +166,59 @@ object GraftProperties extends Properties("graft") {
       }
     !noTies || complement
   }
+
+  // ── WAV / AVI codec algebra ────────────────────────────────────────────
+  private val samples: Gen[Array[Float]] =
+    Gen.chooseNum(2, 400).flatMap(n =>
+      Gen.containerOfN[Array, Float](n, Gen.chooseNum(-1.0f, 1.0f)))
+
+  property("WAV PCM16 round trip recovers every sample within the " +
+    "codec's quantization bound") = forAll(samples) { xs =>
+    import graft.functions.WavCodec
+    // decoded = round(32767·x)/32768 (symmetric 32767 encode, full-scale
+    // 32768 decode — standard PCM16 asymmetry), so the worst case is
+    // (0.5 + |x|)/32768 ≤ 1.5/32768
+    WavCodec.decode(WavCodec.encodePcm16(8000, xs)) match {
+      case Some(w) =>
+        w.sampleRate == 8000 && w.samples.length == xs.length &&
+          w.samples.zip(xs).forall { case (got, want) =>
+            math.abs(got - math.max(-1.0f, math.min(1.0f, want))) <=
+              1.5f / 32768.0f + 1e-7f
+          }
+      case None => false
+    }
+  }
+
+  property("WAV fingerprint is invariant under uniform gain") =
+    forAll(Gen.containerOfN[Array, Float](200,
+        Gen.chooseNum(-0.5f, 0.5f))) { xs =>
+      import graft.functions.WavCodec
+      def fp(arr: Array[Float]) =
+        WavCodec.decode(WavCodec.encodePcm16(8000, arr))
+          .flatMap(WavCodec.fingerprint64)
+      // halving cannot clip and scales every frame energy by the same
+      // factor -> comparisons unchanged (up to PCM16 quantization noise
+      // on equal-energy ties, excluded by requiring a defined fp match)
+      val a = fp(xs); val b = fp(xs.map(_ * 0.5f))
+      a.isEmpty || {
+        val d = java.lang.Long.bitCount(a.get ^ b.get)
+        d <= 2 // quantization can flip near-tie bits, never the contour
+      }
+    }
+
+  property("AVI encode/parse round trip preserves frame payloads and " +
+    "header metadata") = forAll(
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray)))
+    ) { frames =>
+    import graft.functions.AviCodec
+    val avi = AviCodec.encode(32, 24, 40000, frames)
+    val info = AviCodec.decodeInfo(avi)
+    val got = AviCodec.frames(avi)
+    info.exists(i => i.width == 32 && i.height == 24 &&
+      i.declaredFrames == frames.length &&
+      i.frameChunks == frames.length) &&
+      got.length == frames.length &&
+      got.zip(frames).forall { case (a, b) => a.sameElements(b) }
+  }
 }
