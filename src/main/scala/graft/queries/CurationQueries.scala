@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bpe, Dedup, FuzzyJoin, SimilaritySearch, TextAnalysis, UnigramLm}
+import graft.operators.{Bpe, Dedup, FuzzyJoin, SimilaritySearch, TextAnalysis, UnigramLm, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -15,6 +15,23 @@ import Tables.t
   * against a DuckDB oracle. */
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed WordPiece vocab for the `vocab_wordpiece_encode` gate — ONE
+    * literal shared by the Spark encoder and the DuckDB recursive-CTE
+    * oracle (interpolated into the SQL below), so the two sides cannot
+    * drift. All 26 letters in both plain and `##` form (total coverage
+    * → no [UNK]) plus corpus-relevant multi-char pieces so the greedy
+    * longest-match is exercised at every length. */
+  private[graft] val WpVocab: Seq[String] = {
+    val letters = ('a' to 'z').map(_.toString)
+    letters ++ letters.map("##" + _) ++ Seq(
+      "join", "the", "key", "row", "agg", "batch", "small", "fast",
+      "slow", "big", "part", "ha", "##sh", "sc", "##an", "cus",
+      "##tomer", "col", "##umn", "fil", "##ter", "mer", "##ge", "or",
+      "##der", "vec", "##tor", "ta", "##ble", "st", "##ream", "wind",
+      "##ow", "sp", "##ark", "gr", "##oup", "qu", "##ery", "da", "##ta",
+      "li", "##ne", "va", "##lue", "so", "##rt")
+  }
 
   val queries: Map[String, Q] = Map(
     // ── fuzzy self-join: supplier names within edit distance 1. The
@@ -124,6 +141,38 @@ object CurationQueries {
         .filter(length(col("piece")) >= 2)
         .groupBy(col("piece")).agg(count(lit(1)).as("uses"))
         .orderBy(desc("uses"), col("piece")).limit(20)
+    }),
+
+    // ── WordPiece greedy encode against the FIXED shared vocab: one row
+    //    per distinct [a-z]+ word — (word, pieces, n_pieces). FULL-value
+    //    oracle: DuckDB replays the greedy longest-match-first walk with
+    //    a recursive longest-prefix CTE over the SAME vocab literal, so
+    //    the BERT-style encoder semantics (## continuations, longest
+    //    match at every cursor) are driver-gated end to end. ────────────
+    "vocab_wordpiece_encode" -> ((s, d) => {
+      WordPiece.encodeWords(t(s, d, "documents"), "text", WpVocab.toSet)
+        .filter(col("word").rlike("^[a-z]+$"))
+        .orderBy(col("word"))
+    }),
+
+    // ── WordPiece round-trip audit with a TRAINED vocab (12 PMI-scored
+    //    merges): stripping the ## continuations and concatenating the
+    //    pieces must rebuild every corpus word, and no word may fall to
+    //    [UNK] (the trainer's alphabet covers the corpus by
+    //    construction) — violations are emitted, 0-row oracle. The
+    //    learned pieces themselves are argmax/decimal-defined and pinned
+    //    in WordPieceSpec (the vocab_bpe_roundtrip pattern). ────────────
+    "vocab_wordpiece_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = WordPiece.train(docs, "text", rounds = 12).toSet
+      WordPiece.encodeWords(docs, "text", vocab)
+        .withColumn("rebuilt", array_join(transform(
+          split(col("pieces"), " "),
+          p => regexp_replace(p, "^##", "")), ""))
+        .filter(col("pieces") === WordPiece.Unk ||
+          col("rebuilt") =!= col("word"))
+        .select(col("word"), col("pieces"), col("rebuilt"))
+        .orderBy(col("word"))
     }),
 
     // ── inverted-index postings for the top-10 document-frequency terms:
@@ -1336,6 +1385,45 @@ object CurationQueries {
     "vocab_unigram_roundtrip" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS word_pos,
         |CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS rebuilt
+        |WHERE FALSE""".stripMargin,
+
+    // the vocab literal is interpolated from WpVocab — one source of
+    // truth for both engines. Greedy longest-match-first = at each
+    // (word, pos) take the unique piece with no longer match (NOT
+    // EXISTS), so each CTE row has exactly one successor.
+    "vocab_wordpiece_encode" ->
+      raw"""WITH RECURSIVE
+        |v AS (SELECT piece,
+        |  CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+        |       ELSE piece END AS txt,
+        |  (piece LIKE '##%') AS cont,
+        |  len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+        |      ELSE piece END) AS tl
+        |  FROM (SELECT unnest([${WpVocab.map("'" + _ + "'").mkString(", ")}])
+        |        AS piece)),
+        |words AS (SELECT DISTINCT word FROM (
+        |  SELECT unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS word FROM documents)
+        |  WHERE regexp_full_match(word, '[a-z]+')),
+        |step(word, pos, pieces, np) AS (
+        |  SELECT word, 1, CAST('' AS VARCHAR), 0 FROM words
+        |  UNION ALL
+        |  SELECT st.word, st.pos + v.tl,
+        |    CASE WHEN st.pieces = '' THEN v.piece
+        |         ELSE st.pieces || ' ' || v.piece END,
+        |    st.np + 1
+        |  FROM step st JOIN v ON v.cont = (st.pos > 1)
+        |    AND st.pos <= len(st.word)
+        |    AND substr(st.word, st.pos, v.tl) = v.txt
+        |    AND NOT EXISTS (SELECT 1 FROM v v2
+        |      WHERE v2.cont = (st.pos > 1) AND v2.tl > v.tl
+        |        AND substr(st.word, st.pos, v2.tl) = v2.txt))
+        |SELECT word, pieces, CAST(np AS INT) AS n_pieces FROM step
+        |WHERE pos = len(word) + 1 ORDER BY word""".stripMargin,
+
+    "vocab_wordpiece_roundtrip" ->
+      """SELECT CAST(NULL AS VARCHAR) AS word,
+        |CAST(NULL AS VARCHAR) AS pieces, CAST(NULL AS VARCHAR) AS rebuilt
         |WHERE FALSE""".stripMargin,
 
     "docs_postings" ->

@@ -642,6 +642,18 @@ object ExtensionQueries {
       else Seq((est, exact)).toDF("union_est", "exact_distinct")
     }),
 
+    // ── KMV/theta sketch set-algebra audit: per-event-type user
+    //    sketches (k = 1024 longs each, a persistable sidecar) must
+    //    estimate every pairwise INTERSECTION and DIFFERENCE within
+    //    max(15%, 32) of exact — the set ops HLL registers cannot
+    //    answer. Estimates are hash-defined (pinned in KmvSketchSpec);
+    //    exact counts + flags are the oracle surface (hll_audit
+    //    pattern). ────────────────────────────────────────────────────
+    "events_kmv_overlap_audit" -> ((s, d) => {
+      graft.operators.KmvSketch.pairOverlapAudit(t(s, d, "events"),
+        col("event_type"), col("user_id"), k = 1024)
+    }),
+
     // ── Flesch-style readability: exact integer sentence/word/vowel-run
     //    counts → one fixed fp tree per row — the curation-grade
     //    reading-level signal ────────────────────────────────────────────
@@ -2332,6 +2344,25 @@ object ExtensionQueries {
     "events_hll_union_audit" ->
       """SELECT CAST(NULL AS BIGINT) AS union_est,
         |CAST(NULL AS BIGINT) AS exact_distinct WHERE FALSE""".stripMargin,
+
+    "events_kmv_overlap_audit" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |  FROM tu GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM s a JOIN s b ON a.event_type < b.event_type),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |CAST(coalesce(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+        |CAST(sa.nu - coalesce(i.exact_inter, 0) AS BIGINT) AS exact_diff,
+        |TRUE AS inter_ok, TRUE AS diff_ok
+        |FROM p LEFT JOIN i ON p.type_a = i.type_a AND p.type_b = i.type_b
+        |JOIN s sa ON p.type_a = sa.event_type
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
 
     "docs_readability" ->
       """SELECT doc_id,
