@@ -53,76 +53,104 @@ object KmvSketch {
     * hashing at/above the cached max rejects in O(1) — the dup scan
     * only runs for hashes below θ, i.e. with probability ≈ k/n, so the
     * amortized per-row cost is O(1) however large the group. */
-  final class SketchAgg(k: Int) extends Aggregator[String, Array[Byte], Array[Byte]] {
-    require(k >= 16, "k must be >= 16")
+  private def getL(b: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+  private def putL(b: Array[Byte], off: Int, v0: Long): Unit = {
+    var v = v0; var i = 0
+    while (i < 8) { b(off + i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+  }
 
-    private def getL(b: Array[Byte], off: Int): Long = {
-      var v = 0L; var i = 7
-      while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
-      v
+  /** Insert hash h into a k-slot buffer: skip when present or not
+    * among the k smallest. Shared by the build and merge aggregators. */
+  private def insert(buf: Array[Byte], h: Long, k: Int): Unit = {
+    val n = getL(buf, 0).toInt
+    if (n == k &&
+        java.lang.Long.compareUnsigned(h, getL(buf, 8)) >= 0) return
+    var maxIdx = -1
+    var maxV = 0L
+    var i = 0
+    while (i < n) {
+      val v = getL(buf, 16 + 8 * i)
+      if (v == h) return // already retained
+      if (maxIdx < 0 || java.lang.Long.compareUnsigned(v, maxV) > 0) {
+        maxIdx = i; maxV = v
+      }
+      i += 1
     }
-    private def putL(b: Array[Byte], off: Int, v0: Long): Unit = {
-      var v = v0; var i = 0
-      while (i < 8) { b(off + i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
-    }
-
-    /** Insert hash h: skip when present or not among the k smallest. */
-    private def insert(buf: Array[Byte], h: Long): Unit = {
-      val n = getL(buf, 0).toInt
-      if (n == k &&
-          java.lang.Long.compareUnsigned(h, getL(buf, 8)) >= 0) return
-      var maxIdx = -1
-      var maxV = 0L
-      var i = 0
-      while (i < n) {
+    if (n < k) {
+      putL(buf, 16 + 8 * n, h)
+      putL(buf, 0, n + 1L)
+      if (n + 1 == k)
+        putL(buf, 8,
+          if (java.lang.Long.compareUnsigned(h, maxV) > 0 || maxIdx < 0) h
+          else maxV)
+    } else {
+      // h < old max (checked above): replace it, recompute the max
+      putL(buf, 16 + 8 * maxIdx, h)
+      var newMax = h
+      i = 0
+      while (i < k) {
         val v = getL(buf, 16 + 8 * i)
-        if (v == h) return // already retained
-        if (maxIdx < 0 || java.lang.Long.compareUnsigned(v, maxV) > 0) {
-          maxIdx = i; maxV = v
-        }
+        if (java.lang.Long.compareUnsigned(v, newMax) > 0) newMax = v
         i += 1
       }
-      if (n < k) {
-        putL(buf, 16 + 8 * n, h)
-        putL(buf, 0, n + 1L)
-        if (n + 1 == k)
-          putL(buf, 8,
-            if (java.lang.Long.compareUnsigned(h, maxV) > 0 || maxIdx < 0) h
-            else maxV)
-      } else {
-        // h < old max (checked above): replace it, recompute the max
-        putL(buf, 16 + 8 * maxIdx, h)
-        var newMax = h
-        i = 0
-        while (i < k) {
-          val v = getL(buf, 16 + 8 * i)
-          if (java.lang.Long.compareUnsigned(v, newMax) > 0) newMax = v
-          i += 1
-        }
-        putL(buf, 8, newMax)
-      }
+      putL(buf, 8, newMax)
     }
+  }
 
+  /** Compact a reduce buffer to the sorted (unsigned ascending)
+    * retained-hash array — the persistable sketch value. */
+  private def compact(buf: Array[Byte]): Array[Byte] = {
+    val n = getL(buf, 0).toInt
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = getL(buf, 16 + 8 * i); i += 1 }
+    encode(sortUnsigned(hs))
+  }
+
+  final class SketchAgg(k: Int) extends Aggregator[String, Array[Byte], Array[Byte]] {
+    require(k >= 16, "k must be >= 16")
     override def zero: Array[Byte] = new Array[Byte](16 + 8 * k)
     override def reduce(buf: Array[Byte], v: String): Array[Byte] = {
-      insert(buf, Hashing.hash64(if (v == null) "" else v, Seed))
+      insert(buf, Hashing.hash64(if (v == null) "" else v, Seed), k)
       buf
     }
     override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
       val nb = getL(b, 0).toInt
       var i = 0
-      while (i < nb) { insert(a, getL(b, 16 + 8 * i)); i += 1 }
+      while (i < nb) { insert(a, getL(b, 16 + 8 * i), k); i += 1 }
       a
     }
-    /** Compact to the sorted (unsigned ascending) retained-hash array —
-      * the persistable sketch value. */
-    override def finish(buf: Array[Byte]): Array[Byte] = {
-      val n = getL(buf, 0).toInt
-      val hs = new Array[Long](n)
+    override def finish(buf: Array[Byte]): Array[Byte] = compact(buf)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merge aggregator over ALREADY-BUILT sketches (binary column) —
+    * the incremental-maintenance primitive ([[Hll.MergeAgg]]'s role):
+    * persisted per-segment sketches fold with a new batch's without
+    * touching raw history, keeping the k smallest across all inputs. */
+  final class MergeAgg(k: Int) extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    require(k >= 16, "k must be >= 16")
+    private def foldIn(buf: Array[Byte], sketch: Array[Byte]): Array[Byte] = {
+      val hs = decode(sketch)
       var i = 0
-      while (i < n) { hs(i) = getL(buf, 16 + 8 * i); i += 1 }
-      encode(sortUnsigned(hs))
+      while (i < hs.length) { insert(buf, hs(i), k); i += 1 }
+      buf
     }
+    override def zero: Array[Byte] = new Array[Byte](16 + 8 * k)
+    override def reduce(buf: Array[Byte], v: Array[Byte]): Array[Byte] =
+      foldIn(buf, v)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val nb = getL(b, 0).toInt
+      var i = 0
+      while (i < nb) { insert(a, getL(b, 16 + 8 * i), k); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Byte]): Array[Byte] = compact(buf)
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
@@ -134,7 +162,10 @@ object KmvSketch {
     t.map(_ ^ Long.MinValue)
   }
 
-  private[operators] def encode(hs: Array[Long]): Array[Byte] = {
+  /** Serialize a retained-hash array back to sketch bytes — the
+    * persistence inverse of [[decode]] (e.g. to publish a driver-side
+    * [[union]] result back into a sketch table). */
+  def encode(hs: Array[Long]): Array[Byte] = {
     val out = new Array[Byte](8 * hs.length)
     var i = 0
     while (i < hs.length) {

@@ -759,38 +759,87 @@ object DocIngest {
                 .groupBy(col("day")).agg(mergeAgg(col("hll")).as("hll"))
             case None => fresh
           }
-          // 1. immutable versioned directory for this batch's table
-          val version = s"v-$batchId"
-          merged.coalesce(1).write.mode("overwrite")
-            .parquet(s"$sketchDir/$version")
-          // 2. atomic pointer republish: write tmp FILE, rename onto
-          //    CURRENT (single-file rename; checked)
-          val dir = new org.apache.hadoop.fs.Path(sketchDir)
-          val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
-          val tmpPtr = new org.apache.hadoop.fs.Path(dir,
-            s"CURRENT.tmp-$batchId")
-          val out = fs.create(tmpPtr, true)
-          try out.write(version.getBytes("UTF-8")) finally out.close()
-          val ptr = new org.apache.hadoop.fs.Path(dir, "CURRENT")
-          if (fs.exists(ptr) && !fs.delete(ptr, false))
-            throw new java.io.IOException(
-              s"failed to retire old CURRENT pointer in $sketchDir")
-          if (!fs.rename(tmpPtr, ptr))
-            throw new java.io.IOException(
-              s"failed to publish CURRENT pointer in $sketchDir")
-          // 3. retire superseded versions EXCEPT the immediately
-          //    previous one (in-flight readers may still hold it)
-          val keep = Set(version) ++ prev.map(p0 =>
-            p0.substring(p0.lastIndexOf('/') + 1))
-          fs.listStatus(dir).foreach { st =>
-            val name = st.getPath.getName
-            if (st.isDirectory && name.startsWith("v-") &&
-                !keep.contains(name)) {
-              if (!fs.delete(st.getPath, true))
-                throw new java.io.IOException(
-                  s"failed to retire $name in $sketchDir")
-            }
+          publishVersioned(s, merged, sketchDir, batchId, prev)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The versioned-table publication protocol shared by the sketch
+    * maintainers: (1) write an immutable `v-<batchId>` directory,
+    * (2) atomically republish the CURRENT pointer (tmp FILE + rename —
+    * atomic on HDFS and local disk; never a moment without a readable
+    * version), (3) retire superseded versions except the immediately
+    * previous one (in-flight readers). Every filesystem call CHECKED —
+    * a failed rename fails the batch loudly. */
+  private def publishVersioned(s: SparkSession, merged: DataFrame,
+      sketchDir: String, batchId: Long, prev: Option[String]): Unit = {
+    val version = s"v-$batchId"
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$sketchDir/$version")
+    val dir = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    val tmpPtr = new org.apache.hadoop.fs.Path(dir,
+      s"CURRENT.tmp-$batchId")
+    val out = fs.create(tmpPtr, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(dir, "CURRENT")
+    if (fs.exists(ptr) && !fs.delete(ptr, false))
+      throw new java.io.IOException(
+        s"failed to retire old CURRENT pointer in $sketchDir")
+    if (!fs.rename(tmpPtr, ptr))
+      throw new java.io.IOException(
+        s"failed to publish CURRENT pointer in $sketchDir")
+    val keep = Set(version) ++ prev.map(p0 =>
+      p0.substring(p0.lastIndexOf('/') + 1))
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v-") &&
+          !keep.contains(name)) {
+        if (!fs.delete(st.getPath, true))
+          throw new java.io.IOException(
+            s"failed to retire $name in $sketchDir")
+      }
+    }
+  }
+
+  /** Streaming KMV maintenance — [[startHllDaily]]'s protocol with
+    * [[graft.operators.KmvSketch]] sketches, which buy the SET ALGEBRA
+    * HLL registers cannot: the persisted per-day sketch table answers
+    * "users active on BOTH day X and day Y" (returning users) or
+    * "active on X but not Y" (churn) from k-long sidecars, no event
+    * rescan. Same immutable-version + atomic-CURRENT publication;
+    * k-smallest folding is idempotent, so crash-replayed batches
+    * re-merge harmlessly (the at-least-once window that breaks
+    * counters is safe for sketches). */
+  def startKmvDaily(spark: SparkSession, inDir: String, schema: String,
+      sketchDir: String, checkpoint: String,
+      k: Int = 1024, pollInterval: String = "1 second"): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val byDay = batch.select(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          val fresh = graft.operators.KmvSketch.groupSketches(
+            byDay, col("user_id"), Seq("day"), k)
+          val prev = currentSketchPath(s, sketchDir)
+          val merged = prev match {
+            case Some(path) =>
+              val mergeAgg = org.apache.spark.sql.functions.udaf(
+                new graft.operators.KmvSketch.MergeAgg(k))
+              s.read.parquet(path).unionByName(fresh)
+                .groupBy(col("day")).agg(mergeAgg(col("kmv")).as("kmv"))
+            case None => fresh
           }
+          publishVersioned(s, merged, sketchDir, batchId, prev)
         }
         ()
       }

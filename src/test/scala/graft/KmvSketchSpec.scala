@@ -91,6 +91,19 @@ class KmvSketchSpec extends SparkSpec {
     assert(KmvSketch.jaccardEstimate(a, b, 256) === 0.0)
   }
 
+  test("MergeAgg over built sketches equals the union law (the " +
+      "incremental-maintenance contract)") {
+    import spark.implicits._
+    val sa = sketch((0 until 900).map(i => s"m$i"), 128)
+    val sb = sketch((500 until 1400).map(i => s"m$i"), 128)
+    val mergeAgg = udaf(new KmvSketch.MergeAgg(128))
+    val merged = Seq(KmvSketch.encode(sa), KmvSketch.encode(sb))
+      .toDF("kmv").agg(mergeAgg(col("kmv")).as("kmv"))
+      .first().getAs[Array[Byte]](0)
+    assert(KmvSketch.decode(merged).toSeq ===
+      KmvSketch.union(sa, sb, 128).toSeq)
+  }
+
   test("pairOverlapAudit: every pair within tolerance on the testdata") {
     val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.001",
       "events")

@@ -228,6 +228,47 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(union - 200) <= 200 * 0.05, s"union $union")
   }
 
+  test("streaming KMV daily sketches: persisted day sketches answer " +
+      "cross-day intersection and difference, idempotent under replay") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = Files.createTempDirectory("graft_kmv_in").toString
+    val out = Files.createTempDirectory("graft_kmv_out").toString
+    val ckpt = Files.createTempDirectory("graft_kmv_ck").toString
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+
+    // day1 = users 0..99; day2 = 50..199 (overlap 50..99 → 50 returning)
+    val b1 = ((0L until 100L).map(u => (ts(1), u)) ++
+      (50L until 150L).map(u => (ts(2), u))).toDF("ts", "user_id")
+    b1.write.mode("append").parquet(in)
+    val q = DocIngest.startKmvDaily(spark, in,
+      "ts TIMESTAMP, user_id LONG", out, ckpt, k = 1024)
+    try {
+      q.processAllAvailable()
+      (150L until 200L).map(u => (ts(2), u)).toDF("ts", "user_id")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // replayed content must not move any sketch (k-smallest idempotent)
+      b1.write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import graft.operators.KmvSketch
+    val sk = DocIngest.currentSketches(spark, out).collect()
+      .map(r => r.getString(0) -> KmvSketch.decode(r.getAs[Array[Byte]](1)))
+      .toMap
+    assert(sk.keySet === Set("2024-01-01", "2024-01-02"))
+    val (d1, d2) = (sk("2024-01-01"), sk("2024-01-02"))
+    // both days below k=1024 → sketches exact → set algebra exact
+    assert(KmvSketch.estimate(d1, 1024) === 100.0)
+    assert(KmvSketch.estimate(d2, 1024) === 150.0)
+    assert(KmvSketch.intersectEstimate(d1, d2, 1024) === 50.0)
+    assert(KmvSketch.differenceEstimate(d1, d2, 1024) === 50.0)
+    assert(KmvSketch.differenceEstimate(d2, d1, 1024) === 100.0)
+    assert(KmvSketch.estimate(
+      KmvSketch.union(d1, d2, 1024), 1024) === 200.0)
+  }
+
   test("idempotent sink: a replayed batchId writes nothing twice") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_idem_in").toString
