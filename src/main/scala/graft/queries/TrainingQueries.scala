@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Classifier, Dedup, Drift, Dsir, Pq, PqIndex}
+import graft.operators.{Classifier, Dedup, Drift, Dsir, Isotonic, Pq, PqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -433,6 +433,80 @@ object TrainingQueries {
         else Seq.empty
       (ascents ++ accRow).toDF("kind", "iter", "value", "bound")
         .orderBy(col("kind"), col("iter"))
+    }),
+
+    // ── exact isotonic (PAV) calibration fit: score = n_chars (exact
+    //    integer grid, ≤ 506 groups by data design), label = lang='en'.
+    //    FULL-value oracle: DuckDB replays the closed-form minimax
+    //    characterization fitted(i) = max_{j≤i} min_{k≥i} mean(y[j..k])
+    //    over prefix sums — every fitted value is ONE division of the
+    //    same pooled integers on both engines, and pooling DECISIONS in
+    //    the engine are BigInt-exact, so the doubles match bit-for-bit
+    //    (rationale in Isotonic's scaladoc). ─────────────────────────────
+    "classifier_isotonic_fit" -> ((s, d) => {
+      Isotonic.fit(t(s, d, "documents"),
+          col("n_chars").cast("double"),
+          when(col("lang") === "en", 1).otherwise(0))
+        .orderBy(col("score"))
+    }),
+
+    // ── reliability diagram bins (the calibration DIAGNOSTIC the
+    //    isotonic fit corrects): per length-bin accuracy vs a
+    //    deterministic confidence proxy, all exact integer sums → one
+    //    fp division per cell, gap = one subtraction of identical
+    //    trees — no cross-row fp accumulation anywhere ──────────────────
+    "classifier_reliability_bins" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(least(floor(col("n_chars") / 100), lit(9)).cast("int")
+            .as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          least(col("n_chars"), lit(1000)).as("cmilli"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("cmilli")).as("conf_sum"))
+        .withColumn("acc", col("n_pos").cast("double") / col("n"))
+        .withColumn("conf",
+          col("conf_sum").cast("double") / (col("n") * 1000))
+        .select(col("bin"), col("n"), col("n_pos"), col("acc"),
+          col("conf"), abs(col("acc") - col("conf")).as("gap"))
+        .orderBy(col("bin"))
+    }),
+
+    // ── split-conformal threshold (Vovk et al.; the distribution-free
+    //    calibration complement to the isotonic fit): deterministic
+    //    md5 half-split into calib/test, threshold = the
+    //    ⌈(n_calib+1)(1−α)⌉-th smallest calib nonconformity score at
+    //    α = 0.1 — k computed in EXACT integer arithmetic
+    //    ((9(n+1)+9) div 10; fp ceil((n+1)·0.9) misrounds when 9(n+1)
+    //    is a multiple of 10), the order statistic read off a
+    //    distinct-score histogram (≤ 506 rows — sidecar window, no
+    //    global data sort), then test-side coverage measured. FULL
+    //    oracle replays split, k, threshold, and coverage exactly. ──────
+    "classifier_conformal_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bucket = substring(md5(col("text")), 1, 2)
+      val calib = docs.filter(bucket < "80")
+      val test = docs.filter(bucket >= "80")
+      val hist = calib.groupBy(col("n_chars").as("sc"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)) // ≤ 506-row histogram sidecar
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wAll.orderBy(col("sc"))))
+        .withColumn("n_calib", sum(col("c")).over(wAll))
+        .withColumn("k", expr("(n_calib * 9 + 18) DIV 10"))
+      val thr = cum.filter(col("cum") >= col("k"))
+        .agg(min(col("sc")).as("threshold"),
+          max(col("n_calib")).as("n_calib"), max(col("k")).as("k"))
+      test.select(col("n_chars").as("ts"))
+        .crossJoin(broadcast(thr))
+        .agg(max(col("n_calib")).as("n_calib"), max(col("k")).as("k"),
+          max(col("threshold")).as("threshold"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("ts") <= col("threshold"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage",
+          col("n_covered").cast("double") / col("n_test"))
     })
   )
 
@@ -506,6 +580,68 @@ object TrainingQueries {
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS iter,
         |CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS bound
         |WHERE FALSE""".stripMargin,
+
+    // minimax characterization of the PAV solution over prefix sums:
+    // pairs(j,k) = mean(y[j..k]); mm(j,i) = min_{k≥i}; fitted(i) =
+    // max_{j≤i}. O(g²) rows with g ≤ 506 score groups.
+    "classifier_isotonic_fit" ->
+      """WITH g AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS score,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos
+        |  FROM documents GROUP BY 1),
+        |o AS (SELECT score, n, n_pos,
+        |  row_number() OVER (ORDER BY score) AS i FROM g),
+        |ps AS (SELECT i, score, n, n_pos,
+        |  sum(n) OVER (ORDER BY i) AS cn,
+        |  sum(n_pos) OVER (ORDER BY i) AS cs FROM o),
+        |pairs AS (
+        |  SELECT j.i AS ji, k.i AS ki,
+        |  CAST(k.cs - (j.cs - j.n_pos) AS DOUBLE) /
+        |    CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+        |  FROM ps j JOIN ps k ON j.i <= k.i),
+        |mm AS (SELECT ji, ki,
+        |  min(a) OVER (PARTITION BY ji ORDER BY ki DESC) AS mn
+        |  FROM pairs),
+        |f AS (SELECT ki AS i, max(mn) AS fitted FROM mm GROUP BY ki)
+        |SELECT o.score, o.n, o.n_pos, f.fitted
+        |FROM o JOIN f ON o.i = f.i ORDER BY o.score""".stripMargin,
+
+    "classifier_conformal_audit" ->
+      """WITH calib AS (SELECT n_chars AS sc FROM documents
+        |  WHERE substring(md5(text), 1, 2) < '80'),
+        |test AS (SELECT n_chars AS ts FROM documents
+        |  WHERE substring(md5(text), 1, 2) >= '80'),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_calib,
+        |  CAST((count(*) * 9 + 18) // 10 AS BIGINT) AS k FROM calib),
+        |hist AS (SELECT sc, count(*) AS c FROM calib GROUP BY 1),
+        |cum AS (SELECT sc, sum(c) OVER (ORDER BY sc) AS cum FROM hist),
+        |thr AS (SELECT CAST(min(sc) AS BIGINT) AS threshold
+        |  FROM cum, st WHERE cum >= st.k)
+        |SELECT st.n_calib, st.k, thr.threshold,
+        |CAST(count(*) AS BIGINT) AS n_test,
+        |CAST(sum(CASE WHEN ts <= thr.threshold THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_covered,
+        |CAST(sum(CASE WHEN ts <= thr.threshold THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / count(*) AS coverage
+        |FROM test, thr, st
+        |GROUP BY st.n_calib, st.k, thr.threshold""".stripMargin,
+
+    "classifier_reliability_bins" ->
+      """WITH b AS (
+        |  SELECT CAST(least(n_chars // 100, 9) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(sum(least(n_chars, 1000)) AS BIGINT) AS conf_sum
+        |  FROM documents GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |CAST(n_pos AS DOUBLE) / n AS acc,
+        |CAST(conf_sum AS DOUBLE) / (n * 1000) AS conf,
+        |abs(CAST(n_pos AS DOUBLE) / n -
+        |  CAST(conf_sum AS DOUBLE) / (n * 1000)) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
 
     "split_leakage_safe" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
