@@ -196,6 +196,64 @@ object GraphOps {
     * `clustering` = 2·T(v) / (deg(v)·(deg(v)−1)), rounded to 6dp (0
     * when deg < 2): exact integers into a single fp division — the same
     * engine-stable final-fixed-tree discipline as [[pageRankInt]]. */
+  /** Bounded-round k-core peeling (Seidman 1983; the distributed
+    * Batagelj-Zaveršnik shape): round r removes every node whose
+    * degree within the round-(r−1) survivor set is < k, all removals
+    * simultaneous. After `maxRounds` rounds (or earlier fixpoint —
+    * detected by a per-round count action, the [[pageRankInt]]
+    * one-action-per-iteration budget) the survivors are returned with
+    * their within-core degree. At fixpoint the result IS the k-core:
+    * the unique maximal subgraph of minimum degree ≥ k.
+    *
+    * The ROUND SEMANTICS are part of the contract: the oracle replays
+    * the same `maxRounds` simultaneous-removal rounds as unrolled SQL,
+    * so engine and oracle agree even on a graph that has not converged
+    * — and the separate `graph_kcore_audit` 0-row gate certifies the
+    * fixpoint witness (every survivor keeps ≥ k surviving neighbors)
+    * actually holds on the data.
+    *
+    * Scale: each round is two id-keyed semi-joins + one count
+    * aggregation over an ids-only neighbor table, localCheckpoint'ed so
+    * lineage stays flat; peeling depth is the graph's degeneracy
+    * diameter (small on near-regular similarity graphs; `maxRounds`
+    * bounds it explicitly either way). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k and maxRounds must be >= 1")
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = raw.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val nbr = und.select(col("a").as("id"), col("b").as("nb"))
+      .union(und.select(col("b").as("id"), col("a").as("nb")))
+      .localCheckpoint()
+    var alive = nbr.select(col("id")).distinct().localCheckpoint()
+    var aliveCount = alive.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = nbr
+        .join(alive, Seq("id"), "left_semi")
+        .join(alive.select(col("id").as("nb")), Seq("nb"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+        .localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == aliveCount
+      alive.unpersist()
+      alive = next
+      aliveCount = nextCount
+      round += 1
+    }
+    nbr
+      .join(alive, Seq("id"), "left_semi")
+      .join(alive.select(col("id").as("nb")), Seq("nb"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("u"),

@@ -42,7 +42,7 @@ object Isotonic {
     * returns the fitted mean per group. Pooling on ≥ (merging
     * equal-mean neighbors is value-neutral; strict violations must
     * merge for monotonicity). */
-  private[operators] def pav(groups: Array[(Long, Long)]): Array[Double] = {
+  private[graft] def pav(groups: Array[(Long, Long)]): Array[Double] = {
     val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
     var i = 0
     while (i < groups.length) {

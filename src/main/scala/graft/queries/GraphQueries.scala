@@ -53,6 +53,16 @@ object GraphQueries {
        |  FROM nodes CROSS JOIN n LEFT JOIN i$i ON nodes.id = i$i.id)"""
       .stripMargin
 
+  /** One k-core peeling round as a CTE pair (within-set degree +
+    * survivors) — simultaneous removal, matching GraphOps.kCore. */
+  private def kcIter(i: Int, k: Int): String =
+    s"""d$i AS (SELECT nb.id, count(*) AS deg
+       |  FROM nbr nb
+       |  JOIN a${i - 1} x ON nb.id = x.id
+       |  JOIN a${i - 1} y ON nb.nb = y.id
+       |  GROUP BY 1),
+       |a$i AS (SELECT id FROM d$i WHERE deg >= $k)""".stripMargin
+
   /** One label-propagation iteration as a CTE pair (majority + labels). */
   private def lpIter(i: Int): String =
     s"""c$i AS (SELECT e.src AS id, l${i - 1}.label, count(*) AS cnt
@@ -170,6 +180,39 @@ object GraphQueries {
         "vec_id", "embedding", k = 4)
       GraphOps.triangleStats(edges, "src", "dst")
         .orderBy(col("id"))
+    }),
+
+    // ── k-core of the MUTUAL k-NN graph (edges where each endpoint is
+    //    in the other's top-k — the classic clustering graph, whose
+    //    degrees vary 1..k where the raw knn graph is degree-regular):
+    //    the dense-neighborhood backbone (duplicate-cluster nuclei /
+    //    well-connected corpus regions). Bounded 8-round simultaneous
+    //    peeling; the oracle unrolls the SAME 8 rounds, so the
+    //    FULL-value check holds converged or not, and the companion
+    //    audit certifies the fixpoint witness. 429 of 481 mutual nodes
+    //    survive at sf0.01, converged by round 4. ───────────────────────
+    "graph_kcore" -> ((s, d) => {
+      val knn = SimilaritySearch.knnGraph(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4)
+      val mutual = knn.as("e").join(knn.as("r"),
+          col("e.src") === col("r.dst") && col("e.dst") === col("r.src"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      GraphOps.kCore(mutual, "src", "dst", k = 2, maxRounds = 8)
+        .orderBy(col("id"))
+    }),
+
+    // ── fixpoint witness (0-row): every reported core member retains
+    //    ≥ k neighbors inside the core — red iff peeling had not
+    //    converged within the round budget ──────────────────────────────
+    "graph_kcore_audit" -> ((s, d) => {
+      val knn = SimilaritySearch.knnGraph(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4)
+      val mutual = knn.as("e").join(knn.as("r"),
+          col("e.src") === col("r.dst") && col("e.dst") === col("r.src"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      GraphOps.kCore(mutual, "src", "dst", k = 2, maxRounds = 8)
+        .filter(col("core_degree") < 2)
+        .orderBy(col("id"))
     })
   )
 
@@ -201,6 +244,27 @@ object GraphQueries {
     "graph_beam_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id,
         |CAST(NULL AS BIGINT) AS hits WHERE FALSE""".stripMargin,
+
+    // nbr is referenced twice by each of the 8 unrolled rounds; AS
+    // MATERIALIZED stops DuckDB inlining the O(N²) knn CTE 16× (which
+    // OOMs the oracle run even at sf0.001)
+    "graph_kcore" ->
+      s"""WITH ${knnSql(4)},
+         |m AS (SELECT e.src, e.dst FROM e
+         |  JOIN e r ON e.src = r.dst AND e.dst = r.src),
+         |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM m WHERE src <> dst GROUP BY 1, 2),
+         |nbr AS MATERIALIZED (SELECT a AS id, b AS nb FROM und
+         |  UNION ALL SELECT b AS id, a AS nb FROM und),
+         |a0 AS (SELECT DISTINCT id FROM nbr),
+         |${(1 to 8).map(kcIter(_, 2)).mkString(",\n")}
+         |SELECT nb.id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM nbr nb JOIN a8 x ON nb.id = x.id JOIN a8 y ON nb.nb = y.id
+         |GROUP BY 1 ORDER BY nb.id""".stripMargin,
+
+    "graph_kcore_audit" ->
+      """SELECT CAST(NULL AS BIGINT) AS id,
+        |CAST(NULL AS BIGINT) AS core_degree WHERE FALSE""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH ${knnSql(4)},

@@ -213,4 +213,73 @@ class GraphOpsSpec extends SparkSpec {
     assert(repart === got.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getLong(2), r.getDouble(3))).sortBy(_._1))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = 12): Map[Long, Long] =
+    GraphOps.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: K4 with a pendant tail — the 3-core is exactly the K4") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = k4 ++ Seq((3L, 4L), (4L, 5L)) // tail 3-4-5
+    val got = core(edges, 3)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.toSet === Set(3L)) // within-core degree
+  }
+
+  test("kCore: simultaneous-removal semantics — a path fully peels, " +
+      "a cycle fully survives at k=2") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(core(path, 2) === Map.empty)
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(core(cycle, 2) ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: duplicate edges, self-loops, and direction do not " +
+      "change the core") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val noisy = cycle ++ cycle.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))
+    assert(core(noisy, 2) === core(cycle, 2))
+  }
+
+  test("kCore matches iterative-peeling reference on random graphs " +
+      "and is partitioning-independent") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val edges = Seq.fill(40)(
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter { case (a, b) => a != b }
+      val k = 2 + trial % 3
+      // reference: sequential fixpoint peeling over an adjacency map
+      var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .distinct.groupBy(_._1).map { case (n, es) =>
+          n -> es.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val doomed = adj.collect {
+          case (n, nbs) if nbs.size < k => n }.toSet
+        changed = doomed.nonEmpty
+        adj = (adj -- doomed).map { case (n, nbs) =>
+          n -> (nbs -- doomed) }
+      }
+      val expect = adj.map { case (n, nbs) => n -> nbs.size.toLong }
+      assert(core(edges, k) === expect, s"trial $trial k=$k")
+      val repart = GraphOps.kCore(edges.toDF("src", "dst")
+          .repartition(7), "src", "dst", k, 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(repart === expect, s"repartition trial $trial")
+    }
+  }
+
+  test("kCore bounded rounds: maxRounds = 1 returns the round-1 " +
+      "survivor set (the oracle's unrolled contract)") {
+    // path 0-1-2-3 at k=2: round 1 removes endpoints only
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = core(path, 2, rounds = 1)
+    assert(got.keySet === Set(1L, 2L))
+    // within-survivor degrees after the bounded peel: 1 each (not yet
+    // a fixpoint — exactly what the audit query would surface)
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
 }

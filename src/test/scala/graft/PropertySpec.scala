@@ -221,4 +221,110 @@ object GraftProperties extends Properties("graft") {
       got.length == frames.length &&
       got.zip(frames).forall { case (a, b) => a.sameElements(b) }
   }
+
+  // ── KMV sketch set algebra (pure hash-array form) ─────────────────────
+  private val K = 16
+  private def sortU(hs: Array[Long]): Array[Long] =
+    hs.map(_ ^ Long.MinValue).sorted.map(_ ^ Long.MinValue)
+  private val hashSet: Gen[Array[Long]] =
+    Gen.listOf(Gen.long).map(l => sortU(l.distinct.toArray))
+  private def trim(hs: Array[Long]): Array[Long] =
+    if (hs.length <= K) hs else hs.take(K)
+
+  property("KMV union is commutative, idempotent, and closed under " +
+    "re-union") = forAll(hashSet, hashSet) { (a0, b0) =>
+    import graft.operators.KmvSketch._
+    val (a, b) = (trim(a0), trim(b0))
+    union(a, b, K).toSeq == union(b, a, K).toSeq &&
+      union(a, a, K).toSeq == a.toSeq &&
+      union(union(a, b, K), b, K).toSeq == union(a, b, K).toSeq
+  }
+
+  property("KMV encode/decode round trip") = forAll(hashSet) { hs =>
+    import graft.operators.KmvSketch._
+    decode(encode(trim(hs))).toSeq == trim(hs).toSeq
+  }
+
+  property("KMV exact sketches (below k) give exact set algebra") =
+    forAll(hashSet, hashSet) { (a0, b0) =>
+      import graft.operators.KmvSketch._
+      val a = a0.take(K - 1)
+      val b = b0.take(K - 1)
+      val (sa, sb) = (a.toSet, b.toSet)
+      estimate(a, K) == sa.size.toDouble &&
+        intersectEstimate(a, b, K) == sa.intersect(sb).size.toDouble &&
+        differenceEstimate(a, b, K) == sa.diff(sb).size.toDouble
+    }
+
+  property("KMV intersect + difference account for every sampled hash " +
+    "of the left operand exactly once") =
+    forAll(hashSet, hashSet) { (a0, b0) =>
+      import graft.operators.KmvSketch._
+      val (a, b) = (trim(a0), trim(b0))
+      val th = math.min(theta(a, K), theta(b, K))
+      val sampled = a.count(h =>
+        ((h >>> 1).toDouble * 2.0 + (h & 1L)) / 1.8446744073709552e19 < th)
+      val lhs = (intersectEstimate(a, b, K) + differenceEstimate(a, b, K)) * th
+      math.abs(lhs - sampled) <= 1e-9 * math.max(1.0, sampled.toDouble)
+    }
+
+  // ── WordPiece greedy encode ───────────────────────────────────────────
+  private val wpWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+  private val wpVocab: Gen[Set[String]] = Gen.listOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(4)))
+    .map { multi =>
+      val letters = ('a' to 'z').map(_.toString)
+      (letters ++ letters.map("##" + _) ++
+        multi ++ multi.map("##" + _)).toSet
+    }
+
+  property("WordPiece encode round-trips and keeps the ## discipline " +
+    "whenever the alphabet is covered") = forAll(wpWord, wpVocab) { (w, v) =>
+    import graft.operators.WordPiece
+    val ps = WordPiece.encodeWord(w, v)
+    ps.map(_.stripPrefix("##")).mkString == w &&
+      !ps.head.startsWith("##") &&
+      ps.tail.forall(_.startsWith("##"))
+  }
+
+  property("WordPiece first piece is the longest vocab prefix") =
+    forAll(wpWord, wpVocab) { (w, v) =>
+      import graft.operators.WordPiece
+      val first = WordPiece.encodeWord(w, v).head
+      val best = (w.length to 1 by -1).iterator
+        .map(w.substring(0, _)).find(v.contains).get
+      first == best
+    }
+
+  property("WordPiece collapses to [UNK] exactly when a cursor has no " +
+    "match") = forAll(wpWord) { w =>
+    import graft.operators.WordPiece
+    // vocab missing letter 'a' entirely: any word containing 'a'
+    // (and no multi-char piece to bridge it) must be [UNK]
+    val letters = ('b' to 'z').map(_.toString)
+    val v = (letters ++ letters.map("##" + _)).toSet
+    val ps = WordPiece.encodeWord(w, v)
+    if (w.contains('a')) ps.toSeq == Seq(WordPiece.Unk)
+    else ps.map(_.stripPrefix("##")).mkString == w
+  }
+
+  // ── isotonic PAV ──────────────────────────────────────────────────────
+  private val pavGroups: Gen[Array[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      n <- Gen.chooseNum(1L, 5L)
+      p <- Gen.chooseNum(0L, 5L)
+    } yield (n, math.min(p, n))).map(_.toArray)
+
+  property("PAV output is monotone, bounded, and mean-preserving") =
+    forAll(pavGroups) { gs =>
+      import graft.operators.Isotonic
+      val f = Isotonic.pav(gs)
+      val monotone = f.sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1))
+      val bounded = f.forall(x => x >= 0.0 && x <= 1.0)
+      val lhs = gs.zip(f).map { case ((n, _), x) => n * x }.sum
+      val rhs = gs.map(_._2).sum.toDouble
+      monotone && bounded && math.abs(lhs - rhs) <= 1e-9 * math.max(1.0, rhs)
+    }
 }
