@@ -44,6 +44,60 @@ object Drift {
     * unpartitioned window is deliberate, same as trailingZScore's.
     * Output: one row (n_a, n_b, ks); null ks when either group is
     * empty — no silent zeros. */
+  /** Pairwise centroid-cosine between segment embedding means — the
+    * SEMANTIC drift monitor complementing the scalar PSI/KS/chi² legs:
+    * a data source whose centroid swings away from its reference
+    * segment has changed meaning even if every scalar feature looks
+    * stable. Exactness discipline: components quantize to integer
+    * micro-units IN-PLAN (one round per value — retry/partitioning
+    * deterministic), per-(segment, dim) sums are exact BIGINTs, and
+    * the pairwise algebra runs in BigInt on the collected
+    * (segments × dim) sidecar — the only fp is the final
+    * dot/(√n2a·√n2b) tree, one per pair, identical on any engine
+    * replaying the same integers (centroid cosine = cosine of the raw
+    * sums; the /n factors cancel). Scale shape: ONE map-side-combinable
+    * (segment, dim) aggregation over the exploded corpus; everything
+    * after is segments²-sized. */
+  def centroidCosine(df: DataFrame, segCol: Column, vecCol: Column,
+      scale: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sums = df
+      .select(segCol.as("seg"), posexplode(vecCol).as(Seq("pos", "v")))
+      .select(col("seg"), col("pos"),
+        round(col("v").cast("double") * scale).cast("long").as("qv"))
+      .groupBy(col("seg"), col("pos"))
+      .agg(sum(col("qv")).as("sv"))
+      .collect()
+      .groupBy(_.getAs[Any]("seg"))
+      .map { case (seg, rows) =>
+        seg.toString ->
+          rows.map(r => r.getAs[Int]("pos") -> r.getAs[Long]("sv")).toMap
+      }
+    val counts = df.groupBy(segCol.as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getAs[Long]("n")).toMap
+    val segs = sums.keys.toSeq.sorted
+    val out = segs.combinations(2).map { c =>
+      val (a, b) = (c(0), c(1))
+      val (sa, sb) = (sums(a), sums(b))
+      val dims = (sa.keySet ++ sb.keySet).toSeq
+      var dot = BigInt(0); var n2a = BigInt(0); var n2b = BigInt(0)
+      dims.foreach { d =>
+        val x = BigInt(sa.getOrElse(d, 0L))
+        val y = BigInt(sb.getOrElse(d, 0L))
+        dot += x * y; n2a += x * x; n2b += y * y
+      }
+      val cos =
+        if (n2a == 0 || n2b == 0) 0.0
+        else dot.toDouble /
+          (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))
+      (a, b, counts(a), counts(b), cos)
+    }.toSeq
+    out.toDF("seg_a", "seg_b", "n_a", "n_b", "cos_centroid")
+  }
+
   def ksDistance(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String, decimals: Int = 6): DataFrame = {
     val pts = df.filter(col(groupCol).isin(groupA, groupB))

@@ -905,6 +905,18 @@ object CurationQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // ── semantic drift: pairwise centroid cosine between label
+    //    segments — integer micro-unit quantization in-plan, exact
+    //    BIGINT (segment, dim) sums, BigInt pair algebra on the
+    //    sidecar, ONE fp tree per pair (identical on both engines:
+    //    correctly-rounded casts of the same integers). Pair order is
+    //    lexical on the segment's string form in both engines. ──────────
+    "emb_centroid_drift" -> ((s, d) => {
+      graft.operators.Drift.centroidCosine(t(s, d, "embeddings"),
+          col("label"), col("embedding"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // ── two-table interval overlap: per user, view-windows × click-
     //    windows that intersect (stream-vs-stream shape; same binned
     //    equi-key plan as the self-join form) ───────────────────────────────
@@ -1996,6 +2008,33 @@ object CurationQueries {
         |SELECT label, count(*) AS n, pos, round(avg(x), 6) AS x
         |FROM ex GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    "emb_centroid_drift" ->
+      """WITH ex AS (
+        |  SELECT CAST(label AS VARCHAR) AS seg,
+        |  CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |  unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |s AS (SELECT seg, pos,
+        |  CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS HUGEINT) AS sv
+        |  FROM ex GROUP BY 1, 2),
+        |n AS (SELECT CAST(label AS VARCHAR) AS seg,
+        |  CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |  sum(a.sv * b.sv) AS dot
+        |  FROM s a JOIN s b ON a.pos = b.pos AND a.seg < b.seg
+        |  GROUP BY 1, 2),
+        |nm AS (SELECT seg, sum(sv * sv) AS n2 FROM s GROUP BY 1)
+        |SELECT pr.seg_a, pr.seg_b, na.n AS n_a, nb.n AS n_b,
+        |CASE WHEN va.n2 = 0 OR vb.n2 = 0 THEN 0.0
+        |ELSE CAST(pr.dot AS DOUBLE) /
+        |  (sqrt(CAST(va.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE)))
+        |END AS cos_centroid
+        |FROM pr JOIN n na ON pr.seg_a = na.seg
+        |JOIN n nb ON pr.seg_b = nb.seg
+        |JOIN nm va ON pr.seg_a = va.seg
+        |JOIN nm vb ON pr.seg_b = vb.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
 
     "j_interval_two_table" ->
       """WITH iv AS (

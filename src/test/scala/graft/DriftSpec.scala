@@ -119,4 +119,37 @@ class DriftSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(oneSided("ru") > 0.3)
   }
+
+  test("centroidCosine: hand geometry — aligned ≈ 1, orthogonal = 0, " +
+      "opposed = -1, and n columns are exact") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)),
+      ("b", Seq(2.0f, 0.0f)),                       // aligned with a
+      ("c", Seq(0.0f, 5.0f)),                       // orthogonal to a
+      ("d", Seq(-1.0f, 0.0f))                       // opposed to a
+    ).toDF("seg", "vec")
+    val out = Drift.centroidCosine(df, col("seg"), col("vec"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(math.abs(out(("a", "b"))._3 - 1.0) <= 1e-12)
+    assert(out(("a", "c"))._3 === 0.0)
+    assert(math.abs(out(("a", "d"))._3 + 1.0) <= 1e-12)
+    assert(out(("a", "b"))._1 === 2L && out(("a", "b"))._2 === 1L)
+    assert(out.size === 6) // all unordered pairs of 4 segments
+  }
+
+  test("centroidCosine is partitioning-invariant (integer sums + one " +
+      "fp tree per pair)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(i =>
+        (s"s${i % 4}", Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("seg", "vec")
+    val one = Drift.centroidCosine(df.coalesce(1), col("seg"), col("vec"))
+      .collect().map(_.toSeq).toSeq
+    val many = Drift.centroidCosine(df.repartition(13), col("seg"),
+      col("vec")).collect().map(_.toSeq).toSeq
+    assert(one === many)
+  }
 }

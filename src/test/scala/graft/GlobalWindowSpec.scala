@@ -33,6 +33,10 @@ import org.apache.spark.sql.catalyst.plans.logical.Window
   *  - docs_ks_drift: distinct-value CDF frame of ONE measure column.
   *  - events_share / events_trailing_zscore: post-aggregation sidecars
   *    (event types / days).
+  *  - classifier_conformal_audit: cumulative + total windows over the
+  *    distinct-score HISTOGRAM (≤ 506 rows by data design — the
+  *    order statistic is read off the histogram precisely to avoid a
+  *    global data sort; TrainingQueries scaladoc).
   */
 class GlobalWindowSpec extends SparkSpec {
 
@@ -44,6 +48,8 @@ class GlobalWindowSpec extends SparkSpec {
     // dimension (order statistics ARE global); frames are histogram-sized
     "a_rfm_cutpoints" -> 3,
     "ann_ivf_dominance" -> 2,
+    // conformal threshold: cum + total windows on the ≤506-row histogram
+    "classifier_conformal_audit" -> 2,
     "ann_ivfpq_dominance" -> 2,
     "ann_pqindex_topk" -> 2,
     "curriculum_stages" -> 1,
