@@ -35,6 +35,44 @@ object TextAnalysis {
     regexp_replace(email, "[0-9]+", "<num>")
   }
 
+  /** Luhn checksum over one maximal digit run (as a boolean Column
+    * program): from the RIGHTMOST digit, every second digit doubles
+    * (9-subtract on overflow), sum ≡ 0 (mod 10). Pure higher-order
+    * built-ins (sequence/aggregate) — codegen'd, and the DuckDB oracle
+    * replays the identical index arithmetic. `r` must be a digit-only
+    * string column. */
+  private def luhnOk(r: Column): Column = {
+    val digit = (i: Column) =>
+      r.substr(length(r) - i, lit(1)).cast("int")
+    val term = (i: Column) =>
+      when(i % 2 === 1,
+        when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2))
+        .otherwise(digit(i))
+    aggregate(sequence(lit(0), length(r) - 1), lit(0),
+      (acc, i) => acc + term(i)) % 10 === 0
+  }
+
+  /** The checksum-VALIDATED card numbers in a text: maximal digit runs
+    * of plausible card length (13-19) that pass Luhn — the precision
+    * upgrade over [[scrub]]'s blanket `<num>` collapse: a curation
+    * pass that must redact real card numbers without shredding every
+    * order id. Maximal runs via RE2 `[0-9]+` (no lookarounds — RE2 has
+    * none, so both engines see identical runs). */
+  def luhnCards(text: Column): Column =
+    filter(regexp_extract_all(text, lit("[0-9]+"), lit(0)),
+      r => length(r).between(13, 19) && luhnOk(r))
+
+  /** Mask every Luhn-valid card run with `[CARD]`: left fold of
+    * `replace` over the validated runs, starting from the original
+    * text ('[CARD]' contains no digit, so replacements cannot cascade;
+    * duplicate run values are idempotent). Occurrence-level semantics:
+    * the run VALUE is replaced wherever it appears. One projection,
+    * no shuffle, stays in whole-stage codegen. */
+  def luhnMask(text: Column): Column =
+    aggregate(luhnCards(text), text,
+      (acc, r) => org.apache.spark.sql.functions.replace(acc, r,
+        lit("[CARD]")))
+
   /** Per-language marker lexicons for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: broadcast as literals into codegen. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

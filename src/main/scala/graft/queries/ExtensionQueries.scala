@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{Fingerprints, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
 
@@ -806,6 +806,36 @@ object ExtensionQueries {
     "docs_scrub" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
           graft.operators.TextAnalysis.scrub(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Luhn-validated card masking: the precision upgrade over
+    //    docs_scrub's blanket digit collapse — only checksum-VALID
+    //    13-19-digit runs mask to [CARD]. The corpus has no digits, so
+    //    the gate synthesizes one valid and one invalid card per doc
+    //    IN-PLAN (check digit computed with the same higher-order
+    //    fold on both engines — the multimodal in-plan-container
+    //    pattern on the text axis): the valid one must mask, the
+    //    invalid one must survive. ──────────────────────────────────────
+    "docs_luhn_mask" -> ((s, d) => {
+      import graft.operators.TextAnalysis
+      val base = lpad((col("doc_id") * 7919).cast("string"), 14, "4")
+      val dj = (j: Column) => base.substr(length(base) - j, lit(1))
+        .cast("int")
+      val fj = (j: Column) => when(j % 2 === 0,
+          when(dj(j) * 2 > 9, dj(j) * 2 - 9).otherwise(dj(j) * 2))
+        .otherwise(dj(j))
+      val s14 = aggregate(sequence(lit(0), lit(13)), lit(0),
+        (acc, j) => acc + fj(j))
+      val c = (lit(10) - s14 % 10) % 10
+      val txt = concat(col("text"), lit(" pay "),
+        base, c.cast("string"), lit(" ref "),
+        base, ((c + 1) % 10).cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.luhnCards(txt)).as("n_cards"),
+          array_join(TextAnalysis.luhnCards(txt), ",").as("cards"),
+          md5(TextAnalysis.luhnMask(txt)).as("masked_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1926,6 +1956,43 @@ object ExtensionQueries {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
         |  '[0-9]+', '<num>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same card synthesis (lpad base + higher-order Luhn fold) and the
+    // same right-indexed doubling arithmetic as the engine query
+    "docs_luhn_mask" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |  lpad(CAST(doc_id * 7919 AS VARCHAR), 14, '4') AS base
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, base,
+        |  list_sum([CASE WHEN j % 2 = 0 THEN
+        |      CASE WHEN CAST(base[14 - j] AS INT) * 2 > 9
+        |           THEN CAST(base[14 - j] AS INT) * 2 - 9
+        |           ELSE CAST(base[14 - j] AS INT) * 2 END
+        |    ELSE CAST(base[14 - j] AS INT) END
+        |    FOR j IN range(0, 14)]) AS s14
+        |  FROM b),
+        |t AS (SELECT doc_id,
+        |  text || ' pay ' || base
+        |    || CAST((10 - s14 % 10) % 10 AS VARCHAR)
+        |    || ' ref ' || base
+        |    || CAST(((10 - s14 % 10) % 10 + 1) % 10 AS VARCHAR) AS txt
+        |  FROM s),
+        |runs AS (SELECT doc_id, txt,
+        |  [r FOR r IN regexp_extract_all(txt, '[0-9]+')
+        |   IF len(r) BETWEEN 13 AND 19 AND
+        |     list_sum([CASE WHEN i % 2 = 1 THEN
+        |         CASE WHEN CAST(r[len(r) - i] AS INT) * 2 > 9
+        |              THEN CAST(r[len(r) - i] AS INT) * 2 - 9
+        |              ELSE CAST(r[len(r) - i] AS INT) * 2 END
+        |       ELSE CAST(r[len(r) - i] AS INT) END
+        |       FOR i IN range(0, len(r))]) % 10 = 0] AS cards
+        |  FROM t)
+        |SELECT doc_id, CAST(len(cards) AS INT) AS n_cards,
+        |array_to_string(cards, ',') AS cards,
+        |md5(list_reduce(list_prepend(txt, cards),
+        |  (a, b) -> replace(a, b, '[CARD]'))) AS masked_md5
+        |FROM runs ORDER BY doc_id""".stripMargin,
 
     // groups by line TEXT where the engine groups by xxhash64(line) —
     // identical winners absent a 64-bit collision

@@ -396,4 +396,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("mean_word_len")))
     assert(!e.getAs[Boolean]("verdict"))
   }
+
+  test("luhnCards/luhnMask: checksum-valid runs of card length mask, " +
+      "everything else survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(t: String): (Seq[String], String) = {
+      val r = Seq(t).toDF("t")
+        .select(TextAnalysis.luhnCards(col("t")).as("c"),
+          TextAnalysis.luhnMask(col("t")).as("m"))
+        .first()
+      (r.getSeq[String](0), r.getString(1))
+    }
+    // 4111111111111111: the canonical Luhn-valid 16-digit test number
+    val (c1, m1) = run("pay 4111111111111111 now")
+    assert(c1 === Seq("4111111111111111"))
+    assert(m1 === "pay [CARD] now")
+    // off-by-one check digit fails the checksum → untouched
+    val (c2, m2) = run("pay 4111111111111112 now")
+    assert(c2 === Seq.empty)
+    assert(m2 === "pay 4111111111111112 now")
+    // plausible-length gate: 12 digits (too short) and 20 (too long)
+    // survive even though both checksums hold
+    val (c3, m3) = run("id 111111111113 and 11111111111111111111 x")
+    assert(c3 === Seq.empty && m3.contains("111111111113") &&
+      m3.contains("11111111111111111111"))
+    // every occurrence of a validated run masks; distinct valid runs
+    // (here a 16- and a 13-digit card) mask independently; digit-free
+    // text is untouched
+    val (c4, m4) =
+      run("4111111111111111 then 4111111111111111 and 4111111111119x")
+    assert(c4 === Seq("4111111111111111", "4111111111111111",
+      "4111111111119"))
+    assert(m4 === "[CARD] then [CARD] and [CARD]x")
+    assert(run("no digits here")._2 === "no digits here")
+  }
 }
