@@ -162,4 +162,34 @@ class PlanShapeSpec extends SparkSpec {
       s"coverage grew an aggregation exchange:\n${plan.take(3000)}")
     assert(plan.linesIterator.count(_.contains("Window ")) >= 1)
   }
+
+  test("KmvSketch.groupSketches: partial/final aggregation pair — the " +
+      "shuffle carries one sketch buffer per task per group, not rows") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.queries.Tables.t(spark, sf, "events")
+    val plan = graft.operators.KmvSketch.groupSketches(ev,
+        col("user_id"), Seq("event_type"), k = 64)
+      .queryExecution.executedPlan.toString
+    // udaf aggregators plan as ObjectHashAggregate; the map-side
+    // partial must exist so the exchange moves ≤ 8k-byte buffers
+    val aggs = plan.linesIterator
+      .count(l => l.contains("ObjectHashAggregate") ||
+        l.contains("SortAggregate"))
+    assert(aggs >= 2, s"partial+final pair missing:\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"sketch agg grew exchanges:\n${plan.take(2000)}")
+  }
+
+  test("docs_luhn_mask: single-stage projection — the Luhn fold stays " +
+      "in one codegen'd scan pass, no shuffle before the presentation " +
+      "sort") {
+    val plan = executedPlan("docs_luhn_mask")
+    // only the orderBy(doc_id) range exchange is allowed
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 &&
+      exchanges.head.contains("rangepartitioning"),
+      s"luhn mask grew a shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      "luhn left the built-in expression path")
+  }
 }
