@@ -75,10 +75,14 @@ object Isotonic {
     val checked = when(labelCol.isin(0, 1), labelCol.cast("long"))
       .otherwise(raise_error(concat(lit("Isotonic.fit: label must be " +
         "0 or 1, got "), coalesce(labelCol.cast("string"), lit("NULL")))))
-    // a null score would silently decode to 0.0 in the typed collect —
-    // fail loudly instead (same discipline as the label check)
-    val checkedScore = when(scoreCol.isNotNull, scoreCol.cast("double"))
-      .otherwise(raise_error(lit("Isotonic.fit: score must not be NULL")))
+    // a null score would silently decode to 0.0 in the typed collect,
+    // and NaN would form its own group that sorts after every real
+    // score — fail loudly on both (same discipline as the label check)
+    val castScore = scoreCol.cast("double")
+    val checkedScore = when(castScore.isNotNull && !isnan(castScore),
+        castScore)
+      .otherwise(raise_error(
+        lit("Isotonic.fit: score must not be NULL or NaN")))
     val grouped = df
       .select(checkedScore.as("score"), checked.as("y"))
       .groupBy(col("score"))

@@ -120,8 +120,13 @@ object WordPiece {
           col("sym_cnt").as("cnt_l")), "sym_l")
         .join(symCnt.select(col("sym").as("sym_r"),
           col("sym_cnt").as("cnt_r")), "sym_r")
+        // marginals multiply as DECIMALs: a BIGINT cnt_l*cnt_r product
+        // overflows once symbol counts pass ~3e9 (a 100 TB corpus is
+        // far beyond), and the overflow would silently corrupt the
+        // argmax rather than fail
         .withColumn("score", col("cnt").cast("decimal(19,0)") /
-          (col("cnt_l") * col("cnt_r")).cast("decimal(38,0)"))
+          (col("cnt_l").cast("decimal(19,0)") *
+            col("cnt_r").cast("decimal(19,0)")))
         .select("sym_l", "sym_r", "score")
         .orderBy(desc("score"), asc("sym_l"), asc("sym_r"))
         .limit(1).collect()
