@@ -62,22 +62,28 @@ object Drift {
       scale: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sums = df
-      .select(segCol.as("seg"), posexplode(vecCol).as(Seq("pos", "v")))
+    // a null segment would NPE the driver-side grouping — fail loudly
+    // (the Isotonic.fit input discipline)
+    val checkedSeg = when(segCol.isNotNull, segCol.cast("string"))
+      .otherwise(raise_error(
+        lit("Drift.centroidCosine: segment must not be NULL")))
+    // ONE corpus pass: the per-(seg, dim) row count rides the same
+    // aggregation, and n(seg) reads off the dim-0 group (every decoded
+    // vector contributes exactly one dim-0 element; rows with a null
+    // vector explode to nothing and are excluded from sums AND counts)
+    val rows = df
+      .select(checkedSeg.as("seg"), posexplode(vecCol).as(Seq("pos", "v")))
       .select(col("seg"), col("pos"),
         round(col("v").cast("double") * scale).cast("long").as("qv"))
       .groupBy(col("seg"), col("pos"))
-      .agg(sum(col("qv")).as("sv"))
+      .agg(sum(col("qv")).as("sv"), count(lit(1)).as("cnt"))
       .collect()
-      .groupBy(_.getAs[Any]("seg"))
-      .map { case (seg, rows) =>
-        seg.toString ->
-          rows.map(r => r.getAs[Int]("pos") -> r.getAs[Long]("sv")).toMap
+    val sums = rows.groupBy(_.getAs[String]("seg"))
+      .map { case (seg, rs) =>
+        seg -> rs.map(r => r.getAs[Int]("pos") -> r.getAs[Long]("sv")).toMap
       }
-    val counts = df.groupBy(segCol.as("seg"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.get(0).toString -> r.getAs[Long]("n")).toMap
+    val counts = rows.filter(_.getAs[Int]("pos") == 0)
+      .map(r => r.getAs[String]("seg") -> r.getAs[Long]("cnt")).toMap
     val segs = sums.keys.toSeq.sorted
     val out = segs.combinations(2).map { c =>
       val (a, b) = (c(0), c(1))

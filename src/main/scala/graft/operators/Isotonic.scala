@@ -83,16 +83,20 @@ object Isotonic {
         castScore)
       .otherwise(raise_error(
         lit("Isotonic.fit: score must not be NULL or NaN")))
+    // limit(maxGroups + 1): the cardinality guard must fire BEFORE the
+    // collect moves rows — an over-limit fit pulls maxGroups+1 rows to
+    // the driver and fails, never the full distinct-score set
     val grouped = df
       .select(checkedScore.as("score"), checked.as("y"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
       .orderBy(col("score"))
+      .limit(maxGroups + 1)
       .as[(Double, Long, Long)]
       .collect()
     require(grouped.length <= maxGroups,
-      s"Isotonic.fit: ${grouped.length} distinct scores exceeds " +
-        s"$maxGroups — quantize the score column first")
+      s"Isotonic.fit: more than $maxGroups distinct scores — " +
+        "quantize the score column first")
     val fitted = pav(grouped.map { case (_, n, pos) => (n, pos) })
     spark.createDataFrame(
       grouped.zip(fitted).map { case ((s0, n, pos), f) => (s0, n, pos, f) }
@@ -104,7 +108,10 @@ object Isotonic {
     * the GREATEST fit score ≤ its score (scores below the fit range
     * clamp to the first block — the standard step-function extension).
     * The fit table broadcasts as a closure array (score-grid sized);
-    * per-row binary search, no shuffle, null score → null. */
+    * per-row binary search, no shuffle. Null AND NaN scores → null —
+    * inference-side inputs may be dirty, but a NaN must not silently
+    * take the first block's value (every comparison against NaN is
+    * false, which would otherwise route it there). */
   def calibrate(df: DataFrame, fit: DataFrame, scoreCol: Column,
       outCol: String = "calibrated"): DataFrame = {
     val table = fit.select(col("score").cast("double"),
@@ -115,7 +122,7 @@ object Isotonic {
     val scores = table.map(_._1)
     val fits = table.map(_._2)
     val lookup = udf((s: java.lang.Double) =>
-      if (s == null) null
+      if (s == null || s.isNaN) null
       else {
         var lo = 0
         var hi = scores.length - 1

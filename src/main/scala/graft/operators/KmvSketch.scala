@@ -262,13 +262,32 @@ object KmvSketch {
       k: Int = 1024, tol: Double = 0.15, slack: Double = 32.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(groupCol.as("_g"), valueCol.as("_v"))
+    // null groups would NPE the driver pairing — fail loudly; and the
+    // driver-side pair order must match the exact-side Spark string
+    // '<' (UTF-8 BINARY bytes), not String.compareTo (UTF-16 units) —
+    // they diverge for [U+E000,U+FFFF] vs supplementary code points,
+    // which would silently mis-join the exact counts
+    val checkedG = when(groupCol.isNotNull, groupCol.cast("string"))
+      .otherwise(raise_error(
+        lit("KmvSketch.pairOverlapAudit: group must not be NULL")))
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes("UTF-8")
+      val y = b.getBytes("UTF-8")
+      var i = 0
+      var d = 0
+      while (d == 0 && i < x.length && i < y.length) {
+        d = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (d != 0) d else x.length - y.length
+    }
+    val keyed = df.select(checkedG.as("_g"), valueCol.as("_v"))
     val sketches = groupSketches(keyed, col("_v"), Seq("_g"), k)
     // group-count sized sidecar (segments, not data)
     val sk = sketches.collect()
       .map(r => r.getString(0) -> decode(r.getAs[Array[Byte]](1)))
       .toMap
-    val pairs = sk.keys.toSeq.sorted.combinations(2).map { c =>
+    val pairs = sk.keys.toSeq.sorted(utf8Order).combinations(2).map { c =>
       val (ga, gb) = (c(0), c(1))
       val (a, b) = (sk(ga), sk(gb))
       (ga, gb, math.round(intersectEstimate(a, b, k)),

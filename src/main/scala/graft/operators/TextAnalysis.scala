@@ -63,15 +63,29 @@ object TextAnalysis {
       r => length(r).between(13, 19) && luhnOk(r))
 
   /** Mask every Luhn-valid card run with `[CARD]`: left fold of
-    * `replace` over the validated runs, starting from the original
-    * text ('[CARD]' contains no digit, so replacements cannot cascade;
-    * duplicate run values are idempotent). Occurrence-level semantics:
-    * the run VALUE is replaced wherever it appears. One projection,
-    * no shuffle, stays in whole-stage codegen. */
-  def luhnMask(text: Column): Column =
-    aggregate(luhnCards(text), text,
+    * `replace` over the validated runs in LONGEST-FIRST order,
+    * starting from the original text. The ordering is load-bearing: a
+    * valid run that is a prefix/substring of a LONGER valid run must
+    * not be replaced first, or the splice would leave the longer
+    * card's trailing digits exposed next to the mask — longest-first
+    * masks the long card whole before the short value is touched.
+    * ('[CARD]' contains no digit so replacements cannot cascade;
+    * duplicate run values are idempotent.) Occurrence-level semantics:
+    * the run VALUE is replaced wherever it appears — a valid value
+    * embedded in an even longer NON-card digit run splices that run,
+    * which over-redacts rather than leaks, the safe direction. The
+    * sort key is a (-len, value) struct so the natural struct ordering
+    * is identical on both engines. One projection, no shuffle, stays
+    * in whole-stage codegen. */
+  def luhnMask(text: Column): Column = {
+    val ordered = transform(
+      array_sort(transform(luhnCards(text),
+        r => struct((-length(r)).as("k"), r.as("v")))),
+      s => s.getField("v"))
+    aggregate(ordered, text,
       (acc, r) => org.apache.spark.sql.functions.replace(acc, r,
         lit("[CARD]")))
+  }
 
   /** Per-language marker lexicons for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: broadcast as literals into codegen. */

@@ -2018,8 +2018,8 @@ object CurationQueries {
         |s AS (SELECT seg, pos,
         |  CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS HUGEINT) AS sv
         |  FROM ex GROUP BY 1, 2),
-        |n AS (SELECT CAST(label AS VARCHAR) AS seg,
-        |  CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |n AS (SELECT seg, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex WHERE pos = 0 GROUP BY 1),
         |pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
         |  sum(a.sv * b.sv) AS dot
         |  FROM s a JOIN s b ON a.pos = b.pos AND a.seg < b.seg

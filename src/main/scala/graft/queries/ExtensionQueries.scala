@@ -1990,7 +1990,9 @@ object ExtensionQueries {
         |  FROM t)
         |SELECT doc_id, CAST(len(cards) AS INT) AS n_cards,
         |array_to_string(cards, ',') AS cards,
-        |md5(list_reduce(list_prepend(txt, cards),
+        |md5(list_reduce(list_prepend(txt,
+        |  [s['v'] FOR s IN list_sort(
+        |    [{'k': -len(r), 'v': r} FOR r IN cards])]),
         |  (a, b) -> replace(a, b, '[CARD]'))) AS masked_md5
         |FROM runs ORDER BY doc_id""".stripMargin,
 

@@ -139,6 +139,17 @@ class DriftSpec extends SparkSpec {
     assert(out.size === 6) // all unordered pairs of 4 segments
   }
 
+  test("centroidCosine fails loudly on null segments") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some("a"), Seq(1.0f)), (None, Seq(2.0f)))
+      .toDF("seg", "vec")
+    val e = intercept[Exception] {
+      Drift.centroidCosine(df, col("seg"), col("vec")).collect()
+    }
+    assert(e.getMessage.contains("segment must not be NULL") ||
+      e.getCause != null)
+  }
+
   test("centroidCosine is partitioning-invariant (integer sums + one " +
       "fp tree per pair)") {
     import org.apache.spark.sql.functions.col

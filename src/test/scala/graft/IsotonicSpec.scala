@@ -114,6 +114,30 @@ class IsotonicSpec extends SparkSpec {
     assert(applied(5).getDouble(1) === 1.0) // above range → last block
   }
 
+  test("maxGroups guard fires without collecting the distinct-score " +
+      "set (limit probe, not post-collect check)") {
+    import spark.implicits._
+    val five = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 1))
+      .toDF("score", "label")
+    val e = intercept[IllegalArgumentException] {
+      Isotonic.fit(five, col("score"), col("label"), maxGroups = 3)
+    }
+    assert(e.getMessage.contains("quantize the score column"))
+    // at exactly the bound the fit succeeds
+    assert(Isotonic.fit(five, col("score"), col("label"), maxGroups = 5)
+      .count() === 5)
+  }
+
+  test("calibrate maps NaN scores to null, never to the first block") {
+    import spark.implicits._
+    val fit = Isotonic.fit(
+      Seq((1.0, 0), (2.0, 1)).toDF("score", "label"),
+      col("score"), col("label"))
+    val r = Isotonic.calibrate(
+      Seq(Double.NaN).toDF("score"), fit, col("score")).first()
+    assert(r.isNullAt(1))
+  }
+
   test("non-binary or null labels fail loudly") {
     import spark.implicits._
     val bad = Seq((1.0, 2)).toDF("score", "label")

@@ -118,6 +118,16 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("pairOverlapAudit fails loudly on null group keys") {
+    import spark.implicits._
+    val df = Seq((Some("a"), "u1"), (None, "u2")).toDF("g", "v")
+    val e = intercept[Exception] {
+      KmvSketch.pairOverlapAudit(df, col("g"), col("v"), k = 16).collect()
+    }
+    assert(e.getMessage.contains("group must not be NULL") ||
+      e.getCause != null)
+  }
+
   test("deterministic contract: pinned sketch head for a fixed input") {
     // estimates are engine-hash-defined; pin the retained hashes so a
     // hashing change cannot slip through as a silent estimate shift

@@ -430,5 +430,11 @@ class TextAnalysisSpec extends SparkSpec {
       "4111111111119"))
     assert(m4 === "[CARD] then [CARD] and [CARD]x")
     assert(run("no digits here")._2 === "no digits here")
+    // longest-first fold: a valid 16-digit value that PREFIXES a valid
+    // 17-digit run elsewhere must not splice the longer card — both
+    // mask whole, no trailing digits leak
+    val (c5, m5) = run("a 4111111111111111 b 41111111111111113 c")
+    assert(c5.toSet === Set("4111111111111111", "41111111111111113"))
+    assert(m5 === "a [CARD] b [CARD] c")
   }
 }
