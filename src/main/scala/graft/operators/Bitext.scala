@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.cosineSimilarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+  * LASER/CCMatrix parallel-corpus construction recipe): a source/target
+  * embedding pair is a translation candidate when its cosine stands out
+  * against BOTH sides' typical neighborhoods —
+  * margin(x, y) = cos(x, y) / ((avgₖNN(x) + avgₖNN(y)) / 2) —
+  * which suppresses hubs that score high against everything. The
+  * training-data op that mines aligned pairs out of two monolingual
+  * corpora.
+  *
+  * Exactness discipline: cosines quantize to integer micro-units
+  * in-plan (ONE round per pair); per-side k-NN sums are exact BIGINTs;
+  * the margin is a single division of two exact integers —
+  * 2k·cosµ(x,y) / (Σₖxµ + Σₖyµ) — so the emitted double and the
+  * threshold comparison are identical on any engine replaying the same
+  * integers.
+  *
+  * Scale shape: this is the exact all-pairs form (candidate generation
+  * at 100 TB goes through the IVF/LSH candidate paths —
+  * [[IvfIndex]]/[[Dedup]] — exactly like the other similarity
+  * operators; the margin formula is unchanged, only the candidate set
+  * shrinks). The two k-NN sums are per-side window ranks over the pair
+  * table; every stage is keyed by src or tgt id, ids+integers only in
+  * the shuffles. */
+object Bitext {
+
+  /** All (src, tgt) pairs with margin > `minMargin`, with the
+    * micro-unit cosine and the exact-integer-derived margin.
+    * Output: (src_id, tgt_id, cos_micro, margin). */
+  def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val s = src.select(col(idCol).cast("long").as("sid"),
+      col(vecCol).as("sv"))
+    val t = tgt.select(col(idCol).cast("long").as("tid"),
+      col(vecCol).as("tv"))
+    val pairs = s.crossJoin(t)
+      .select(col("sid"), col("tid"),
+        round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
+          .cast("long").as("cos_micro"))
+    val wx = Window.partitionBy(col("sid"))
+      .orderBy(desc("cos_micro"), col("tid"))
+    val wy = Window.partitionBy(col("tid"))
+      .orderBy(desc("cos_micro"), col("sid"))
+    val kx = pairs.withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= k)
+      .groupBy(col("sid")).agg(sum(col("cos_micro")).as("sx"))
+    val ky = pairs.withColumn("rk", row_number().over(wy))
+      .filter(col("rk") <= k)
+      .groupBy(col("tid")).agg(sum(col("cos_micro")).as("sy"))
+    pairs
+      .join(kx, "sid").join(ky, "tid")
+      .withColumn("margin",
+        (col("cos_micro") * (2L * k)).cast("double") /
+          (col("sx") + col("sy")))
+      .filter(col("margin") > minMargin)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("cos_micro"), col("margin"))
+  }
+}

@@ -905,6 +905,21 @@ object CurationQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // ── margin-based bitext mining (Artetxe-Schwenk): label<5 as the
+    //    source corpus, label≥5 as the target — pairs whose cosine
+    //    stands out against BOTH sides' k-NN neighborhoods. Exact
+    //    integer micro-cosines, exact k-NN sums, margin = ONE division
+    //    of exact integers → identical doubles + threshold decisions on
+    //    both engines (35 mined pairs at sf0.01). ──────────────────────
+    "emb_bitext_margin" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Bitext.marginPairs(
+          emb.filter(col("label") < 5),
+          emb.filter(col("label") >= 5),
+          "vec_id", "embedding", k = 4, minMargin = 1.2)
+        .orderBy(col("src_id"), col("tgt_id"))
+    }),
+
     // ── semantic drift: pairwise centroid cosine between label
     //    segments — integer micro-unit quantization in-plan, exact
     //    BIGINT (segment, dim) sums, BigInt pair algebra on the
@@ -2008,6 +2023,29 @@ object CurationQueries {
         |SELECT label, count(*) AS n, pos, round(avg(x), 6) AS x
         |FROM ex GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    "emb_bitext_margin" ->
+      """WITH src AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE label < 5),
+        |tgt AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE label >= 5),
+        |p AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+        |  CAST(round(list_cosine_similarity(s.embedding::DOUBLE[],
+        |    t.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosu
+        |  FROM src s CROSS JOIN tgt t),
+        |kx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx FROM (
+        |  SELECT sid, cosu, row_number() OVER (PARTITION BY sid
+        |    ORDER BY cosu DESC, tid) AS rk FROM p)
+        |  WHERE rk <= 4 GROUP BY 1),
+        |ky AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy FROM (
+        |  SELECT tid, cosu, row_number() OVER (PARTITION BY tid
+        |    ORDER BY cosu DESC, sid) AS rk FROM p)
+        |  WHERE rk <= 4 GROUP BY 1),
+        |m AS (SELECT p.sid, p.tid, p.cosu,
+        |  CAST(8 * p.cosu AS DOUBLE) / (kx.sx + ky.sy) AS margin
+        |  FROM p JOIN kx USING (sid) JOIN ky USING (tid))
+        |SELECT sid AS src_id, tid AS tgt_id, cosu AS cos_micro, margin
+        |FROM m WHERE margin > 1.2 ORDER BY src_id, tgt_id""".stripMargin,
 
     "emb_centroid_drift" ->
       """WITH ex AS (
