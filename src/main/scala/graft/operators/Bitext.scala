@@ -30,11 +30,10 @@ import org.apache.spark.sql.functions._
   * the shuffles. */
 object Bitext {
 
-  /** All (src, tgt) pairs with margin > `minMargin`, with the
-    * micro-unit cosine and the exact-integer-derived margin.
-    * Output: (src_id, tgt_id, cos_micro, margin). */
-  def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
-      vecCol: String, k: Int = 4, minMargin: Double = 1.2): DataFrame = {
+  /** The full margin table: (sid, tid, cos_micro, margin) for every
+    * cross pair — shared by the threshold and mutual-argmax miners. */
+  private def marginTable(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val s = src.select(col(idCol).cast("long").as("sid"),
       col(vecCol).as("sv"))
@@ -59,7 +58,39 @@ object Bitext {
       .withColumn("margin",
         (col("cos_micro") * (2L * k)).cast("double") /
           (col("sx") + col("sy")))
+  }
+
+  /** All (src, tgt) pairs with margin > `minMargin`, with the
+    * micro-unit cosine and the exact-integer-derived margin.
+    * Output: (src_id, tgt_id, cos_micro, margin). */
+  def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.2): DataFrame =
+    marginTable(src, tgt, idCol, vecCol, k)
       .filter(col("margin") > minMargin)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("cos_micro"), col("margin"))
+
+  /** Mutual-argmax mining (the CCMatrix selection rule): keep (x, y)
+    * iff y is x's best margin AND x is y's best margin — the
+    * high-precision form, one candidate per aligned sentence instead
+    * of a threshold cloud. Argmax ordering is (margin DESC, id):
+    * margins are identical doubles on any engine replaying the same
+    * integers (single-division argument above), so the argmax — and
+    * therefore the mined set — is engine-independent even at fp
+    * near-ties; exactly-equal margins break by id. */
+  def mutualTopPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4): DataFrame = {
+    val m = marginTable(src, tgt, idCol, vecCol, k)
+    val bestT = m.withColumn("rk", row_number().over(
+        Window.partitionBy(col("sid"))
+          .orderBy(desc("margin"), col("tid"))))
+      .filter(col("rk") === 1).select(col("sid"), col("tid"))
+    val bestS = m.withColumn("rk", row_number().over(
+        Window.partitionBy(col("tid"))
+          .orderBy(desc("margin"), col("sid"))))
+      .filter(col("rk") === 1).select(col("sid"), col("tid"))
+    m.join(bestT, Seq("sid", "tid"))
+      .join(bestS, Seq("sid", "tid"))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         col("cos_micro"), col("margin"))
   }

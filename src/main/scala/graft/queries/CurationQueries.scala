@@ -920,6 +920,21 @@ object CurationQueries {
         .orderBy(col("src_id"), col("tgt_id"))
     }),
 
+    // ── mutual-argmax bitext mining (the CCMatrix selection rule):
+    //    keep (x, y) iff each is the other's best margin — the
+    //    high-precision one-candidate-per-sentence form of
+    //    emb_bitext_margin. Same exact-integer margins; argmax order
+    //    (margin DESC, id) is engine-independent because the doubles
+    //    are identical. ─────────────────────────────────────────────────
+    "emb_bitext_mutual" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Bitext.mutualTopPairs(
+          emb.filter(col("label") < 5),
+          emb.filter(col("label") >= 5),
+          "vec_id", "embedding", k = 4)
+        .orderBy(col("src_id"))
+    }),
+
     // ── semantic drift: pairwise centroid cosine between label
     //    segments — integer micro-unit quantization in-plan, exact
     //    BIGINT (segment, dim) sums, BigInt pair algebra on the
@@ -2046,6 +2061,38 @@ object CurationQueries {
         |  FROM p JOIN kx USING (sid) JOIN ky USING (tid))
         |SELECT sid AS src_id, tid AS tgt_id, cosu AS cos_micro, margin
         |FROM m WHERE margin > 1.2 ORDER BY src_id, tgt_id""".stripMargin,
+
+    "emb_bitext_mutual" ->
+      """WITH src AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE label < 5),
+        |tgt AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE label >= 5),
+        |p AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+        |  CAST(round(list_cosine_similarity(s.embedding::DOUBLE[],
+        |    t.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosu
+        |  FROM src s CROSS JOIN tgt t),
+        |kx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx FROM (
+        |  SELECT sid, cosu, row_number() OVER (PARTITION BY sid
+        |    ORDER BY cosu DESC, tid) AS rk FROM p)
+        |  WHERE rk <= 4 GROUP BY 1),
+        |ky AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy FROM (
+        |  SELECT tid, cosu, row_number() OVER (PARTITION BY tid
+        |    ORDER BY cosu DESC, sid) AS rk FROM p)
+        |  WHERE rk <= 4 GROUP BY 1),
+        |m AS (SELECT p.sid, p.tid, p.cosu,
+        |  CAST(8 * p.cosu AS DOUBLE) / (kx.sx + ky.sy) AS margin
+        |  FROM p JOIN kx USING (sid) JOIN ky USING (tid)),
+        |bt AS (SELECT sid, tid FROM (SELECT sid, tid,
+        |  row_number() OVER (PARTITION BY sid
+        |    ORDER BY margin DESC, tid) AS rk FROM m) WHERE rk = 1),
+        |bs AS (SELECT sid, tid FROM (SELECT sid, tid,
+        |  row_number() OVER (PARTITION BY tid
+        |    ORDER BY margin DESC, sid) AS rk FROM m) WHERE rk = 1)
+        |SELECT m.sid AS src_id, m.tid AS tgt_id, m.cosu AS cos_micro,
+        |m.margin
+        |FROM m JOIN bt ON m.sid = bt.sid AND m.tid = bt.tid
+        |JOIN bs ON m.sid = bs.sid AND m.tid = bs.tid
+        |ORDER BY src_id""".stripMargin,
 
     "emb_centroid_drift" ->
       """WITH ex AS (

@@ -69,6 +69,43 @@ class BitextSpec extends SparkSpec {
     assert(uniqueMargin > hubMargin)
   }
 
+  test("mutualTopPairs keeps only reciprocal best matches") {
+    // x0's best is y0 and vice versa (planted alignment); x1's best is
+    // ALSO y0 (one-sided) → x1 mines nothing; y1 pairs with nobody
+    val src = df(Seq(
+      (0L, Seq(1.0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.436f, 0f))))
+    val tgt = df(Seq(
+      (10L, Seq(0.99f, 0f, 0.141f)),
+      (11L, Seq(0f, 0f, 1.0f))))
+    val out = Bitext.mutualTopPairs(src, tgt, "vec_id", "embedding",
+        k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((0L, 10L)))
+  }
+
+  test("mutualTopPairs ⊆ the margin table and agrees with a " +
+      "driver-side argmax replay on random data") {
+    val rnd = new scala.util.Random(17)
+    val src = df(Seq.tabulate(25)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1))))
+    val tgt = df(Seq.tabulate(25)(i =>
+      (200L + i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))))
+    val all = Bitext.marginPairs(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = Double.MinValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // replay best-by-(margin desc, id) on both sides
+    val bestT = all.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.minBy(r => (-r._3, r._2))._2 }
+    val bestS = all.groupBy(_._2).map { case (t0, rs) =>
+      t0 -> rs.minBy(r => (-r._3, r._1))._1 }
+    val expect = bestT.collect {
+      case (s0, t0) if bestS.get(t0).contains(s0) => (s0, t0) }.toSet
+    val got = Bitext.mutualTopPairs(src, tgt, "vec_id", "embedding",
+        k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect && got.nonEmpty)
+  }
+
   test("partitioning-invariant (integer sums, one fp division)") {
     val rnd = new scala.util.Random(9)
     val src = df(Seq.tabulate(30)(i =>
