@@ -78,6 +78,58 @@ object Bitext {
     * integers (single-division argument above), so the argmax — and
     * therefore the mined set — is engine-independent even at fp
     * near-ties; exactly-equal margins break by id. */
+  /** The SCALE form: candidates restricted to (src, tgt) pairs sharing
+    * an IVF cell — centroids fit on the UNION of both corpora so the
+    * cell structure is shared, the cross join is per-cell (Σ cellₛ·cellₜ
+    * instead of |S|·|T|), and margins compute over CANDIDATE
+    * neighborhoods. The bias is one-directional IN THE MINING REGIME
+    * (cos > 0 and positive neighborhood sums — every margin above any
+    * threshold ≥ 1 lives there): candidate k-NN sums are subsets of the
+    * exact sums (a full-set top-k maximizes the sum over any superset),
+    * so the denominator only shrinks and a candidate margin is ≥ its
+    * exact margin — an exact-mined pair whose cell co-locates it is
+    * candidate-mined, never silently lost. (For NEGATIVE cosines the
+    * direction inverts — irrelevant to mining, but the
+    * `emb_bitext_cells_audit` scopes its invariants to the positive
+    * regime for exactly this reason.) Same output contract as
+    * [[marginPairs]]. */
+  def marginPairsCells(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.2,
+      ncells: Int = 16, seed: Long = 42L): DataFrame = {
+    val union = src.select(col(idCol), col(vecCol))
+      .unionByName(tgt.select(col(idCol), col(vecCol)))
+    val centroids = SimilaritySearch.computeCentroids(union, vecCol,
+      ncells, seed)
+    val s = SimilaritySearch.assignCells(src, idCol, vecCol, centroids)
+      .select(col(idCol).cast("long").as("sid"), col("v").as("sv"),
+        col("cell"))
+    val t = SimilaritySearch.assignCells(tgt, idCol, vecCol, centroids)
+      .select(col(idCol).cast("long").as("tid"), col("v").as("tv"),
+        col("cell"))
+    val pairs = s.join(t, "cell")
+      .select(col("sid"), col("tid"),
+        round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
+          .cast("long").as("cos_micro"))
+    val wx = Window.partitionBy(col("sid"))
+      .orderBy(desc("cos_micro"), col("tid"))
+    val wy = Window.partitionBy(col("tid"))
+      .orderBy(desc("cos_micro"), col("sid"))
+    val kx = pairs.withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= k)
+      .groupBy(col("sid")).agg(sum(col("cos_micro")).as("sx"))
+    val ky = pairs.withColumn("rk", row_number().over(wy))
+      .filter(col("rk") <= k)
+      .groupBy(col("tid")).agg(sum(col("cos_micro")).as("sy"))
+    pairs
+      .join(kx, "sid").join(ky, "tid")
+      .withColumn("margin",
+        (col("cos_micro") * (2L * k)).cast("double") /
+          (col("sx") + col("sy")))
+      .filter(col("margin") > minMargin)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("cos_micro"), col("margin"))
+  }
+
   def mutualTopPairs(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4): DataFrame = {
     val m = marginTable(src, tgt, idCol, vecCol, k)

@@ -920,6 +920,42 @@ object CurationQueries {
         .orderBy(col("src_id"), col("tgt_id"))
     }),
 
+    // ── cell-restricted bitext audit (0-row, the ann_ivf_dominance
+    //    pattern — centroids are k-means/engine-defined, so the oracle
+    //    cannot replay them): in the mining regime (cos > 0, positive
+    //    margins) candidate k-NN sums are SUBSETS of exact sums, so a
+    //    candidate margin can never undercut its exact margin
+    //    (dominance), and an exact-mined pair that shares a cell can
+    //    never land in (0, 1.2] under the candidate form (recall) —
+    //    either violation is emitted. Negative-cosine pairs are out of
+    //    scope by the operator's documented regime. ──────────────────
+    "emb_bitext_cells_audit" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val srcE = emb.filter(col("label") < 5)
+      val tgtE = emb.filter(col("label") >= 5)
+      val exact = graft.operators.Bitext.marginPairs(srcE, tgtE,
+        "vec_id", "embedding", k = 4, minMargin = Double.MinValue)
+      val cells = graft.operators.Bitext.marginPairsCells(srcE, tgtE,
+        "vec_id", "embedding", k = 4, minMargin = Double.MinValue,
+        ncells = 8)
+      val shared = cells.select(col("src_id"), col("tgt_id"),
+          col("cos_micro"), col("margin").as("margin_cells"))
+        .join(exact.select(col("src_id"), col("tgt_id"),
+          col("margin").as("margin_exact")), Seq("src_id", "tgt_id"))
+      val v1 = shared.filter(col("cos_micro") > 0 &&
+          col("margin_exact") > 0 && col("margin_cells") > 0 &&
+          col("margin_cells") < col("margin_exact"))
+        .select(lit("dominance").as("kind"), col("src_id"),
+          col("tgt_id"), col("margin_exact"), col("margin_cells"))
+      val v2 = shared.filter(col("cos_micro") > 0 &&
+          col("margin_exact") > 1.2 && col("margin_cells") > 0 &&
+          col("margin_cells") <= 1.2)
+        .select(lit("recall").as("kind"), col("src_id"), col("tgt_id"),
+          col("margin_exact"), col("margin_cells"))
+      v1.unionByName(v2).orderBy(col("kind"), col("src_id"),
+        col("tgt_id"))
+    }),
+
     // ── mutual-argmax bitext mining (the CCMatrix selection rule):
     //    keep (x, y) iff each is the other's best margin — the
     //    high-precision one-candidate-per-sentence form of
@@ -2061,6 +2097,13 @@ object CurationQueries {
         |  FROM p JOIN kx USING (sid) JOIN ky USING (tid))
         |SELECT sid AS src_id, tid AS tgt_id, cosu AS cos_micro, margin
         |FROM m WHERE margin > 1.2 ORDER BY src_id, tgt_id""".stripMargin,
+
+    "emb_bitext_cells_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind,
+        |CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS BIGINT) AS tgt_id,
+        |CAST(NULL AS DOUBLE) AS margin_exact,
+        |CAST(NULL AS DOUBLE) AS margin_cells
+        |WHERE FALSE""".stripMargin,
 
     "emb_bitext_mutual" ->
       """WITH src AS (SELECT vec_id, embedding FROM embeddings

@@ -106,6 +106,39 @@ class BitextSpec extends SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("marginPairsCells with ONE cell reproduces the exact form " +
+      "bit-for-bit; with many cells margins only grow (dominance)") {
+    val rnd = new scala.util.Random(23)
+    val src = df(Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1))))
+    val tgt = df(Seq.tabulate(20)(i =>
+      (100L + i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))))
+    val exact = Bitext.marginPairs(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = Double.MinValue)
+      .orderBy("src_id", "tgt_id").collect().map(_.toSeq).toSeq
+    val one = Bitext.marginPairsCells(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = Double.MinValue, ncells = 1)
+      .orderBy("src_id", "tgt_id").collect().map(_.toSeq).toSeq
+    assert(one === exact)
+    // many cells: in the positive regime (cos > 0, both margins > 0 —
+    // where all mining happens) a candidate margin dominates its exact
+    // margin (candidate k-NN sums are subsets); negative cosines are
+    // out of the operator's documented regime
+    val cells = Bitext.marginPairsCells(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = Double.MinValue, ncells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val exactM = exact.map(s0 => (s0(0), s0(1)) -> s0(3)).toMap
+    val positives = cells.filter { case (pair, (cosU, m)) =>
+      cosU > 0 && m > 0 &&
+        exactM((pair._1, pair._2)).asInstanceOf[Double] > 0 }
+    assert(positives.nonEmpty)
+    positives.foreach { case (pair, (_, m)) =>
+      val em = exactM((pair._1, pair._2)).asInstanceOf[Double]
+      assert(m >= em, s"$pair: cells=$m exact=$em")
+    }
+  }
+
   test("partitioning-invariant (integer sums, one fp division)") {
     val rnd = new scala.util.Random(9)
     val src = df(Seq.tabulate(30)(i =>
