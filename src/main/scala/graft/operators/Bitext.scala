@@ -30,6 +30,29 @@ import org.apache.spark.sql.functions._
   * the shuffles. */
 object Bitext {
 
+  /** k-NN sums + margin over an arbitrary (sid, tid, cos_micro)
+    * candidate-pair table — shared by the exact (crossJoin), k-means-cell
+    * and sign-cell candidate generators. The per-side top-k sums use the
+    * map-side-combinable [[graft.functions.TopKSum]] aggregator, NOT a
+    * row_number window: the window form exchanges and sorts the ENTIRE
+    * pair table once per side (at 100 TB the pair table is the single
+    * biggest intermediate in this operator), while the aggregator
+    * collapses every map partition to one k-slot buffer per id before
+    * anything shuffles — the sums (and so the margins) are identical
+    * because the sum of the top-k multiset does not depend on how ties
+    * break. */
+  private def marginOverPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val kx = pairs.groupBy(col("sid"))
+      .agg(graft.functions.TopKSum.topKSum(col("cos_micro"), k).as("sx"))
+    val ky = pairs.groupBy(col("tid"))
+      .agg(graft.functions.TopKSum.topKSum(col("cos_micro"), k).as("sy"))
+    pairs
+      .join(kx, "sid").join(ky, "tid")
+      .withColumn("margin",
+        (col("cos_micro") * (2L * k)).cast("double") /
+          (col("sx") + col("sy")))
+  }
+
   /** The full margin table: (sid, tid, cos_micro, margin) for every
     * cross pair — shared by the threshold and mutual-argmax miners. */
   private def marginTable(src: DataFrame, tgt: DataFrame, idCol: String,
@@ -43,30 +66,26 @@ object Bitext {
       .select(col("sid"), col("tid"),
         round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
           .cast("long").as("cos_micro"))
-    val wx = Window.partitionBy(col("sid"))
-      .orderBy(desc("cos_micro"), col("tid"))
-    val wy = Window.partitionBy(col("tid"))
-      .orderBy(desc("cos_micro"), col("sid"))
-    val kx = pairs.withColumn("rk", row_number().over(wx))
-      .filter(col("rk") <= k)
-      .groupBy(col("sid")).agg(sum(col("cos_micro")).as("sx"))
-    val ky = pairs.withColumn("rk", row_number().over(wy))
-      .filter(col("rk") <= k)
-      .groupBy(col("tid")).agg(sum(col("cos_micro")).as("sy"))
-    pairs
-      .join(kx, "sid").join(ky, "tid")
-      .withColumn("margin",
-        (col("cos_micro") * (2L * k)).cast("double") /
-          (col("sx") + col("sy")))
+    marginOverPairs(pairs, k)
   }
 
   /** All (src, tgt) pairs with margin > `minMargin`, with the
     * micro-unit cosine and the exact-integer-derived margin.
-    * Output: (src_id, tgt_id, cos_micro, margin). */
+    * Output: (src_id, tgt_id, cos_micro, margin).
+    *
+    * Mining REGIME gate (not just the threshold): the margin ratio is
+    * only meaningful where cosine and both k-NN sums are positive —
+    * with mixed-sign cosines, (sx + sy) can cancel to 0 (an Infinity
+    * margin that would sail over any threshold) or go negative (the
+    * ratio's sign flips, so a NEGATIVE-cosine pair can score a large
+    * positive margin). Both degeneracies are outside Artetxe-Schwenk
+    * semantics, so the miner filters to cos > 0 ∧ (sx + sy) > 0 before
+    * thresholding; the oracle replays the same predicate. */
   def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMargin: Double = 1.2): DataFrame =
     marginTable(src, tgt, idCol, vecCol, k)
-      .filter(col("margin") > minMargin)
+      .filter(col("cos_micro") > 0 && (col("sx") + col("sy")) > 0 &&
+        col("margin") > minMargin)
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         col("cos_micro"), col("margin"))
 
@@ -110,22 +129,54 @@ object Bitext {
       .select(col("sid"), col("tid"),
         round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
           .cast("long").as("cos_micro"))
-    val wx = Window.partitionBy(col("sid"))
-      .orderBy(desc("cos_micro"), col("tid"))
-    val wy = Window.partitionBy(col("tid"))
-      .orderBy(desc("cos_micro"), col("sid"))
-    val kx = pairs.withColumn("rk", row_number().over(wx))
-      .filter(col("rk") <= k)
-      .groupBy(col("sid")).agg(sum(col("cos_micro")).as("sx"))
-    val ky = pairs.withColumn("rk", row_number().over(wy))
-      .filter(col("rk") <= k)
-      .groupBy(col("tid")).agg(sum(col("cos_micro")).as("sy"))
-    pairs
-      .join(kx, "sid").join(ky, "tid")
-      .withColumn("margin",
-        (col("cos_micro") * (2L * k)).cast("double") /
-          (col("sx") + col("sy")))
-      .filter(col("margin") > minMargin)
+    marginOverPairs(pairs, k)
+      // same mining-regime gate as [[marginPairs]] — the dominance
+      // argument above only holds there anyway
+      .filter(col("cos_micro") > 0 && (col("sx") + col("sy")) > 0 &&
+        col("margin") > minMargin)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("cos_micro"), col("margin"))
+  }
+
+  /** Cell-restricted mining with ORACLE-REPLAYABLE cells: cell = the
+    * `bits` sign bits of the vector's leading coordinates (bit i set ⟺
+    * v[i] ≥ 0) — hyperplane LSH for cosine with the BASIS vectors as
+    * hyperplanes, so an engine-blind referee can recompute every cell
+    * from the data. Same candidate/margin semantics as
+    * [[marginPairsCells]] (per-cell cross join, candidate-neighborhood
+    * k-NN sums, mining-regime gate); at production scale the hyperplanes
+    * would be random Gaussians ([[Dedup.simhashPairs]]' family) and the
+    * cell table an IVF-style persisted index — the basis-aligned choice
+    * changes WHICH cells form, not the operator's shape.
+    *
+    * Why this exists next to the k-means form: a recall-1
+    * cells-equal-exact gate (the dedup_apply_lsh pattern) needs a
+    * similarity GAP between true pairs and background, and the synthetic
+    * embeddings have none (near-uniform cosines) — no data-dependent
+    * partition co-locates every mined pair. So the driver gate pins the
+    * cell-restricted SEMANTICS end-to-end with a FULL-VALUE oracle (the
+    * stronger check available), while `emb_bitext_cells_audit` pins the
+    * k-means form's dominance/recall laws against the exact miner. */
+  def marginPairsSignCells(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.2,
+      bits: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")
+    def cellOf(v: Column): Column =
+      (0 until bits).map { i =>
+        when(element_at(v, i + 1).cast("double") >= 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    val s = src.select(col(idCol).cast("long").as("sid"),
+      col(vecCol).as("sv"), cellOf(col(vecCol)).as("cell"))
+    val t = tgt.select(col(idCol).cast("long").as("tid"),
+      col(vecCol).as("tv"), cellOf(col(vecCol)).as("cell"))
+    val pairs = s.join(t, "cell")
+      .select(col("sid"), col("tid"),
+        round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
+          .cast("long").as("cos_micro"))
+    marginOverPairs(pairs, k)
+      .filter(col("cos_micro") > 0 && (col("sx") + col("sy")) > 0 &&
+        col("margin") > minMargin)
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         col("cos_micro"), col("margin"))
   }

@@ -372,11 +372,61 @@ object Dedup {
     * directions of every qualifying ordered pair (id_a, id_b,
     * containment of a in b ≥ threshold).
     *
-    * Same scale shape as [[ngramJaccardPairs]] (one shingle-keyed shuffle,
-    * ids only; exact, verification-grade) — the LSH analogue at corpus
-    * scale buckets on the SMALLER side's signature only. */
+    * LOSSLESS scale path (the containment variant of PPJoin's prefix
+    * filter, cheaper than the Jaccard case because the threshold binds
+    * the CONTAINED side only): under a global (df asc, shingle) order,
+    * containment(a in b) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so if none of A's
+    * first |A| − ⌈t·|A|⌉ + 1 shingles (its RAREST ones) were in B, the
+    * remaining ⌈t·|A|⌉ − 1 could not cover the intersection — a's
+    * prefix MUST hit B. Candidates are therefore prefix(a) ⨝ shingle
+    * table(b): per-shingle fan-out is prefixDf(s)·df(s), not df(s)² —
+    * a ubiquitous shingle is (by construction) in almost no prefix, so
+    * the quadratic bucket the naive shared-shingle join builds on it
+    * never forms. Verification is doc-grain `array_intersect` on the
+    * candidate pairs; the output set equals the naive form's (theorem,
+    * spec-pinned), at high thresholds with prefixes a few shingles
+    * long. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // base feeds 4 consumers (df counts, prefix build, candidate full
+    // side, both verify sides) — checkpoint so the corpus scan +
+    // shingling kernel runs once (the prefixFilterJaccardPairs
+    // measurement applies unchanged).
+    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
+      .withColumn("n_sh", size($"shs"))
+      .localCheckpoint()
+    val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
+    val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"_df", $"sg")
+    val prefix = sh.join(dfreq, "sg")
+      .withColumn("_pos", row_number().over(w))
+      .filter($"_pos" <= $"n_sh" - ceil($"n_sh" * lit(threshold)) + lit(1))
+      .select($"id", $"sg")
+    // directed candidates: a's prefix hits b's FULL shingle set (the
+    // contained side is 'a', so only 'a' gets a prefix; b-in-a pairs
+    // form from b's own prefix in the same join)
+    val cand = prefix.as("a").join(sh.select($"id", $"sg").as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = base.select($"id", $"shs", $"n_sh")
+    cand
+      .join(sets.select($"id".as("id_a"), $"shs".as("_sa"),
+        $"n_sh".as("na")), "id_a")
+      .join(sets.select($"id".as("id_b"), $"shs".as("_sb")), "id_b")
+      .withColumn("_c", size(array_intersect($"_sa", $"_sb")))
+      .select($"id_a", $"id_b", ($"_c" / $"na").as("containment"))
+      .filter($"containment" >= threshold)
+  }
+
+  /** The naive shared-shingle containment form — quadratic in
+    * per-shingle document frequency; kept ONLY as the spec's equality
+    * witness for [[containmentPairs]]' lossless prefix filter. */
+  private[graft] def containmentPairsNaive(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.9): DataFrame = {
     val (base, common) = sharedShingleCounts(docs, idCol, textCol, n)
     val directed = common
       .unionByName(common.select($"id_b".as("id_a"), $"id_a".as("id_b"), $"c"))
@@ -384,6 +434,27 @@ object Dedup {
       .join(base.select($"id".as("id_a"), $"n_sh".as("na")), "id_a")
       .select($"id_a", $"id_b", ($"c" / $"na").as("containment"))
       .filter($"containment" >= threshold)
+  }
+
+  /** Directed candidate-pair count under the containment prefix filter —
+    * the pruning-effectiveness audit backing [[containmentPairs]]'
+    * scaladoc (mirror of [[prefixFilterCandidateCount]]). */
+  private[graft] def containmentCandidateCount(docs: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): Long = {
+    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
+      .withColumn("n_sh", size($"shs"))
+    val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
+    val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"_df", $"sg")
+    val prefix = sh.join(dfreq, "sg")
+      .withColumn("_pos", row_number().over(w))
+      .filter($"_pos" <= $"n_sh" - ceil($"n_sh" * lit(threshold)) + lit(1))
+      .select($"id", $"sg")
+    prefix.as("a").join(sh.select($"id", $"sg").as("b"),
+        col("a.sg") === col("b.sg") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b").count()
   }
 
   /** Incremental near-dup: which NEW documents near-duplicate an EXISTING

@@ -84,7 +84,10 @@ object Drift {
       }
     val counts = rows.filter(_.getAs[Int]("pos") == 0)
       .map(r => r.getAs[String]("seg") -> r.getAs[Long]("cnt")).toMap
-    val segs = sums.keys.toSeq.sorted
+    // UTF-8 byte order, not String.compareTo: pair ORIENTATION must
+    // match the oracle's (and Spark's) binary '<' on the same strings
+    // — see Utf8Order's scaladoc for the code-point range that diverges
+    val segs = sums.keys.toSeq.sorted(graft.functions.Utf8Order.ordering)
     val out = segs.combinations(2).map { c =>
       val (a, b) = (c(0), c(1))
       val (sa, sb) = (sums(a), sums(b))

@@ -270,17 +270,7 @@ object KmvSketch {
     val checkedG = when(groupCol.isNotNull, groupCol.cast("string"))
       .otherwise(raise_error(
         lit("KmvSketch.pairOverlapAudit: group must not be NULL")))
-    val utf8Order: Ordering[String] = (a: String, b: String) => {
-      val x = a.getBytes("UTF-8")
-      val y = b.getBytes("UTF-8")
-      var i = 0
-      var d = 0
-      while (d == 0 && i < x.length && i < y.length) {
-        d = (x(i) & 0xff) - (y(i) & 0xff)
-        i += 1
-      }
-      if (d != 0) d else x.length - y.length
-    }
+    val utf8Order = graft.functions.Utf8Order.ordering
     val keyed = df.select(checkedG.as("_g"), valueCol.as("_v"))
     val sketches = groupSketches(keyed, col("_v"), Seq("_g"), k)
     // group-count sized sidecar (segments, not data)

@@ -101,7 +101,13 @@ object LshIndex {
       .join(corpusBuckets.as("b"), Seq("bucket", "pb"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
+    // at-least-once append window: a crash-replayed batch leaves
+    // duplicate rows per id in sigs/ (bucket dups are absorbed by the
+    // cand dropDuplicates above, but duplicate SIG rows would re-expand
+    // deduped candidates into duplicate output pairs). Signatures are
+    // content-derived, so any copy is the right copy — keep one per id.
     val corpusSigs = spark.read.parquet(sigsPath(path))
+      .dropDuplicates("id")
     cand
       .join(newSigs.select(col("id").as("new_id"), col("shs").as("sha")),
         "new_id")

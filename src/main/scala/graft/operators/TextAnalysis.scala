@@ -1068,6 +1068,46 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Winnow candidate pairs — the MOSS match step over
+    * [[winnowFingerprints]], with the standard MOSS "ignore ubiquitous
+    * fingerprints" guard: a fingerprint selected (as a window minimum)
+    * in more than `maxDf` DISTINCT documents is boilerplate — a license
+    * header, a template sentence — and joins on it are pure noise that
+    * fan out quadratically in its document frequency (one shared
+    * paragraph across 30% of a 100 TB corpus is a single bucket of
+    * (0.3·N)² candidate rows). Dropping them loses no plagiarism
+    * signal MOSS would keep: a match attested ONLY by text that a
+    * large fraction of the corpus shares is not evidence of copying
+    * between the pair. Output: (id_a, id_b, shared) for pairs sharing
+    * ≥ `minShared` surviving fingerprints.
+    *
+    * Scale shape: one fp-keyed df count, a semi-join that removes the
+    * capped hashes, then the fingerprint-keyed equi-join (the LSH
+    * band-bucket shape) whose per-key fan-out is now ≤ maxDf² by
+    * construction — the skew bound the uncapped form lacked. */
+  def winnowCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 3,
+      maxDf: Int = 100): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"minShared >= 1 and maxDf >= 2 required, got $minShared/$maxDf")
+    // fp feeds three consumers (df count + both join sides); it is a
+    // selections-sized table (~2n/(w+1) rows of (long, int, long)) —
+    // checkpoint so the shingle→window-min pipeline runs once
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint()
+    val keep = fp.groupBy(col("fp_hash"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("fp_hash"))
+    val fpk = fp.join(keep, "fp_hash")
+    fpk.as("a").join(fpk.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(countDistinct(col("a.fp_hash")).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Trigram stupid-backoff LM scoring (Brants et al. 2007) — the
     * web-scale quality signal CCNet-style pipelines rank documents by,
     * with the LM trained on a REFERENCE slice and scored over the full

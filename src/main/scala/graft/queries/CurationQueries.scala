@@ -131,17 +131,10 @@ object CurationQueries {
     }),
 
     // ── unigram-LM top pieces by segmentation usage: multi-char pieces
-    //    the EM actually selects (Viterbi/DP-defined → rows-only; exact
-    //    values pinned in UnigramLmSpec) ─────────────────────────────────
-    "vocab_unigram_top" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val vocab = UnigramLm.train(docs, "text", vocabSize = 200,
-        emRounds = 1)
-      UnigramLm.segment(docs, "doc_id", "text", vocab)
-        .filter(length(col("piece")) >= 2)
-        .groupBy(col("piece")).agg(count(lit(1)).as("uses"))
-        .orderBy(desc("uses"), col("piece")).limit(20)
-    }),
+    //    the EM actually selects (Viterbi/DP-defined values → DigestGate
+    //    constant at sf0.01; exact values pinned in UnigramLmSpec) ────────
+    "vocab_unigram_top" -> ((s, d) =>
+      DigestGate.digestRow(vocabUnigramTopFull(s, d))),
 
     // ── WordPiece greedy encode against the FIXED shared vocab: one row
     //    per distinct [a-z]+ word — (word, pieces, n_pieces). FULL-value
@@ -956,6 +949,24 @@ object CurationQueries {
         col("tgt_id"))
     }),
 
+    // ── cell-restricted bitext mining, POSITIVE gate: sign-bit cells
+    //    (hyperplane LSH with basis hyperplanes — oracle-replayable,
+    //    unlike k-means centroids), per-cell cross join, candidate-
+    //    neighborhood margins, regime gate. FULL-VALUE oracle replays
+    //    cells, sums, margins end-to-end; a recall-1 cells≡exact gate is
+    //    impossible on these gap-less synthetic embeddings (see
+    //    marginPairsSignCells scaladoc), so this pins the scale path's
+    //    own semantics and emb_bitext_cells_audit pins its relationship
+    //    to the exact miner. ───────────────────────────────────────────
+    "emb_bitext_cells" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Bitext.marginPairsSignCells(
+          emb.filter(col("label") < 5),
+          emb.filter(col("label") >= 5),
+          "vec_id", "embedding", k = 4, minMargin = 1.2, bits = 3)
+        .orderBy(col("src_id"), col("tgt_id"))
+    }),
+
     // ── mutual-argmax bitext mining (the CCMatrix selection rule):
     //    keep (x, y) iff each is the other's best margin — the
     //    high-precision one-candidate-per-sentence form of
@@ -1156,6 +1167,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Full (undigested) output of `vocab_unigram_top` — the form
+    * UnigramLmSpec pins; the gate entry wraps it in
+    * [[DigestGate.digestRow]]. */
+  def vocabUnigramTopFull(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val vocab = UnigramLm.train(docs, "text", vocabSize = 200,
+      emRounds = 1)
+    UnigramLm.segment(docs, "doc_id", "text", vocab)
+      .filter(length(col("piece")) >= 2)
+      .groupBy(col("piece")).agg(count(lit(1)).as("uses"))
+      .orderBy(desc("uses"), col("piece")).limit(20)
+  }
 
   private val fuzzyPairsOracle: String =
     """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
@@ -1464,6 +1488,12 @@ object CurationQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS word_pos,
         |CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS rebuilt
         |WHERE FALSE""".stripMargin,
+
+    // DigestGate constant (EM/Viterbi-defined output, deterministic —
+    // captured at sf0.01, stability-checked across partitionings; exact
+    // sf0.001 pieces pinned in UnigramLmSpec)
+    "vocab_unigram_top" ->
+      DigestGate.oracle("1297060967614641321", 20),
 
     // the vocab literal is interpolated from WpVocab — one source of
     // truth for both engines. Greedy longest-match-first = at each
@@ -2092,11 +2122,42 @@ object CurationQueries {
         |  SELECT tid, cosu, row_number() OVER (PARTITION BY tid
         |    ORDER BY cosu DESC, sid) AS rk FROM p)
         |  WHERE rk <= 4 GROUP BY 1),
-        |m AS (SELECT p.sid, p.tid, p.cosu,
+        |m AS (SELECT p.sid, p.tid, p.cosu, kx.sx + ky.sy AS den,
         |  CAST(8 * p.cosu AS DOUBLE) / (kx.sx + ky.sy) AS margin
         |  FROM p JOIN kx USING (sid) JOIN ky USING (tid))
         |SELECT sid AS src_id, tid AS tgt_id, cosu AS cos_micro, margin
-        |FROM m WHERE margin > 1.2 ORDER BY src_id, tgt_id""".stripMargin,
+        |FROM m WHERE cosu > 0 AND den > 0 AND margin > 1.2
+        |ORDER BY src_id, tgt_id""".stripMargin,
+
+    "emb_bitext_cells" ->
+      """WITH sc AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS cell
+        |  FROM embeddings WHERE label < 5),
+        |tc AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS cell
+        |  FROM embeddings WHERE label >= 5),
+        |p AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+        |  CAST(round(list_cosine_similarity(s.embedding::DOUBLE[],
+        |    t.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosu
+        |  FROM sc s JOIN tc t ON s.cell = t.cell),
+        |kx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx FROM (
+        |  SELECT sid, cosu, row_number() OVER (PARTITION BY sid
+        |    ORDER BY cosu DESC, tid) AS rk FROM p)
+        |  WHERE rk <= 4 GROUP BY 1),
+        |ky AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy FROM (
+        |  SELECT tid, cosu, row_number() OVER (PARTITION BY tid
+        |    ORDER BY cosu DESC, sid) AS rk FROM p)
+        |  WHERE rk <= 4 GROUP BY 1),
+        |m AS (SELECT p.sid, p.tid, p.cosu, kx.sx + ky.sy AS den,
+        |  CAST(8 * p.cosu AS DOUBLE) / (kx.sx + ky.sy) AS margin
+        |  FROM p JOIN kx USING (sid) JOIN ky USING (tid))
+        |SELECT sid AS src_id, tid AS tgt_id, cosu AS cos_micro, margin
+        |FROM m WHERE cosu > 0 AND den > 0 AND margin > 1.2
+        |ORDER BY src_id, tgt_id""".stripMargin,
 
     "emb_bitext_cells_audit" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind,

@@ -23,6 +23,16 @@ object ExtensionQueries {
 
   private val JaccardThreshold = 0.8
 
+  /** The shared boilerplate paragraph `dedup_winnow_skew` appends to 30%
+    * of docs in-plan — long enough (> k + w − 1 = 8 tokens) that winnow
+    * GUARANTEES it selects fingerprints in every stamped doc, which is
+    * what makes the uncapped join quadratic. Interpolated into the
+    * DuckDB oracle from this one value (lowercase: both engines
+    * lowercase before shingling, so the literal stays WYSIWYG). */
+  private val WinnowBoiler =
+    "subscribe to our newsletter for daily updates and exclusive offers " +
+      "delivered straight to your inbox every single morning"
+
   /** recall@10 floor for `ann_ivf_recall` (hits out of k=10): nprobe 3 of
     * 8 cells probes ≥ 0.375 of a near-uniform corpus in expectation and
     * always includes the query's own cell; 3/10 is a conservative floor
@@ -374,24 +384,18 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── SimHash near-dup pairs (hash-defined → rows-only) ─────────────────
-    "dedup_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // ── SimHash near-dup pairs (hash-defined → DuckDB cannot replay the
+    //    values; the gate pins the FULL output through a DigestGate
+    //    constant at sf0.01, exact sf0.001 pair set in GoldenValuesSpec) ──
+    "dedup_simhash" -> ((s, d) =>
+      DigestGate.digestRow(dedupSimhashFull(s, d))),
 
     // ── per-source corpus overlap via MinHash-union UDAF (sketch-defined
-    //    → rows-only; the union law is property- and spec-tested, and the
-    //    estimator's error is oracle-certified by dedup_overlap_audit) ──────
-    "dedup_source_overlap" -> ((s, d) => {
-      val sigs = Dedup.groupSignatures(t(s, d, "documents"),
-        "doc_id", "text", "source", n = 3, k = 64)
-      Dedup.groupOverlap(sigs)
-        .select(col("grp_a"), col("grp_b"),
-          round(col("est_jaccard"), 4).as("est_jaccard"))
-        .orderBy(col("grp_a"), col("grp_b"))
-    }),
+    //    values → DigestGate constant; the union law is property- and
+    //    spec-tested, and the estimator's error is oracle-certified by
+    //    dedup_overlap_audit) ───────────────────────────────────────────
+    "dedup_source_overlap" -> ((s, d) =>
+      DigestGate.digestRow(dedupSourceOverlapFull(s, d))),
 
     // ── sketch-estimator audit: EXACT per-source-pair shingle Jaccard
     //    (oracle-checkable) + a bound on the MinHash estimate's error.
@@ -570,14 +574,12 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── shift-robust rolling fingerprint (typed kernel form; rows-only —
-    //    values pinned by GoldenValuesSpec, dual-implementation agreement
-    //    oracle-gated by docs_rolling_audit) ────────────────────────────────
-    "docs_fingerprint_rolling" -> ((s, d) => {
-      TextAnalysis.rollingFingerprintFrame(t(s, d, "documents"),
-          "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
+    // ── shift-robust rolling fingerprint (typed kernel form; engine-hash
+    //    values → DigestGate constant; sf0.001 values pinned by
+    //    GoldenValuesSpec, dual-implementation agreement oracle-gated by
+    //    docs_rolling_audit) ─────────────────────────────────────────────
+    "docs_fingerprint_rolling" -> ((s, d) =>
+      DigestGate.digestRow(docsFingerprintRollingFull(s, d))),
 
     // ── rolling-fingerprint dual-implementation audit: the typed kernel
     //    and the Catalyst expression form must agree on EVERY document —
@@ -672,13 +674,11 @@ object ExtensionQueries {
     }),
 
     // ── gzip-compressibility quality signal (Gopher-style): deflate
-    //    ratio per doc; hash-defined by the zlib constant → rows-only,
-    //    digest pinned in GoldenValuesSpec, invariant oracle-gated by
-    //    docs_gzip_audit ─────────────────────────────────────────────────
-    "docs_gzip_ratio" -> ((s, d) => {
-      TextAnalysis.gzipRatioFrame(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
+    //    ratio per doc; defined by the JVM Deflater's byte stream →
+    //    DigestGate constant at sf0.01, sf0.001 digest pinned in
+    //    GoldenValuesSpec, invariant oracle-gated by docs_gzip_audit ─────
+    "docs_gzip_ratio" -> ((s, d) =>
+      DigestGate.digestRow(docsGzipRatioFull(s, d))),
 
     // ── gzip invariant audit (0-row oracle): every non-empty doc must
     //    compress to 0 < deflated ≤ raw + 64 (zlib's stored-block bound)
@@ -698,20 +698,29 @@ object ExtensionQueries {
     // ── winnow candidate pairs: docs sharing ≥ 3 selected fingerprints
     //    — the MOSS match step. Fingerprint-keyed equi-join (same scale
     //    shape as an LSH band bucket join: candidates form per shared
-    //    hash, never all-pairs), then a pair-keyed count. ────────────────
+    //    hash, never all-pairs), with the MOSS ubiquitous-fingerprint
+    //    cap (df ≤ 100 distinct docs) bounding per-key fan-out — the
+    //    oracle replays the same cap. ────────────────────────────────────
     "dedup_winnow_pairs" -> ((s, d) => {
-      // localCheckpoint: the self-join would otherwise DERIVE the whole
-      // shingle→window-min pipeline twice (one per side); fingerprints
-      // are a selections-sized table (~2n/(w+1) rows of (id, int, long))
-      val fp = TextAnalysis.winnowFingerprints(t(s, d, "documents"),
-          "doc_id", "text", k = 4, w = 5)
-        .localCheckpoint()
-      fp.as("a").join(fp.as("b"),
-          col("a.fp_hash") === col("b.fp_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(countDistinct(col("a.fp_hash")).as("shared"))
-        .filter(col("shared") >= 3)
+      TextAnalysis.winnowCandidatePairs(t(s, d, "documents"),
+          "doc_id", "text", k = 4, w = 5, minShared = 3, maxDf = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── winnow under SKEW: 30% of the corpus gets one shared boilerplate
+    //    paragraph appended in-plan (the docs_c4_clean rebuild idiom) —
+    //    the df cap must drop the boilerplate fingerprints so the
+    //    fp-keyed join never builds the (0.3·N)² bucket, and the mined
+    //    pairs are exactly the capped pairs of the skewed corpus (full-
+    //    value oracle replaying rebuild + cap). This is the stress the
+    //    benign synthetic corpus never exercised. ───────────────────────
+    "dedup_winnow_skew" -> ((s, d) => {
+      val skewed = t(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(col("text"), lit(" " + WinnowBoiler)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.winnowCandidatePairs(skewed,
+          "doc_id", "text", k = 4, w = 5, minShared = 3, maxDf = 100)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1467,23 +1476,54 @@ object ExtensionQueries {
     //    hash is engine-defined (no SQL oracle); the exact sf0.001 pair
     //    set is pinned in GoldenValuesSpec, and identical payloads must
     //    surface as hamming-0 pairs (the exact-dup docs in testdata). ─────
-    "multimodal_phash_pairs" -> ((s, d) => {
-      val pairs = docPhashPairs(s, d)
-      pairs.orderBy(col("id_a"), col("id_b"))
-    }),
+    "multimodal_phash_pairs" -> ((s, d) =>
+      DigestGate.digestRow(multimodalPhashPairsFull(s, d))),
 
     // ── image dedup ACTION: phash pairs → connected components → keep the
     //    smallest id per cluster (the text-LSH apply pattern on the image
     //    axis; survivors anti-join on ids only). Engine-defined pair set →
-    //    rows-only gate; survivor set pinned at sf0.001 in GoldenValuesSpec.
-    "multimodal_phash_apply" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      graft.operators.Dedup.dropNearDuplicates(docs, "doc_id",
-          docPhashPairs(s, d).select(col("id_a"), col("id_b")))
-        .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))
-    })
+    //    DigestGate constant; survivor set pinned at sf0.001 in
+    //    GoldenValuesSpec.
+    "multimodal_phash_apply" -> ((s, d) =>
+      DigestGate.digestRow(multimodalPhashApplyFull(s, d)))
   )
+
+  /** Full (undigested) outputs of the DigestGate-gated queries — the
+    * operator surface users call and the forms GoldenValuesSpec pins;
+    * the `queries` map wraps each in [[DigestGate.digestRow]]. */
+  def dedupSimhashFull(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupSourceOverlapFull(s: SparkSession, d: String): DataFrame = {
+    val sigs = Dedup.groupSignatures(t(s, d, "documents"),
+      "doc_id", "text", "source", n = 3, k = 64)
+    Dedup.groupOverlap(sigs)
+      .select(col("grp_a"), col("grp_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
+  def docsFingerprintRollingFull(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rollingFingerprintFrame(t(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def docsGzipRatioFull(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gzipRatioFrame(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def multimodalPhashPairsFull(s: SparkSession, d: String): DataFrame =
+    docPhashPairs(s, d).orderBy(col("id_a"), col("id_b"))
+
+  def multimodalPhashApplyFull(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.operators.Dedup.dropNearDuplicates(docs, "doc_id",
+        docPhashPairs(s, d).select(col("id_a"), col("id_b")))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Shared by the phash pair and apply queries: deterministic 16×16 PGM
     * images rendered from doc bytes → real ImageCodec pixel decode →
@@ -1563,6 +1603,48 @@ object ExtensionQueries {
 
   // shared by the pair oracle and the clusters oracle (which closes the
   // same pairs transitively with a recursive CTE)
+  /** Winnow-pairs oracle over an arbitrary (doc_id, text) source query —
+    * shared by the plain and the skew-stressed gate (which rebuilds 30%
+    * of docs with [[WinnowBoiler]] appended). Replays the full MOSS
+    * pipeline INCLUDING the df ≤ 100 ubiquitous-fingerprint cap the
+    * engine applies ([[TextAnalysis.winnowCandidatePairs]]); the
+    * all-windows O(n·w) form exists only here. */
+  private def winnowPairsOracle(docsSql: String): String =
+    s"""WITH docs AS ($docsSql),
+      |toks AS (
+      |  SELECT doc_id,
+      |  [x FOR x IN string_split_regex(lower(text), '\\s+')
+      |    IF len(x) > 0] AS ws
+      |  FROM docs),
+      |pos AS (
+      |  SELECT doc_id, CAST(unnest(range(len(ws) - 3)) AS INT) AS pos,
+      |  ws FROM toks WHERE len(ws) >= 4),
+      |sh AS (
+      |  SELECT doc_id, pos,
+      |  ('0x' || substr(md5(array_to_string(ws[pos+1:pos+4], ' ')),
+      |    1, 8))::BIGINT AS h
+      |  FROM pos),
+      |wins AS (
+      |  SELECT a.doc_id, a.pos AS s, b.pos AS p, b.h
+      |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id
+      |    AND b.pos >= a.pos AND b.pos < a.pos + 5),
+      |full_w AS (
+      |  SELECT doc_id, s FROM wins GROUP BY 1, 2 HAVING count(*) = 5),
+      |rk AS (
+      |  SELECT w.doc_id, w.s, w.p, w.h,
+      |  row_number() OVER (PARTITION BY w.doc_id, w.s
+      |    ORDER BY w.h, w.p) AS rk
+      |  FROM wins w JOIN full_w USING (doc_id, s)),
+      |fp AS (SELECT DISTINCT doc_id, p, h FROM rk WHERE rk = 1),
+      |keep AS (SELECT h FROM fp GROUP BY h
+      |  HAVING count(DISTINCT doc_id) <= 100),
+      |fpk AS (SELECT fp.doc_id, fp.p, fp.h FROM fp JOIN keep USING (h))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |CAST(count(DISTINCT a.h) AS BIGINT) AS shared
+      |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val ngramShingleCtes: String =
     """toks AS (
       |  SELECT doc_id,
@@ -1778,6 +1860,22 @@ object ExtensionQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_id,
         |CAST(NULL AS BIGINT) AS fp_rolling, CAST(NULL AS BIGINT) AS fp_expr
         |WHERE FALSE""".stripMargin,
+
+    // DigestGate constants (engine-defined outputs, deterministic —
+    // captured at sf0.01 and stability-checked across partitionings;
+    // full outputs pinned at sf0.001 in GoldenValuesSpec)
+    "dedup_simhash" ->
+      DigestGate.oracle("36934031300203723924", 27),
+    "dedup_source_overlap" ->
+      DigestGate.oracle("-4431174007424636817", 190),
+    "docs_fingerprint_rolling" ->
+      DigestGate.oracle("-50340563749224009589", 500),
+    "docs_gzip_ratio" ->
+      DigestGate.oracle("231570381743974535899", 500),
+    "multimodal_phash_pairs" ->
+      DigestGate.oracle("-11651530161756600003", 14),
+    "multimodal_phash_apply" ->
+      DigestGate.oracle("-66487331316589846895", 487),
 
     "ann_ivf_dominance" ->
       """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS DOUBLE) AS exact_score,
@@ -2479,37 +2577,11 @@ object ExtensionQueries {
         |CAST(NULL AS BIGINT) AS n_bytes,
         |CAST(NULL AS BIGINT) AS n_deflated WHERE FALSE""".stripMargin,
 
-    "dedup_winnow_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |  [x FOR x IN string_split_regex(lower(text), '\s+')
-        |    IF len(x) > 0] AS ws
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, CAST(unnest(range(len(ws) - 3)) AS INT) AS pos,
-        |  ws FROM toks WHERE len(ws) >= 4),
-        |sh AS (
-        |  SELECT doc_id, pos,
-        |  ('0x' || substr(md5(array_to_string(ws[pos+1:pos+4], ' ')),
-        |    1, 8))::BIGINT AS h
-        |  FROM pos),
-        |wins AS (
-        |  SELECT a.doc_id, a.pos AS s, b.pos AS p, b.h
-        |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id
-        |    AND b.pos >= a.pos AND b.pos < a.pos + 5),
-        |full_w AS (
-        |  SELECT doc_id, s FROM wins GROUP BY 1, 2 HAVING count(*) = 5),
-        |rk AS (
-        |  SELECT w.doc_id, w.s, w.p, w.h,
-        |  row_number() OVER (PARTITION BY w.doc_id, w.s
-        |    ORDER BY w.h, w.p) AS rk
-        |  FROM wins w JOIN full_w USING (doc_id, s)),
-        |fp AS (SELECT DISTINCT doc_id, p, h FROM rk WHERE rk = 1)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |CAST(count(DISTINCT a.h) AS BIGINT) AS shared
-        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_winnow_pairs" -> winnowPairsOracle("SELECT doc_id, text FROM documents"),
+
+    "dedup_winnow_skew" -> winnowPairsOracle(
+      "SELECT doc_id, CASE WHEN doc_id % 10 < 3 THEN text || ' " +
+        WinnowBoiler + "' ELSE text END AS text FROM documents"),
 
     "docs_sbo_score" ->
       """WITH toks AS (

@@ -383,4 +383,58 @@ class DedupSpec extends SparkSpec {
       Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 3, 0.0)
     }
   }
+
+  test("containmentPairs: prefix-filtered form equals the naive " +
+      "shared-shingle join (lossless) and prunes a boilerplate skew bomb") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(14)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    // 8 short docs quoted wholesale inside long ones: containment ≈ 1,
+    // Jaccard small — the asymmetric relation this operator exists for
+    val quotes = (0 until 8).map { i =>
+      val (id, text) = base(i)
+      (200L + id, text.split(" ").take(6).mkString(" "))
+    }
+    val docs = (base ++ quotes).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    for (t <- Seq(0.6, 0.8, 0.9, 1.0)) {
+      val naive = pairSet(Dedup.containmentPairsNaive(docs, "doc_id",
+        "text", n = 3, threshold = t))
+      val pref = pairSet(Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = t))
+      assert(pref === naive, s"threshold $t")
+      assert(t > 0.9 || naive.nonEmpty, s"vacuous fixture at $t")
+    }
+    // skew bomb: every doc shares one boilerplate sentence — the naive
+    // directed shared-shingle universe goes quadratic (every pair
+    // shares the boilerplate shingles); prefix candidates must NOT,
+    // because ubiquitous shingles are in (almost) no prefix at t=0.9
+    val skewed = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" subscribe to our newsletter for daily updates now")).as("text"))
+    val candidates = Dedup.containmentCandidateCount(skewed, "doc_id",
+      "text", n = 3, threshold = 0.9)
+    val sharedUniverse = {
+      val sh = skewed.select(col("doc_id"),
+        explode(graft.functions.Fingerprints.shingles(
+          graft.functions.Fingerprints.tokens(col("text")), 3)).as("sg"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    assert(sharedUniverse === 48L * 47L,
+      "fixture must make the naive universe all-pairs")
+    assert(candidates < sharedUniverse / 4,
+      s"containment prefix pruning ineffective: $candidates vs $sharedUniverse")
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.0)
+    }
+  }
 }

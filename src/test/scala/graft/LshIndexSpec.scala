@@ -59,6 +59,30 @@ class LshIndexSpec extends SparkSpec {
       "appended doc not visible to the next probe")
   }
 
+  test("crash-replayed append (at-least-once window) does not re-expand " +
+      "deduped candidates into duplicate output pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx3")
+      .toString + "/idx"
+    LshIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val accepted = Seq((20L, "frase original sobre jardins botanicos e " +
+      "estufas de vidro com plantas raras de climas tropicais umidos"))
+      .toDF("doc_id", "text")
+    // the documented failure mode: the batch commits, the caller crashes
+    // before recording it, and replays the SAME append
+    LshIndex.append(accepted, "doc_id", "text", dir)
+    LshIndex.append(accepted, "doc_id", "text", dir)
+    val probe = Seq((30L, "frase original sobre jardins botanicos e " +
+      "estufas de vidro com plantas raras de climas tropicais secos"))
+      .toDF("doc_id", "text")
+    val rows = LshIndex.probePairs(spark, dir, probe, "doc_id", "text",
+        threshold = 0.5)
+      .select(col("new_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.toSet.size,
+      s"duplicate pairs after replayed append: ${rows.toSeq}")
+    assert(rows.toSet === Set((30L, 20L)))
+  }
+
   test("probe reads only the batch's pb partition folds (file pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx3")
       .toString + "/idx"

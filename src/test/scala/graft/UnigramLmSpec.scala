@@ -62,7 +62,7 @@ class UnigramLmSpec extends SparkSpec {
   }
 
   test("vocab_unigram_top: pinned top pieces at sf0.001") {
-    val got = SparkEntry.queries("vocab_unigram_top")(
+    val got = graft.queries.CurationQueries.vocabUnigramTopFull(
         spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // deterministic function of (corpus, trainer); a change in the

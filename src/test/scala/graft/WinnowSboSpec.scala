@@ -64,6 +64,31 @@ class WinnowSboSpec extends SparkSpec {
       "shared 8-token run produced no common fingerprint")
   }
 
+  test("winnowCandidatePairs: the df cap kills a synthetic boilerplate " +
+      "fingerprint's quadratic bucket without losing genuine matches") {
+    import spark.implicits._
+    val boiler = "click here to subscribe to our free weekly newsletter today"
+    val copied = "the secret recipe uses twelve herbs and spices blended slowly"
+    // 30 docs share ONLY boilerplate; docs 100/101 additionally share a
+    // genuine 10-token copied run (rare fingerprints)
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"unique$i opening words number$i $boiler trailing$i close$i")
+    } ++ Seq(
+      (100L, s"first author wrote that $copied in the original text"),
+      (101L, s"second author claims $copied near the conclusion section")
+    )).toDF("doc_id", "text")
+    val capped = TextAnalysis.winnowCandidatePairs(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // genuine pair survives; no boilerplate-only pair does
+    assert(capped === Set((100L, 101L)))
+    // uncapped, the boilerplate bucket goes quadratic: all 30×29/2 pairs
+    val uncapped = TextAnalysis.winnowCandidatePairs(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1, maxDf = Int.MaxValue).count()
+    assert(uncapped >= 30L * 29 / 2,
+      s"fixture broken: expected the quadratic bucket, got $uncapped")
+  }
+
   test("stupidBackoffScores: hand-computed attested / backoff / OOV cases") {
     import spark.implicits._
     // ref (doc 0): trigram (a b c) ×2, (b c a) ×1, (c a b) ×1
