@@ -192,4 +192,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
       "luhn left the built-in expression path")
   }
+
+  test("a_group_topk: NO window — the bounded-heap aggregator plans as " +
+      "partial+final ObjectHashAggregate") {
+    val plan = executedPlan("a_group_topk")
+    assert(!plan.contains("Window"),
+      s"group top-k regressed to a window:\n${plan.take(2000)}")
+    val aggs = plan.linesIterator
+      .count(l => l.contains("ObjectHashAggregate") ||
+        l.contains("SortAggregate"))
+    assert(aggs >= 2, s"partial+final pair missing:\n${plan.take(2000)}")
+  }
+
+  test("emb_bitext_margin: the per-side k-NN sums aggregate, never " +
+      "window — no exchange-and-sort of the full pair table") {
+    val plan = executedPlan("emb_bitext_margin")
+    assert(!plan.contains("Window"),
+      s"margin table regressed to window top-k:\n${plan.take(2000)}")
+    val aggs = plan.linesIterator
+      .count(l => l.contains("ObjectHashAggregate") ||
+        l.contains("SortAggregate"))
+    assert(aggs >= 4, // partial+final per side
+      s"TopKSum partial/final pairs missing:\n${plan.take(2000)}")
+  }
 }
