@@ -89,11 +89,19 @@ object JvmHygiene {
     * measurement. */
   def purgeBlocks(spark: org.apache.spark.sql.SparkSession,
       keep: Set[Int] = Set.empty): Unit = {
+    try spark.sharedState.cacheManager.clearCache()
+    catch { case _: Exception => () }
+    // per-RDD try: one throwing blocking unpersist (block-manager RPC
+    // timeout) must not abort the purge of everything after it — the
+    // leaked survivors would silently re-create the pressure this purge
+    // exists to remove
     try {
-      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
-          if (!keep.contains(id)) rdd.unpersist(blocking = true)
+          if (!keep.contains(id)) {
+            try rdd.unpersist(blocking = true)
+            catch { case _: Exception => () }
+          }
         }
     } catch { case _: Exception => () }
   }

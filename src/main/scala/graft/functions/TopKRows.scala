@@ -13,16 +13,27 @@ import org.apache.spark.sql.functions.udaf
   * group per task — the shape that survives a group with 10⁹ rows.
   * Unlike [[TopKSum]] the retained IDS are part of the output, so ties
   * matter: ordering is (score DESC, id ASC), total and
-  * partition-invariant. */
+  * partition-invariant — including on the two doubles a naive `<`
+  * mishandles: NaN orders ABOVE +∞ and −0.0 ties with 0.0, exactly
+  * Spark's SQL sort semantics, so the output stays equal to the window
+  * form (and partition-order-independent) even on NaN-bearing score
+  * columns where `<`-based comparison would drop or keep NaN rows
+  * depending on arrival order. */
 class TopKRows(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)],
       Array[(Double, Long)]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
   // buffer: WORST-first sorted array (slot 0 evicts first) of ≤ k
-  // (score, id), "better" = higher score, then lower id
-  private def worse(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+  // (score, id), "better" = higher score, then lower id. Score compare
+  // is java.lang.Double.compare (total order: NaN greatest, matching
+  // Spark/DuckDB DESC sorts) on +0.0-normalized values (x + 0.0 maps
+  // −0.0 → 0.0, because Double.compare alone would order −0.0 < 0.0
+  // where SQL sorts treat them equal and fall through to the id).
+  private def worse(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
+    c < 0 || (c == 0 && a._2 > b._2)
+  }
 
   def zero: Array[(Double, Long)] = Array.empty
 

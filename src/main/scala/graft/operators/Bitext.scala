@@ -53,6 +53,18 @@ object Bitext {
           (col("sx") + col("sy")))
   }
 
+  /** The shared MINING step over a margin table: the regime gate
+    * (cos > 0 ∧ positive denominator — see [[marginPairs]]' scaladoc
+    * for why both degeneracies must be excluded) + the threshold + the
+    * output projection. ONE source of truth for all three candidate
+    * generators, and the block every miner oracle replays. */
+  private def mine(margins: DataFrame, minMargin: Double): DataFrame =
+    margins
+      .filter(col("cos_micro") > 0 && (col("sx") + col("sy")) > 0 &&
+        col("margin") > minMargin)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("cos_micro"), col("margin"))
+
   /** The full margin table: (sid, tid, cos_micro, margin) for every
     * cross pair — shared by the threshold and mutual-argmax miners. */
   private def marginTable(src: DataFrame, tgt: DataFrame, idCol: String,
@@ -83,11 +95,7 @@ object Bitext {
     * thresholding; the oracle replays the same predicate. */
   def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMargin: Double = 1.2): DataFrame =
-    marginTable(src, tgt, idCol, vecCol, k)
-      .filter(col("cos_micro") > 0 && (col("sx") + col("sy")) > 0 &&
-        col("margin") > minMargin)
-      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
-        col("cos_micro"), col("margin"))
+    mine(marginTable(src, tgt, idCol, vecCol, k), minMargin)
 
   /** Mutual-argmax mining (the CCMatrix selection rule): keep (x, y)
     * iff y is x's best margin AND x is y's best margin — the
@@ -129,13 +137,9 @@ object Bitext {
       .select(col("sid"), col("tid"),
         round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
           .cast("long").as("cos_micro"))
-    marginOverPairs(pairs, k)
-      // same mining-regime gate as [[marginPairs]] — the dominance
-      // argument above only holds there anyway
-      .filter(col("cos_micro") > 0 && (col("sx") + col("sy")) > 0 &&
-        col("margin") > minMargin)
-      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
-        col("cos_micro"), col("margin"))
+    // same mining-regime gate as [[marginPairs]] — the dominance
+    // argument above only holds there anyway
+    mine(marginOverPairs(pairs, k), minMargin)
   }
 
   /** Cell-restricted mining with ORACLE-REPLAYABLE cells: cell = the
@@ -174,11 +178,7 @@ object Bitext {
       .select(col("sid"), col("tid"),
         round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
           .cast("long").as("cos_micro"))
-    marginOverPairs(pairs, k)
-      .filter(col("cos_micro") > 0 && (col("sx") + col("sy")) > 0 &&
-        col("margin") > minMargin)
-      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
-        col("cos_micro"), col("margin"))
+    mine(marginOverPairs(pairs, k), minMargin)
   }
 
   def mutualTopPairs(src: DataFrame, tgt: DataFrame, idCol: String,

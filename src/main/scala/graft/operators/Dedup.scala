@@ -388,15 +388,34 @@ object Dedup {
     * long. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
     // base feeds 4 consumers (df counts, prefix build, candidate full
     // side, both verify sides) — checkpoint so the corpus scan +
     // shingling kernel runs once (the prefixFilterJaccardPairs
     // measurement applies unchanged).
-    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
+    val (base, cand) = containmentCandidates(docs, idCol, textCol, n,
+      threshold, checkpoint = true)
+    val sets = base.select($"id", $"shs", $"n_sh")
+    cand
+      .join(sets.select($"id".as("id_a"), $"shs".as("_sa"),
+        $"n_sh".as("na")), "id_a")
+      .join(sets.select($"id".as("id_b"), $"shs".as("_sb")), "id_b")
+      .withColumn("_c", size(array_intersect($"_sa", $"_sb")))
+      .select($"id_a", $"id_b", ($"_c" / $"na").as("containment"))
+      .filter($"containment" >= threshold)
+  }
+
+  /** ONE candidate builder for [[containmentPairs]] and its pruning
+    * audit [[containmentCandidateCount]] — the prefix-length formula
+    * and ordering live here only, so the audit can never drift into
+    * measuring a different filter than the one shipped. */
+  private def containmentCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      checkpoint: Boolean): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val raw = shingleFrame(docs, idCol, textCol, n, k = 0)
       .withColumn("n_sh", size($"shs"))
-      .localCheckpoint()
+    val base = if (checkpoint) raw.localCheckpoint() else raw
     val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
     val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -412,14 +431,7 @@ object Dedup {
         col("a.sg") === col("b.sg") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = base.select($"id", $"shs", $"n_sh")
-    cand
-      .join(sets.select($"id".as("id_a"), $"shs".as("_sa"),
-        $"n_sh".as("na")), "id_a")
-      .join(sets.select($"id".as("id_b"), $"shs".as("_sb")), "id_b")
-      .withColumn("_c", size(array_intersect($"_sa", $"_sb")))
-      .select($"id_a", $"id_b", ($"_c" / $"na").as("containment"))
-      .filter($"containment" >= threshold)
+    (base, cand)
   }
 
   /** The naive shared-shingle containment form — quadratic in
@@ -438,24 +450,12 @@ object Dedup {
 
   /** Directed candidate-pair count under the containment prefix filter —
     * the pruning-effectiveness audit backing [[containmentPairs]]'
-    * scaladoc (mirror of [[prefixFilterCandidateCount]]). */
+    * scaladoc (mirror of [[prefixFilterCandidateCount]]); shares the
+    * candidate builder with the operator, by construction. */
   private[graft] def containmentCandidateCount(docs: DataFrame,
-      idCol: String, textCol: String, n: Int, threshold: Double): Long = {
-    val base = shingleFrame(docs, idCol, textCol, n, k = 0)
-      .withColumn("n_sh", size($"shs"))
-    val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
-    val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"id").orderBy($"_df", $"sg")
-    val prefix = sh.join(dfreq, "sg")
-      .withColumn("_pos", row_number().over(w))
-      .filter($"_pos" <= $"n_sh" - ceil($"n_sh" * lit(threshold)) + lit(1))
-      .select($"id", $"sg")
-    prefix.as("a").join(sh.select($"id", $"sg").as("b"),
-        col("a.sg") === col("b.sg") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b").count()
-  }
+      idCol: String, textCol: String, n: Int, threshold: Double): Long =
+    containmentCandidates(docs, idCol, textCol, n, threshold,
+      checkpoint = false)._2.count()
 
   /** Incremental near-dup: which NEW documents near-duplicate an EXISTING
     * corpus document — the nightly-crawl-vs-snapshot production shape.

@@ -22,7 +22,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * idea is "materialize the pair table once, run clusters/apply/policy
   * passes over it" — the memo is the single-process stand-in. */
 object SharedBenchStages {
-  private case class Entry(pairs: DataFrame, pinned: Set[Int])
+  private case class Entry(session: SparkSession, pairs: DataFrame,
+    pinned: Set[Int])
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), Entry]()
 
@@ -30,16 +31,31 @@ object SharedBenchStages {
     (System.identityHashCode(s), d)
 
   /** The shared (id_a, id_b, jaccard) pair table for `documents` in
-    * `d` — eagerly checkpointed on first use in this session. */
+    * `d` — eagerly checkpointed on first use in this session. Only the
+    * OUTER pair-table checkpoint stays pinned: the generator's internal
+    * shingle-base checkpoint (`prefixFilterJaccardPairs`'s own
+    * localCheckpoint, which runs during plan construction) is DEAD once
+    * the pair table materializes, so it is unpersisted here rather than
+    * left for the between-query purge to find — pinning it would hold
+    * the largest intermediate of the whole stage resident for every
+    * remaining query in the bin. (`localCheckpoint()` is eager; no
+    * extra action is needed to materialize.) */
   def prefixPairs(s: SparkSession, d: String): DataFrame =
     cache.computeIfAbsent(key(s, d), _ => {
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val cp = Dedup.prefixFilterJaccardPairs(
+      val pairsDf = Dedup.prefixFilterJaccardPairs(
         Tables.t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8).localCheckpoint()
-      cp.count() // force materialization NOW, inside the first caller
+        n = 3, threshold = 0.8)
+      // ids persisted by the generator itself (its internal base cp)
+      val mid = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val cp = pairsDf.localCheckpoint() // eager: materializes now
       val after = s.sparkContext.getPersistentRDDs.keySet.toSet
-      Entry(cp, after -- before)
+      s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if ((mid -- before).contains(id))
+          try rdd.unpersist(blocking = false)
+          catch { case _: Exception => () }
+      }
+      Entry(s, cp, after -- mid)
     }).pairs
 
   /** Block ids the between-query purge must leave alone (live
@@ -52,7 +68,21 @@ object SharedBenchStages {
     }.flatten.toSet
   }
 
-  /** Drop memo entries (called between bench chunks — their sessions
-    * are stopped, the DataFrames are dead). */
-  def clear(): Unit = cache.clear()
+  /** Drop memo entries AND unpersist their pinned blocks (best-effort:
+    * Bench calls this before stopping the session; long-lived callers —
+    * the spec suite's shared session — would otherwise leak the
+    * checkpoint blocks forever since nothing else may unpersist a
+    * pinned id). */
+  def clear(): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.asScala.values.foreach { e =>
+      try {
+        val sc = e.session.sparkContext
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (e.pinned.contains(id)) rdd.unpersist(blocking = false)
+        }
+      } catch { case _: Exception => () }
+    }
+    cache.clear()
+  }
 }

@@ -19,11 +19,17 @@ class BenchOverrideSpec extends SparkSpec {
 
   test("shared-pair-stage overrides equal the gate forms " +
       "(dedup_clusters / dedup_apply / dedup_apply_best)") {
-    for (name <- Seq("dedup_clusters", "dedup_apply", "dedup_apply_best")) {
-      val gate = rows(SparkEntry.queries(name)(spark, sf))
-      val bench = rows(SparkEntry.benchQueries(name)(spark, sf))
-      assert(bench === gate, s"bench override diverged for $name")
+    try {
+      for (name <- Seq("dedup_clusters", "dedup_apply", "dedup_apply_best")) {
+        val gate = rows(SparkEntry.queries(name)(spark, sf))
+        val bench = rows(SparkEntry.benchQueries(name)(spark, sf))
+        assert(bench === gate, s"bench override diverged for $name")
+      }
+    } finally {
+      // clear() also unpersists the memo's pinned checkpoint blocks —
+      // this shared test session lives on, and nothing else may drop a
+      // pinned id
+      graft.queries.SharedBenchStages.clear()
     }
-    graft.queries.SharedBenchStages.clear()
   }
 }

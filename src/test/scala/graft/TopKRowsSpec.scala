@@ -30,6 +30,34 @@ class TopKRowsSpec extends SparkSpec {
     }
   }
 
+  test("NaN and signed-zero scores: equals the Spark window form " +
+      "(NaN above +inf, -0.0 ties 0.0) regardless of arrival order") {
+    val base = Seq(("g", Double.NaN, 1L), ("g", Double.PositiveInfinity, 2L),
+      ("g", 0.0, 3L), ("g", -0.0, 4L), ("g", 5.0, 5L))
+    for (rows <- Seq(base, base.reverse); parts <- Seq(1, 3)) {
+      val df = rows.toDF("g", "score", "id").repartition(parts)
+      val windowForm = df.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"g")
+            .orderBy(desc("score"), $"id")))
+        .filter($"rk" <= 3).orderBy($"rk")
+        .collect().map(_.getLong(2)).toSeq
+      val got = df.groupBy($"g")
+        .agg(TopKRows.topKRows($"score", $"id", 3).as("top"))
+        .select(posexplode($"top").as(Seq("pos", "row")))
+        .orderBy($"pos")
+        .collect().map(_.getStruct(1).getLong(1)).toSeq
+      assert(got === windowForm, s"parts=$parts rows=${rows.take(2)}")
+      assert(got === Seq(1L, 2L, 5L)) // NaN first, then +inf, then 5.0
+    }
+    // -0.0 vs 0.0 tie falls through to the id
+    val z = Seq(("g", 0.0, 9L), ("g", -0.0, 3L)).toDF("g", "score", "id")
+    val got = z.groupBy($"g")
+      .agg(TopKRows.topKRows($"score", $"id", 2).as("top"))
+      .select(posexplode($"top").as(Seq("pos", "row")))
+      .orderBy($"pos").collect().map(_.getStruct(1).getLong(1)).toSeq
+    assert(got === Seq(3L, 9L))
+  }
+
   test("groups smaller than k return all rows, ranked") {
     val df = Seq(("a", 1.0, 10L), ("a", 3.0, 11L)).toDF("g", "score", "id")
     val got = df.groupBy($"g")
