@@ -103,7 +103,61 @@ object Bench {
     (bins.toList ++ extra).map(_._1.toSeq).filter(_.nonEmpty)
   }
 
+  /** The suite compiles thousands of distinct whole-stage-codegen
+    * classes; once the JIT's reserved code cache (default 240 MB) fills,
+    * compilation stops and later queries run INTERPRETED — measured this
+    * round as 676.7 s vs 441.2 s for the identical suite, with 5×
+    * phantom hotspots (and the r6-r9 in-suite inflation adjudications
+    * match the same signature). The launcher's flags are outside this
+    * repo's control, so the bench defends itself: if the cache is under
+    * 512 MB, re-exec the SAME main in a child JVM with
+    * -XX:ReservedCodeCacheSize=1g appended (current JVM args + classpath
+    * carried over), stream its stdout/stderr through, and exit with its
+    * code. SPARK_GRAFT_NO_REEXEC breaks recursion (child) and is the
+    * escape hatch for measuring the degraded mode on purpose. */
+  private def reservedCodeCacheBytes: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName == "Code Cache")
+      .flatMap(p => Option(p.getUsage).map(_.getMax))
+      .filter(_ > 0).sum
+  }
+
+  private def reexecWithCodeCache(): Option[Int] = {
+    if (sys.env.contains("SPARK_GRAFT_NO_REEXEC")) return None
+    if (reservedCodeCacheBytes >= 512L * 1024 * 1024) return None
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filterNot(_.startsWith("-XX:ReservedCodeCacheSize"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-XX:ReservedCodeCacheSize=1g",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_NO_REEXEC", "1")
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println("[bench] code cache < 512m — re-exec with " +
+        "-XX:ReservedCodeCacheSize=1g (SPARK_GRAFT_NO_REEXEC=1 to skip)")
+      Some(pb.start().waitFor())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] re-exec failed (${e.getMessage}) — " +
+        "continuing in-process; readings may carry JIT-cache inflation")
+      None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    // NOT `foreach(sys.exit)`: the zero-arg `sys.exit()` overload types
+    // as Nothing (conforming to Int => Unit), so that spelling EVALUATES
+    // the exit as the argument expression and kills the JVM with code 0
+    // unconditionally — the explicit lambda forces the Int overload
+    reexecWithCodeCache().foreach(code => sys.exit(code))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 times a subset
