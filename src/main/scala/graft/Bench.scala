@@ -59,7 +59,8 @@ object Bench {
     * first, reused by the rest). Order inside the group is the run
     * order. */
   private val RunTogether: Seq[Seq[String]] =
-    Seq(Seq("dedup_clusters", "dedup_apply", "dedup_apply_best"))
+    Seq(Seq("dedup_clusters", "dedup_apply", "dedup_apply_best",
+      "dedup_soft_weights"))
 
   /** Pack queries into session-sized chunks, balancing PRIOR COST, not
     * alphabet (r9 adjudication: alphabetical chunks put the whole dedup

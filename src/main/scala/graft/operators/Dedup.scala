@@ -773,6 +773,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SOFT dedup: instead of dropping near-duplicate cluster members,
+    * weight every document by 1/|its cluster| (singletons weigh 1.0) —
+    * the reweighting alternative to [[dropNearDuplicates]] (SoftDeDup,
+    * ACL 2024: keep the data, down-sample its repetition), which a
+    * training-data sampler consumes directly as an epoch multiplier.
+    * Output: (idCol, cluster_size, weight); weight is ONE division of
+    * exact integers, so both engines emit identical doubles.
+    *
+    * Scale shape: connectedComponents' (long, long) shuffles, one
+    * comp-keyed count, and two id-keyed joins — cluster members only;
+    * the corpus joins by id, text never moves. */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val members = connectedComponents(pairs)
+    val sizes = members.groupBy($"comp")
+      .agg(count(lit(1)).as("cluster_size"))
+    val weighted = members.join(sizes, "comp")
+      .select($"id".as(idCol), $"cluster_size")
+    docs.select(col(idCol)).join(weighted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce($"cluster_size", lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce($"cluster_size", lit(1L))).as("weight"))
+  }
+
   /** Non-empty (doc_id, pos, line) rows of each document — the explode the
     * line-level ops share. Whitespace-only lines are dropped (a blank line
     * is structure, not content; deduping it corpus-wide would strip one

@@ -369,6 +369,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── SOFT dedup: weight = 1/|cluster| instead of dropping members
+    //    (the SoftDeDup reweighting recipe — a sampler consumes the
+    //    weight as an epoch multiplier). Same pair generator and
+    //    transitive closure as dedup_clusters; weight is one division
+    //    of exact integers → identical doubles on both engines. ──────────
+    "dedup_soft_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+      Dedup.softDedupWeights(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── the dedup ACTION on the SCALE pair generator: MinHash-LSH
     //    candidates (sub-quadratic) → connected components → keep-first.
     //    Because LSH recall is 1 at this threshold gap (banding S-curve,
@@ -1751,6 +1764,30 @@ object ExtensionQueries {
       |SELECT a AS id, least(a, min(b)) AS comp
       |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
+  private val dedupSoftWeightsOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |pairs AS (
+      |  SELECT ida AS a, idb AS b FROM common
+      |  JOIN sizes sa ON ida = sa.doc_id
+      |  JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS id, least(a, min(b)) AS comp
+      |  FROM reach GROUP BY a),
+      |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS n
+      |  FROM comp GROUP BY comp)
+      |SELECT d.doc_id,
+      |CAST(COALESCE(cs.n, 1) AS BIGINT) AS cluster_size,
+      |CAST(1.0 AS DOUBLE) / COALESCE(cs.n, 1) AS weight
+      |FROM documents d
+      |LEFT JOIN comp ON d.doc_id = comp.id
+      |LEFT JOIN cs ON comp.comp = cs.comp
+      |ORDER BY d.doc_id""".stripMargin
+
   private val dedupApplyOracle: String =
     s"""WITH RECURSIVE $ngramPairCtes,
       |pairs AS (
@@ -1992,6 +2029,7 @@ object ExtensionQueries {
     "dedup_incremental" -> incrementalPairsOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_soft_weights" -> dedupSoftWeightsOracle,
 
     "dedup_apply" -> dedupApplyOracle,
     // LSH candidates are exact-verified and recall-1 at the threshold gap,
@@ -3213,6 +3251,11 @@ object ExtensionQueries {
       Dedup.dropNearDuplicatesBest(docs, "doc_id",
           SharedBenchStages.prefixPairs(s, d), weights, "quality")
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_soft_weights" -> ((s, d) => {
+      Dedup.softDedupWeights(t(s, d, "documents"), "doc_id",
+          SharedBenchStages.prefixPairs(s, d))
         .orderBy(col("doc_id"))
     }),
 

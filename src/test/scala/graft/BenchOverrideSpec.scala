@@ -20,7 +20,8 @@ class BenchOverrideSpec extends SparkSpec {
   test("shared-pair-stage overrides equal the gate forms " +
       "(dedup_clusters / dedup_apply / dedup_apply_best)") {
     try {
-      for (name <- Seq("dedup_clusters", "dedup_apply", "dedup_apply_best")) {
+      for (name <- Seq("dedup_clusters", "dedup_apply", "dedup_apply_best",
+          "dedup_soft_weights")) {
         val gate = rows(SparkEntry.queries(name)(spark, sf))
         val bench = rows(SparkEntry.benchQueries(name)(spark, sf))
         assert(bench === gate, s"bench override diverged for $name")

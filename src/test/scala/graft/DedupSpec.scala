@@ -384,6 +384,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("softDedupWeights: 1/|cluster| for members, 1.0 for singletons, " +
+      "transitive clusters counted once") {
+    import spark.implicits._
+    val docs = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // {0,1,2} via transitivity (0-1, 1-2), {3,4} direct, 5 untouched
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set(
+      (0L, 3L, 1.0 / 3), (1L, 3L, 1.0 / 3), (2L, 3L, 1.0 / 3),
+      (3L, 2L, 0.5), (4L, 2L, 0.5), (5L, 1L, 1.0)))
+  }
+
   test("containmentPairs: prefix-filtered form equals the naive " +
       "shared-shingle join (lossless) and prunes a boilerplate skew bomb") {
     import spark.implicits._
