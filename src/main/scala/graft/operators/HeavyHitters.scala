@@ -80,6 +80,31 @@ object HeavyHitters {
   def misraGries(item: Column, k: Int): Column =
     udaf(new MisraGries(k), Encoders.STRING).apply(item)
 
+  /** Fold ALREADY-BUILT summaries (the persisted-daily streaming path:
+    * yesterday's stored map ∪ today's fresh one) without re-touching
+    * raw history — [[MisraGries.merge]] lifted to an aggregator over
+    * map rows. Unlike the KMV fold this is NOT replay-idempotent: a
+    * crash-replayed batch adds its counts twice. That inflates
+    * estimates but cannot evict a true heavy item (extra occurrences
+    * only strengthen presence; the n in the n/(k+1) bound grows by the
+    * replayed rows), so the presence guarantee — the thing the daily
+    * tables exist for — survives at-least-once delivery. */
+  class MergeAgg(k: Int)
+      extends Aggregator[Map[String, Long], Map[String, Long],
+        Map[String, Long]] {
+    private val mg = new MisraGries(k)
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long],
+        v: Map[String, Long]): Map[String, Long] = mg.merge(b, v)
+    def merge(a: Map[String, Long],
+        b: Map[String, Long]): Map[String, Long] = mg.merge(a, b)
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Exactly the items whose true count exceeds n/k, with their EXACT
     * counts: MG proposes ≤ k candidates (one-pass, no item-keyed
     * shuffle), an exact count over the candidate semi-join disposes.

@@ -845,4 +845,49 @@ object DocIngest {
       }
       .start()
   }
+
+  /** Streaming Misra-Gries maintenance — the [[startHllDaily]] protocol
+    * with [[graft.operators.HeavyHitters]] summaries: per-day k-counter
+    * maps of the heaviest users, persisted as immutable `v-<batchId>`
+    * versions behind the atomic CURRENT pointer. The daily table
+    * answers "who dominated day X" from a k-entry sidecar with no event
+    * rescan, with the MG guarantee (every user above n/(k+1) of the
+    * day's events IS present). Batch merge goes through
+    * [[graft.operators.HeavyHitters.MergeAgg]] — NOT replay-idempotent
+    * (see its scaladoc): a crash-replayed batch inflates counts but
+    * cannot evict a true heavy, so the presence contract survives the
+    * at-least-once window. */
+  def startMgDaily(spark: SparkSession, inDir: String, schema: String,
+      sketchDir: String, checkpoint: String,
+      k: Int = 64, pollInterval: String = "1 second"): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val byDay = batch.select(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("user_id").cast("string").as("item"))
+          val fresh = byDay.groupBy(col("day"))
+            .agg(graft.operators.HeavyHitters
+              .misraGries(col("item"), k).as("mg"))
+          val prev = currentSketchPath(s, sketchDir)
+          val merged = prev match {
+            case Some(path) =>
+              val mergeAgg = org.apache.spark.sql.functions.udaf(
+                new graft.operators.HeavyHitters.MergeAgg(k))
+              s.read.parquet(path).unionByName(fresh)
+                .groupBy(col("day")).agg(mergeAgg(col("mg")).as("mg"))
+            case None => fresh
+          }
+          publishVersioned(s, merged, sketchDir, batchId, prev)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -269,6 +269,51 @@ class StreamingSpec extends SparkSpec {
       KmvSketch.union(d1, d2, 1024), 1024) === 200.0)
   }
 
+  test("streaming MG daily heavy hitters: per-day k-counter maps " +
+      "accumulate across batches and keep every guaranteed-heavy user") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = Files.createTempDirectory("graft_mg_in").toString
+    val out = Files.createTempDirectory("graft_mg_out").toString
+    val ckpt = Files.createTempDirectory("graft_mg_ck").toString
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+
+    // day1 batch1: user 7 dominates (60 of 110 events); noise users once
+    val b1 = (Seq.fill(60)(7L) ++ (100L until 150L))
+      .map(u => (ts(1), u)).toDF("ts", "user_id")
+    b1.write.mode("append").parquet(in)
+    val q = DocIngest.startMgDaily(spark, in,
+      "ts TIMESTAMP, user_id LONG", out, ckpt, k = 8,
+      pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      // batch2: more day1 events for user 9 + day2 where user 3 dominates
+      val b2 = ((Seq.fill(40)(9L) ++ (150L until 170L)).map(u => (ts(1), u))
+        ++ (Seq.fill(30)(3L) ++ (200L until 220L)).map(u => (ts(2), u)))
+        .toDF("ts", "user_id")
+      b2.write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val days = DocIngest.currentSketches(spark, out).collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap)
+      .toMap
+    assert(days.keySet === Set("2024-01-01", "2024-01-02"))
+    // day1 totals: n = 170, k=8 → bound n/(k+1) ≈ 18.9; users 7 (60)
+    // and 9 (40) are guaranteed present across the cross-batch merge
+    assert(days("2024-01-01").contains("7"),
+      s"day1 lost its dominant user: ${days("2024-01-01")}")
+    assert(days("2024-01-01").contains("9"),
+      s"day1 lost batch2's heavy user: ${days("2024-01-01")}")
+    assert(days("2024-01-01").size <= 8)
+    // day2: n = 50, bound ≈ 5.6, user 3 (30) guaranteed
+    assert(days("2024-01-02").contains("3"))
+    assert(days("2024-01-02").size <= 8)
+    // estimates never exceed true counts (undercount-only errors)
+    assert(days("2024-01-01")("7") <= 60L)
+    assert(days("2024-01-02")("3") <= 30L)
+  }
+
   test("idempotent sink: a replayed batchId writes nothing twice") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_idem_in").toString
