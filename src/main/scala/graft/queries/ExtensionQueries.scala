@@ -747,6 +747,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── CCNet-style LM-score bucketing: stupid-backoff scores → exact
+    //    tercile cutpoints (Quantiles' order-statistic form, no global
+    //    sort) → per-(source, bucket) corpus composition. Bucket 1 =
+    //    highest scores ("head"), 3 = "tail" — the mixing table a CCNet
+    //    pipeline samples from. Aggregates are exact BIGINTs; the
+    //    bucket comparison replays on identical doubles (the
+    //    docs_sbo_score discipline). ────────────────────────────────────
+    "docs_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.stupidBackoffScores(docs, "doc_id",
+        "text", refFilter = pmod(col("doc_id"), lit(2)) === 0)
+      val withSrc = scored.join(
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("source")), "doc_id")
+      graft.operators.Quantiles.cutpointScores(withSrc, "sbo_score",
+          3, "bucket", ascending = false)
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_trigrams")).as("n_trigrams"),
+          sum(col("n_attested")).as("n_attested"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
     // ── T15 embedding stand-in: deterministic hash embedder invariants ────
     "docs_hash_embed" -> ((s, d) => {
       t(s, d, "documents")
@@ -1691,6 +1714,52 @@ object ExtensionQueries {
       |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 3
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Stupid-backoff per-trigram scoring CTE chain (through the
+    * per-doc-summable `s` frame) — shared by the docs_sbo_score
+    * oracle and the CCNet bucket oracle so the two replays cannot
+    * drift. */
+  private val sboScoreCtes: String =
+    """toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_total FROM ref),
+        |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |  SELECT unnest(ws) AS g FROM ref) GROUP BY 1),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |  SELECT unnest([array_to_string(ws[i+1:i+2], ' ')
+        |    FOR i IN range(len(ws) - 1)]) AS g
+        |  FROM ref WHERE len(ws) >= 2) GROUP BY 1),
+        |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+        |  SELECT unnest([array_to_string(ws[i+1:i+3], ' ')
+        |    FOR i IN range(len(ws) - 2)]) AS g
+        |  FROM ref WHERE len(ws) >= 3) GROUP BY 1),
+        |dt AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS m FROM (
+        |    SELECT doc_id, unnest([array_to_string(ws[i+1:i+3], ' ')
+        |      FOR i IN range(len(ws) - 2)]) AS g
+        |    FROM toks WHERE len(ws) >= 3) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dt.doc_id, dt.m,
+        |  coalesce(c3.c3, 0) AS c3v, c2a.c2 AS c2ab,
+        |  coalesce(c2b.c2, 0) AS c2bc, c1b.c1 AS c1b,
+        |  coalesce(c1c.c1, 0) AS c1c
+        |  FROM (SELECT *, string_split(g, ' ') AS p FROM dt) dt
+        |  LEFT JOIN c3 ON dt.g = c3.g
+        |  LEFT JOIN c2 c2a ON array_to_string(dt.p[1:2], ' ') = c2a.g
+        |  LEFT JOIN c2 c2b ON array_to_string(dt.p[2:3], ' ') = c2b.g
+        |  LEFT JOIN c1 c1b ON dt.p[2] = c1b.g
+        |  LEFT JOIN c1 c1c ON dt.p[3] = c1c.g),
+        |s AS (
+        |  SELECT doc_id, m,
+        |  m * CAST(round((CASE WHEN c3v > 0
+        |      THEN CAST(c3v AS DOUBLE) / c2ab
+        |      ELSE 0.4 * (CASE WHEN c2bc > 0
+        |        THEN CAST(c2bc AS DOUBLE) / c1b
+        |        ELSE 0.4 * CAST(c1c AS DOUBLE) / (SELECT n_total FROM n)
+        |        END) END) * 1e6) AS BIGINT) AS sm,
+        |  CASE WHEN c3v > 0 THEN m ELSE 0 END AS mh
+        |  FROM sc)""".stripMargin
 
   private val ngramShingleCtes: String =
     """toks AS (
@@ -2675,52 +2744,35 @@ object ExtensionQueries {
       "SELECT doc_id, CASE WHEN doc_id % 10 < 3 THEN text || ' " +
         WinnowBoiler + "' ELSE text END AS text FROM documents"),
 
-    "docs_sbo_score" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
-        |n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_total FROM ref),
-        |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1 FROM (
-        |  SELECT unnest(ws) AS g FROM ref) GROUP BY 1),
-        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
-        |  SELECT unnest([array_to_string(ws[i+1:i+2], ' ')
-        |    FOR i IN range(len(ws) - 1)]) AS g
-        |  FROM ref WHERE len(ws) >= 2) GROUP BY 1),
-        |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
-        |  SELECT unnest([array_to_string(ws[i+1:i+3], ' ')
-        |    FOR i IN range(len(ws) - 2)]) AS g
-        |  FROM ref WHERE len(ws) >= 3) GROUP BY 1),
-        |dt AS (
-        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS m FROM (
-        |    SELECT doc_id, unnest([array_to_string(ws[i+1:i+3], ' ')
-        |      FOR i IN range(len(ws) - 2)]) AS g
-        |    FROM toks WHERE len(ws) >= 3) GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT dt.doc_id, dt.m,
-        |  coalesce(c3.c3, 0) AS c3v, c2a.c2 AS c2ab,
-        |  coalesce(c2b.c2, 0) AS c2bc, c1b.c1 AS c1b,
-        |  coalesce(c1c.c1, 0) AS c1c
-        |  FROM (SELECT *, string_split(g, ' ') AS p FROM dt) dt
-        |  LEFT JOIN c3 ON dt.g = c3.g
-        |  LEFT JOIN c2 c2a ON array_to_string(dt.p[1:2], ' ') = c2a.g
-        |  LEFT JOIN c2 c2b ON array_to_string(dt.p[2:3], ' ') = c2b.g
-        |  LEFT JOIN c1 c1b ON dt.p[2] = c1b.g
-        |  LEFT JOIN c1 c1c ON dt.p[3] = c1c.g),
-        |s AS (
-        |  SELECT doc_id, m,
-        |  m * CAST(round((CASE WHEN c3v > 0
-        |      THEN CAST(c3v AS DOUBLE) / c2ab
-        |      ELSE 0.4 * (CASE WHEN c2bc > 0
-        |        THEN CAST(c2bc AS DOUBLE) / c1b
-        |        ELSE 0.4 * CAST(c1c AS DOUBLE) / (SELECT n_total FROM n)
-        |        END) END) * 1e6) AS BIGINT) AS sm,
-        |  CASE WHEN c3v > 0 THEN m ELSE 0 END AS mh
-        |  FROM sc)
-        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+    "docs_sbo_score" -> (s"WITH $sboScoreCtes\n" +
+      """SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
         |CAST(sum(mh) AS BIGINT) AS n_attested,
         |round(CAST(sum(sm) AS DOUBLE) / (sum(m) * 1e6), 6) + 0.0
         |  AS sbo_score
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "docs_ccnet_buckets" -> (s"WITH $sboScoreCtes,\n" +
+      """ds AS (
+        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(mh) AS BIGINT) AS n_attested,
+        |  round(CAST(sum(sm) AS DOUBLE) / (sum(m) * 1e6), 6) + 0.0
+        |    AS sbo_score
+        |  FROM s GROUP BY 1),
+        |j AS (SELECT ds.*, d.source FROM ds
+        |  JOIN documents d USING (doc_id)),
+        |h AS (SELECT -sbo_score AS v, count(*) AS c FROM j GROUP BY 1),
+        |cw AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |  sum(c) OVER () AS n FROM h),
+        |kc AS (SELECT list(cut ORDER BY cut) AS cuts FROM (
+        |  SELECT p, min(v) AS cut FROM cw, (SELECT unnest([1,2]) AS p)
+        |  WHERE cum >= ceil(p * n / 3.0) GROUP BY p))
+        |SELECT source,
+        |CAST(1 + len([c FOR c IN kc.cuts IF -sbo_score > c]) AS INT)
+        |  AS bucket,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+        |CAST(sum(n_attested) AS BIGINT) AS n_attested
+        |FROM j, kc GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin),
 
     "sample_weighted_mix" ->
       """WITH w AS (
