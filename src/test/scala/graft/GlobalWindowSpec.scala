@@ -53,6 +53,10 @@ class GlobalWindowSpec extends SparkSpec {
     "ann_ivfpq_dominance" -> 2,
     "ann_pqindex_topk" -> 2,
     "curriculum_stages" -> 1,
+    // CCNet buckets: ONE cumulative window over the distinct
+    // sbo_score histogram (Quantiles.cutpointScores order statistics —
+    // bounded by the rounded-score domain, not the corpus)
+    "docs_ccnet_buckets" -> 1,
     "docs_encode_vocab" -> 1,
     "docs_ks_drift" -> 1,
     "emb_hamming_rerank" -> 2,
