@@ -125,7 +125,7 @@ object Bench {
       .filter(_ > 0).sum
   }
 
-  private def reexecWithCodeCache(): Option[Int] = {
+  private def reexecWithCodeCache(args: Array[String]): Option[Int] = {
     if (sys.env.contains("SPARK_GRAFT_NO_REEXEC")) return None
     if (reservedCodeCacheBytes >= 512L * 1024 * 1024) return None
     try {
@@ -138,14 +138,38 @@ object Bench {
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-XX:ReservedCodeCacheSize=1g",
           "-cp", System.getProperty("java.class.path"),
-          "graft.Bench")).asJava
+          "graft.Bench") ++ args.toSeq).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_NO_REEXEC", "1")
-      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      // stdout is PIPED, not inherited: a launcher whose classes don't
+      // come from java.class.path (spark-submit's app classloader,
+      // java -jar manifest classpaths) spawns a child that dies on
+      // ClassNotFoundException — the parent must detect "no JSON line"
+      // and fall back to the in-process run rather than exiting with a
+      // bench-less failure.
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       System.err.println("[bench] code cache < 512m — re-exec with " +
         "-XX:ReservedCodeCacheSize=1g (SPARK_GRAFT_NO_REEXEC=1 to skip)")
-      Some(pb.start().waitFor())
+      val proc = pb.start()
+      var sawMetric = false
+      val rdr = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      try {
+        var line = rdr.readLine()
+        while (line != null) {
+          if (line.startsWith("{\"metric\"")) sawMetric = true
+          println(line)
+          line = rdr.readLine()
+        }
+      } finally rdr.close()
+      val code = proc.waitFor()
+      if (code == 0 && sawMetric) Some(0)
+      else {
+        System.err.println(s"[bench] re-exec child unusable (exit=$code, " +
+          s"metricLine=$sawMetric) — falling back to the in-process run; " +
+          "readings may carry JIT-cache inflation")
+        None
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] re-exec failed (${e.getMessage}) — " +
         "continuing in-process; readings may carry JIT-cache inflation")
@@ -158,7 +182,7 @@ object Bench {
     // as Nothing (conforming to Int => Unit), so that spelling EVALUATES
     // the exit as the argument expression and kills the JVM with code 0
     // unconditionally — the explicit lambda forces the Int overload
-    reexecWithCodeCache().foreach(code => sys.exit(code))
+    reexecWithCodeCache(args).foreach(code => sys.exit(code))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 times a subset

@@ -84,11 +84,18 @@ object HeavyHitters {
     * yesterday's stored map ∪ today's fresh one) without re-touching
     * raw history — [[MisraGries.merge]] lifted to an aggregator over
     * map rows. Unlike the KMV fold this is NOT replay-idempotent: a
-    * crash-replayed batch adds its counts twice. That inflates
-    * estimates but cannot evict a true heavy item (extra occurrences
-    * only strengthen presence; the n in the n/(k+1) bound grows by the
-    * replayed rows), so the presence guarantee — the thing the daily
-    * tables exist for — survives at-least-once delivery. */
+    * crash-replayed batch adds its counts twice, and the guarantee must
+    * be stated against the DELIVERED stream, not the true one — every
+    * bound's n grows by the replayed volume, so presence is guaranteed
+    * for items above n_delivered/(k+1). An item that was heavy against
+    * the true stream but sits near the threshold CAN lose its guarantee
+    * when replays of batches not containing it inflate n_delivered
+    * (e.g. k=2, true stream A×4 + 7 singletons: bound 11/3 ≈ 3.67 keeps
+    * A; replay 5 foreign singletons and the bound is 16/3 ≈ 5.33 > 4).
+    * Consumers sizing k for a replay-prone source should budget for the
+    * at-least-once inflation: guarantee margin scales with
+    * k − (replayed fraction)·k, so pick k against the worst-case
+    * delivered volume, not the nominal daily volume. */
   class MergeAgg(k: Int)
       extends Aggregator[Map[String, Long], Map[String, Long],
         Map[String, Long]] {

@@ -50,9 +50,12 @@ object SharedBenchStages {
       val mid = s.sparkContext.getPersistentRDDs.keySet.toSet
       val cp = pairsDf.localCheckpoint() // eager: materializes now
       val after = s.sparkContext.getPersistentRDDs.keySet.toSet
+      // blocking, for the same reason purgeBlocks is: async removals of
+      // the stage's largest intermediate would overlap — and jitter —
+      // the remainder of the first consumer's timed stages
       s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if ((mid -- before).contains(id))
-          try rdd.unpersist(blocking = false)
+          try rdd.unpersist(blocking = true)
           catch { case _: Exception => () }
       }
       Entry(s, cp, after -- mid)
@@ -78,8 +81,13 @@ object SharedBenchStages {
     cache.asScala.values.foreach { e =>
       try {
         val sc = e.session.sparkContext
+        // per-RDD try (the purgeBlocks discipline): one throwing
+        // unpersist must not leak the entry's remaining pinned blocks
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (e.pinned.contains(id)) rdd.unpersist(blocking = false)
+          if (e.pinned.contains(id)) {
+            try rdd.unpersist(blocking = false)
+            catch { case _: Exception => () }
+          }
         }
       } catch { case _: Exception => () }
     }

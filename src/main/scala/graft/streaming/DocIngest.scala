@@ -735,7 +735,27 @@ object DocIngest {
     * is safe for sketches). */
   def startHllDaily(spark: SparkSession, inDir: String, schema: String,
       sketchDir: String, checkpoint: String,
-      p: Int = 11, pollInterval: String = "1 second"): StreamingQuery = {
+      p: Int = 11, pollInterval: String = "1 second"): StreamingQuery =
+    startDaily(spark, inDir, schema, sketchDir, checkpoint, pollInterval,
+      sketchCol = "hll",
+      freshOf = byDay => graft.operators.Hll.groupSketches(
+        byDay, col("user_id"), Seq("day"), p),
+      mergeUdaf = org.apache.spark.sql.functions.udaf(
+        new graft.operators.Hll.MergeAgg))
+
+  /** ONE maintenance loop for the three daily sketch families
+    * (HLL / KMV / Misra-Gries): read the event stream, build the
+    * per-day fresh summaries, fold them into the previous published
+    * table with the family's merge aggregator, and republish through
+    * [[publishVersioned]]. The protocol (prev-resolve, unionByName
+    * merge, versioned atomic publish) lives HERE only — a publication
+    * or replay-handling fix cannot drift across families. */
+  private def startDaily(spark: SparkSession, inDir: String,
+      schema: String, sketchDir: String, checkpoint: String,
+      pollInterval: String, sketchCol: String,
+      freshOf: DataFrame => DataFrame,
+      mergeUdaf: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(inDir)
@@ -748,15 +768,13 @@ object DocIngest {
           val byDay = batch.select(
             date_format(col("ts"), "yyyy-MM-dd").as("day"),
             col("user_id"))
-          val fresh = graft.operators.Hll.groupSketches(
-            byDay, col("user_id"), Seq("day"), p)
+          val fresh = freshOf(byDay)
           val prev = currentSketchPath(s, sketchDir)
           val merged = prev match {
             case Some(path) =>
-              val mergeAgg = org.apache.spark.sql.functions.udaf(
-                new graft.operators.Hll.MergeAgg)
               s.read.parquet(path).unionByName(fresh)
-                .groupBy(col("day")).agg(mergeAgg(col("hll")).as("hll"))
+                .groupBy(col("day"))
+                .agg(mergeUdaf(col(sketchCol)).as(sketchCol))
             case None => fresh
           }
           publishVersioned(s, merged, sketchDir, batchId, prev)
@@ -815,36 +833,13 @@ object DocIngest {
     * counters is safe for sketches). */
   def startKmvDaily(spark: SparkSession, inDir: String, schema: String,
       sketchDir: String, checkpoint: String,
-      k: Int = 1024, pollInterval: String = "1 second"): StreamingQuery = {
-    spark.readStream
-      .schema(schema)
-      .parquet(inDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(pollInterval))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val byDay = batch.select(
-            date_format(col("ts"), "yyyy-MM-dd").as("day"),
-            col("user_id"))
-          val fresh = graft.operators.KmvSketch.groupSketches(
-            byDay, col("user_id"), Seq("day"), k)
-          val prev = currentSketchPath(s, sketchDir)
-          val merged = prev match {
-            case Some(path) =>
-              val mergeAgg = org.apache.spark.sql.functions.udaf(
-                new graft.operators.KmvSketch.MergeAgg(k))
-              s.read.parquet(path).unionByName(fresh)
-                .groupBy(col("day")).agg(mergeAgg(col("kmv")).as("kmv"))
-            case None => fresh
-          }
-          publishVersioned(s, merged, sketchDir, batchId, prev)
-        }
-        ()
-      }
-      .start()
-  }
+      k: Int = 1024, pollInterval: String = "1 second"): StreamingQuery =
+    startDaily(spark, inDir, schema, sketchDir, checkpoint, pollInterval,
+      sketchCol = "kmv",
+      freshOf = byDay => graft.operators.KmvSketch.groupSketches(
+        byDay, col("user_id"), Seq("day"), k),
+      mergeUdaf = org.apache.spark.sql.functions.udaf(
+        new graft.operators.KmvSketch.MergeAgg(k)))
 
   /** Streaming Misra-Gries maintenance — the [[startHllDaily]] protocol
     * with [[graft.operators.HeavyHitters]] summaries: per-day k-counter
@@ -852,42 +847,24 @@ object DocIngest {
     * versions behind the atomic CURRENT pointer. The daily table
     * answers "who dominated day X" from a k-entry sidecar with no event
     * rescan, with the MG guarantee (every user above n/(k+1) of the
-    * day's events IS present). Batch merge goes through
-    * [[graft.operators.HeavyHitters.MergeAgg]] — NOT replay-idempotent
-    * (see its scaladoc): a crash-replayed batch inflates counts but
-    * cannot evict a true heavy, so the presence contract survives the
-    * at-least-once window. */
+    * day's DELIVERED events IS present). Batch merge goes through
+    * [[graft.operators.HeavyHitters.MergeAgg]] — NOT replay-idempotent:
+    * a crash-replayed batch inflates counts AND the n in the guarantee
+    * bound, so a user heavy against the true stream but near the
+    * threshold can lose the guarantee under replay (worked example in
+    * MergeAgg's scaladoc). Size k against worst-case delivered volume;
+    * sources needing replay-exact counters use the exactly-once
+    * commitBatch sinks instead. */
   def startMgDaily(spark: SparkSession, inDir: String, schema: String,
       sketchDir: String, checkpoint: String,
-      k: Int = 64, pollInterval: String = "1 second"): StreamingQuery = {
-    spark.readStream
-      .schema(schema)
-      .parquet(inDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(pollInterval))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val byDay = batch.select(
-            date_format(col("ts"), "yyyy-MM-dd").as("day"),
-            col("user_id").cast("string").as("item"))
-          val fresh = byDay.groupBy(col("day"))
-            .agg(graft.operators.HeavyHitters
-              .misraGries(col("item"), k).as("mg"))
-          val prev = currentSketchPath(s, sketchDir)
-          val merged = prev match {
-            case Some(path) =>
-              val mergeAgg = org.apache.spark.sql.functions.udaf(
-                new graft.operators.HeavyHitters.MergeAgg(k))
-              s.read.parquet(path).unionByName(fresh)
-                .groupBy(col("day")).agg(mergeAgg(col("mg")).as("mg"))
-            case None => fresh
-          }
-          publishVersioned(s, merged, sketchDir, batchId, prev)
-        }
-        ()
-      }
-      .start()
-  }
+      k: Int = 64, pollInterval: String = "1 second"): StreamingQuery =
+    startDaily(spark, inDir, schema, sketchDir, checkpoint, pollInterval,
+      sketchCol = "mg",
+      freshOf = byDay => byDay
+        .select(col("day"), col("user_id").cast("string").as("item"))
+        .groupBy(col("day"))
+        .agg(graft.operators.HeavyHitters
+          .misraGries(col("item"), k).as("mg")),
+      mergeUdaf = org.apache.spark.sql.functions.udaf(
+        new graft.operators.HeavyHitters.MergeAgg(k)))
 }
