@@ -327,4 +327,46 @@ object GraftProperties extends Properties("graft") {
       val rhs = gs.map(_._2).sum.toDouble
       monotone && bounded && math.abs(lhs - rhs) <= 1e-9 * math.max(1.0, rhs)
     }
+
+  // ── bounded-buffer top-k aggregators ─────────────────────────────────
+  private val longStream: Gen[(List[Long], Int, Int)] = for {
+    vs <- Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))
+    k <- Gen.choose(1, 8)
+    splits <- Gen.choose(1, 5)
+  } yield (vs, k, splits)
+
+  property("TopKSum reduce+merge over any partitioning = sum of the k " +
+      "largest") = forAll(longStream) { case (vs, k, splits) =>
+    import graft.functions.TopKSum
+    val agg = new TopKSum(k)
+    val parts = vs.grouped(math.max(1, vs.size / splits)).toList
+    val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      .foldLeft(agg.zero)(agg.merge)
+    agg.finish(merged) == vs.sorted.reverse.take(k).sum
+  }
+
+  property("MisraGries: estimates undercount by ≤ n/(k+1) and every " +
+      "item above the bound is retained, under any partitioning") =
+    forAll(for {
+      vs <- Gen.nonEmptyListOf(Gen.frequency(
+        3 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        5 -> Gen.choose(0, 50).map(i => s"c$i")))
+      k <- Gen.choose(2, 10)
+      splits <- Gen.choose(1, 4)
+    } yield (vs, k, splits)) { case (vs, k, splits) =>
+      import graft.operators.HeavyHitters
+      val agg = new HeavyHitters.MisraGries(k)
+      val parts = vs.grouped(math.max(1, vs.size / splits)).toList
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val exact = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = vs.size.toDouble / (k + 1)
+      val undercountOk = merged.forall { case (item, est) =>
+        est <= exact(item) && exact(item) - est <= bound
+      }
+      val presenceOk = exact.forall { case (item, c) =>
+        c <= bound || merged.contains(item)
+      }
+      merged.size <= k && undercountOk && presenceOk
+    }
 }
