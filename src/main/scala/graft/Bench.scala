@@ -127,6 +127,10 @@ object Bench {
 
   private def reexecWithCodeCache(args: Array[String]): Option[Int] = {
     if (sys.env.contains("SPARK_GRAFT_NO_REEXEC")) return None
+    // plan-print mode runs no queries (nothing to protect) and emits no
+    // metric line — re-execing it would make the parent "fall back" and
+    // print the plan twice
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PLAN")) return None
     if (reservedCodeCacheBytes >= 512L * 1024 * 1024) return None
     try {
       import scala.jdk.CollectionConverters._
