@@ -770,6 +770,32 @@ object ExtensionQueries {
         .orderBy(col("source"), col("bucket"))
     }),
 
+    // ── WARC container round trip through the REAL parser: per doc a
+    //    2-record archive (warcinfo + response carrying the doc text)
+    //    synthesized IN-PLAN — even ids as per-record GZIP MEMBERS (the
+    //    CommonCrawl layout), odd ids plain, so one query drives both
+    //    decode paths — then WebArchive.records explodes it back.
+    //    Closed-form oracle: every header field, length, and payload is
+    //    computable from the documents columns. ─────────────────────────
+    "docs_warc_roundtrip" -> ((s, d) => {
+      val synth = udf((id: Long, text: String) => {
+        graft.functions.WarcCodec.encode(Seq(
+          (Seq("WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:graft:info:$id>"),
+            "software: graft\r\n".getBytes("UTF-8")),
+          (Seq("WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:graft:resp:$id>",
+            "WARC-Target-URI" -> s"http://example.org/doc/$id"),
+            text.getBytes("UTF-8"))),
+          gzipPerRecord = id % 2 == 0)
+      })
+      graft.operators.WebArchive.records(
+          t(s, d, "documents").select(col("doc_id"),
+            synth(col("doc_id"), col("text")).as("bytes")),
+          "doc_id", "bytes")
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
     // ── T15 embedding stand-in: deterministic hash embedder invariants ────
     "docs_hash_embed" -> ((s, d) => {
       t(s, d, "documents")
@@ -2000,6 +2026,17 @@ object ExtensionQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_id,
         |CAST(NULL AS BIGINT) AS fp_rolling, CAST(NULL AS BIGINT) AS fp_expr
         |WHERE FALSE""".stripMargin,
+
+    "docs_warc_roundtrip" ->
+      """SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+        |'' AS target_uri, CAST(17 AS BIGINT) AS content_length,
+        |'software: graft' || chr(13) || chr(10) AS payload
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1, 'response',
+        |'http://example.org/doc/' || doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT), text FROM documents
+        |ORDER BY doc_id, rec_idx""".stripMargin,
 
     "vocab_heavy_hitters" ->
       """WITH toks AS (
