@@ -796,6 +796,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // ── TFRecord shard round trip through the REAL framing + Example
+    //    codecs: per doc, an Example{text: bytes, token_lens: int64[]}
+    //    is protobuf-encoded, CRC-framed, then frame-decoded and
+    //    proto-decoded back — the training-shard output leg, gated by a
+    //    closed-form oracle (token count / length sum computable from
+    //    text). A CRC, varint, or wire-format bug lands here on every
+    //    doc, not just the spec's fixtures. ─────────────────────────────
+    "pipeline_tfrecord_roundtrip" -> ((s, d) => {
+      val roundtrip = udf((text: String) => {
+        import graft.functions.TfRecordCodec._
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val ex = encodeExample(
+          Seq("text" -> text.getBytes("UTF-8")),
+          Seq("token_lens" -> toks.map(_.length.toLong)))
+        val back = decodeRecords(encodeRecords(Seq(ex)))
+        val (bs, is) = decodeExample(back.head)
+        val lens = is.getOrElse("token_lens", Array.emptyLongArray)
+        (back.size, new String(bs("text"), "UTF-8"),
+          lens.length.toLong, lens.sum)
+      })
+      t(s, d, "documents")
+        .select(col("doc_id"), roundtrip(col("text")).as("_r"))
+        .select(col("doc_id"), col("_r._1").as("n_frames"),
+          col("_r._2").as("payload"), col("_r._3").as("n_tokens"),
+          col("_r._4").as("sum_token_lens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── T15 embedding stand-in: deterministic hash embedder invariants ────
     "docs_hash_embed" -> ((s, d) => {
       t(s, d, "documents")
@@ -2026,6 +2054,17 @@ object ExtensionQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_id,
         |CAST(NULL AS BIGINT) AS fp_rolling, CAST(NULL AS BIGINT) AS fp_expr
         |WHERE FALSE""".stripMargin,
+
+    "pipeline_tfrecord_roundtrip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |  [x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0] AS ws
+        |  FROM documents)
+        |SELECT doc_id, 1 AS n_frames, text AS payload,
+        |CAST(len(ws) AS BIGINT) AS n_tokens,
+        |CAST(list_sum([len(x) FOR x IN ws]) AS BIGINT) AS sum_token_lens
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "docs_warc_roundtrip" ->
       """SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
