@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.TfRecordCodec
+import graft.sources.TfRecordShards
+import org.apache.spark.sql.functions._
+
+class TfRecordShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("write/read round trip: one shard per non-empty partition, " +
+      "every Example payload intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfrec")
+      .toString + "/shards"
+    val rows = (0L until 40L).map { i =>
+      i -> TfRecordCodec.encodeExample(
+        Seq("text" -> s"doc $i".getBytes("UTF-8")),
+        Seq("ids" -> Array(i, i * 2)))
+    }
+    val df = rows.toDF("id", "payload").repartition(4)
+    val written = TfRecordShards.write(df, "payload", dir)
+    assert(written === 40L)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord"))
+    assert(shards.length === 4)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".tmp")), "uncommitted tmp shard left")
+
+    val back = TfRecordShards.read(spark, dir)
+      .select(col("payload")).collect()
+      .map(r => TfRecordCodec.decodeExample(r.getAs[Array[Byte]](0)))
+    assert(back.length === 40)
+    val ids = back.map { case (bs, is) =>
+      val t = new String(bs("text"), "UTF-8")
+      val i = is("ids")
+      assert(t === s"doc ${i(0)}" && i(1) === i(0) * 2)
+      i(0)
+    }.toSet
+    assert(ids === (0L until 40L).toSet)
+  }
+
+  test("re-running the write overwrites shards idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfrec2")
+      .toString + "/shards"
+    val df = Seq(1L -> "a".getBytes, 2L -> "b".getBytes)
+      .toDF("id", "payload").repartition(1)
+    assert(TfRecordShards.write(df, "payload", dir) === 2L)
+    assert(TfRecordShards.write(df, "payload", dir) === 2L)
+    assert(TfRecordShards.read(spark, dir).count() === 2L)
+  }
+}
