@@ -332,6 +332,22 @@ object Dedup {
           transform(slice($"sig", b * rows + 1, rows), _.cast("string")))))
       }: _*)).as("bucket"))
 
+  /** (bucket, n) band-bucket occupancy for a corpus — the skew audit
+    * surface behind [[minhashLshPairs]]' scale claim: candidate fan-out
+    * is Σ n·(n−1)/2 over buckets, so the LARGEST bucket bounds the
+    * worst key. MinHash samples the WHOLE shingle set, which is why a
+    * ubiquitous boilerplate paragraph (the thing that detonates the
+    * naive shared-shingle join) barely moves bucket sizes: only docs
+    * whose full near-dup signature collides share a bucket. */
+  private[graft] def bandBucketCounts(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val sig = shingleFrame(docs, idCol, textCol, n, k)
+    bandBuckets(sig, bands, k / bands)
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** MinHash + LSH near-duplicate pairs — the scale path. Signature of k
     * hashes split into `bands`; docs sharing any band bucket become
     * candidates; candidates are verified with the exact shingle-set Jaccard,

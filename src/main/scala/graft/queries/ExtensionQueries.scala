@@ -737,6 +737,24 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── LSH skew-immunity audit (0-row): on the SAME boilerplate-skewed
+    //    corpus that detonates the naive shingle join (every stamped pair
+    //    shares the paragraph), no MinHash band bucket may exceed 50
+    //    members — minhash samples the WHOLE shingle set, so boilerplate
+    //    alone cannot collide signatures; buckets track near-dup CLUSTER
+    //    sizes (≤ ~5 in this corpus), not boilerplate frequency (~30%).
+    //    Violating buckets are emitted. ────────────────────────────────
+    "dedup_lsh_skew_audit" -> ((s, d) => {
+      val skewed = t(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(col("text"), lit(" " + WinnowBoiler)))
+          .otherwise(col("text")).as("text"))
+      Dedup.bandBucketCounts(skewed, "doc_id", "text",
+          n = 3, k = 64, bands = 16)
+        .filter(col("n") > 50)
+        .orderBy(col("bucket"))
+    }),
+
     // ── trigram stupid-backoff LM score: counts trained on the even-id
     //    reference slice, scored over the whole corpus (so backoff
     //    FIRES on odd docs); per-position scores micro-rounded in-plan →
@@ -2053,6 +2071,10 @@ object ExtensionQueries {
     "docs_rolling_audit" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id,
         |CAST(NULL AS BIGINT) AS fp_rolling, CAST(NULL AS BIGINT) AS fp_expr
+        |WHERE FALSE""".stripMargin,
+
+    "dedup_lsh_skew_audit" ->
+      """SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS n
         |WHERE FALSE""".stripMargin,
 
     "pipeline_tfrecord_roundtrip" ->
