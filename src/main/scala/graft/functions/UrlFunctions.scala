@@ -1,0 +1,61 @@
+package graft.functions
+
+/** URL canonicalization for crawl-corpus dedup (the RefinedWeb/C4-style
+  * URL-level pass that runs BEFORE any content fetch or text dedup):
+  * two spellings of the same resource must map to one key, or the
+  * corpus keeps both copies and every per-URL stat double-counts.
+  *
+  * The rules are a small, DOCUMENTED string algebra (not java.net.URI,
+  * whose parsing quirks an oracle cannot replay):
+  *   1. strip the fragment (`#…`);
+  *   2. lowercase the scheme and host;
+  *   3. drop the default port (`:80` for http, `:443` for https);
+  *   4. empty path → `/`;
+  *   5. drop tracking query params — name starts with `utm_`, or name
+  *      ∈ {fbclid, gclid} — keeping the REST in original order (param
+  *      order can be semantic; sorting would merge distinct resources);
+  *   6. drop the `?` when no params survive.
+  * Malformed input (no `://`) returns the input unchanged — a filter
+  * upstream decides what to do with non-URLs; silently "fixing" them
+  * would manufacture collisions. */
+object UrlFunctions {
+
+  private val Tracking = Set("fbclid", "gclid")
+
+  def canonicalizeUrl(url: String): String = {
+    if (url == null) return null
+    val noFrag = {
+      val h = url.indexOf('#')
+      if (h >= 0) url.substring(0, h) else url
+    }
+    val sep = noFrag.indexOf("://")
+    if (sep < 0) return noFrag
+    val scheme = noFrag.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = noFrag.substring(sep + 3)
+    val slash = rest.indexOf('/')
+    val (hostport, pathq) =
+      if (slash < 0) (rest, "") else (rest.substring(0, slash),
+        rest.substring(slash))
+    val colon = hostport.indexOf(':')
+    val host =
+      (if (colon < 0) hostport else hostport.substring(0, colon))
+        .toLowerCase(java.util.Locale.ROOT)
+    val port = if (colon < 0) "" else hostport.substring(colon + 1)
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") ||
+        (scheme == "https" && port == "443"))
+    val q = pathq.indexOf('?')
+    val path0 = if (q < 0) pathq else pathq.substring(0, q)
+    val path = if (path0.isEmpty) "/" else path0
+    val query = if (q < 0) "" else pathq.substring(q + 1)
+    val kept = query.split("&").filter { p =>
+      p.nonEmpty && {
+        val name = p.split("=", 2)(0)
+        !name.startsWith("utm_") && !Tracking.contains(name)
+      }
+    }
+    scheme + "://" + host +
+      (if (keepPort) ":" + port else "") + path +
+      (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
+  }
+}

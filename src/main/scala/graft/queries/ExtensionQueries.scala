@@ -788,6 +788,32 @@ object ExtensionQueries {
         .orderBy(col("source"), col("bucket"))
     }),
 
+    // ── URL canonicalization (the RefinedWeb-style URL-dedup key): per
+    //    doc a noisy URL is synthesized in-plan (uppercased scheme/host,
+    //    default port, utm_/ref tracking params, fragments by doc_id%4)
+    //    and canonicalized by the documented rule algebra; the oracle
+    //    states the expected canonical form in CLOSED FORM per branch,
+    //    so every rule (case, port, param filter with ORDER kept,
+    //    fragment, ?-drop) is driver-gated on every doc. ────────────────
+    "docs_url_canonical" -> ((s, d) => {
+      val canon = udf(graft.functions.UrlFunctions.canonicalizeUrl _)
+      val url = concat(lit("HTTP://Example"),
+        pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".COM:80/path/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("?utm_source=x&id="), col("doc_id").cast("string")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("?id="), col("doc_id").cast("string"),
+            lit("&utm_campaign=c&ref=y")))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("#frag"))
+        .otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          canon(col("url")).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── WARC container round trip through the REAL parser: per doc a
     //    2-record archive (warcinfo + response carrying the doc text)
     //    synthesized IN-PLAN — even ids as per-record GZIP MEMBERS (the
@@ -2087,6 +2113,20 @@ object ExtensionQueries {
         |CAST(len(ws) AS BIGINT) AS n_tokens,
         |CAST(list_sum([len(x) FOR x IN ws]) AS BIGINT) AS sum_token_lens
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "docs_url_canonical" ->
+      """SELECT doc_id,
+        |'HTTP://Example' || (doc_id % 20) || '.COM:80/path/' || doc_id
+        |  || CASE doc_id % 4
+        |     WHEN 0 THEN '?utm_source=x&id=' || doc_id
+        |     WHEN 1 THEN '?id=' || doc_id || '&utm_campaign=c&ref=y'
+        |     WHEN 2 THEN '#frag' ELSE '' END AS url,
+        |'http://example' || (doc_id % 20) || '.com/path/' || doc_id
+        |  || CASE doc_id % 4
+        |     WHEN 0 THEN '?id=' || doc_id
+        |     WHEN 1 THEN '?id=' || doc_id || '&ref=y'
+        |     ELSE '' END AS canonical_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "docs_warc_roundtrip" ->
       """SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.UrlFunctions.canonicalizeUrl
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlFunctionsSpec extends AnyFunSuite {
+
+  test("scheme/host lowercase; path and params keep their case") {
+    assert(canonicalizeUrl("HTTPS://WWW.Example.COM/Path?Q=Value") ===
+      "https://www.example.com/Path?Q=Value")
+  }
+
+  test("default ports drop; non-default ports survive") {
+    assert(canonicalizeUrl("http://a.com:80/x") === "http://a.com/x")
+    assert(canonicalizeUrl("https://a.com:443/x") === "https://a.com/x")
+    assert(canonicalizeUrl("http://a.com:8080/x") === "http://a.com:8080/x")
+    assert(canonicalizeUrl("https://a.com:80/x") === "https://a.com:80/x")
+  }
+
+  test("fragment strips; empty path becomes /") {
+    assert(canonicalizeUrl("http://a.com#frag") === "http://a.com/")
+    assert(canonicalizeUrl("http://a.com/x#a?b=1") === "http://a.com/x")
+    assert(canonicalizeUrl("http://a.com") === "http://a.com/")
+  }
+
+  test("tracking params drop, remaining params keep ORIGINAL order") {
+    assert(canonicalizeUrl(
+      "http://a.com/p?utm_source=s&b=2&gclid=g&a=1&fbclid=f") ===
+      "http://a.com/p?b=2&a=1")
+    assert(canonicalizeUrl("http://a.com/p?utm_x=1") === "http://a.com/p")
+    assert(canonicalizeUrl("http://a.com/p?") === "http://a.com/p")
+    // params without '=' are names too
+    assert(canonicalizeUrl("http://a.com/p?utm_z&keep") ===
+      "http://a.com/p?keep")
+  }
+
+  test("non-URLs pass through unchanged (minus any fragment)") {
+    assert(canonicalizeUrl("not a url") === "not a url")
+    assert(canonicalizeUrl(null) === null)
+  }
+
+  test("idempotent: canonical of canonical is itself") {
+    for (u <- Seq("HTTP://A.com:80/x?utm_a=1&k=2#f",
+        "https://b.org", "http://c.net:9090/p?x=1")) {
+      val once = canonicalizeUrl(u)
+      assert(canonicalizeUrl(once) === once, u)
+    }
+  }
+}
