@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Classifier, Dedup, Drift, Dsir, Isotonic, Pq, PqIndex}
+import graft.operators.{Classifier, Dedup, Drift, Dsir, Isotonic, NaiveBayes, Pq, PqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -435,6 +435,34 @@ object TrainingQueries {
         .orderBy(col("kind"), col("iter"))
     }),
 
+    // ── multinomial Naive Bayes model fit (token-count language
+    //    classifier): the counting sibling of the logistic head above,
+    //    and the one whose TRAINING gets a FULL value oracle — DuckDB
+    //    recomputes every Laplace-smoothed log-likelihood cell
+    //    (label × vocab grid, zero-count cells included) in the same
+    //    integer micro-nats. ─────────────────────────────────────────────
+    "classifier_nb_model" -> ((s, d) => {
+      NaiveBayes.train(t(s, d, "documents"), "text", "lang")
+        .select(col("label").as("lang"), col("token"), col("c"),
+          col("llh_micro"))
+        .orderBy(col("lang"), col("token"))
+    }),
+
+    // ── Naive Bayes prediction (argmax posterior): per-doc exact LONG
+    //    sums of the model's micro-nat cells + class prior, ties to the
+    //    smallest label — engine uses a window-free partial-aggregable
+    //    argmin(struct), oracle replays with a plain window; outputs
+    //    must agree row-for-row. ────────────────────────────────────────
+    "classifier_nb_predict" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = NaiveBayes.train(docs, "text", "lang")
+      val pri = NaiveBayes.priors(docs, "lang")
+      NaiveBayes.predict(docs, "doc_id", "text", model, pri)
+        .select(col("id").as("doc_id"), col("pred_label"),
+          col("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── exact isotonic (PAV) calibration fit: score = n_chars (exact
     //    integer grid, ≤ 506 groups by data design), label = lang='en'.
     //    FULL-value oracle: DuckDB replays the closed-form minimax
@@ -580,6 +608,77 @@ object TrainingQueries {
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS INT) AS iter,
         |CAST(NULL AS DOUBLE) AS value, CAST(NULL AS DOUBLE) AS bound
         |WHERE FALSE""".stripMargin,
+
+    // NB model replay: same tokenization, same label×vocab grid with
+    // zero-count cells, same floor(1e6·ln + 0.5) quantization.
+    "classifier_nb_model" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |  unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT token FROM tok),
+        |labels AS (SELECT DISTINCT lang FROM tok),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+        |  FROM tok GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab)
+        |SELECT l.lang, vo.token, COALESCE(c.c, 0) AS c,
+        |CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+        |  CAST(t.tot + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |  AS llh_micro
+        |FROM vocab vo CROSS JOIN labels l CROSS JOIN v
+        |JOIN tot t ON t.lang = l.lang
+        |LEFT JOIN cnt c ON c.lang = l.lang AND c.token = vo.token
+        |ORDER BY l.lang, vo.token""".stripMargin,
+
+    // NB predict replay: exact LONG posterior sums + prior, argmax via
+    // a window (score desc, label asc) — must match the engine's
+    // window-free argmin(struct) row-for-row.
+    "classifier_nb_predict" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |  unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT token FROM tok),
+        |labels AS (SELECT DISTINCT lang FROM tok),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+        |  FROM tok GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |model AS (
+        |  SELECT l.lang, vo.token,
+        |  CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+        |    CAST(t.tot + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |    AS llh_micro
+        |  FROM vocab vo CROSS JOIN labels l CROSS JOIN v
+        |  JOIN tot t ON t.lang = l.lang
+        |  LEFT JOIN cnt c ON c.lang = l.lang AND c.token = vo.token),
+        |pri AS (
+        |  SELECT lang, CAST(floor(ln(CAST(n AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM documents) AS DOUBLE)) * 1e6
+        |    + 0.5) AS BIGINT) AS prior_micro
+        |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+        |dtok AS (
+        |  SELECT doc_id,
+        |  unnest([x FOR x IN string_split_regex(lower(text), '\s+')
+        |    IF len(x) > 0]) AS token
+        |  FROM documents),
+        |sc AS (
+        |  SELECT d.doc_id, m.lang,
+        |  CAST(sum(m.llh_micro) AS BIGINT) + any_value(p.prior_micro)
+        |    AS score_micro
+        |  FROM dtok d JOIN model m ON m.token = d.token
+        |  JOIN pri p ON p.lang = m.lang
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, lang, score_micro,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, lang ASC) AS rn FROM sc)
+        |SELECT doc_id, lang AS pred_label, score_micro
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // minimax characterization of the PAV solution over prefix sums:
     // pairs(j,k) = mean(y[j..k]); mm(j,i) = min_{k≥i}; fitted(i) =
