@@ -22,6 +22,31 @@ object UrlFunctions {
 
   private val Tracking = Set("fbclid", "gclid")
 
+  /** Multi-part public suffixes the domain extractor recognizes — a
+    * deliberately SMALL embedded subset of the publicsuffix.org list
+    * (the full list is a data file a deployment ships alongside; the
+    * ALGORITHM is what's under test): if the host's last two labels
+    * form one of these, the registrable domain keeps three labels,
+    * else two. */
+  private[graft] val MultiPartSuffixes = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.br", "com.au", "co.jp", "com.cn", "com.mx", "co.in")
+
+  /** Registrable ("eTLD+1") domain of a host — the grouping key for
+    * per-site corpus stats and host-level dedup/rate policies
+    * (RefinedWeb/CCNet aggregate by it). Single-label hosts
+    * (`localhost`) and bare suffixes pass through whole; output is
+    * lowercased. Null → null. */
+  def registrableDomain(host: String): String = {
+    if (host == null) return null
+    val h = host.toLowerCase(java.util.Locale.ROOT)
+    val labels = h.split('.')
+    if (labels.length <= 1) return h
+    val last2 = labels.takeRight(2).mkString(".")
+    val keep = if (MultiPartSuffixes.contains(last2)) 3 else 2
+    labels.takeRight(math.min(keep, labels.length)).mkString(".")
+  }
+
   def canonicalizeUrl(url: String): String = {
     if (url == null) return null
     val noFrag = {

@@ -814,6 +814,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── registrable-domain ("eTLD+1") corpus stats: hosts synthesized
+    //    in-plan across five shapes (plain .com, nested .co.uk
+    //    multi-part suffix, deep .com.br, single-label, deep .org) and
+    //    reduced to per-domain doc/host counts — the RefinedWeb/CCNet
+    //    per-site aggregation key. Oracle states each branch's domain
+    //    in CLOSED form and replays the aggregation. ────────────────────
+    "docs_url_domains" -> ((s, d) => {
+      val dom = udf(graft.functions.UrlFunctions.registrableDomain _)
+      val m = pmod(col("doc_id"), lit(5))
+      val host =
+        when(m === 0, concat(lit("www.example"),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit(".com")))
+        .when(m === 1, concat(lit("a.b.site"),
+          pmod(col("doc_id"), lit(3)).cast("string"), lit(".co.uk")))
+        .when(m === 2, lit("deep.x.portal.com.br"))
+        .when(m === 3, lit("localhost"))
+        .otherwise(lit("cdn.static.example.org"))
+      t(s, d, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .select(col("host"), dom(col("host")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy(col("domain"))
+    }),
+
     // ── WARC container round trip through the REAL parser: per doc a
     //    2-record archive (warcinfo + response carrying the doc text)
     //    synthesized IN-PLAN — even ids as per-record GZIP MEMBERS (the
@@ -2127,6 +2153,26 @@ object ExtensionQueries {
         |     WHEN 1 THEN '?id=' || doc_id || '&ref=y'
         |     ELSE '' END AS canonical_url
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_url_domains" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'www.example' || (doc_id % 7) || '.com'
+        |    WHEN 1 THEN 'a.b.site' || (doc_id % 3) || '.co.uk'
+        |    WHEN 2 THEN 'deep.x.portal.com.br'
+        |    WHEN 3 THEN 'localhost'
+        |    ELSE 'cdn.static.example.org' END AS host,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'example' || (doc_id % 7) || '.com'
+        |    WHEN 1 THEN 'site' || (doc_id % 3) || '.co.uk'
+        |    WHEN 2 THEN 'portal.com.br'
+        |    WHEN 3 THEN 'localhost'
+        |    ELSE 'example.org' END AS domain
+        |  FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
 
     "docs_warc_roundtrip" ->
       """SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,

@@ -39,6 +39,20 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(canonicalizeUrl(null) === null)
   }
 
+  test("registrable domain: two labels by default, three on known " +
+      "multi-part suffixes") {
+    import graft.functions.UrlFunctions.registrableDomain
+    assert(registrableDomain("www.example.com") === "example.com")
+    assert(registrableDomain("a.b.site.co.uk") === "site.co.uk")
+    assert(registrableDomain("deep.x.portal.com.br") === "portal.com.br")
+    assert(registrableDomain("example.org") === "example.org")
+    assert(registrableDomain("localhost") === "localhost")
+    assert(registrableDomain("CDN.Static.Example.ORG") === "example.org")
+    // a bare multi-part suffix passes through whole
+    assert(registrableDomain("co.uk") === "co.uk")
+    assert(registrableDomain(null) === null)
+  }
+
   test("idempotent: canonical of canonical is itself") {
     for (u <- Seq("HTTP://A.com:80/x?utm_a=1&k=2#f",
         "https://b.org", "http://c.net:9090/p?x=1")) {
