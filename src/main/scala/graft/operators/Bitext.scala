@@ -197,4 +197,80 @@ object Bitext {
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         col("cos_micro"), col("margin"))
   }
+
+  /** BLEU-2 quality scoring over an aligned pair table (Papineni et al.
+    * 2002) — the surface-overlap quality gate mined bitext goes through
+    * before training (CCMatrix filters its mined pairs; a cand/ref BLEU
+    * over the pair table is that filter's text leg). Per (ref, cand)
+    * pair: clipped modified n-gram precisions
+    * pₙ = Σ_g min(cnt_cand(g), cnt_ref(g)) / #cand-n-grams for n = 1, 2,
+    * combined as √(p₁·p₂) with a LINEAR brevity penalty
+    * min(1, |cand|/|ref|) instead of the exponential
+    * exp(1 − r/c): every op in the linear form (min, ·, /, √) is
+    * IEEE-correctly-rounded, so the score replays bit-identically on any
+    * engine — `exp` is only faithfully rounded and may differ in the
+    * last ulp between libms, which would flake a full-value gate. The
+    * deviation only REorders pairs with c < r (both penalties are 1
+    * otherwise, and both are monotone in c/r), and is documented as part
+    * of the score's contract.
+    *
+    * Input: `pairs` with (ref_id, cand_id); `docs` with (idCol, textCol).
+    * Pairs whose candidate has < 2 tokens (no bigram) are dropped —
+    * BLEU-2 is undefined there, stated in the contract. Output:
+    * (ref_id, cand_id, t1, m1, t2, m2, bleu2) with exact BIGINT counts
+    * and the score rounded to `decimals`.
+    *
+    * Scale shape: texts join to the pair table by id ONCE per side; the
+    * clipped-count intersection runs at (pair, distinct gram) grain via
+    * one inner join of the two sides' per-doc gram-count tables (grams
+    * absent from either side contribute 0 — inner is exact); all
+    * aggregations are map-side-combinable integer sums keyed by the
+    * pair. No windows, no driver state. */
+  def bleuPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, decimals: Int = 6): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), " ").as("ws"))
+    // per-doc n-gram multiplicity tables, n = 1, 2 (packed with ,
+    // the house gram separator — corpus text never contains it)
+    def gramCounts(n: Int) = toks
+      .filter(size(col("ws")) >= n)
+      .select(col("id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws("", slice(col("ws"), i + 1, lit(n))))).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    val lens = toks.select(col("id"), size(col("ws")).as("len"))
+    val base = pairs.select(col("ref_id").cast("long").as("ref_id"),
+      col("cand_id").cast("long").as("cand_id"))
+    def clipped(n: Int) = {
+      val gc = gramCounts(n)
+      base
+        .join(gc.select(col("id").as("cand_id"), col("g"),
+          col("c").as("cc")), Seq("cand_id"))
+        .join(gc.select(col("id").as("ref_id"), col("g"),
+          col("c").as("rc")), Seq("ref_id", "g"))
+        .groupBy(col("ref_id"), col("cand_id"))
+        .agg(sum(least(col("cc"), col("rc"))).as(s"m$n"))
+    }
+    val totals = base
+      .join(lens.select(col("id").as("cand_id"),
+        col("len").as("c_len")), Seq("cand_id"))
+      .join(lens.select(col("id").as("ref_id"),
+        col("len").as("r_len")), Seq("ref_id"))
+      .filter(col("c_len") >= 2)
+      .select(col("ref_id"), col("cand_id"), col("c_len"), col("r_len"),
+        col("c_len").cast("long").as("t1"),
+        (col("c_len") - 1).cast("long").as("t2"))
+    totals
+      .join(clipped(1), Seq("ref_id", "cand_id"), "left")
+      .join(clipped(2), Seq("ref_id", "cand_id"), "left")
+      .select(col("ref_id"), col("cand_id"), col("t1"),
+        coalesce(col("m1"), lit(0L)).as("m1"), col("t2"),
+        coalesce(col("m2"), lit(0L)).as("m2"),
+        (round(
+          sqrt((coalesce(col("m1"), lit(0L)).cast("double") / col("t1")) *
+            (coalesce(col("m2"), lit(0L)).cast("double") / col("t2"))) *
+            least(lit(1.0),
+              col("c_len").cast("double") / col("r_len")),
+          decimals) + lit(0.0)).as("bleu2"))
+  }
 }

@@ -1188,4 +1188,96 @@ object TextAnalysis {
         (round(col("_sm") / (col("n_trigrams") * lit(1e6)), decimals) +
           lit(0.0)).as("sbo_score"))
   }
+
+  /** Interpolated bigram Kneser-Ney LM scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999) — the smoother family KenLM implements and CCNet ranks
+    * with, the normalized complement to [[stupidBackoffScores]] (stupid
+    * backoff is an unnormalized score; KN is a true distribution whose
+    * lower-order term is a CONTINUATION probability — "how many contexts
+    * does v complete", the insight that demotes "Francisco"). Trained on
+    * the `refFilter` slice, scored over the full corpus:
+    *
+    *   P(v|u) = max(c(uv) − D, 0)/c(u·) + (D·N1+(u·)/c(u·)) · N1+(·v)/B
+    *
+    * with c(u·) = Σ_v c(uv) (u's left-context total — NOT u's raw
+    * unigram count: a final token never opens a bigram), N1+(u·) = u's
+    * distinct continuations, N1+(·v) = v's distinct left contexts,
+    * B = the distinct-bigram total (= Σ_v N1+(·v)), and the Ney absolute
+    * discount D = n1/(n1 + 2·n2) estimated from the counts-of-counts of
+    * the bigram table (n_k = #bigrams seen exactly k times). An unseen
+    * context interpolates from nothing: P backs off to the continuation
+    * unigram N1+(·v)/B alone; an OOV v scores 0. The interpolation
+    * weight D·N1+(u·)/c(u·) is exactly the mass the discount removed, so
+    * Σ_v P(v|u) = 1 for every seen context — asserted in the spec.
+    *
+    * Numerics: every count is an exact BIGINT; D is ONE division of
+    * exact integers → identical doubles on any engine; each per-position
+    * P is a fixed tree of (−, ·, /, max) over those values, micro-rounded
+    * in-plan, so the per-doc sum is an order-free integer sum (the
+    * [[stupidBackoffScores]] discipline — fp re-enters only in the final
+    * fixed per-doc tree).
+    *
+    * Scale: the count tables are map-side-combinable aggregations bounded
+    * by the DISTINCT bigram vocabulary (prunable by min-count at real
+    * scale, exactly like KenLM's pruning); the doc side joins at
+    * (doc, distinct bigram) grain — no per-position rows, no windows;
+    * the 1-row (D, B) scalar table broadcasts. c2 feeds four consumers
+    * (ctx, cont, scalars, the scoring join), so it is localCheckpoint'ed
+    * once rather than re-aggregated per consumer. */
+  def kneserNeyScores(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column, decimals: Int = 6): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("txt"), refFilter.as("is_ref"))
+      .select(col("doc_id"), col("is_ref"), split(col("txt"), " ").as("ws"))
+    def bigrams(from: DataFrame) =
+      from.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("ws")) - 2),
+            i => struct(element_at(col("ws"), i + 1).as("u"),
+              element_at(col("ws"), i + 2).as("v")))).as("bg"))
+        .select(col("doc_id"), col("bg.u").as("u"), col("bg.v").as("v"))
+    val c2 = bigrams(base.filter(col("is_ref")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val ctx = c2.groupBy(col("u"))
+      .agg(sum(col("c2")).as("cu"), count(lit(1)).as("fanout"))
+    val cont = c2.groupBy(col("v")).agg(count(lit(1)).as("nc"))
+    // Ney discount from the counts-of-counts; a corpus where NO bigram
+    // occurs exactly once or twice leaves the estimator 0/0 — fall back
+    // to the conventional D = 0.5 (replayed identically by the oracle)
+    val scalars = c2.agg(
+        sum(when(col("c2") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("c2") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
+        count(lit(1)).as("bt"))
+      .select(when(col("n1") + lit(2) * col("n2") === 0, lit(0.5))
+          .otherwise(col("n1").cast("double") /
+            (col("n1") + lit(2) * col("n2"))).as("d"),
+        col("bt"))
+    val docBi = bigrams(base)
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(count(lit(1)).as("m"))
+    val joined = docBi
+      .join(c2, Seq("u", "v"), "left")
+      .join(ctx, Seq("u"), "left")
+      .join(cont, Seq("v"), "left")
+      .crossJoin(broadcast(scalars))
+    val pCont = coalesce(col("nc"), lit(0L)).cast("double") / col("bt")
+    val p = when(col("cu").isNotNull,
+        greatest(coalesce(col("c2"), lit(0L)) - col("d"), lit(0.0)) /
+          col("cu") +
+          (col("d") * col("fanout") / col("cu")) * pCont)
+      .otherwise(pCont)
+    joined
+      .select(col("doc_id"), col("m"),
+        (col("m") * round(p * lit(1e6)).cast("long")).as("p_micro"),
+        when(coalesce(col("c2"), lit(0L)) > 0, col("m"))
+          .otherwise(lit(0L)).as("m_hit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m_hit")).as("n_attested"),
+        sum(col("p_micro")).as("_pm"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_attested"),
+        (round(col("_pm") / (col("n_bigrams") * lit(1e6)), decimals) +
+          lit(0.0)).as("kn_score"))
+  }
 }

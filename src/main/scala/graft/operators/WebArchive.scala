@@ -32,4 +32,51 @@ object WebArchive {
         col("_r._2").as("warc_type"), col("_r._3").as("target_uri"),
         col("_r._4").as("content_length"), col("_r._5").as("payload"))
   }
+
+  /** Robots-compliance decisions (RFC 9309) over a crawled-page table —
+    * the relational form of [[graft.functions.RobotsTxt.isAllowed]]:
+    * each host's robots.txt parses ONCE into an exploded
+    * (host, allow, pattern) rule table restricted to `agent`'s group
+    * (exact token else `*`), pages join it BY HOST, the wildcard
+    * matcher scores each (path, rule) row, and the RFC decision —
+    * longest match wins, Allow wins length ties, no match → allowed —
+    * is one map-side-combinable `max(struct(match_len, allow))` per
+    * page. Output: (idCol, hostCol, pathCol, allowed).
+    *
+    * Scale shape: the rule table is hosts-sized (small — broadcast it
+    * when the host dimension fits, which it does for any real crawl's
+    * per-shard slice); the per-row match work is bounded by
+    * rules-per-host; the argmax carries only (long ids, int, boolean)
+    * through the shuffle. Pages on hosts with no robots.txt or no
+    * applicable group are allowed per the RFC — the LEFT join + final
+    * coalesce(true) keeps every input row. */
+  def robotsDecisions(pages: DataFrame, idCol: String, hostCol: String,
+      pathCol: String, robots: DataFrame, rHostCol: String,
+      txtCol: String, agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase
+    val rulesUdf = udf((txt: String) => {
+      val gs = graft.functions.RobotsTxt.parse(if (txt == null) "" else txt)
+      gs.get(agentLc).orElse(gs.get("*"))
+        .map(_.map(r => (r.allow, r.pattern))).getOrElse(Vector.empty)
+    })
+    val matchUdf = udf((pattern: String, path: String) =>
+      graft.functions.RobotsTxt.matchLen(pattern,
+        if (path == null) "" else path))
+    val rules = robots.select(col(rHostCol).as("_host"),
+        explode_outer(rulesUdf(col(txtCol))).as("_r"))
+      .select(col("_host"), col("_r._1").as("_allow"),
+        col("_r._2").as("_pat"))
+    pages.select(col(idCol).as("_id"), col(hostCol).as("_host"),
+        col(pathCol).as("_path"))
+      .join(rules, Seq("_host"), "left")
+      .withColumn("_ml", when(col("_pat").isNotNull,
+        matchUdf(col("_pat"), col("_path"))).otherwise(lit(-1)))
+      .groupBy(col("_id"), col("_host"), col("_path"))
+      .agg(max(when(col("_ml") >= 0,
+        struct(col("_ml").as("ml"),
+          col("_allow").cast("int").as("al")))).as("_best"))
+      .select(col("_id").as(idCol), col("_host").as(hostCol),
+        col("_path").as(pathCol),
+        coalesce(col("_best.al") === 1, lit(true)).as("allowed"))
+  }
 }

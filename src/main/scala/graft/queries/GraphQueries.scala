@@ -134,6 +134,39 @@ object GraphQueries {
         .select(col("query_id"), col("hits"))
     }),
 
+    // ── host-authority PageRank over an in-plan link graph — the
+    //    CommonCrawl-style quality weighting signal, composed from this
+    //    round's web primitives: per doc an HTML snippet with two
+    //    outlinks is synthesized (targets keyed by the doc's host
+    //    bucket; h0's two targets COLLIDE, making the graph
+    //    irregular), links extract via one codegen'd
+    //    regexp_extract_all, host→host edges dedup at host grain
+    //    (7×~2 rows — the whole iteration then runs on a
+    //    dimension-sized table regardless of corpus size), and 3
+    //    integer-PageRank rounds rank the hosts; per-host doc counts
+    //    ride along as the sampler's weighting table. ──────────────────
+    "web_host_rank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val hb = pmod(col("doc_id"), lit(7))
+      val pages = docs.select(col("doc_id"), hb.as("hb"),
+        concat(lit("<p>text</p><a href=\"https://site"),
+          pmod(hb + 1, lit(7)),
+          lit(".com/a\">l1</a><a href=\"https://site"),
+          pmod(hb * 2 + 1, lit(7)),
+          lit(".com/b\">l2</a>")).as("html"))
+      val links = pages.select(col("hb").as("src_host"),
+          explode(expr(
+            "regexp_extract_all(html, 'https://site([0-9]+)\\\\.com', 1)"))
+            .as("dst"))
+        .select(col("src_host"), col("dst").cast("long").as("dst_host"))
+        .distinct()
+      GraphOps.pageRankInt(links, "src_host", "dst_host", iters = 3)
+        .join(pages.groupBy(col("hb").as("id"))
+          .agg(count(lit(1)).as("n_docs")), "id")
+        .orderBy(col("id"))
+    }),
+
     // ── retrieval metrics per query: RR, NDCG@10, recall@10,
     //    precision@10 of exact cosine top-10 against same-label
     //    relevance — the evaluation layer every index path is judged
@@ -231,6 +264,25 @@ object GraphQueries {
          |${prIter(2)},
          |${prIter(3)}
          |SELECT id, rank_i FROM r3 ORDER BY id""".stripMargin,
+
+    "web_host_rank" ->
+      s"""WITH hosts AS (SELECT DISTINCT doc_id % 7 AS hb FROM documents),
+         |e AS (SELECT hb AS src, (hb + 1) % 7 AS dst FROM hosts
+         |  UNION SELECT hb, (hb * 2 + 1) % 7 FROM hosts),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n.n AS rank_i
+         |  FROM nodes, n),
+         |${prIter(1)},
+         |${prIter(2)},
+         |${prIter(3)},
+         |nd AS (SELECT doc_id % 7 AS id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT r3.id, r3.rank_i, nd.n_docs
+         |FROM r3 JOIN nd ON nd.id = r3.id ORDER BY r3.id""".stripMargin,
 
     "graph_labelprop" ->
       s"""WITH ${knnSql(4)},

@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.operators.{Bitext, TextAnalysis, WebArchive}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Round-10 web-corpus analytics: Kneser-Ney LM scoring (the KenLM-family
+  * smoother next to docs_sbo_score's stupid backoff) and BLEU-2 pair
+  * scoring (the surface-overlap quality gate for mined bitext). Every
+  * query follows the exactness discipline of its family: exact BIGINT
+  * counts, fp only in fixed final trees, full-value DuckDB oracles. */
+object WebQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+
+    // ── interpolated bigram Kneser-Ney LM score: trained on the even-id
+    //    reference slice (the docs_sbo_score asymmetry, so the unseen-
+    //    context fallback FIRES on odd docs), scored over the whole
+    //    corpus; per-position probabilities micro-rounded in-plan →
+    //    order-free integer sums ─────────────────────────────────────────
+    "docs_kn_score" -> ((s, d) => {
+      TextAnalysis.kneserNeyScores(t(s, d, "documents"), "doc_id", "text",
+          refFilter = pmod(col("doc_id"), lit(2)) === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── BLEU-2 over aligned doc pairs (ref = even id, cand = id+1):
+    //    clipped modified n-gram precisions from exact integer counts,
+    //    combined as sqrt(p1·p2) with the LINEAR brevity penalty
+    //    min(1, c/r) — every op IEEE-correctly-rounded, so the doubles
+    //    replay bit-identically (exp would not; see Bitext.bleuPairs) ────
+    "docs_bleu_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ids = docs.select(col("doc_id").cast("long").as("id"))
+      val pairs = ids.select(col("id").as("ref_id"),
+          (col("id") + 1).as("cand_id"))
+        .filter(pmod(col("ref_id"), lit(2)) === 0)
+        .join(ids.select(col("id").as("cand_id")), Seq("cand_id"))
+      Bitext.bleuPairs(pairs, docs, "doc_id", "text")
+        .orderBy(col("ref_id"))
+    }),
+
+    // ── RFC 9309 robots.txt compliance: 5 in-plan host policies × 10
+    //    paths drive every matcher branch through the driver gate —
+    //    group selection (exact agent beats *), longest-match
+    //    precedence, Allow-wins-ties, '*' wildcards, '$' anchors,
+    //    empty Disallow (allow all), and the no-robots default. The
+    //    oracle states each decision in CLOSED FORM per branch (the
+    //    docs_url_canonical pattern). ────────────────────────────────────
+    "web_robots_allowed" -> ((s, d) => {
+      val pages = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .select(col("doc_id"),
+          concat(lit("h"), pmod(col("doc_id"), lit(5)),
+            lit(".example.com")).as("host"),
+          element_at(array(RobotsPaths.map(lit): _*),
+            (pmod(col("doc_id"), lit(10)) + 1).cast("int")).as("path"))
+      val robots = s.range(5)
+        .select(concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+          element_at(array(RobotsTexts.map(lit): _*),
+            (col("id") + 1).cast("int")).as("robots_txt"))
+      WebArchive.robotsDecisions(pages, "doc_id", "host", "path",
+          robots, "host", "robots_txt", agent = "graftbot")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Porter stemming (1980 paper rules): 20 in-plan vectors spanning
+    //    every step (1a plurals, 1b ed/ing + repairs, 1c y→i, 2/3 suffix
+    //    maps, 4 m>1 strips incl. the ION s/t guard, 5a e-drop, the
+    //    paper's no-fall-through semantics via "feed"/"rational") are
+    //    stemmed by the real implementation; the oracle states each stem
+    //    as a closed-form literal (the docs_url_canonical pattern —
+    //    DuckDB has no offline stemmer to replay with). ─────────────────
+    "docs_porter_stems" -> ((s, d) => {
+      val stemUdf = udf(graft.functions.PorterStemmer.stem _)
+      t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"))
+        .select(col("doc_id"),
+          element_at(array(PorterWords.map(lit): _*),
+            (pmod(col("doc_id"), lit(20)) + 1).cast("int")).as("word"))
+        .withColumn("stem", stemUdf(col("word")))
+        .orderBy(col("doc_id"))
+    }))
+
+  /** The 20 stemmer vectors (word, expected stem), hand-traced through
+    * the 1980 rules; the oracle interpolates BOTH columns so any engine
+    * drift on any vector flips the gate. */
+  private val PorterVectors = Seq(
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "cats" -> "cat", "feed" -> "feed", "agreed" -> "agre",
+    "plastered" -> "plaster", "motoring" -> "motor", "hopping" -> "hop",
+    "sized" -> "size", "happy" -> "happi", "relational" -> "relat",
+    "conditional" -> "condit", "rational" -> "ration",
+    "electrical" -> "electr", "hopefulness" -> "hope",
+    "goodness" -> "good", "formalize" -> "formal",
+    "generalization" -> "gener", "triplicate" -> "triplic")
+
+  private val PorterWords = PorterVectors.map(_._1)
+
+  /** The 10 path branches `web_robots_allowed` routes by doc_id % 10. */
+  private val RobotsPaths = Seq("/private/a", "/private/public/b",
+    "/a.pdf", "/a.pdfx", "/tmp/x", "/index.html", "/private/public",
+    "/", "/dual/x", "/img/a/raw")
+
+  /** The 5 host policies (doc_id % 5): longest-match + allow-wins tie
+    * (h0), exact-agent group beats '*' (h1), '*' wildcard + '$' anchor
+    * (h2), empty Disallow = allow all (h3), no robots.txt (h4). */
+  private val RobotsTexts = Seq(
+    "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n" +
+      "Disallow: /dual/\nAllow: /dual/",
+    "User-agent: graftbot\nDisallow: /\nUser-agent: *\nDisallow: /tmp/",
+    "User-agent: *\nDisallow: /*.pdf$\nDisallow: /img/*/raw",
+    "User-agent: *\nDisallow:",
+    "")
+
+  /** DuckDB gram separator matching the engine's  packing. */
+  private val Sep = "chr(1)"
+
+  def oracles: Map[String, String] = Map(
+
+    "docs_kn_score" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |rbg AS (
+        |  SELECT unnest([ws[i+1] || $Sep || ws[i+2]
+        |    FOR i IN range(len(ws) - 1)]) AS g
+        |  FROM toks WHERE doc_id % 2 = 0 AND len(ws) >= 2),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM rbg
+        |  GROUP BY 1),
+        |c2s AS (SELECT string_split(g, $Sep)[1] AS u,
+        |  string_split(g, $Sep)[2] AS v, c2 FROM c2),
+        |ctx AS (SELECT u, CAST(sum(c2) AS BIGINT) AS cu,
+        |  CAST(count(*) AS BIGINT) AS fanout FROM c2s GROUP BY 1),
+        |cont AS (SELECT v, CAST(count(*) AS BIGINT) AS nc FROM c2s
+        |  GROUP BY 1),
+        |scal AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+        |    ELSE CAST(n1 AS DOUBLE) / (n1 + 2 * n2) END AS d, bt
+        |  FROM (SELECT
+        |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(count(*) AS BIGINT) AS bt FROM c2)),
+        |dbm AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS m FROM (
+        |    SELECT doc_id, unnest([ws[i+1] || $Sep || ws[i+2]
+        |      FOR i IN range(len(ws) - 1)]) AS g
+        |    FROM toks WHERE len(ws) >= 2) GROUP BY 1, 2),
+        |j AS (
+        |  SELECT db.doc_id, db.m, c2s.c2 AS c2v, ctx.cu, ctx.fanout,
+        |    cont.nc, scal.d, scal.bt
+        |  FROM (SELECT doc_id, m, string_split(g, $Sep)[1] AS u,
+        |      string_split(g, $Sep)[2] AS v FROM dbm) db
+        |  LEFT JOIN c2s ON db.u = c2s.u AND db.v = c2s.v
+        |  LEFT JOIN ctx ON db.u = ctx.u
+        |  LEFT JOIN cont ON db.v = cont.v
+        |  CROSS JOIN scal),
+        |p AS (
+        |  SELECT doc_id, m,
+        |  m * CAST(round((CASE WHEN cu IS NOT NULL
+        |    THEN greatest(coalesce(c2v, 0) - d, 0) / cu
+        |      + (d * fanout / cu) * (CAST(coalesce(nc, 0) AS DOUBLE) / bt)
+        |    ELSE CAST(coalesce(nc, 0) AS DOUBLE) / bt
+        |    END) * 1e6) AS BIGINT) AS pm,
+        |  CASE WHEN coalesce(c2v, 0) > 0 THEN m ELSE 0 END AS mh
+        |  FROM j)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |CAST(sum(mh) AS BIGINT) AS n_attested,
+        |round(CAST(sum(pm) AS DOUBLE) / (sum(m) * 1e6), 6) + 0.0
+        |  AS kn_score
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_bleu_pairs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |lens AS (SELECT doc_id, len(ws) AS l FROM toks),
+        |g1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT doc_id, unnest(ws) AS g FROM toks) GROUP BY 1, 2),
+        |g2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT doc_id, unnest([array_to_string(ws[i+1:i+2], $Sep)
+        |    FOR i IN range(len(ws) - 1)]) AS g
+        |  FROM toks WHERE len(ws) >= 2) GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.doc_id AS ref_id, b.doc_id AS cand_id,
+        |    la.l AS r_len, lb.l AS c_len
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  JOIN lens la ON la.doc_id = a.doc_id
+        |  JOIN lens lb ON lb.doc_id = b.doc_id
+        |  WHERE a.doc_id % 2 = 0 AND lb.l >= 2),
+        |m1 AS (SELECT p.ref_id, p.cand_id,
+        |    CAST(sum(least(c.c, r.c)) AS BIGINT) AS m1
+        |  FROM pairs p
+        |  JOIN g1 c ON c.doc_id = p.cand_id
+        |  JOIN g1 r ON r.doc_id = p.ref_id AND r.g = c.g
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT p.ref_id, p.cand_id,
+        |    CAST(sum(least(c.c, r.c)) AS BIGINT) AS m2
+        |  FROM pairs p
+        |  JOIN g2 c ON c.doc_id = p.cand_id
+        |  JOIN g2 r ON r.doc_id = p.ref_id AND r.g = c.g
+        |  GROUP BY 1, 2)
+        |SELECT p.ref_id, p.cand_id,
+        |CAST(p.c_len AS BIGINT) AS t1, coalesce(m1.m1, 0) AS m1,
+        |CAST(p.c_len - 1 AS BIGINT) AS t2, coalesce(m2.m2, 0) AS m2,
+        |round(sqrt((CAST(coalesce(m1.m1, 0) AS DOUBLE) / p.c_len)
+        |    * (CAST(coalesce(m2.m2, 0) AS DOUBLE) / (p.c_len - 1)))
+        |  * least(1.0, CAST(p.c_len AS DOUBLE) / p.r_len), 6) + 0.0
+        |  AS bleu2
+        |FROM pairs p
+        |LEFT JOIN m1 ON m1.ref_id = p.ref_id AND m1.cand_id = p.cand_id
+        |LEFT JOIN m2 ON m2.ref_id = p.ref_id AND m2.cand_id = p.cand_id
+        |ORDER BY p.ref_id""".stripMargin,
+
+    "web_robots_allowed" ->
+      s"""SELECT doc_id,
+        |'h' || (doc_id % 5) || '.example.com' AS host,
+        |['/private/a', '/private/public/b', '/a.pdf', '/a.pdfx',
+        | '/tmp/x', '/index.html', '/private/public', '/',
+        | '/dual/x', '/img/a/raw'][(doc_id % 10) + 1] AS path,
+        |NOT (doc_id % 5 = 1
+        |  OR (doc_id % 5 = 0 AND doc_id % 10 IN (0, 6))
+        |  OR (doc_id % 5 = 2 AND doc_id % 10 IN (2, 9))) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_porter_stems" -> {
+      val words = PorterVectors.map(v => s"'${v._1}'").mkString(", ")
+      val stems = PorterVectors.map(v => s"'${v._2}'").mkString(", ")
+      s"""SELECT doc_id,
+        |[$words][(doc_id % 20) + 1] AS word,
+        |[$stems][(doc_id % 20) + 1] AS stem
+        |FROM documents ORDER BY doc_id""".stripMargin
+    })
+}

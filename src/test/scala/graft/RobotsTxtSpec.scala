@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.RobotsTxt
+import graft.operators.WebArchive
+
+/** RFC 9309 robots.txt semantics: parsing (group formation, merging,
+  * comments, unknown directives), wildcard/anchor matching, precedence
+  * (longest match, Allow-wins-ties), group selection (exact agent over
+  * `*`), the allow-all defaults, and the relational operator's parity
+  * with the one-shot decision. The gate query `web_robots_allowed`
+  * value-checks 5 host policies × 10 paths against DuckDB. */
+class RobotsTxtSpec extends SparkSpec {
+
+  import spark.implicits._
+  import RobotsTxt.{isAllowed, matchLen, parse}
+
+  test("matchLen: prefix, '*' wildcard, '$' anchor, precedence length") {
+    assert(matchLen("/fish", "/fish.html") === 5)
+    assert(matchLen("/fish", "/fishheads/yummy.html") === 5)
+    assert(matchLen("/fish", "/catfish") === -1)
+    assert(matchLen("/*.php", "/index.php") === 6)
+    assert(matchLen("/*.php", "/folder/any.php.file.html") === 6)
+    assert(matchLen("/*.php", "/index.html") === -1)
+    assert(matchLen("/*.php$", "/filename.php") === 7)
+    assert(matchLen("/*.php$", "/filename.php?parameters") === -1)
+    assert(matchLen("/fish*.php", "/fish.php") === 10)
+    assert(matchLen("/fish*.php", "/fishheads/catfish.php?p=1") === 10)
+    assert(matchLen("/fish*.php", "/fish.html") === -1)
+    // multiple wildcards place greedily without blocking later segments
+    assert(matchLen("/a*b*c", "/axxbxxc-and-more") === 6)
+    assert(matchLen("/a*b*c$", "/axxbxxc") === 7)
+    assert(matchLen("/a*b*c$", "/axxbxxc-and-more") === -1)
+    // '$' alone anchors the empty pattern prefix; '*$' matches any end
+    assert(matchLen("/$", "/") === 2)
+    assert(matchLen("/$", "/a") === -1)
+    assert(matchLen("/*$", "/anything") === 3)
+    // empty patterns never match (Disallow: = allow all)
+    assert(matchLen("", "/anything") === -1)
+  }
+
+  test("parse: groups form on consecutive user-agent lines, merge " +
+      "across repeats, strip comments, ignore unknown directives") {
+    val txt =
+      """# policy
+        |User-agent: A
+        |User-agent: B
+        |Disallow: /x # trailing comment
+        |Crawl-delay: 10
+        |Allow: /x/y
+        |
+        |User-agent: a
+        |Disallow: /z
+        |Sitemap: https://example.com/sitemap.xml
+        |""".stripMargin
+    val g = parse(txt)
+    assert(g("a").map(r => (r.allow, r.pattern)) ===
+      Vector((false, "/x"), (true, "/x/y"), (false, "/z")))
+    assert(g("b").map(_.pattern) === Vector("/x", "/x/y"))
+    assert(!g.contains("sitemap"))
+  }
+
+  test("isAllowed: longest match wins, equal lengths tie to Allow, " +
+      "no match allows, exact agent group beats '*'") {
+    val txt =
+      """User-agent: *
+        |Disallow: /private/
+        |Allow: /private/public/
+        |Disallow: /dual/
+        |Allow: /dual/
+        |""".stripMargin
+    assert(!isAllowed(txt, "anybot", "/private/a"))
+    assert(isAllowed(txt, "anybot", "/private/public/b"))
+    assert(isAllowed(txt, "anybot", "/dual/x")) // tie → Allow
+    assert(isAllowed(txt, "anybot", "/open"))
+    val specific = "User-agent: graftbot\nDisallow: /\n" +
+      "User-agent: *\nDisallow: /tmp/\n"
+    assert(!isAllowed(specific, "GraftBot", "/anything")) // case-insensitive
+    assert(isAllowed(specific, "otherbot", "/anything"))
+    assert(!isAllowed(specific, "otherbot", "/tmp/x"))
+    assert(isAllowed("User-agent: *\nDisallow:", "anybot", "/all"))
+    assert(isAllowed("", "anybot", "/all"))
+    assert(isAllowed(null, "anybot", "/all"))
+  }
+
+  test("robotsDecisions matches the one-shot isAllowed on every " +
+      "(policy, path) combination and keeps robots-less hosts") {
+    val policies = Seq(
+      "h0" -> ("User-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/public/\nDisallow: /dual/\nAllow: /dual/"),
+      "h1" -> ("User-agent: graftbot\nDisallow: /\n" +
+        "User-agent: *\nDisallow: /tmp/"),
+      "h2" -> "User-agent: *\nDisallow: /*.pdf$\nDisallow: /img/*/raw",
+      "h3" -> "User-agent: *\nDisallow:")
+    val paths = Seq("/private/a", "/private/public/b", "/a.pdf",
+      "/a.pdfx", "/tmp/x", "/index.html", "/private/public", "/",
+      "/dual/x", "/img/a/raw")
+    val hosts = policies.map(_._1) :+ "h4" // h4 has no robots row
+    val pages = (for ((h, i) <- hosts.zipWithIndex; (p, j) <- paths.zipWithIndex)
+      yield ((i * paths.size + j).toLong, h, p))
+      .toDF("id", "host", "path")
+    val robots = policies.toDF("host", "txt")
+    val got = WebArchive.robotsDecisions(pages, "id", "host", "path",
+        robots, "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getBoolean(3))
+      .toMap
+    val byHost = policies.toMap
+    for (h <- hosts; p <- paths) {
+      val expected = isAllowed(byHost.getOrElse(h, ""), "graftbot", p)
+      assert(got((h, p)) === expected, s"($h, $p)")
+    }
+    assert(got.size === hosts.size * paths.size)
+  }
+}
