@@ -40,12 +40,26 @@ object GraphOps {
     * table. Divide by `scale` for a probability-like score. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pageRankCore(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")), iters, scale, dampNum, dampDen)
+
+  /** [[pageRankInt]] over edges whose node ids are NOT numeric (word
+    * graphs, host graphs keyed by name): identical integer kernel, keys
+    * kept as-is — the shuffles carry the key type instead of longs, so
+    * prefer numeric ids where a dictionary already exists. */
+  def pageRankIntKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pageRankCore(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")), iters, scale, dampNum, dampDen)
+
+  private def pageRankCore(edges: DataFrame, iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       "need scale > 0 and 0 <= dampNum <= dampDen")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    val e = edges
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count()

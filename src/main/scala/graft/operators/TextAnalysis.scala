@@ -1280,4 +1280,41 @@ object TextAnalysis {
         (round(col("_pm") / (col("n_bigrams") * lit(1e6)), decimals) +
           lit(0.0)).as("kn_score"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the
+    * corpus: words are nodes, an undirected edge links words ADJACENT
+    * anywhere in the corpus (the classic window-2 co-occurrence graph,
+    * unweighted — one shared sentence is as much of a vote as a
+    * thousand, which is what makes TextRank a GRAPH signal instead of a
+    * frequency count), and centrality is [[GraphOps.pageRankIntKeyed]]'s
+    * exact integer fixed point, so the keyword ranking replays
+    * bit-identically on any engine. Output: the `topK` (word, rank_i)
+    * rows by rank, ties broken by word.
+    *
+    * Scale shape: the edge table lives at VOCABULARY grain (distinct
+    * adjacent word pairs), so the PageRank loop runs on a
+    * dictionary-sized graph no matter how large the corpus — the only
+    * corpus-sized pass is the one distinct() over exploded adjacent
+    * pairs (map-side combinable). Top-k is a TakeOrderedAndProject,
+    * not a global sort. */
+  def textRankWords(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = 3, topK: Int = 20): DataFrame = {
+    val toks = docs
+      .select(filter(split(col(textCol), " "), w => length(w) > 0)
+        .as("ws"))
+    val adj = toks.filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("u"),
+            element_at(col("ws"), i + 2).as("v")))).as("bg"))
+      .select(col("bg.u").as("u"), col("bg.v").as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = adj.select(col("u").as("src"), col("v").as("dst"))
+      .union(adj.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+    GraphOps.pageRankIntKeyed(edges, "src", "dst", iters)
+      .select(col("id").as("word"), col("rank_i"))
+      .orderBy(desc("rank_i"), col("word"))
+      .limit(topK)
+  }
 }

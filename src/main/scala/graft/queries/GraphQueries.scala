@@ -167,6 +167,15 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // ── TextRank keywords (Mihalcea & Tarau 2004): window-2 word
+    //    co-occurrence graph (vocabulary-sized regardless of corpus) →
+    //    3 exact integer-PageRank rounds → top-20 by (rank, word). The
+    //    oracle rebuilds the same graph and unrolls the same rounds. ────
+    "docs_textrank" -> ((s, d) => {
+      graft.operators.TextAnalysis.textRankWords(t(s, d, "documents"),
+        "doc_id", "text", iters = 3, topK = 20)
+    }),
+
     // ── retrieval metrics per query: RR, NDCG@10, recall@10,
     //    precision@10 of exact cosine top-10 against same-label
     //    relevance — the evaluation layer every index path is judged
@@ -264,6 +273,32 @@ object GraphQueries {
          |${prIter(2)},
          |${prIter(3)}
          |SELECT id, rank_i FROM r3 ORDER BY id""".stripMargin,
+
+    "docs_textrank" ->
+      s"""WITH toks AS (
+         |  SELECT [x FOR x IN string_split(text, ' ') IF len(x) > 0]
+         |    AS ws FROM documents),
+         |bgp AS (
+         |  SELECT unnest([ws[i+1] || chr(1) || ws[i+2]
+         |    FOR i IN range(len(ws) - 1)]) AS g
+         |  FROM toks WHERE len(ws) >= 2),
+         |bgs AS (SELECT string_split(g, chr(1))[1] AS u,
+         |  string_split(g, chr(1))[2] AS v FROM bgp),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT u AS src, v AS dst FROM bgs WHERE u <> v
+         |  UNION ALL SELECT v, u FROM bgs WHERE u <> v)),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n.n AS rank_i
+         |  FROM nodes, n),
+         |${prIter(1)},
+         |${prIter(2)},
+         |${prIter(3)}
+         |SELECT id AS word, rank_i FROM r3
+         |ORDER BY rank_i DESC, word LIMIT 20""".stripMargin,
 
     "web_host_rank" ->
       s"""WITH hosts AS (SELECT DISTINCT doc_id % 7 AS hb FROM documents),
