@@ -66,6 +66,33 @@ object WebQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Unicode NFC dedup keys: every byte-grain key in the dedup stack
+    //    (md5 content hashes, shingles, URL forms, decontamination
+    //    lookups) misses duplicates whose text arrived in a different
+    //    normalization form — per doc a PRECOMPOSED phrase (U+00E9 é)
+    //    and its DECOMPOSED twin (e + U+0301) are synthesized, and the
+    //    engine must show raw bytes differ, NFC unifies them, md5 keys
+    //    match post-NFC, and the diacritic fold produces the ASCII
+    //    form. Closed-form oracle per branch. ───────────────────────────
+    "docs_nfc_keys" -> ((s, d) => {
+      import graft.functions.UnicodeNorm
+      val composedArr = array(NfcComposed.map(lit): _*)
+      val decomposedArr = array(NfcDecomposed.map(lit): _*)
+      val idx = (pmod(col("doc_id"), lit(4)) + 1).cast("int")
+      t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"))
+        .select(col("doc_id"),
+          element_at(composedArr, idx).as("composed"),
+          element_at(decomposedArr, idx).as("decomposed"))
+        .select(col("doc_id"),
+          (col("decomposed") === col("composed")).as("raw_equal"),
+          (UnicodeNorm.nfc(col("decomposed")) === col("composed"))
+            .as("nfc_equal"),
+          (md5(UnicodeNorm.nfc(col("decomposed"))) === md5(col("composed")))
+            .as("key_match"),
+          UnicodeNorm.stripMarks(col("composed")).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Porter stemming (1980 paper rules): 20 in-plan vectors spanning
     //    every step (1a plurals, 1b ed/ing + repairs, 1c y→i, 2/3 suffix
     //    maps, 4 m>1 strips incl. the ION s/t guard, 5a e-drop, the
@@ -82,6 +109,17 @@ object WebQueries {
         .withColumn("stem", stemUdf(col("word")))
         .orderBy(col("doc_id"))
     }))
+
+  /** NFC test phrases: precomposed forms and their combining-mark
+    * decompositions (canonical equivalents — NFC must unify them). */
+  private val NfcComposed = Seq("café", "señor", "naïve",
+    "crème brûlée")
+
+  private val NfcDecomposed = Seq("café", "señor",
+    "naïve", "crème brûlée")
+
+  /** Diacritic-fold expectations for the composed phrases. */
+  private val NfcFolded = Seq("cafe", "senor", "naive", "creme brulee")
 
   /** The 20 stemmer vectors (word, expected stem), hand-traced through
     * the 1980 rules; the oracle interpolates BOTH columns so any engine
@@ -220,6 +258,16 @@ object WebQueries {
         |  OR (doc_id % 5 = 0 AND doc_id % 10 IN (0, 6))
         |  OR (doc_id % 5 = 2 AND doc_id % 10 IN (2, 9))) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_nfc_keys" -> {
+      val folded = NfcFolded.map(f => s"'$f'").mkString(", ")
+      s"""SELECT doc_id,
+        |false AS raw_equal,
+        |true AS nfc_equal,
+        |true AS key_match,
+        |[$folded][(doc_id % 4) + 1] AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "docs_porter_stems" -> {
       val words = PorterVectors.map(v => s"'${v._1}'").mkString(", ")
