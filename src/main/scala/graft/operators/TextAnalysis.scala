@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Fingerprints
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §7.1-8):
@@ -1315,6 +1316,65 @@ object TextAnalysis {
     GraphOps.pageRankIntKeyed(edges, "src", "dst", iters)
       .select(col("id").as("word"), col("rank_i"))
       .orderBy(desc("rank_i"), col("word"))
+      .limit(topK)
+  }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    * candidate phrases are maximal stopword-free token runs, each
+    * content word scores deg(w)/freq(w) — freq = its occurrences,
+    * deg = the summed lengths of the phrase occurrences containing it
+    * (so words living in LONG collocations outscore equally-frequent
+    * loners) — and a phrase scores the sum of its members' scores.
+    * The frequency-vs-degree ratio is what lets RAKE surface multiword
+    * phrases TextRank's unigram graph cannot.
+    *
+    * Numerics: the single fp step (deg/freq) micro-rounds to a BIGINT
+    * word score, so phrase scores are order-free integer sums and
+    * identical phrases provably carry identical scores (the per-word
+    * discipline of [[stupidBackoffScores]]). Output: top-`topK`
+    * (phrase, n_occurrences, score_micro) by (score, phrase).
+    *
+    * Scale shape: segmentation is one posexplode + a DOC-partitioned
+    * running count (no global window); word stats and phrase scores are
+    * map-side-combinable integer aggregations keyed by word / phrase
+    * instance; top-k is a TakeOrderedAndProject. Everything downstream
+    * of the explode lives at (phrase instance) or vocabulary grain. */
+  def rakePhrases(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topK: Int = 20): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword list")
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("is_stop", col("w").isInCollection(stopwords))
+    // phrase id = stopwords seen so far in the doc: a doc-partitioned
+    // running count; content tokens keep (doc, seg, i, w)
+    val seg = toks
+      .withColumn("seg", sum(when(col("is_stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("seg"), col("i"), col("w"))
+      .localCheckpoint() // feeds lengths, word stats, and phrase sums
+    val plen = seg.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("plen"))
+    val wstats = seg.join(plen, Seq("doc_id", "seg"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        round((col("deg").cast("double") / col("freq")) * lit(1e6))
+          .cast("long").as("ws_micro"))
+    val inst = seg.join(wstats, Seq("w"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("ws_micro")).as("score_micro"),
+        transform(array_sort(collect_list(struct(col("i"), col("w")))),
+          s => s.getField("w")).as("pw"))
+    inst
+      .select(array_join(col("pw"), " ").as("phrase"),
+        col("score_micro"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score_micro")).as("score_micro"))
+      .orderBy(desc("score_micro"), col("phrase"))
       .limit(topK)
   }
 }

@@ -66,6 +66,16 @@ object WebQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── RAKE keyphrases (Rose et al. 2010): stopword-free token runs
+    //    scored by summed deg/freq word ratios — the multiword-phrase
+    //    complement to docs_textrank's unigram graph. Word scores
+    //    micro-round to BIGINTs, so phrase sums are order-free and the
+    //    oracle replays every value exactly. ─────────────────────────────
+    "docs_rake" -> ((s, d) => {
+      TextAnalysis.rakePhrases(t(s, d, "documents"), "doc_id", "text",
+        stopwords = RakeStops, topK = 20)
+    }),
+
     // ── Unicode NFC dedup keys: every byte-grain key in the dedup stack
     //    (md5 content hashes, shingles, URL forms, decontamination
     //    lookups) misses duplicates whose text arrived in a different
@@ -109,6 +119,10 @@ object WebQueries {
         .withColumn("stem", stemUdf(col("word")))
         .orderBy(col("doc_id"))
     }))
+
+  /** RAKE stopwords for the synthetic corpus (its only function
+    * words); interpolated into the oracle from this one value. */
+  private val RakeStops = Seq("the", "a")
 
   /** NFC test phrases: precomposed forms and their combining-mark
     * decompositions (canonical equivalents — NFC must unify them). */
@@ -258,6 +272,39 @@ object WebQueries {
         |  OR (doc_id % 5 = 0 AND doc_id % 10 IN (0, 6))
         |  OR (doc_id % 5 = 2 AND doc_id % 10 IN (2, 9))) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_rake" -> {
+      val stops = RakeStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, [x FOR x IN string_split(text, ' ')
+        |    IF len(x) > 0] AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest([{'i': i, 'w': ws[i+1]}
+        |    FOR i IN range(len(ws))], recursive := true)
+        |  FROM toks),
+        |sg AS (
+        |  SELECT doc_id, i, w,
+        |  sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS seg
+        |  FROM tok),
+        |words AS (SELECT * FROM sg WHERE w NOT IN ($stops)),
+        |plen AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS plen
+        |  FROM words GROUP BY 1, 2),
+        |wstats AS (
+        |  SELECT w, CAST(round(
+        |    (CAST(sum(plen) AS DOUBLE) / count(*)) * 1e6) AS BIGINT)
+        |    AS ws_micro
+        |  FROM words JOIN plen USING (doc_id, seg) GROUP BY w),
+        |inst AS (
+        |  SELECT w2.doc_id, w2.seg,
+        |  CAST(sum(ws.ws_micro) AS BIGINT) AS score_micro,
+        |  string_agg(w2.w, ' ' ORDER BY w2.i) AS phrase
+        |  FROM words w2 JOIN wstats ws USING (w) GROUP BY 1, 2)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |CAST(max(score_micro) AS BIGINT) AS score_micro
+        |FROM inst GROUP BY 1
+        |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
+    },
 
     "docs_nfc_keys" -> {
       val folded = NfcFolded.map(f => s"'$f'").mkString(", ")
