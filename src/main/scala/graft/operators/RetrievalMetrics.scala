@@ -105,4 +105,62 @@ object RetrievalMetrics {
         round(col("_pr").cast("double") / lit(q) / col("n_queries"),
           decimals).as("mean_precision"))
   }
+
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010, the
+    * prefix/RBO_min form): agreement between two rankings of the same
+    * query set, RBO = (1−p)·Σ_{d=1..k} p^(d−1)·|A[:d] ∩ B[:d]|/d —
+    * top-weighted (disagreement at rank 1 costs more than at rank 10),
+    * the standard way to quantify how much ranking an index shortcut
+    * (dimension truncation, quantization, a cheaper metric) loses
+    * versus the reference ranking.
+    *
+    * Exactness: p is carried as the rational pNum/pDen, so every depth
+    * weight (pDen−pNum)·pNum^(d−1) / (pDen^d·d) is a ratio of exact
+    * BIGINTs from a k-row literal table; each depth term micro-rounds
+    * to a BIGINT, and per-query RBO is an order-free integer sum (the
+    * house micro discipline). Requires pNum^(k−1) and pDen^k·k to fit
+    * a long — k ≤ 18 at p = 9/10, loudly checked.
+    *
+    * Input: two (qCol, idCol, rankCol) tables, rank 1-based; rows with
+    * rank > k are ignored. Output: (query_id, overlap_k, rbo_micro) for
+    * EVERY query in `rankA` (zero-agreement queries score 0).
+    *
+    * Scale shape: one (query, id) equi-join between the two top-k
+    * tables, one broadcast of the k-row weight table, integer
+    * aggregations keyed by query — O(queries·k), corpus-independent. */
+  def rboAtK(rankA: DataFrame, rankB: DataFrame, qCol: String,
+      idCol: String, rankCol: String, k: Int,
+      pNum: Long = 9, pDen: Long = 10): DataFrame = {
+    require(k >= 1 && pNum > 0 && pDen > pNum, "need k >= 1, 0 < p < 1")
+    require(BigInt(pNum).pow(k - 1) * k <= Long.MaxValue / pDen &&
+      BigInt(pDen).pow(k) * k <= BigInt(Long.MaxValue),
+      s"depth weights overflow long at k=$k, p=$pNum/$pDen")
+    val spark = rankA.sparkSession
+    import spark.implicits._
+    val a = rankA.select(col(qCol).as("qid"), col(idCol).as("id"),
+      col(rankCol).as("ra")).filter(col("ra") <= k)
+    val b = rankB.select(col(qCol).as("qid"), col(idCol).as("id"),
+      col(rankCol).as("rb")).filter(col("rb") <= k)
+    // a common id enters every prefix from depth max(ra, rb) on
+    val common = a.join(b, Seq("qid", "id"))
+      .select(col("qid"), greatest(col("ra"), col("rb")).as("m"))
+    val weights = (1 to k).map(d => (d.toLong,
+      (pDen - pNum) * BigInt(pNum).pow(d - 1).toLong,
+      BigInt(pDen).pow(d).toLong * d))
+      .toDF("d", "w_num", "w_den")
+    val terms = common.join(broadcast(weights), col("m") <= col("d"))
+      .groupBy(col("qid"), col("d"), col("w_num"), col("w_den"))
+      .agg(count(lit(1)).as("ov"))
+      .select(col("qid"), col("d"), col("ov"),
+        round((col("ov") * col("w_num")).cast("double") / col("w_den") *
+          lit(1e6)).cast("long").as("tm"))
+    val perQ = terms.groupBy(col("qid"))
+      .agg(sum(col("tm")).as("rbo_micro"),
+        max(when(col("d") === k, col("ov"))).as("overlap_k"))
+    rankA.select(col(qCol).as("qid")).distinct()
+      .join(perQ, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+  }
 }

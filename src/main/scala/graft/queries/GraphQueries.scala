@@ -167,6 +167,25 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // ── rank-biased overlap of the Matryoshka-truncated ranking vs the
+    //    full-dimension ranking (Webber et al. 2010): RBO@10 at p=9/10
+    //    per query — the top-weighted agreement score that quantifies
+    //    what 16-of-64-dim truncation costs, with depth weights as
+    //    exact integer rationals and per-depth terms micro-rounded so
+    //    every value replays. ───────────────────────────────────────────
+    "eval_rbo_matryoshka" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20).select(col("vec_id"))
+      val full = SimilaritySearch.knnGraphForSources(emb, "vec_id",
+        "embedding", 10, queries, "vec_id")
+      val prefix = SimilaritySearch.knnGraphForSources(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding")),
+        "vec_id", "embedding", 10, queries, "vec_id")
+      RetrievalMetrics.rboAtK(full, prefix, "src", "dst", "rank", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // ── TextRank keywords (Mihalcea & Tarau 2004): window-2 word
     //    co-occurrence graph (vocabulary-sized regardless of corpus) →
     //    3 exact integer-PageRank rounds → top-20 by (rank, word). The
@@ -273,6 +292,50 @@ object GraphQueries {
          |${prIter(2)},
          |${prIter(3)}
          |SELECT id, rank_i FROM r3 ORDER BY id""".stripMargin,
+
+    "eval_rbo_matryoshka" -> {
+      // the SAME rational depth weights rboAtK builds: (1−p)·p^(d−1) as
+      // (pDen−pNum)·pNum^(d−1) over pDen^d·d, p = 9/10, k = 10
+      val weightRows = (1 to 10).map(d =>
+        s"($d, ${BigInt(9).pow(d - 1)}, ${BigInt(10).pow(d) * d})")
+        .mkString(", ")
+      s"""WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < 20),
+         |pf AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |    b.embedding::DOUBLE[]), 6) AS s
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |ra AS (SELECT qid, id, rk FROM (SELECT qid, id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+         |    AS rk FROM pf) WHERE rk <= 10),
+         |pp AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+         |  round(list_cosine_similarity((a.embedding::DOUBLE[])[1:16],
+         |    (b.embedding::DOUBLE[])[1:16]), 6) AS s
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rb AS (SELECT qid, id, rk FROM (SELECT qid, id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+         |    AS rk FROM pp) WHERE rk <= 10),
+         |com AS (SELECT ra.qid, greatest(ra.rk, rb.rk) AS m
+         |  FROM ra JOIN rb ON ra.qid = rb.qid AND ra.id = rb.id),
+         |dt AS (SELECT * FROM (VALUES $weightRows)
+         |  AS t(d, w_num, w_den)),
+         |ov AS (SELECT qid, d, w_num, w_den,
+         |  CAST(count(*) AS BIGINT) AS ov
+         |  FROM com JOIN dt ON m <= d GROUP BY 1, 2, 3, 4),
+         |tm AS (SELECT qid, d, ov,
+         |  CAST(round((CAST(ov * w_num AS DOUBLE) / w_den) * 1e6)
+         |    AS BIGINT) AS tm FROM ov),
+         |agg AS (SELECT qid, CAST(sum(tm) AS BIGINT) AS rbo_micro
+         |  FROM tm GROUP BY 1),
+         |ovk AS (SELECT qid, ov FROM ov WHERE d = 10)
+         |SELECT q.vec_id AS query_id,
+         |CAST(coalesce(ovk.ov, 0) AS BIGINT) AS overlap_k,
+         |CAST(coalesce(agg.rbo_micro, 0) AS BIGINT) AS rbo_micro
+         |FROM q LEFT JOIN agg ON agg.qid = q.vec_id
+         |LEFT JOIN ovk ON ovk.qid = q.vec_id
+         |ORDER BY query_id""".stripMargin
+    },
 
     "docs_textrank" ->
       s"""WITH toks AS (
