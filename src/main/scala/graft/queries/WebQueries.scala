@@ -66,6 +66,53 @@ object WebQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── mergeable quantile sketch audit ("sketch proposes, exact
+    //    disposes", the hll_audit pattern): per event type a bottom-k
+    //    coordinated-sample sketch proposes 4 quantiles; the query
+    //    computes each proposal's EXACT rank window and flags whether
+    //    it sits within the DKW sampling bound of the target rank.
+    //    The sketch is merge-order INDEPENDENT (unlike KLL), so the
+    //    flags are stable across runs and the oracle replays n and the
+    //    exact quantiles in full and pins the flags true. ───────────────
+    "events_quantile_sketch" -> ((s, d) => {
+      import graft.operators.QuantileSketch
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val phis = Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(QuantileSketch.sketch(col("event_id"), col("value"), 1024)
+          .as("sk"), count(lit(1)).as("n"))
+      val est = sk.select(col("event_type"), col("n"), explode(array(
+          phis.map { case (a, b) => struct(lit(a).as("p_num"),
+            lit(b).as("p_den"),
+            QuantileSketch.quantileCol(col("sk"), a, b).as("est"))
+          }: _*)).as("q"))
+        .select(col("event_type"), col("n"), col("q.p_num"),
+          col("q.p_den"), col("q.est"))
+        .withColumn("kth",
+          expr("(p_num * n + p_den - 1) div p_den"))
+        .withColumn("b", expr("(8 * n) div 100 + 1"))
+      val cw = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("value"))))
+        .withColumn("below", col("cum") - col("c"))
+      val exactQ = est.join(cw, Seq("event_type"))
+        .filter(col("cum") >= col("kth"))
+        .groupBy(col("event_type"), col("p_num"), col("p_den"),
+          col("n"), col("kth"), col("b"), col("est"))
+        .agg(min(col("value")).as("exact_q"))
+      exactQ.join(cw.select(col("event_type"),
+          col("value").as("est"), col("cum"), col("below")),
+          Seq("event_type", "est"))
+        .select(col("event_type"), col("p_num"), col("p_den"),
+          col("n"), col("exact_q"),
+          (col("below") + 1 <= col("kth") + col("b") &&
+            col("cum") >= col("kth") - col("b")).as("within_bound"))
+        .orderBy(col("event_type"), col("p_den"), col("p_num"))
+    }),
+
     // ── RAKE keyphrases (Rose et al. 2010): stopword-free token runs
     //    scored by summed deg/freq word ratios — the multiword-phrase
     //    complement to docs_textrank's unigram graph. Word scores
@@ -272,6 +319,27 @@ object WebQueries {
         |  OR (doc_id % 5 = 0 AND doc_id % 10 IN (0, 6))
         |  OR (doc_id % 5 = 2 AND doc_id % 10 IN (2, 9))) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_quantile_sketch" ->
+      s"""WITH ev AS (SELECT event_type, value FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1),
+        |cw AS (SELECT event_type, value,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+        |  FROM (SELECT event_type, value, count(*) AS c FROM ev
+        |    GROUP BY 1, 2)),
+        |phis AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10))
+        |  AS t(p_num, p_den)),
+        |kth AS (SELECT n.event_type, p.p_num, p.p_den, n.n,
+        |  (p.p_num * n.n + p.p_den - 1) // p.p_den AS kth
+        |  FROM n, phis p)
+        |SELECT k.event_type, CAST(k.p_num AS BIGINT) AS p_num,
+        |CAST(k.p_den AS BIGINT) AS p_den, k.n,
+        |(SELECT min(value) FROM cw
+        |  WHERE cw.event_type = k.event_type AND cw.cum >= k.kth)
+        |  AS exact_q,
+        |true AS within_bound
+        |FROM kth k ORDER BY event_type, p_den, p_num""".stripMargin,
 
     "docs_rake" -> {
       val stops = RakeStops.map(w => s"'$w'").mkString(", ")

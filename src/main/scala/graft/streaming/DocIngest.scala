@@ -765,10 +765,8 @@ object DocIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val byDay = batch.select(
-            date_format(col("ts"), "yyyy-MM-dd").as("day"),
-            col("user_id"))
-          val fresh = freshOf(byDay)
+          val fresh = freshOf(batch.withColumn("day",
+            date_format(col("ts"), "yyyy-MM-dd")))
           val prev = currentSketchPath(s, sketchDir)
           val merged = prev match {
             case Some(path) =>
@@ -867,4 +865,27 @@ object DocIngest {
           .misraGries(col("item"), k).as("mg")),
       mergeUdaf = org.apache.spark.sql.functions.udaf(
         new graft.operators.HeavyHitters.MergeAgg(k)))
+
+  /** Streaming quantile maintenance — the [[startHllDaily]] protocol
+    * with [[graft.operators.QuantileSketch]] bottom-k sample sketches:
+    * the persisted per-day table answers ANY quantile of `valueCol`
+    * ("p95 latency per day last quarter") from a k-entry sidecar, no
+    * event rescan, and days roll up to weeks/months through
+    * [[graft.operators.QuantileSketch.MergeAgg]]. `keyCol` must be
+    * row-unique (retention hashes it). Crash-replayed batches cannot
+    * move any RETAINED ENTRY — exact duplicates dedupe on insert — so
+    * every estimate is replay-stable; only the sketch's advisory row
+    * total inflates under replay (documented, like the MG n bound). */
+  def startQuantileDaily(spark: SparkSession, inDir: String,
+      schema: String, sketchDir: String, checkpoint: String,
+      keyCol: String = "event_id", valueCol: String = "value",
+      k: Int = 1024, pollInterval: String = "1 second"): StreamingQuery =
+    startDaily(spark, inDir, schema, sketchDir, checkpoint, pollInterval,
+      sketchCol = "qs",
+      freshOf = byDay => byDay
+        .groupBy(col("day"))
+        .agg(graft.operators.QuantileSketch
+          .sketch(col(keyCol), col(valueCol), k).as("qs")),
+      mergeUdaf = org.apache.spark.sql.functions.udaf(
+        new graft.operators.QuantileSketch.MergeAgg(k)))
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.QuantileSketch
+import org.apache.spark.sql.functions._
+
+/** Bottom-k coordinated-sample quantile sketch: exactness below k, the
+  * merge-order-independence contract (identical BYTES across
+  * partitionings — the property KLL lacks), the merge law (pre-built
+  * sketches fold to the direct sketch), the DKW rank-error bound when
+  * saturated, and the exact-integer ceil index discipline. The gate
+  * query `events_quantile_sketch` audits proposals against exact ranks
+  * at sf0.01. */
+class QuantileSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def buildSketch(rows: Seq[(String, Double)], k: Int,
+      parts: Int = 1): Array[Byte] = {
+    val df0 = rows.toDF("id", "v")
+    val df = if (parts > 1) df0.repartition(parts) else df0
+    df.agg(QuantileSketch.sketch(col("id"), col("v"), k))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  test("below k the sketch holds every row: quantiles are exact and " +
+      "the ceil index follows the integer discipline") {
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val sk = buildSketch(vals.zipWithIndex.map { case (v, i) =>
+      (s"id$i", v) }, k = 16)
+    assert(QuantileSketch.totalOf(sk) === 5L)
+    assert(QuantileSketch.sampleValues(sk).toSeq ===
+      Seq(1.0, 3.0, 5.0, 7.0, 9.0))
+    // ⌈φ·5⌉-th smallest: φ=1/2 → 3rd → 5.0; φ=1/4 → 2nd → 3.0;
+    // φ=9/10 → 5th → 9.0; φ=1 → 9.0; φ=1/5 → 1st → 1.0
+    assert(QuantileSketch.quantileAt(sk, 1, 2) === Some(5.0))
+    assert(QuantileSketch.quantileAt(sk, 1, 4) === Some(3.0))
+    assert(QuantileSketch.quantileAt(sk, 9, 10) === Some(9.0))
+    assert(QuantileSketch.quantileAt(sk, 1, 1) === Some(9.0))
+    assert(QuantileSketch.quantileAt(sk, 1, 5) === Some(1.0))
+  }
+
+  test("the sketch is merge-order independent: identical bytes across " +
+      "partitionings, saturated or not") {
+    val rows = (0 until 900).map(i => (s"k$i", (i * 37 % 211).toDouble))
+    for (k <- Seq(64, 2048)) {
+      val a = buildSketch(rows, k, parts = 1)
+      val b = buildSketch(rows, k, parts = 7)
+      val c = buildSketch(rows, k, parts = 32)
+      assert(java.util.Arrays.equals(a, b) &&
+        java.util.Arrays.equals(b, c), s"k=$k")
+    }
+  }
+
+  test("merge law: folding per-slice sketches equals sketching the " +
+      "concatenated input, totals add") {
+    val rows = (0 until 500).map(i => (s"k$i", math.sin(i).abs * 100))
+    val (left, right) = rows.splitAt(180)
+    val k = 128
+    val parts = Seq(left, right).map(buildSketch(_, k))
+    val merged = parts.toDF("sk")
+      .agg(QuantileSketch.merge(col("sk"), k))
+      .collect()(0).getAs[Array[Byte]](0)
+    val direct = buildSketch(rows, k)
+    assert(java.util.Arrays.equals(merged, direct))
+    assert(QuantileSketch.totalOf(merged) === 500L)
+  }
+
+  test("saturated estimates respect the DKW rank bound") {
+    val n = 5000
+    val k = 256
+    val rows = (0 until n).map(i => (s"k$i", (i * 7919 % 104729).toDouble))
+    val sk = buildSketch(rows, k)
+    assert(QuantileSketch.sampleValues(sk).length === k)
+    val sorted = rows.map(_._2).sorted
+    // ε at δ = 1e-6: sqrt(ln(2/δ)/(2k)) ≈ 0.0533 → allow 6% of n
+    val eps = (0.06 * n).toInt
+    for ((pn, pd) <- Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L))) {
+      val est = QuantileSketch.quantileAt(sk, pn, pd).get
+      val target = ((pn * n + pd - 1) / pd).toInt
+      val rankLe = sorted.count(_ <= est)
+      val rankLt = sorted.count(_ < est)
+      assert(rankLt + 1 <= target + eps && rankLe >= target - eps,
+        s"phi=$pn/$pd est=$est rank=[${rankLt + 1},$rankLe] " +
+          s"target=$target")
+    }
+  }
+
+  test("empty sketch estimates to None; guards fire") {
+    val empty = Seq.empty[(String, Double)].toDF("id", "v")
+      .agg(QuantileSketch.sketch(col("id"), col("v"), 16))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(QuantileSketch.totalOf(empty) === 0L)
+    assert(QuantileSketch.quantileAt(empty, 1, 2) === None)
+    intercept[IllegalArgumentException] {
+      QuantileSketch.quantileAt(empty, 3, 2)
+    }
+  }
+}

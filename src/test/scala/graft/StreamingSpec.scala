@@ -269,6 +269,58 @@ class StreamingSpec extends SparkSpec {
       KmvSketch.union(d1, d2, 1024), 1024) === 200.0)
   }
 
+  test("streaming quantile daily sketches: persisted day sketches " +
+      "answer any quantile exactly below k and never move under replay") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val in = Files.createTempDirectory("graft_qs_in").toString
+    val out = Files.createTempDirectory("graft_qs_out").toString
+    val ckpt = Files.createTempDirectory("graft_qs_ck").toString
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+
+    // day1: values 1..100 under unique event ids; day2 arrives in TWO
+    // batches (1..60 then 61..80) and must accumulate
+    val b1 = ((1L to 100L).map(v => (ts(1), s"d1-$v", v.toDouble)) ++
+      (1L to 60L).map(v => (ts(2), s"d2-$v", v.toDouble)))
+      .toDF("ts", "event_id", "value")
+    b1.write.mode("append").parquet(in)
+    val q = DocIngest.startQuantileDaily(spark, in,
+      "ts TIMESTAMP, event_id STRING, value DOUBLE", out, ckpt, k = 1024)
+    try {
+      q.processAllAvailable()
+      (61L to 80L).map(v => (ts(2), s"d2-$v", v.toDouble))
+        .toDF("ts", "event_id", "value")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      // a crash-replayed batch dedupes on (hash, value) — no estimate
+      // may move, only the advisory total inflates
+      b1.write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import graft.operators.QuantileSketch
+    val sk = DocIngest.currentSketches(spark, out).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(sk.keySet === Set("2024-01-01", "2024-01-02"))
+    // both days below k → the sample is the whole day → exact quantiles
+    assert(QuantileSketch.sampleValues(sk("2024-01-01")).length === 100)
+    assert(QuantileSketch.quantileAt(sk("2024-01-01"), 1, 2) ===
+      Some(50.0))
+    assert(QuantileSketch.quantileAt(sk("2024-01-01"), 9, 10) ===
+      Some(90.0))
+    assert(QuantileSketch.sampleValues(sk("2024-01-02")).length === 80)
+    assert(QuantileSketch.quantileAt(sk("2024-01-02"), 1, 2) ===
+      Some(40.0))
+    // cross-day roll-up through MergeAgg answers the range query
+    val rolled = Seq(sk("2024-01-01"), sk("2024-01-02")).toDF("sk")
+      .agg(QuantileSketch.merge(col("sk"), 1024))
+      .collect()(0).getAs[Array[Byte]](0)
+    // merged multiset: 1..80 twice + 81..100 once → the ⌈90⌉-th
+    // smallest is the second 45
+    assert(QuantileSketch.sampleValues(rolled).length === 180)
+    assert(QuantileSketch.quantileAt(rolled, 1, 2) === Some(45.0))
+  }
+
   test("streaming MG daily heavy hitters: per-day k-counter maps " +
       "accumulate across batches and keep every guaranteed-heavy user") {
     import spark.implicits._
