@@ -193,7 +193,10 @@ object QuantileSketch {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Build column: `sketch(key, value, k)` for `groupBy(...).agg(...)`. */
+  /** Build column: `sketch(key, value, k)` for `groupBy(...).agg(...)`.
+    * `value` must be non-null (the tuple encoder rejects null doubles —
+    * the [[graft.functions.TopKRows]] contract); filter or coalesce
+    * nullable measures first. */
   def sketch(key: Column, value: Column, k: Int): Column =
     udaf(new SampleAgg(k), ExpressionEncoder[(String, Double)]())
       .apply(key.cast("string"), value.cast("double"))

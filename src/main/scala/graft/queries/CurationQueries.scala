@@ -982,6 +982,23 @@ object CurationQueries {
         .orderBy(col("src_id"))
     }),
 
+    // ── the CCMatrix pipeline end-to-end: mutual-argmax MINED pairs go
+    //    through the BLEU-2 surface-overlap quality gate (the filter
+    //    CCMatrix applies before a mined pair may train) — embedding
+    //    ids key the documents table for the text leg. Oracle =
+    //    composition of the two shared oracle chains. ───────────────────
+    "emb_bitext_bleu" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val mined = graft.operators.Bitext.mutualTopPairs(
+          emb.filter(col("label") < 5),
+          emb.filter(col("label") >= 5),
+          "vec_id", "embedding", k = 4)
+        .select(col("src_id").as("ref_id"), col("tgt_id").as("cand_id"))
+      graft.operators.Bitext.bleuPairs(mined, t(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy(col("ref_id"), col("cand_id"))
+    }),
+
     // ── semantic drift: pairwise centroid cosine between label
     //    segments — integer micro-unit quantization in-plan, exact
     //    BIGINT (segment, dim) sums, BigInt pair algebra on the
@@ -1211,6 +1228,39 @@ object CurationQueries {
       |    + (1.0 - least((CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars
       |                    ELSE 0.0 END) * 10.0, 1.0))) / 3.0, 4) AS quality
       |  FROM qg)""".stripMargin
+
+  /** Mutual-argmax bitext mining CTE chain through `mut (sid, tid,
+    * cosu, margin)` — shared by the emb_bitext_mutual oracle and the
+    * emb_bitext_bleu composition so the two replays cannot drift. */
+  private val bitextMutualCtes: String =
+    """src AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE label < 5),
+      |tgt AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE label >= 5),
+      |p AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+      |  CAST(round(list_cosine_similarity(s.embedding::DOUBLE[],
+      |    t.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosu
+      |  FROM src s CROSS JOIN tgt t),
+      |kx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx FROM (
+      |  SELECT sid, cosu, row_number() OVER (PARTITION BY sid
+      |    ORDER BY cosu DESC, tid) AS rk FROM p)
+      |  WHERE rk <= 4 GROUP BY 1),
+      |ky AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy FROM (
+      |  SELECT tid, cosu, row_number() OVER (PARTITION BY tid
+      |    ORDER BY cosu DESC, sid) AS rk FROM p)
+      |  WHERE rk <= 4 GROUP BY 1),
+      |m AS (SELECT p.sid, p.tid, p.cosu,
+      |  CAST(8 * p.cosu AS DOUBLE) / (kx.sx + ky.sy) AS margin
+      |  FROM p JOIN kx USING (sid) JOIN ky USING (tid)),
+      |bt AS (SELECT sid, tid FROM (SELECT sid, tid,
+      |  row_number() OVER (PARTITION BY sid
+      |    ORDER BY margin DESC, tid) AS rk FROM m) WHERE rk = 1),
+      |bs AS (SELECT sid, tid FROM (SELECT sid, tid,
+      |  row_number() OVER (PARTITION BY tid
+      |    ORDER BY margin DESC, sid) AS rk FROM m) WHERE rk = 1),
+      |mut AS (SELECT m.sid, m.tid, m.cosu, m.margin
+      |  FROM m JOIN bt ON m.sid = bt.sid AND m.tid = bt.tid
+      |  JOIN bs ON m.sid = bs.sid AND m.tid = bs.tid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "j_fuzzy_names" -> fuzzyPairsOracle,
@@ -2166,37 +2216,14 @@ object CurationQueries {
         |CAST(NULL AS DOUBLE) AS margin_cells
         |WHERE FALSE""".stripMargin,
 
-    "emb_bitext_mutual" ->
-      """WITH src AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE label < 5),
-        |tgt AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE label >= 5),
-        |p AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
-        |  CAST(round(list_cosine_similarity(s.embedding::DOUBLE[],
-        |    t.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosu
-        |  FROM src s CROSS JOIN tgt t),
-        |kx AS (SELECT sid, CAST(sum(cosu) AS BIGINT) AS sx FROM (
-        |  SELECT sid, cosu, row_number() OVER (PARTITION BY sid
-        |    ORDER BY cosu DESC, tid) AS rk FROM p)
-        |  WHERE rk <= 4 GROUP BY 1),
-        |ky AS (SELECT tid, CAST(sum(cosu) AS BIGINT) AS sy FROM (
-        |  SELECT tid, cosu, row_number() OVER (PARTITION BY tid
-        |    ORDER BY cosu DESC, sid) AS rk FROM p)
-        |  WHERE rk <= 4 GROUP BY 1),
-        |m AS (SELECT p.sid, p.tid, p.cosu,
-        |  CAST(8 * p.cosu AS DOUBLE) / (kx.sx + ky.sy) AS margin
-        |  FROM p JOIN kx USING (sid) JOIN ky USING (tid)),
-        |bt AS (SELECT sid, tid FROM (SELECT sid, tid,
-        |  row_number() OVER (PARTITION BY sid
-        |    ORDER BY margin DESC, tid) AS rk FROM m) WHERE rk = 1),
-        |bs AS (SELECT sid, tid FROM (SELECT sid, tid,
-        |  row_number() OVER (PARTITION BY tid
-        |    ORDER BY margin DESC, sid) AS rk FROM m) WHERE rk = 1)
-        |SELECT m.sid AS src_id, m.tid AS tgt_id, m.cosu AS cos_micro,
-        |m.margin
-        |FROM m JOIN bt ON m.sid = bt.sid AND m.tid = bt.tid
-        |JOIN bs ON m.sid = bs.sid AND m.tid = bs.tid
-        |ORDER BY src_id""".stripMargin,
+    "emb_bitext_mutual" -> (s"WITH $bitextMutualCtes\n" +
+      """SELECT sid AS src_id, tid AS tgt_id, cosu AS cos_micro, margin
+        |FROM mut ORDER BY src_id""".stripMargin),
+
+    "emb_bitext_bleu" -> WebQueries.bleuOracleSql(
+      s"""$bitextMutualCtes,
+        |bpairs AS (SELECT sid AS ref_id, tid AS cand_id FROM mut)"""
+        .stripMargin),
 
     "emb_centroid_drift" ->
       """WITH ex AS (

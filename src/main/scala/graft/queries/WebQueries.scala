@@ -123,6 +123,24 @@ object WebQueries {
         stopwords = RakeStops, topK = 20)
     }),
 
+    // ── stem-grain vocabulary: every corpus token stems through the
+    //    real Porter implementation and aggregates at stem grain — the
+    //    integration query over live data next to docs_porter_stems'
+    //    vector gate. The corpus vocabulary is CLOSED (31 words at all
+    //    SFs), so the oracle replays stemming via a hand-traced
+    //    word→stem dictionary; a vocabulary change mismatches loudly. ───
+    "docs_stem_vocab" -> ((s, d) => {
+      val stemUdf = udf(graft.functions.PorterStemmer.stem _)
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("w"), stemUdf(col("w")).as("stem"))
+        .groupBy(col("stem"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_forms"))
+        .orderBy(col("stem"))
+    }),
+
     // ── Unicode NFC dedup keys: every byte-grain key in the dedup stack
     //    (md5 content hashes, shingles, URL forms, decontamination
     //    lookups) misses duplicates whose text arrived in a different
@@ -216,6 +234,53 @@ object WebQueries {
   /** DuckDB gram separator matching the engine's  packing. */
   private val Sep = "chr(1)"
 
+  /** The BLEU-2 oracle chain over an arbitrary `bpairs (ref_id,
+    * cand_id)` CTE — shared by `docs_bleu_pairs` (adjacent-doc pairs)
+    * and `emb_bitext_bleu` (mined bitext pairs) so the two replays
+    * cannot drift. Pairs whose ids lack a document row or whose
+    * candidate has < 2 tokens drop, matching
+    * [[graft.operators.Bitext.bleuPairs]]'s contract. */
+  def bleuOracleSql(bpairsCte: String): String =
+    s"""WITH $bpairsCte,
+      |toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |lens AS (SELECT doc_id, len(ws) AS l FROM toks),
+      |g1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+      |  SELECT doc_id, unnest(ws) AS g FROM toks) GROUP BY 1, 2),
+      |g2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+      |  SELECT doc_id, unnest([array_to_string(ws[i+1:i+2], $Sep)
+      |    FOR i IN range(len(ws) - 1)]) AS g
+      |  FROM toks WHERE len(ws) >= 2) GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT bp.ref_id, bp.cand_id, la.l AS r_len, lb.l AS c_len
+      |  FROM bpairs bp
+      |  JOIN lens la ON la.doc_id = bp.ref_id
+      |  JOIN lens lb ON lb.doc_id = bp.cand_id
+      |  WHERE lb.l >= 2),
+      |m1 AS (SELECT p.ref_id, p.cand_id,
+      |    CAST(sum(least(c.c, r.c)) AS BIGINT) AS m1
+      |  FROM pairs p
+      |  JOIN g1 c ON c.doc_id = p.cand_id
+      |  JOIN g1 r ON r.doc_id = p.ref_id AND r.g = c.g
+      |  GROUP BY 1, 2),
+      |m2 AS (SELECT p.ref_id, p.cand_id,
+      |    CAST(sum(least(c.c, r.c)) AS BIGINT) AS m2
+      |  FROM pairs p
+      |  JOIN g2 c ON c.doc_id = p.cand_id
+      |  JOIN g2 r ON r.doc_id = p.ref_id AND r.g = c.g
+      |  GROUP BY 1, 2)
+      |SELECT p.ref_id, p.cand_id,
+      |CAST(p.c_len AS BIGINT) AS t1, coalesce(m1.m1, 0) AS m1,
+      |CAST(p.c_len - 1 AS BIGINT) AS t2, coalesce(m2.m2, 0) AS m2,
+      |round(sqrt((CAST(coalesce(m1.m1, 0) AS DOUBLE) / p.c_len)
+      |    * (CAST(coalesce(m2.m2, 0) AS DOUBLE) / (p.c_len - 1)))
+      |  * least(1.0, CAST(p.c_len AS DOUBLE) / p.r_len), 6) + 0.0
+      |  AS bleu2
+      |FROM pairs p
+      |LEFT JOIN m1 ON m1.ref_id = p.ref_id AND m1.cand_id = p.cand_id
+      |LEFT JOIN m2 ON m2.ref_id = p.ref_id AND m2.cand_id = p.cand_id
+      |ORDER BY p.ref_id, p.cand_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     "docs_kn_score" ->
@@ -268,46 +333,11 @@ object WebQueries {
         |  AS kn_score
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "docs_bleu_pairs" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |lens AS (SELECT doc_id, len(ws) AS l FROM toks),
-        |g1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
-        |  SELECT doc_id, unnest(ws) AS g FROM toks) GROUP BY 1, 2),
-        |g2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
-        |  SELECT doc_id, unnest([array_to_string(ws[i+1:i+2], $Sep)
-        |    FOR i IN range(len(ws) - 1)]) AS g
-        |  FROM toks WHERE len(ws) >= 2) GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT a.doc_id AS ref_id, b.doc_id AS cand_id,
-        |    la.l AS r_len, lb.l AS c_len
+    "docs_bleu_pairs" -> bleuOracleSql(
+      """bpairs AS (
+        |  SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |  JOIN lens la ON la.doc_id = a.doc_id
-        |  JOIN lens lb ON lb.doc_id = b.doc_id
-        |  WHERE a.doc_id % 2 = 0 AND lb.l >= 2),
-        |m1 AS (SELECT p.ref_id, p.cand_id,
-        |    CAST(sum(least(c.c, r.c)) AS BIGINT) AS m1
-        |  FROM pairs p
-        |  JOIN g1 c ON c.doc_id = p.cand_id
-        |  JOIN g1 r ON r.doc_id = p.ref_id AND r.g = c.g
-        |  GROUP BY 1, 2),
-        |m2 AS (SELECT p.ref_id, p.cand_id,
-        |    CAST(sum(least(c.c, r.c)) AS BIGINT) AS m2
-        |  FROM pairs p
-        |  JOIN g2 c ON c.doc_id = p.cand_id
-        |  JOIN g2 r ON r.doc_id = p.ref_id AND r.g = c.g
-        |  GROUP BY 1, 2)
-        |SELECT p.ref_id, p.cand_id,
-        |CAST(p.c_len AS BIGINT) AS t1, coalesce(m1.m1, 0) AS m1,
-        |CAST(p.c_len - 1 AS BIGINT) AS t2, coalesce(m2.m2, 0) AS m2,
-        |round(sqrt((CAST(coalesce(m1.m1, 0) AS DOUBLE) / p.c_len)
-        |    * (CAST(coalesce(m2.m2, 0) AS DOUBLE) / (p.c_len - 1)))
-        |  * least(1.0, CAST(p.c_len AS DOUBLE) / p.r_len), 6) + 0.0
-        |  AS bleu2
-        |FROM pairs p
-        |LEFT JOIN m1 ON m1.ref_id = p.ref_id AND m1.cand_id = p.cand_id
-        |LEFT JOIN m2 ON m2.ref_id = p.ref_id AND m2.cand_id = p.cand_id
-        |ORDER BY p.ref_id""".stripMargin,
+        |  WHERE a.doc_id % 2 = 0)""".stripMargin),
 
     "web_robots_allowed" ->
       s"""SELECT doc_id,
@@ -372,6 +402,23 @@ object WebQueries {
         |CAST(max(score_micro) AS BIGINT) AS score_micro
         |FROM inst GROUP BY 1
         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
+    },
+
+    "docs_stem_vocab" -> {
+      // hand-traced Porter stems of the closed corpus vocabulary; only
+      // these six words move, the rest are fixed points
+      val dict = Seq("key" -> "kei", "query" -> "queri",
+        "customer" -> "custom", "merge" -> "merg", "table" -> "tabl",
+        "value" -> "valu")
+      val cases = dict.map { case (w, st) =>
+        s"WHEN '$w' THEN '$st'" }.mkString(" ")
+      s"""WITH toks AS (
+        |  SELECT unnest([x FOR x IN string_split(text, ' ')
+        |    IF len(x) > 0]) AS w FROM documents),
+        |st AS (SELECT w, CASE w $cases ELSE w END AS stem FROM toks)
+        |SELECT stem, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(count(DISTINCT w) AS BIGINT) AS n_forms
+        |FROM st GROUP BY 1 ORDER BY stem""".stripMargin
     },
 
     "docs_nfc_keys" -> {
