@@ -215,4 +215,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs >= 4, // partial+final per side
       s"TopKSum partial/final pairs missing:\n${plan.take(2000)}")
   }
+
+  test("docs_textrank: top-k is a TakeOrderedAndProject, not a global " +
+      "sort, and the word graph ranks without windows") {
+    val plan = executedPlan("docs_textrank")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k regressed to a global sort:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"textrank grew a window:\n${plan.take(2000)}")
+  }
+
+  test("docs_kn_score: no windows anywhere — count tables and the " +
+      "scoring join aggregate, and the scalar table broadcasts") {
+    val plan = executedPlan("docs_kn_score")
+    assert(!plan.contains("Window "),
+      s"KN grew a window:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the 1-row (D, B) scalar table no longer broadcasts:\n" +
+        plan.take(2000))
+  }
+
+  test("web_robots_allowed: the RFC decision is a map-side-combinable " +
+      "argmax (partial+final aggregate), no window, no nested loop " +
+      "against the rule table") {
+    val plan = executedPlan("web_robots_allowed")
+    assert(!plan.contains("Window"),
+      s"robots argmax regressed to a window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"rules join degraded to a cartesian:\n${plan.take(2000)}")
+    val aggs = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate"))
+    assert(aggs >= 2, s"partial+final argmax missing:\n${plan.take(2000)}")
+  }
 }
