@@ -54,9 +54,13 @@ object UnicodeNorm {
       org.apache.spark.sql.GraftColumnBridge.expression(c)))
 }
 
-/** STRING → STRING NFC normalization; null-intolerant, codegen'd. */
-case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
-  override def prettyName: String = "nfc_normalize"
+/** Shared STRING → STRING normalizer expression shape: null-intolerant,
+  * one static [[UnicodeNorm]] call in both the interpreted and the
+  * codegen path (`staticFn` names the static method the generated Java
+  * invokes — it must match `applyFn`). */
+sealed abstract class UnaryStringNormExpr extends UnaryExpression {
+  protected def staticFn: String
+  protected def applyFn: String => String
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
@@ -66,44 +70,33 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
       s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
 
   protected override def nullSafeEval(s: Any): Any =
-    UTF8String.fromString(
-      UnicodeNorm.nfcString(s.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(applyFn(s.asInstanceOf[UTF8String].toString))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  graft.functions.UnicodeNorm.nfcString($c.toString()));
+         |  graft.functions.UnicodeNorm.$staticFn($c.toString()));
        """.stripMargin
     })
+}
 
+/** STRING → STRING NFC normalization; null-intolerant, codegen'd. */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryStringNormExpr {
+  override def prettyName: String = "nfc_normalize"
+  protected def staticFn: String = "nfcString"
+  protected def applyFn: String => String = UnicodeNorm.nfcString
   override protected def withNewChildInternal(
       newChild: Expression): NfcNormalizeExpr = copy(child = newChild)
 }
 
 /** STRING → STRING diacritic folding; null-intolerant, codegen'd. */
-case class StripMarksExpr(child: Expression) extends UnaryExpression {
+case class StripMarksExpr(child: Expression)
+    extends UnaryStringNormExpr {
   override def prettyName: String = "strip_marks"
-  override def dataType: DataType = StringType
-  override def nullIntolerant: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
-
-  protected override def nullSafeEval(s: Any): Any =
-    UTF8String.fromString(
-      UnicodeNorm.stripMarksString(s.asInstanceOf[UTF8String].toString))
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      s"""
-         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  graft.functions.UnicodeNorm.stripMarksString($c.toString()));
-       """.stripMargin
-    })
-
+  protected def staticFn: String = "stripMarksString"
+  protected def applyFn: String => String = UnicodeNorm.stripMarksString
   override protected def withNewChildInternal(
       newChild: Expression): StripMarksExpr = copy(child = newChild)
 }

@@ -53,15 +53,7 @@ object KmvSketch {
     * hashing at/above the cached max rejects in O(1) — the dup scan
     * only runs for hashes below θ, i.e. with probability ≈ k/n, so the
     * amortized per-row cost is O(1) however large the group. */
-  private def getL(b: Array[Byte], off: Int): Long = {
-    var v = 0L; var i = 7
-    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
-    v
-  }
-  private def putL(b: Array[Byte], off: Int, v0: Long): Unit = {
-    var v = v0; var i = 0
-    while (i < 8) { b(off + i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
-  }
+  import SketchBytes.{getL, putL}
 
   /** Insert hash h into a k-slot buffer: skip when present or not
     * among the k smallest. Shared by the build and merge aggregators. */

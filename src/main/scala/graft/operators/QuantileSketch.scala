@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * arrival order — is MERGE-ORDER INDEPENDENT: identical across runs,
   * partitionings, and retry schedules, which is what lets a driver gate
   * hash its estimates. The trade is a larger k for the same accuracy
-  * (sampling error ε ≈ √(ln(2/δ)/2k) by DKW, ~4.2% at k = 1024 and
-  * δ = 10⁻⁶, versus KLL's ~1.7/k); at sidecar sizes that trade buys
+  * (sampling error ε = √(ln(2/δ)/2k) by DKW — ~8.4% of rank at
+  * k = 1024 and δ = 10⁻⁶, versus KLL's ~1.7/k; consumers must audit
+  * against THIS bound, not a smaller one), at sidecar sizes buying
   * determinism and O(1) amortized per-row cost.
   *
   * A sketch answers ANY quantile after the fact — the persisted
@@ -34,25 +35,19 @@ import org.apache.spark.sql.functions._
   * Scale shape: the aggregation is map-side combinable (each task
   * reduces to one ≤ k-slot buffer before the exchange); the shuffle
   * carries O(groups × tasks × 16k) bytes regardless of corpus size;
-  * once saturated a row hashing at/above the cached max rejects in
-  * O(1) (the [[KmvSketch]] fast path). */
+  * once saturated a row hashing STRICTLY above the cached max hash
+  * rejects in O(1) (the [[KmvSketch]] fast path — exact hash ties fall
+  * through to the scan, since the entry order breaks them by value
+  * bits). */
 object QuantileSketch {
 
   private val Seed = 0x51_53_4bL // "QSK"
 
-  // buffer layout (little-endian longs): [0..8) m = retained entries,
-  // [8..16) n = total rows folded, [16..24) max retained (hash, vbits)
-  // entry's hash (valid once m = k), then m 16-byte entries of
-  // (hash, value bits), UNSORTED
-  private def getL(b: Array[Byte], off: Int): Long = {
-    var v = 0L; var i = 7
-    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
-    v
-  }
-  private def putL(b: Array[Byte], off: Int, v0: Long): Unit = {
-    var v = v0; var i = 0
-    while (i < 8) { b(off + i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
-  }
+  // buffer layout (little-endian longs via the shared SketchBytes
+  // packing): [0..8) m = retained entries, [8..16) n = total rows
+  // folded, [16..24) max retained (hash, vbits) entry's hash (valid
+  // once m = k), then m 16-byte entries of (hash, value bits), UNSORTED
+  import SketchBytes.{getL, putL}
 
   /** Total order on entries: unsigned hash, then unsigned value bits. */
   private def entryLt(h1: Long, v1: Long, h2: Long, v2: Long): Boolean = {

@@ -47,13 +47,17 @@ object WebQueries {
     //    group selection (exact agent beats *), longest-match
     //    precedence, Allow-wins-ties, '*' wildcards, '$' anchors,
     //    empty Disallow (allow all), and the no-robots default. The
-    //    oracle states each decision in CLOSED FORM per branch (the
-    //    docs_url_canonical pattern). ────────────────────────────────────
+    //    host index is doc_id DIV 10 (mod 5) — COPRIME with the path's
+    //    doc_id MOD 10, so all 50 (policy, path) combinations occur
+    //    across every 50 consecutive ids (a %5 host would alias to
+    //    pb%5 and silently skip 40 of them). The oracle states each
+    //    decision in CLOSED FORM per branch (the docs_url_canonical
+    //    pattern). ────────────────────────────────────────────────────────
     "web_robots_allowed" -> ((s, d) => {
       val pages = t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"))
         .select(col("doc_id"),
-          concat(lit("h"), pmod(col("doc_id"), lit(5)),
+          concat(lit("h"), pmod(expr("doc_id div 10"), lit(5)),
             lit(".example.com")).as("host"),
           element_at(array(RobotsPaths.map(lit): _*),
             (pmod(col("doc_id"), lit(10)) + 1).cast("int")).as("path"))
@@ -70,10 +74,13 @@ object WebQueries {
     //    disposes", the hll_audit pattern): per event type a bottom-k
     //    coordinated-sample sketch proposes 4 quantiles; the query
     //    computes each proposal's EXACT rank window and flags whether
-    //    it sits within the DKW sampling bound of the target rank.
-    //    The sketch is merge-order INDEPENDENT (unlike KLL), so the
-    //    flags are stable across runs and the oracle replays n and the
-    //    exact quantiles in full and pins the flags true. ───────────────
+    //    it sits within 10% of n of the target rank — wider than the
+    //    true DKW guarantee ε = √(ln(2/δ)/2k) ≈ 8.4% at k=1024,
+    //    δ=1e-6, so a sketch honoring its bound can never flip the
+    //    flag on a regenerated fixture. The sketch is merge-order
+    //    INDEPENDENT (unlike KLL), so the flags are stable across runs
+    //    and the oracle replays n and the exact quantiles in full and
+    //    pins the flags true. ────────────────────────────────────────────
     "events_quantile_sketch" -> ((s, d) => {
       import graft.operators.QuantileSketch
       import org.apache.spark.sql.expressions.Window
@@ -92,7 +99,7 @@ object WebQueries {
           col("q.p_den"), col("q.est"))
         .withColumn("kth",
           expr("(p_num * n + p_den - 1) div p_den"))
-        .withColumn("b", expr("(8 * n) div 100 + 1"))
+        .withColumn("b", expr("(10 * n) div 100 + 1"))
       val cw = ev.groupBy(col("event_type"), col("value"))
         .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(
@@ -341,13 +348,14 @@ object WebQueries {
 
     "web_robots_allowed" ->
       s"""SELECT doc_id,
-        |'h' || (doc_id % 5) || '.example.com' AS host,
+        |'h' || ((doc_id // 10) % 5) || '.example.com' AS host,
         |['/private/a', '/private/public/b', '/a.pdf', '/a.pdfx',
         | '/tmp/x', '/index.html', '/private/public', '/',
         | '/dual/x', '/img/a/raw'][(doc_id % 10) + 1] AS path,
-        |NOT (doc_id % 5 = 1
-        |  OR (doc_id % 5 = 0 AND doc_id % 10 IN (0, 6))
-        |  OR (doc_id % 5 = 2 AND doc_id % 10 IN (2, 9))) AS allowed
+        |NOT ((doc_id // 10) % 5 = 1
+        |  OR ((doc_id // 10) % 5 = 0 AND doc_id % 10 IN (0, 6))
+        |  OR ((doc_id // 10) % 5 = 2 AND doc_id % 10 IN (2, 9)))
+        |  AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "events_quantile_sketch" ->

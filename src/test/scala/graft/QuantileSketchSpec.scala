@@ -72,8 +72,10 @@ class QuantileSketchSpec extends SparkSpec {
     val sk = buildSketch(rows, k)
     assert(QuantileSketch.sampleValues(sk).length === k)
     val sorted = rows.map(_._2).sorted
-    // ε at δ = 1e-6: sqrt(ln(2/δ)/(2k)) ≈ 0.0533 → allow 6% of n
-    val eps = (0.06 * n).toInt
+    // the DKW guarantee at δ = 1e-6, k = 256: ε = √(ln(2/δ)/2k) =
+    // √(ln(2e6)/512) ≈ 0.168 — assert the bound itself (the sketch is
+    // deterministic on this fixed input; observed error is ~2%)
+    val eps = (0.17 * n).toInt
     for ((pn, pd) <- Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L))) {
       val est = QuantileSketch.quantileAt(sk, pn, pd).get
       val target = ((pn * n + pd - 1) / pd).toInt
