@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.nio.charset.Charset
+
+/** Minimal HTTP/1.x response-message parsing — the step between a WARC
+  * response record's block and the HTML/text stack: a crawl response
+  * block is "status line, header lines, blank line, body", and the
+  * charset needed to decode the body lives in the Content-Type header.
+  * Lenient where real crawls are dirty (LF-only line endings, missing
+  * reason phrases, unknown or absent charsets fall back to UTF-8's
+  * replacing decode, malformed header lines skip); `None` only when the
+  * block is not an HTTP response at all (no `HTTP/` status line, no
+  * parseable status code, or no header/body separator) — degrade,
+  * never throw (the [[WarcCodec]] discipline). Header NAMES compare
+  * case-insensitively; duplicate headers keep document order and
+  * `header()` returns the FIRST occurrence (RFC 9110 field order). */
+object HttpMessage {
+
+  final case class Response(status: Int,
+      headers: Vector[(String, String)], body: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+  }
+
+  def parseResponse(block: Array[Byte]): Option[Response] = {
+    if (block == null) return None
+    // header/body separator: CRLFCRLF, else lenient LFLF
+    var sep = indexOf(block, "\r\n\r\n".getBytes)
+    var bodyAt = sep + 4
+    if (sep < 0) { sep = indexOf(block, "\n\n".getBytes); bodyAt = sep + 2 }
+    if (sep < 0) return None
+    // header bytes are latin-1 by spec — every byte round-trips
+    val head = new String(block, 0, sep, "ISO-8859-1")
+    val lines = head.split("\r?\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return None
+    val statusParts = lines(0).split(" ", 3)
+    if (statusParts.length < 2) return None
+    val status = statusParts(1).toIntOption.getOrElse(return None)
+    val headers = lines.iterator.drop(1).flatMap { l =>
+      val ci = l.indexOf(':')
+      if (ci <= 0) None
+      else Some(l.substring(0, ci).trim -> l.substring(ci + 1).trim)
+    }.toVector
+    Some(Response(status, headers,
+      java.util.Arrays.copyOfRange(block, bodyAt, block.length)))
+  }
+
+  /** The `charset` parameter of a Content-Type value, verbatim
+    * (unquoted, whitespace-trimmed); "UTF-8" when absent. */
+  def charsetOf(contentType: String): String = {
+    if (contentType == null) return "UTF-8"
+    contentType.split(";").iterator.map(_.trim).collectFirst {
+      case p if p.toLowerCase.startsWith("charset=") =>
+        p.substring("charset=".length).trim.stripPrefix("\"")
+          .stripSuffix("\"")
+    }.filter(_.nonEmpty).getOrElse("UTF-8")
+  }
+
+  /** Decode body bytes under the declared charset; unknown or
+    * unsupported names fall back to UTF-8. Always a REPLACING decode —
+    * mojibake degrades, never throws. */
+  def decodeBody(body: Array[Byte], charset: String): String = {
+    val cs =
+      try Charset.forName(charset)
+      catch { case _: Exception => Charset.forName("UTF-8") }
+    new String(body, cs)
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

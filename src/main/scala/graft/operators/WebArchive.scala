@@ -33,6 +33,36 @@ object WebArchive {
         col("_r._4").as("content_length"), col("_r._5").as("payload"))
   }
 
+  /** WARC response records parsed as HTTP messages — the step between
+    * [[records]] and the HTML/text stack: crawl archives store the RAW
+    * HTTP exchange, so target text sits behind a status line and a
+    * Content-Type whose charset decides the byte→text decode. One row
+    * per parseable HTTP response record: (idCol, rec_idx, target_uri,
+    * status, content_type, charset, body_text); non-response records
+    * and non-HTTP blocks drop (degrade, never throw). Same scale shape
+    * as [[records]] — archives parse independently per row. */
+  def httpResponses(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val parse = udf((bytes: Array[Byte]) =>
+      if (bytes == null) Seq.empty[(Int, String, Int, String, String, String)]
+      else WarcCodec.decode(bytes).zipWithIndex.flatMap { case (r, i) =>
+        if (!r.warcType.contains("response")) None
+        else graft.functions.HttpMessage.parseResponse(r.payload)
+          .map { resp =>
+            val ct = resp.header("Content-Type").getOrElse("")
+            val cs = graft.functions.HttpMessage.charsetOf(ct)
+            (i, r.targetUri.getOrElse(""), resp.status, ct, cs,
+              graft.functions.HttpMessage.decodeBody(resp.body, cs))
+          }
+      })
+    df.select(col(idCol).cast("long").as(idCol),
+        explode(parse(col(bytesCol))).as("_r"))
+      .select(col(idCol), col("_r._1").as("rec_idx"),
+        col("_r._2").as("target_uri"), col("_r._3").as("status"),
+        col("_r._4").as("content_type"), col("_r._5").as("charset"),
+        col("_r._6").as("body_text"))
+  }
+
   /** Robots-compliance decisions (RFC 9309) over a crawled-page table —
     * the relational form of [[graft.functions.RobotsTxt.isAllowed]]:
     * each host's robots.txt parses ONCE into an exploded

@@ -130,6 +130,48 @@ object WebQueries {
         stopwords = RakeStops, topK = 20)
     }),
 
+    // ── HTTP-in-WARC parsing: each doc gets an in-plan WARC whose
+    //    response block is a REAL HTTP message (status line, headers,
+    //    body) — status by doc_id%3, content type by doc_id%2 (UTF-8
+    //    html vs ISO-8859-1 plain text whose body carries a non-ASCII
+    //    byte the charset decode must map correctly). %3 and %2 are
+    //    coprime, so all 6 combinations occur. Closed-form oracle
+    //    over every output column. ──────────────────────────────────────
+    "docs_warc_http" -> ((s, d) => {
+      val synth = udf((id: Long, text: String) => {
+        val status = (id % 3) match {
+          case 0 => "200 OK"
+          case 1 => "301 Moved Permanently"
+          case _ => "404 Not Found"
+        }
+        val (ct, body) =
+          if (id % 2 == 0)
+            ("text/html; charset=utf-8",
+              ("<p>" + text + "</p>").getBytes("UTF-8"))
+          else
+            ("text/plain; charset=ISO-8859-1",
+              (text + " café").getBytes("ISO-8859-1"))
+        val head = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
+          "Server: graft\r\n\r\n"
+        graft.functions.WarcCodec.encode(Seq(
+          (Seq("WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:graft:info:$id>"),
+            "software: graft\r\n".getBytes("UTF-8")),
+          (Seq("WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:graft:http:$id>",
+            "WARC-Target-URI" -> s"http://example.org/doc/$id"),
+            head.getBytes("ISO-8859-1") ++ body)),
+          gzipPerRecord = id % 2 == 0)
+      })
+      WebArchive.httpResponses(
+          t(s, d, "documents").select(col("doc_id").cast("long")
+            .as("doc_id"), col("text"))
+          .select(col("doc_id"),
+            synth(col("doc_id"), col("text")).as("bytes")),
+          "doc_id", "bytes")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── stem-grain vocabulary: every corpus token stems through the
     //    real Porter implementation and aggregates at stem grain — the
     //    integration query over live data next to docs_porter_stems'
@@ -411,6 +453,18 @@ object WebQueries {
         |FROM inst GROUP BY 1
         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
     },
+
+    "docs_warc_http" ->
+      s"""SELECT doc_id, 1 AS rec_idx,
+        |'http://example.org/doc/' || doc_id AS target_uri,
+        |[200, 301, 404][(doc_id % 3) + 1] AS status,
+        |CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+        |  ELSE 'text/plain; charset=ISO-8859-1' END AS content_type,
+        |CASE WHEN doc_id % 2 = 0 THEN 'utf-8'
+        |  ELSE 'ISO-8859-1' END AS charset,
+        |CASE WHEN doc_id % 2 = 0 THEN '<p>' || text || '</p>'
+        |  ELSE text || ' café' END AS body_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "docs_stem_vocab" -> {
       // hand-traced Porter stems of the closed corpus vocabulary; only
