@@ -66,6 +66,41 @@ object HttpMessage {
     new String(body, cs)
   }
 
+  /** Decode a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex-size[;extensions] CRLF, chunk bytes, CRLF, …, terminated by a
+    * zero-size chunk (trailers ignored). `None` on any malformation —
+    * callers fall back to the RAW bytes, because a crawl block that
+    * CLAIMS chunking but is stored de-chunked (some WARC writers strip
+    * it without dropping the header) is the common dirty case. */
+  def decodeChunked(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (true) {
+      // read the size line
+      var eol = i
+      while (eol < body.length && body(eol) != '\n') eol += 1
+      if (eol >= body.length) return None
+      val lineEnd = if (eol > i && body(eol - 1) == '\r') eol - 1 else eol
+      val line = new String(body, i, lineEnd - i, "ISO-8859-1")
+      val sizeHex = line.takeWhile(_ != ';').trim
+      if (sizeHex.isEmpty ||
+          !sizeHex.forall(c => Character.digit(c, 16) >= 0)) return None
+      val size =
+        try Integer.parseInt(sizeHex, 16)
+        catch { case _: NumberFormatException => return None }
+      i = eol + 1
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (i + size > body.length) return None
+      out.write(body, i, size)
+      i += size
+      // the chunk's trailing CRLF (lenient: LF alone)
+      if (i < body.length && body(i) == '\r') i += 1
+      if (i >= body.length || body(i) != '\n') return None
+      i += 1
+    }
+    None // unreachable
+  }
+
   private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i + needle.length <= hay.length) {

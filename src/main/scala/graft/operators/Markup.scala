@@ -61,4 +61,38 @@ object Markup {
     * and whitespace collapse last (tag replacement introduces spaces). */
   def htmlToText(c: Column): Column =
     collapseWhitespace(decodeEntities(stripTags(c)))
+
+  /** The `<meta name="robots">` content, lowercased — the PAGE-level
+    * exclusion channel next to the host-level RFC 9309 filter
+    * ([[WebArchive.robotsDecisions]]): a compliant corpus pipeline must
+    * honor both before a fetched page may train. Both attribute orders
+    * and both quote styles match; `[^>]*` keeps each alternative inside
+    * ONE tag (a content= in a LATER tag cannot pair with this tag's
+    * name=robots); empty string when the page carries no directive.
+    * Same pattern discipline as the strip chain: no backreferences, no
+    * lookaround, inline `(?i)` only — codegen'd regexp_extract, no
+    * UDF. */
+  def metaRobotsContent(html: Column): Column = {
+    val nameFirst = regexp_extract(html,
+      "(?i)<meta[^>]*name\\s*=\\s*['\"]robots['\"][^>]*" +
+        "content\\s*=\\s*['\"]([^'\"]*)['\"]", 1)
+    val contentFirst = regexp_extract(html,
+      "(?i)<meta[^>]*content\\s*=\\s*['\"]([^'\"]*)['\"][^>]*" +
+        "name\\s*=\\s*['\"]robots['\"]", 1)
+    lower(when(length(nameFirst) > 0, nameFirst).otherwise(contentFirst))
+  }
+
+  /** (noindex, nofollow) flags from [[metaRobotsContent]]; the `none`
+    * directive implies both (Google/Bing semantics). Token membership
+    * is substring-based on the lowercased content — the practical
+    * reading crawlers apply. */
+  def metaNoindex(html: Column): Column = {
+    val c = metaRobotsContent(html)
+    c.contains("noindex") || c === lit("none")
+  }
+
+  def metaNofollow(html: Column): Column = {
+    val c = metaRobotsContent(html)
+    c.contains("nofollow") || c === lit("none")
+  }
 }

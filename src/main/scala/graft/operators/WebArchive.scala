@@ -51,8 +51,16 @@ object WebArchive {
           .map { resp =>
             val ct = resp.header("Content-Type").getOrElse("")
             val cs = graft.functions.HttpMessage.charsetOf(ct)
+            // de-chunk when declared; fall back to the raw bytes when
+            // the block was stored de-chunked despite the header
+            val body =
+              if (resp.header("Transfer-Encoding")
+                  .exists(_.toLowerCase.contains("chunked")))
+                graft.functions.HttpMessage.decodeChunked(resp.body)
+                  .getOrElse(resp.body)
+              else resp.body
             (i, r.targetUri.getOrElse(""), resp.status, ct, cs,
-              graft.functions.HttpMessage.decodeBody(resp.body, cs))
+              graft.functions.HttpMessage.decodeBody(body, cs))
           }
       })
     df.select(col(idCol).cast("long").as(idCol),

@@ -134,9 +134,13 @@ object WebQueries {
     //    response block is a REAL HTTP message (status line, headers,
     //    body) — status by doc_id%3, content type by doc_id%2 (UTF-8
     //    html vs ISO-8859-1 plain text whose body carries a non-ASCII
-    //    byte the charset decode must map correctly). %3 and %2 are
-    //    coprime, so all 6 combinations occur. Closed-form oracle
-    //    over every output column. ──────────────────────────────────────
+    //    byte the charset decode must map correctly), and every
+    //    doc_id%5==0 body ships Transfer-Encoding: chunked (two
+    //    chunks) that de-chunking must restore byte-exactly — the
+    //    oracle's body column is framing-free, so broken or skipped
+    //    de-chunking mismatches. %3, %2, %5 are pairwise coprime: all
+    //    30 combinations occur. Closed-form oracle over every output
+    //    column. ──────────────────────────────────────────────────────────
     "docs_warc_http" -> ((s, d) => {
       val synth = udf((id: Long, text: String) => {
         val status = (id % 3) match {
@@ -151,7 +155,22 @@ object WebQueries {
           else
             ("text/plain; charset=ISO-8859-1",
               (text + " café").getBytes("ISO-8859-1"))
+        val chunked = id % 5 == 0
+        val wire = if (!chunked) body else {
+          val out = new java.io.ByteArrayOutputStream()
+          def put(from: Int, until: Int): Unit = if (until > from) {
+            out.write(s"${(until - from).toHexString}\r\n"
+              .getBytes("ISO-8859-1"))
+            out.write(body, from, until - from)
+            out.write("\r\n".getBytes("ISO-8859-1"))
+          }
+          put(0, body.length / 2)
+          put(body.length / 2, body.length)
+          out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+          out.toByteArray
+        }
         val head = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
+          (if (chunked) "Transfer-Encoding: chunked\r\n" else "") +
           "Server: graft\r\n\r\n"
         graft.functions.WarcCodec.encode(Seq(
           (Seq("WARC-Type" -> "warcinfo",
@@ -160,7 +179,7 @@ object WebQueries {
           (Seq("WARC-Type" -> "response",
             "WARC-Record-ID" -> s"<urn:graft:http:$id>",
             "WARC-Target-URI" -> s"http://example.org/doc/$id"),
-            head.getBytes("ISO-8859-1") ++ body)),
+            head.getBytes("ISO-8859-1") ++ wire)),
           gzipPerRecord = id % 2 == 0)
       })
       WebArchive.httpResponses(
@@ -169,6 +188,26 @@ object WebQueries {
           .select(col("doc_id"),
             synth(col("doc_id"), col("text")).as("bytes")),
           "doc_id", "bytes")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── page-level robots directives: 5 in-plan HTML branches (no tag,
+    //    plain noindex, reversed-attribute single-quoted noindex+
+    //    nofollow, index-follow, and a DECOY description tag whose
+    //    content says noindex but whose name is not robots) drive the
+    //    meta-robots extractor; closed-form oracle per branch. ──────────
+    "web_meta_robots" -> ((s, d) => {
+      import graft.operators.Markup
+      val html = element_at(array(MetaRobotsHtml.map(lit): _*),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat(lit("<html><head>"), html,
+            lit("</head><body>x</body></html>")).as("page"))
+        .select(col("doc_id"),
+          Markup.metaRobotsContent(col("page")).as("directives"),
+          Markup.metaNoindex(col("page")).as("noindex"),
+          Markup.metaNofollow(col("page")).as("nofollow"))
         .orderBy(col("doc_id"))
     }),
 
@@ -237,6 +276,14 @@ object WebQueries {
   /** RAKE stopwords for the synthetic corpus (its only function
     * words); interpolated into the oracle from this one value. */
   private val RakeStops = Seq("the", "a")
+
+  /** The 5 meta-robots HTML branches (doc_id % 5). */
+  private val MetaRobotsHtml = Seq(
+    "<title>t</title>",
+    "<meta name=\"robots\" content=\"noindex\">",
+    "<meta content='noindex, nofollow' name='robots'>",
+    "<meta name=\"robots\" content=\"index, follow\">",
+    "<meta name=\"description\" content=\"noindex\">")
 
   /** NFC test phrases: precomposed forms and their combining-mark
     * decompositions (canonical equivalents — NFC must unify them). */
@@ -464,6 +511,14 @@ object WebQueries {
         |  ELSE 'ISO-8859-1' END AS charset,
         |CASE WHEN doc_id % 2 = 0 THEN '<p>' || text || '</p>'
         |  ELSE text || ' café' END AS body_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_meta_robots" ->
+      s"""SELECT doc_id,
+        |['', 'noindex', 'noindex, nofollow', 'index, follow', '']
+        |  [(doc_id % 5) + 1] AS directives,
+        |doc_id % 5 IN (1, 2) AS noindex,
+        |doc_id % 5 = 2 AS nofollow
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "docs_stem_vocab" -> {

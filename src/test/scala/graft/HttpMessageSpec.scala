@@ -52,6 +52,23 @@ class HttpMessageSpec extends AnyFunSuite {
     assert(charsetOf("text/html; charset=") === "UTF-8")
   }
 
+  test("decodeChunked: multi-chunk bodies with extensions round-trip; " +
+      "empty bodies are a lone terminator; malformation returns None") {
+    val chunked = bytes("5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+    assert(decodeChunked(chunked).map(new String(_, "UTF-8")) ===
+      Some("hello world"))
+    assert(decodeChunked(bytes("0\r\n\r\n"))
+      .map(_.length) === Some(0))
+    // lenient LF-only framing
+    assert(decodeChunked(bytes("3\nabc\n0\n\n"))
+      .map(new String(_, "UTF-8")) === Some("abc"))
+    assert(decodeChunked(bytes("zz\r\nhello\r\n0\r\n\r\n")) === None)
+    assert(decodeChunked(bytes("ff\r\nhello\r\n0\r\n\r\n")) === None)
+    assert(decodeChunked(bytes("5\r\nhello")) === None)
+    assert(decodeChunked(bytes("plain body, no framing")) === None)
+    assert(decodeChunked(Array.emptyByteArray) === None)
+  }
+
   test("decodeBody honors the declared charset and falls back to a " +
       "replacing UTF-8 decode on unknown names") {
     val latin = "café".getBytes("ISO-8859-1") // single 0xE9 byte

@@ -54,4 +54,30 @@ class MarkupSpec extends SparkSpec {
       "<p>A &amp; B</p></body></html>"
     assert(strip(page) === "t Title First para. A & B")
   }
+
+  private def metaFlags(html: String): (String, Boolean, Boolean) =
+    Seq(html).toDF("h").select(Markup.metaRobotsContent(col("h")),
+        Markup.metaNoindex(col("h")), Markup.metaNofollow(col("h")))
+      .as[(String, Boolean, Boolean)].head()
+
+  test("meta robots: both attribute orders and quote styles extract; " +
+      "case folds; 'none' implies both flags; decoys don't match") {
+    assert(metaFlags("<meta name=\"robots\" content=\"noindex\">") ===
+      (("noindex", true, false)))
+    assert(metaFlags("<meta content='noindex, nofollow' name='robots'>")
+      === (("noindex, nofollow", true, true)))
+    assert(metaFlags("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>") ===
+      (("nofollow", false, true)))
+    assert(metaFlags("<meta name=\"robots\" content=\"none\">") ===
+      (("none", true, true)))
+    assert(metaFlags("<meta name=\"robots\" content=\"index, follow\">")
+      === (("index, follow", false, false)))
+    // decoys: wrong name; content in a LATER tag must not pair with an
+    // earlier tag's name=robots across the '>' boundary
+    assert(metaFlags("<meta name=\"description\" content=\"noindex\">")
+      === (("", false, false)))
+    assert(metaFlags("<meta name=\"robots\"><meta name=\"d\" " +
+      "content=\"noindex\">") === (("", false, false)))
+    assert(metaFlags("<p>no meta at all</p>") === (("", false, false)))
+  }
 }
