@@ -24,10 +24,16 @@ object HttpMessage {
 
   def parseResponse(block: Array[Byte]): Option[Response] = {
     if (block == null) return None
-    // header/body separator: CRLFCRLF, else lenient LFLF
-    var sep = indexOf(block, "\r\n\r\n".getBytes)
-    var bodyAt = sep + 4
-    if (sep < 0) { sep = indexOf(block, "\n\n".getBytes); bodyAt = sep + 2 }
+    // header/body separator: the EARLIEST of CRLFCRLF and LFLF — a
+    // LF-only header section must split at its own blank line, not at
+    // a CRLF blank line further down inside a CRLF-bodied HTML file
+    // (the two patterns cannot start at the same offset)
+    val crlf = ByteSearch.indexOf(block, "\r\n\r\n".getBytes, 0)
+    val lf = ByteSearch.indexOf(block, "\n\n".getBytes, 0)
+    val (sep, bodyAt) =
+      if (crlf < 0 && lf < 0) (-1, 0)
+      else if (lf < 0 || (crlf >= 0 && crlf < lf)) (crlf, crlf + 4)
+      else (lf, lf + 2)
     if (sep < 0) return None
     // header bytes are latin-1 by spec — every byte round-trips
     val head = new String(block, 0, sep, "ISO-8859-1")
@@ -90,7 +96,10 @@ object HttpMessage {
         catch { case _: NumberFormatException => return None }
       i = eol + 1
       if (size == 0) return Some(out.toByteArray) // trailers ignored
-      if (i + size > body.length) return None
+      // subtraction form: `i + size` overflows Int at adversarial
+      // sizes like 7fffffff and would crash the copy instead of
+      // degrading to None
+      if (size > body.length - i) return None
       out.write(body, i, size)
       i += size
       // the chunk's trailing CRLF (lenient: LF alone)
@@ -101,14 +110,4 @@ object HttpMessage {
     None // unreachable
   }
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
-    var i = 0
-    while (i + needle.length <= hay.length) {
-      var j = 0
-      while (j < needle.length && hay(i + j) == needle(j)) j += 1
-      if (j == needle.length) return i
-      i += 1
-    }
-    -1
-  }
 }

@@ -184,18 +184,8 @@ object PdfCodec {
     b == ' ' || b == '\r' || b == '\n' || b == '\t' || b == 0 || b == 0x0c
   private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
 
-  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
-    val nd = needle.getBytes("US-ASCII")
-    var i = math.max(from, 0)
-    val last = hay.length - nd.length
-    while (i <= last) {
-      var k = 0
-      while (k < nd.length && hay(i + k) == nd(k)) k += 1
-      if (k == nd.length) return i
-      i += 1
-    }
-    -1
-  }
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int =
+    ByteSearch.indexOf(hay, needle.getBytes("US-ASCII"), from)
 
   // ── dictionary mini-parsing ───────────────────────────────────────────
 

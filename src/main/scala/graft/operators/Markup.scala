@@ -62,37 +62,55 @@ object Markup {
   def htmlToText(c: Column): Column =
     collapseWhitespace(decodeEntities(stripTags(c)))
 
-  /** The `<meta name="robots">` content, lowercased — the PAGE-level
-    * exclusion channel next to the host-level RFC 9309 filter
-    * ([[WebArchive.robotsDecisions]]): a compliant corpus pipeline must
-    * honor both before a fetched page may train. Both attribute orders
-    * and both quote styles match; `[^>]*` keeps each alternative inside
-    * ONE tag (a content= in a LATER tag cannot pair with this tag's
-    * name=robots); empty string when the page carries no directive.
-    * Same pattern discipline as the strip chain: no backreferences, no
-    * lookaround, inline `(?i)` only — codegen'd regexp_extract, no
-    * UDF. */
+  /** The combined `<meta name="robots">` directives of a page,
+    * lowercased and comma-joined across ALL robots meta tags — the
+    * PAGE-level exclusion channel next to the host-level RFC 9309
+    * filter ([[WebArchive.robotsDecisions]]): a compliant corpus
+    * pipeline must honor both before a fetched page may train.
+    * Matched: both attribute orders, quoted (either style) and
+    * HTML5-legal UNQUOTED attribute values, any number of robots tags
+    * (crawler semantics combine directives across tags). `[^>]*` keeps
+    * each alternative inside ONE tag — a content= in a LATER tag
+    * cannot pair with this tag's name=robots. Empty string when the
+    * page carries no directive. Same pattern discipline as the strip
+    * chain: no backreferences, no lookaround, inline `(?i)` only —
+    * codegen'd regexp_extract_all, no UDF. */
   def metaRobotsContent(html: Column): Column = {
-    val nameFirst = regexp_extract(html,
-      "(?i)<meta[^>]*name\\s*=\\s*['\"]robots['\"][^>]*" +
-        "content\\s*=\\s*['\"]([^'\"]*)['\"]", 1)
-    val contentFirst = regexp_extract(html,
-      "(?i)<meta[^>]*content\\s*=\\s*['\"]([^'\"]*)['\"][^>]*" +
-        "name\\s*=\\s*['\"]robots['\"]", 1)
-    lower(when(length(nameFirst) > 0, nameFirst).otherwise(contentFirst))
+    // the trailing class consumes ONE boundary char (quote, space, '/',
+    // '>') so name="robotsx" cannot false-match without lookahead
+    val nameAttr = "name\\s*=\\s*['\"]?robots['\"\\s>/]"
+    val quotedVal = "content\\s*=\\s*['\"]([^'\"]*)['\"]"
+    val bareVal = "content\\s*=\\s*([^\\s>'\"]+)"
+    // the four pattern cells are disjoint per tag (attribute order ×
+    // quoting), so each robots tag contributes exactly one match
+    val cells = Seq(
+      s"(?i)<meta[^>]*$nameAttr[^>]*$quotedVal",
+      s"(?i)<meta[^>]*$nameAttr[^>]*$bareVal",
+      s"(?i)<meta[^>]*$quotedVal[^>]*$nameAttr",
+      s"(?i)<meta[^>]*$bareVal[^>]*$nameAttr")
+    val all = concat(cells.map(p =>
+      regexp_extract_all(html, lit(p), lit(1))): _*)
+    lower(array_join(filter(all, x => length(x) > 0), ", "))
   }
 
-  /** (noindex, nofollow) flags from [[metaRobotsContent]]; the `none`
-    * directive implies both (Google/Bing semantics). Token membership
-    * is substring-based on the lowercased content — the practical
-    * reading crawlers apply. */
-  def metaNoindex(html: Column): Column = {
+  /** (directives, noindex, nofollow) in ONE extraction pass — callers
+    * selecting several robots columns should unpack this struct rather
+    * than call the per-flag helpers (each of those rebuilds the full
+    * extraction tree and relies on subexpression elimination). The
+    * `none` directive implies both flags (Google/Bing semantics);
+    * token membership is substring-based on the lowercased combined
+    * content — the practical reading crawlers apply. */
+  def metaRobotsFlags(html: Column): Column = {
     val c = metaRobotsContent(html)
-    c.contains("noindex") || c === lit("none")
+    val none = c.contains("none")
+    struct(c.as("directives"),
+      (c.contains("noindex") || none).as("noindex"),
+      (c.contains("nofollow") || none).as("nofollow"))
   }
 
-  def metaNofollow(html: Column): Column = {
-    val c = metaRobotsContent(html)
-    c.contains("nofollow") || c === lit("none")
-  }
+  def metaNoindex(html: Column): Column =
+    metaRobotsFlags(html).getField("noindex")
+
+  def metaNofollow(html: Column): Column =
+    metaRobotsFlags(html).getField("nofollow")
 }

@@ -205,9 +205,10 @@ object WebQueries {
           concat(lit("<html><head>"), html,
             lit("</head><body>x</body></html>")).as("page"))
         .select(col("doc_id"),
-          Markup.metaRobotsContent(col("page")).as("directives"),
-          Markup.metaNoindex(col("page")).as("noindex"),
-          Markup.metaNofollow(col("page")).as("nofollow"))
+          Markup.metaRobotsFlags(col("page")).as("_f"))
+        .select(col("doc_id"), col("_f.directives").as("directives"),
+          col("_f.noindex").as("noindex"),
+          col("_f.nofollow").as("nofollow"))
         .orderBy(col("doc_id"))
     }),
 

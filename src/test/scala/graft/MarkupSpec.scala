@@ -70,14 +70,32 @@ class MarkupSpec extends SparkSpec {
       (("nofollow", false, true)))
     assert(metaFlags("<meta name=\"robots\" content=\"none\">") ===
       (("none", true, true)))
+    assert(metaFlags("<meta name=\"robots\" content=\"none, noarchive\">")
+      === (("none, noarchive", true, true)))
     assert(metaFlags("<meta name=\"robots\" content=\"index, follow\">")
       === (("index, follow", false, false)))
-    // decoys: wrong name; content in a LATER tag must not pair with an
-    // earlier tag's name=robots across the '>' boundary
+    // decoys: wrong name (incl. a robots-PREFIXED name); content in a
+    // LATER tag must not pair with an earlier tag's name=robots across
+    // the '>' boundary
     assert(metaFlags("<meta name=\"description\" content=\"noindex\">")
+      === (("", false, false)))
+    assert(metaFlags("<meta name=\"robotsx\" content=\"noindex\">")
       === (("", false, false)))
     assert(metaFlags("<meta name=\"robots\"><meta name=\"d\" " +
       "content=\"noindex\">") === (("", false, false)))
     assert(metaFlags("<p>no meta at all</p>") === (("", false, false)))
+  }
+
+  test("meta robots: HTML5 unquoted attributes match, and directives " +
+      "combine across multiple robots tags") {
+    assert(metaFlags("<meta name=robots content=noindex>") ===
+      (("noindex", true, false)))
+    assert(metaFlags("<meta name=robots content=\"noindex\">") ===
+      (("noindex", true, false)))
+    assert(metaFlags("<meta content=nofollow name=robots>") ===
+      (("nofollow", false, true)))
+    assert(metaFlags("<meta name=\"robots\" content=\"noindex\">" +
+      "<p>x</p><meta name=robots content=nofollow>") ===
+      (("noindex, nofollow", true, true)))
   }
 }
