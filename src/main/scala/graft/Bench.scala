@@ -39,7 +39,7 @@ object Bench {
     "dedup_apply" -> 7.7, "dedup_apply_lsh" -> 7.0,
     "dedup_prefix_jaccard" -> 6.3, "j_fuzzy_dl" -> 10.6,
     "j_fuzzy_jw" -> 6.0, "docs_bigram_nll" -> 7.0,
-    "docs_gopher_repetition" -> 5.0, "graph_beam_recall" -> 6.0,
+    "docs_gopher_repetition" -> 9.2, "graph_beam_recall" -> 7.8,
     "graph_triangles" -> 4.1, "graph_pagerank" -> 4.0,
     "dedup_winnow_pairs" -> 4.1, "dedup_winnow_skew" -> 4.5,
     "dedup_containment" -> 2.9, "docs_c4_clean" -> 1.5,
@@ -52,7 +52,14 @@ object Bench {
     "emb_semantic_precision" -> 4.9, "classifier_train_audit" -> 5.4,
     "multimodal_phash_apply" -> 5.0, "ann_pqindex_topk" -> 4.5,
     "docs_lexical_diversity" -> 4.3, "a_percentiles" -> 4.0,
-    "w2_offset_ids" -> 4.5, "j2_lookup_default" -> 4.0)
+    "w2_offset_ids" -> 4.5, "j2_lookup_default" -> 4.0,
+    // r10 fourth-session clean-solo readings (477.6 s / 304 run)
+    "graph_kcore" -> 11.5, "graph_kcore_audit" -> 4.3,
+    "emb_bitext_bleu" -> 6.4,
+    "docs_ccnet_buckets" -> 4.7, "vocab_unigram_roundtrip" -> 4.5,
+    "pipeline_tokenize_pack" -> 4.4, "ann_ivfpq_dominance" -> 4.1,
+    "dedup_substring_spans" -> 4.0, "docs_rolling_audit" -> 3.8,
+    "eval_rbo_matryoshka" -> 2.5)
 
   /** Queries that must share one session because their bench forms share
     * a memoized stage (SharedBenchStages.prefixPairs — computed by the

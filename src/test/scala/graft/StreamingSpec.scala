@@ -112,12 +112,16 @@ class StreamingSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_rc_out").toString + "/counts"
     val ckpt = Files.createTempDirectory("graft_rc_ck").toString
 
-    Seq("math", "math", "natu").toDF("subject")
+    // coalesce(1): each logical batch must land as ONE file — a
+    // multi-part write can split across micro-batches, and Update-mode
+    // output then emits only the groups the FINAL micro-batch touched
+    // (observed flake: the last batch carried only "natu" rows)
+    Seq("math", "math", "natu").toDF("subject").coalesce(1)
       .write.mode("append").parquet(in)
     val q = DocIngest.runningCounts(spark, in, "subject STRING", out, ckpt)
     try {
       q.processAllAvailable()
-      Seq("math", "natu", "natu").toDF("subject")
+      Seq("math", "natu", "natu").toDF("subject").coalesce(1)
         .write.mode("append").parquet(in)
       q.processAllAvailable()
     } finally q.stop()
