@@ -113,4 +113,23 @@ object Markup {
 
   def metaNofollow(html: Column): Column =
     metaRobotsFlags(html).getField("nofollow")
+
+  /** Sitemap (sitemaps.org) entries: array<struct<loc, lastmod>> in
+    * document order — the crawl-DISCOVERY channel next to the
+    * compliance filters (robots.txt tells a crawler where it may not
+    * go; the sitemap tells it where to look and how fresh it is, the
+    * lastmod being the incremental-recrawl scheduling signal). Each
+    * `<url>` block parses independently; loc/lastmod values trim
+    * surrounding whitespace; a block without `<lastmod>` yields ''.
+    * One codegen-friendly regexp_extract_all + a row-grain transform —
+    * no UDF, no XML library, the strip-chain pattern discipline
+    * (lazy quantifiers only, no backreferences/lookaround). */
+  def sitemapEntries(xml: Column): Column = {
+    val blocks = regexp_extract_all(xml,
+      lit("(?is)<url>(.*?)</url>"), lit(1))
+    transform(blocks, b => struct(
+      regexp_extract(b, "(?is)<loc>\\s*(.*?)\\s*</loc>", 1).as("loc"),
+      regexp_extract(b, "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+        .as("lastmod")))
+  }
 }

@@ -212,6 +212,35 @@ object WebQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── sitemap discovery: per doc an in-plan sitemap.xml with two
+    //    <url> entries — a messy one (whitespace-padded loc carrying
+    //    the full canonicalization gauntlet: cased scheme/host, :80,
+    //    utm_ param; a lastmod) and a bare already-canonical one with
+    //    no lastmod — parses through the real extractor and each loc
+    //    flows on through URL canonicalization (the crawl-frontier
+    //    dedup key). Closed-form oracle over every column. ──────────────
+    "web_sitemap" -> ((s, d) => {
+      import graft.operators.Markup
+      val canon = udf(graft.functions.UrlFunctions.canonicalizeUrl _)
+      val day = lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"),
+        2, "0")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>  HTTP://Example"),
+        pmod(col("doc_id"), lit(3)), lit(".COM:80/a/"), col("doc_id"),
+        lit("?utm_source=x&id=7 </loc><lastmod> 2024-01-"), day,
+        lit(" </lastmod></url><url><loc>https://site"),
+        pmod(col("doc_id"), lit(5)),
+        lit(".com/b</loc></url></urlset>"))
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), xml.as("xml"))
+        .select(col("doc_id"),
+          posexplode(Markup.sitemapEntries(col("xml"))).as(Seq("idx", "e")))
+        .select(col("doc_id"), col("idx"), col("e.loc").as("url"),
+          col("e.lastmod").as("lastmod"),
+          canon(col("e.loc")).as("canonical_url"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // ── stem-grain vocabulary: every corpus token stems through the
     //    real Porter implementation and aggregates at stem grain — the
     //    integration query over live data next to docs_porter_stems'
@@ -521,6 +550,21 @@ object WebQueries {
         |doc_id % 5 IN (1, 2) AS noindex,
         |doc_id % 5 = 2 AS nofollow
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_sitemap" ->
+      s"""SELECT doc_id, t.idx,
+        |CASE t.idx WHEN 0 THEN 'HTTP://Example' || (doc_id % 3)
+        |    || '.COM:80/a/' || doc_id || '?utm_source=x&id=7'
+        |  ELSE 'https://site' || (doc_id % 5) || '.com/b' END AS url,
+        |CASE t.idx WHEN 0 THEN '2024-01-'
+        |    || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+        |  ELSE '' END AS lastmod,
+        |CASE t.idx WHEN 0 THEN 'http://example' || (doc_id % 3)
+        |    || '.com/a/' || doc_id || '?id=7'
+        |  ELSE 'https://site' || (doc_id % 5) || '.com/b' END
+        |  AS canonical_url
+        |FROM documents, (VALUES (0), (1)) t(idx)
+        |ORDER BY doc_id, t.idx""".stripMargin,
 
     "docs_stem_vocab" -> {
       // hand-traced Porter stems of the closed corpus vocabulary; only

@@ -86,6 +86,26 @@ class MarkupSpec extends SparkSpec {
     assert(metaFlags("<p>no meta at all</p>") === (("", false, false)))
   }
 
+  private def sitemap(xml: String): Seq[(String, String)] =
+    Seq(xml).toDF("x")
+      .select(Markup.sitemapEntries(col("x")).as("e"))
+      .as[Seq[(String, String)]].head()
+
+  test("sitemap entries parse in document order, trim whitespace, " +
+      "default missing lastmod to empty, and tolerate junk") {
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>  https://a.com/1 </loc>" +
+      "<lastmod> 2024-02-03 </lastmod></url>" +
+      "<url><loc>https://b.com/2</loc></url>" +
+      "<url><lastmod>2024-01-01</lastmod></url></urlset>"
+    assert(sitemap(xml) === Seq(
+      ("https://a.com/1", "2024-02-03"),
+      ("https://b.com/2", ""),
+      ("", "2024-01-01")))
+    assert(sitemap("no urls here") === Seq.empty)
+    assert(sitemap("") === Seq.empty)
+  }
+
   test("meta robots: HTML5 unquoted attributes match, and directives " +
       "combine across multiple robots tags") {
     assert(metaFlags("<meta name=robots content=noindex>") ===
