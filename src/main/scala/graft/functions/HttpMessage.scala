@@ -39,7 +39,10 @@ object HttpMessage {
     val head = new String(block, 0, sep, "ISO-8859-1")
     val lines = head.split("\r?\n", -1)
     if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return None
-    val statusParts = lines(0).split(" ", 3)
+    // split on whitespace RUNS: a doubled space ("HTTP/1.1  200 OK") in a
+    // dirty crawl must not make statusParts(1) empty and drop the record
+    // (the parser is otherwise lenient — ADVICE r10)
+    val statusParts = lines(0).trim.split("\\s+", 3)
     if (statusParts.length < 2) return None
     val status = statusParts(1).toIntOption.getOrElse(return None)
     val headers = lines.iterator.drop(1).flatMap { l =>
@@ -57,8 +60,12 @@ object HttpMessage {
     if (contentType == null) return "UTF-8"
     contentType.split(";").iterator.map(_.trim).collectFirst {
       case p if p.toLowerCase.startsWith("charset=") =>
-        p.substring("charset=".length).trim.stripPrefix("\"")
-          .stripSuffix("\"")
+        // both quote styles occur in dirty crawls (charset="utf-8" and
+        // charset='utf-8'); an unstripped quote makes Charset.forName
+        // throw and decodeBody silently fall back to UTF-8 (ADVICE r10)
+        p.substring("charset=".length).trim
+          .stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("'").stripSuffix("'")
     }.filter(_.nonEmpty).getOrElse("UTF-8")
   }
 

@@ -239,8 +239,12 @@ object Bitext {
           i => concat_ws("", slice(col("ws"), i + 1, lit(n))))).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
     val lens = toks.select(col("id"), size(col("ws")).as("len"))
+    // distinct: a caller passing a duplicated pair row would otherwise
+    // double the clipped counts through the gram joins AND emit duplicate
+    // output rows (ADVICE r10). One (long, long)-grain shuffle over the
+    // pair table — dimension-sized next to the gram joins it protects.
     val base = pairs.select(col("ref_id").cast("long").as("ref_id"),
-      col("cand_id").cast("long").as("cand_id"))
+      col("cand_id").cast("long").as("cand_id")).distinct()
     def clipped(n: Int) = {
       val gc = gramCounts(n)
       base

@@ -98,14 +98,17 @@ object Markup {
     * than call the per-flag helpers (each of those rebuilds the full
     * extraction tree and relies on subexpression elimination). The
     * `none` directive implies both flags (Google/Bing semantics);
-    * token membership is substring-based on the lowercased combined
-    * content — the practical reading crawlers apply. */
+    * membership is WHOLE-TOKEN over the comma-split, trimmed directive
+    * list — substring matching would let content like "nonetheless" or
+    * "noindexable" set the flags (ADVICE r10). */
   def metaRobotsFlags(html: Column): Column = {
     val c = metaRobotsContent(html)
-    val none = c.contains("none")
+    val toks = transform(split(c, ","), t => trim(t))
+    def has(d: String) = array_contains(toks, d)
+    val none = has("none")
     struct(c.as("directives"),
-      (c.contains("noindex") || none).as("noindex"),
-      (c.contains("nofollow") || none).as("nofollow"))
+      (has("noindex") || none).as("noindex"),
+      (has("nofollow") || none).as("nofollow"))
   }
 
   def metaNoindex(html: Column): Column =

@@ -50,6 +50,19 @@ class HttpMessageSpec extends AnyFunSuite {
     assert(charsetOf("") === "UTF-8")
     assert(charsetOf(null) === "UTF-8")
     assert(charsetOf("text/html; charset=") === "UTF-8")
+    // single-quoted parameter values are common in dirty crawls — an
+    // unstripped quote would silently fall decodeBody back to UTF-8
+    assert(charsetOf("text/html; charset='iso-8859-1'") === "iso-8859-1")
+    assert(charsetOf("text/html; charset=''") === "UTF-8")
+  }
+
+  test("status line splits on whitespace RUNS: a doubled space must not " +
+      "drop the record") {
+    val r = parseResponse(bytes(
+      "HTTP/1.1  200 OK\r\nContent-Type: text/plain\r\n\r\nok")).get
+    assert(r.status === 200)
+    assert(parseResponse(bytes("HTTP/1.1\t404\tNot Found\r\n\r\n"))
+      .get.status === 404)
   }
 
   test("decodeChunked: multi-chunk bodies with extensions round-trip; " +

@@ -110,6 +110,15 @@ class LmBleuSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("BLEU: duplicated input pair rows neither inflate the clipped " +
+      "counts nor duplicate output rows (ADVICE r10)") {
+    val docs = Seq(0L -> "the cat sat on the mat",
+      1L -> "the cat the cat on the mat")
+    val once = bleu(Seq(0L -> 1L), docs).collect().toSeq
+    val dup = bleu(Seq(0L -> 1L, 0L -> 1L, 0L -> 1L), docs).collect().toSeq
+    assert(dup === once && once.length === 1)
+  }
+
   test("BLEU is partitioning-invariant") {
     val docs = (0L until 30L).map(i =>
       (i, (0 to (i % 6).toInt + 1).map(j => s"w${(i * j) % 4}").mkString(" ")))

@@ -118,4 +118,17 @@ class MarkupSpec extends SparkSpec {
       "<p>x</p><meta name=robots content=nofollow>") ===
       (("noindex, nofollow", true, true)))
   }
+
+  test("meta robots: flag membership is whole-token — 'nonetheless' or " +
+      "'noindexable' content must not set flags (ADVICE r10)") {
+    assert(metaFlags("<meta name=\"robots\" content=\"nonetheless\">") ===
+      (("nonetheless", false, false)))
+    assert(metaFlags("<meta name=\"robots\" content=\"noindexable\">") ===
+      (("noindexable", false, false)))
+    assert(metaFlags("<meta name=\"robots\" content=\"nofollower, x\">")
+      === (("nofollower, x", false, false)))
+    // and real tokens still match when packed without spaces
+    assert(metaFlags("<meta name=\"robots\" content=\"noindex,nofollow\">")
+      === (("noindex,nofollow", true, true)))
+  }
 }
