@@ -29,11 +29,33 @@ object Bench {
     spark
   }
 
-  /** Cost priors (seconds) for chunk PACKING only — relative weight is
-    * all that matters. Known-isolated readings (r8/r9 adjudications +
-    * clean-solo regressions) for the suite's expensive entries; every
-    * unlisted query defaults to 1.0. Wrong priors degrade balance, never
-    * correctness. */
+  /** Measured cost priors (VERDICT r10 #4): `bench_priors.json` is a flat
+    * {"query":seconds,...} snapshot of a CLEAN sf0.1 solo run, committed
+    * deliberately (bench_detail_local.json itself is NOT the source — it
+    * is overwritten by every run including sf0.001 smokes, whose relative
+    * costs would mispack an sf0.1 suite). Parse failures or a missing
+    * file fall back to the hardcoded map — wrong priors degrade balance,
+    * never correctness. */
+  private lazy val MeasuredPriors: Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("bench_priors.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val pair = """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+        pair.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  private def prior(name: String): Double =
+    MeasuredPriors.getOrElse(name, CostPriors.getOrElse(name, 1.0))
+
+  /** Fallback cost priors (seconds) for chunk PACKING only — relative
+    * weight is all that matters. Known-isolated readings (r8/r9
+    * adjudications + clean-solo regressions) for the suite's expensive
+    * entries; every unlisted query defaults to 1.0. Superseded per-query
+    * by [[MeasuredPriors]] when bench_priors.json is present. */
   private val CostPriors: Map[String, Double] = Map(
     "dedup_clusters" -> 10.6, "dedup_apply_best" -> 12.2,
     "dedup_apply" -> 7.7, "dedup_apply_lsh" -> 7.0,
@@ -88,8 +110,7 @@ object Bench {
         names.filterNot { case (n, _) => inGroup.contains(n) }
           .map(Seq(_))
     val sorted = units.sortBy { u =>
-      (-u.map { case (n, _) => CostPriors.getOrElse(n, 1.0) }.sum,
-        u.head._1)
+      (-u.map { case (n, _) => prior(n) }.sum, u.head._1)
     }
     val nBins = math.max(1, math.ceil(names.size.toDouble / chunkSize).toInt)
     val bins = Array.fill(nBins)(
@@ -97,7 +118,7 @@ object Bench {
     var extra = List.empty[(scala.collection.mutable.ArrayBuffer[(String, Fn)],
       Array[Double])]
     sorted.foreach { u =>
-      val cost = u.map { case (n, _) => CostPriors.getOrElse(n, 1.0) }.sum
+      val cost = u.map { case (n, _) => prior(n) }.sum
       val candidates = (bins.toList ++ extra)
         .filter { case (b, _) => b.size + u.size <= chunkSize || b.isEmpty }
       candidates.sortBy { case (_, c) => c(0) }.headOption match {
@@ -132,13 +153,32 @@ object Bench {
       .filter(_ > 0).sum
   }
 
+  /** Heap ceiling above which the measuring JVM re-execs itself with a
+    * clamped -Xmx (VERDICT r10 #2). G1 at local[32] regresses badly in
+    * oversized heaps — the judge's A/B read 52.15 s at -Xmx12g vs
+    * 504.37 s at -Xmx100g for the SAME 12 queries — and the driver's
+    * launcher flags (`-Xmx${SPARK_DRIVER_MEM:-8g}` in build.sbt, or no
+    * -Xmx at all → MaxRAMFraction ≈ 32 GiB on a 128 GiB box) are outside
+    * this repo's control, so the bench defends itself exactly like the
+    * code-cache clamp below. */
+  private val HeapCeilingBytes = 24L * 1024 * 1024 * 1024
+  private val HeapClamp = "-Xmx12g"
+
+  private def heapFlag(a: String): Boolean =
+    a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+      a.startsWith("-XX:MaxRAMPercentage") ||
+      a.startsWith("-XX:InitialRAMPercentage") ||
+      a.startsWith("-XX:MaxRAMFraction")
+
   private def reexecWithCodeCache(args: Array[String]): Option[Int] = {
     if (sys.env.contains("SPARK_GRAFT_NO_REEXEC")) return None
     // plan-print mode runs no queries (nothing to protect) and emits no
     // metric line — re-execing it would make the parent "fall back" and
     // print the plan twice
     if (sys.env.contains("SPARK_GRAFT_BENCH_PLAN")) return None
-    if (reservedCodeCacheBytes >= 512L * 1024 * 1024) return None
+    val needCache = reservedCodeCacheBytes < 512L * 1024 * 1024
+    val needHeap = Runtime.getRuntime.maxMemory > HeapCeilingBytes
+    if (!needCache && !needHeap) return None
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths
@@ -146,12 +186,15 @@ object Bench {
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala
         .filterNot(_.startsWith("-XX:ReservedCodeCacheSize"))
+        .filterNot(a => needHeap && heapFlag(a))
       val cmd = (Seq(javaBin) ++ jvmArgs ++
-        Seq("-XX:ReservedCodeCacheSize=1g",
-          "-cp", System.getProperty("java.class.path"),
+        Seq("-XX:ReservedCodeCacheSize=1g") ++
+        (if (needHeap) Seq(HeapClamp) else Seq.empty) ++
+        Seq("-cp", System.getProperty("java.class.path"),
           "graft.Bench") ++ args.toSeq).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_NO_REEXEC", "1")
+      pb.environment().put("SPARK_GRAFT_REEXECED", "1")
       // stdout is PIPED, not inherited: a launcher whose classes don't
       // come from java.class.path (spark-submit's app classloader,
       // java -jar manifest classpaths) spawns a child that dies on
@@ -159,8 +202,15 @@ object Bench {
       // and fall back to the in-process run rather than exiting with a
       // bench-less failure.
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      System.err.println("[bench] code cache < 512m — re-exec with " +
-        "-XX:ReservedCodeCacheSize=1g (SPARK_GRAFT_NO_REEXEC=1 to skip)")
+      val why = Seq(
+        if (needCache) Some("code cache < 512m → ReservedCodeCacheSize=1g")
+        else None,
+        if (needHeap)
+          Some(f"heap ${Runtime.getRuntime.maxMemory / (1L << 30)}%d GiB " +
+            s"> 24 GiB → $HeapClamp")
+        else None).flatten.mkString("; ")
+      System.err.println(s"[bench] re-exec: $why " +
+        "(SPARK_GRAFT_NO_REEXEC=1 to skip)")
       val proc = pb.start()
       var sawMetric = false
       val rdr = new java.io.BufferedReader(
@@ -213,13 +263,30 @@ object Bench {
     val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "12").toInt
     // debug: print the chunk plan (bin → query list) and exit
     if (sys.env.contains("SPARK_GRAFT_BENCH_PLAN")) {
-      pack(names, chunkSize).zipWithIndex.foreach { case (chunk, i) =>
-        println(s"bin $i: ${chunk.map(_._1).mkString(",")}")
+      val binz = pack(names, chunkSize)
+      val sums = binz.map(_.map { case (n, _) => prior(n) }.sum)
+      binz.zip(sums).zipWithIndex.foreach { case ((chunk, s), i) =>
+        println(f"bin $i%d (prior ${s}%.1f s): ${chunk.map(_._1).mkString(",")}")
       }
+      val mean = sums.sum / sums.size
+      println(f"bins=${binz.size}%d mean=${mean}%.1f max=${sums.max}%.1f " +
+        f"max/mean=${sums.max / mean}%.2f " +
+        s"priors=${if (MeasuredPriors.nonEmpty) "measured" else "fallback"}")
       return
     }
+    // environment telemetry (VERDICT r10 #3): collected per chunk so the
+    // one JSON line carries enough to adjudicate inflation without a
+    // forensic round — GC wall-ms deltas per chunk, heap/code-cache
+    // maxima, whether the self-defense re-exec fired, and machine load.
+    def gcMsNow: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val chunkGcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var first = true
     val results = pack(names, chunkSize).flatMap { chunk =>
+      val gc0 = gcMsNow
       val spark = newSession(sfDir, cpus)
       if (first) {
         // Fail fast with ONE named error if the testdata's engine-visible
@@ -255,6 +322,7 @@ object Bench {
       SparkSession.clearDefaultSession()
       JvmHygiene.purgeCodegenCache()
       System.gc()
+      chunkGcMs += gcMsNow - gc0
       rs
     }
     // The driver keeps only the TAIL (~2 kB) of the run's output
@@ -283,6 +351,15 @@ object Bench {
         java.nio.file.Paths.get("bench_detail_local.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},"queries":$qs}""")
+    val env = {
+      val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+      val ccMb = reservedCodeCacheBytes / (1024 * 1024)
+      val reexec = sys.env.contains("SPARK_GRAFT_REEXECED")
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val gcs = chunkGcMs.map(_.toString).mkString("[", ",", "]")
+      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs}"""
+    }
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},$env,"queries":$qs}""")
   }
 }
