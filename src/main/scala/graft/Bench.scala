@@ -81,7 +81,9 @@ object Bench {
     "docs_ccnet_buckets" -> 4.7, "vocab_unigram_roundtrip" -> 4.5,
     "pipeline_tokenize_pack" -> 4.4, "ann_ivfpq_dominance" -> 4.1,
     "dedup_substring_spans" -> 4.0, "docs_rolling_audit" -> 3.8,
-    "eval_rbo_matryoshka" -> 2.5)
+    "eval_rbo_matryoshka" -> 2.5,
+    // r11 introductions (isolated at sf0.1, -Xmx12g, 1g code cache)
+    "web_frontier" -> 7.9, "docs_warc_wet" -> 4.8)
 
   /** Queries that must share one session because their bench forms share
     * a memoized stage (SharedBenchStages.prefixPairs — computed by the

@@ -17,20 +17,25 @@ import org.apache.spark.sql.functions._
   * degrade to zero rows, never a thrown scan. */
 object WebArchive {
 
-  /** (idCol, rec_idx, warc_type, target_uri, content_length,
-    * payload_utf8) per record, in archive order. */
+  /** (idCol, rec_idx, warc_type, target_uri, refers_to, content_length,
+    * payload_utf8) per record, in archive order. `refers_to` is the
+    * WARC-Refers-To header ('' when absent) — the back-pointer
+    * conversion/revisit records carry to their source record. */
   def records(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val parse = udf((bytes: Array[Byte]) =>
-      if (bytes == null) Seq.empty[(Int, String, String, Long, String)]
+      if (bytes == null)
+        Seq.empty[(Int, String, String, String, Long, String)]
       else WarcCodec.decode(bytes).zipWithIndex.map { case (r, i) =>
         (i, r.warcType.getOrElse(""), r.targetUri.getOrElse(""),
+          r.header("WARC-Refers-To").getOrElse(""),
           r.payload.length.toLong, new String(r.payload, "UTF-8"))
       })
     df.select(col(idCol).cast("long").as(idCol),
         explode(parse(col(bytesCol))).as("_r"))
       .select(col(idCol), col("_r._1").as("rec_idx"),
         col("_r._2").as("warc_type"), col("_r._3").as("target_uri"),
-        col("_r._4").as("content_length"), col("_r._5").as("payload"))
+        col("_r._4").as("refers_to"),
+        col("_r._5").as("content_length"), col("_r._6").as("payload"))
   }
 
   /** WARC response records parsed as HTTP messages — the step between
@@ -69,6 +74,75 @@ object WebArchive {
         col("_r._2").as("target_uri"), col("_r._3").as("status"),
         col("_r._4").as("content_type"), col("_r._5").as("charset"),
         col("_r._6").as("body_text"))
+  }
+
+  /** WET-style text extraction (the CommonCrawl `*.warc.wet` conversion
+    * product): WARC-in → `conversion`-record WARC-out with stripped
+    * plain-text payloads — the ingest→extract→emit symmetry on the
+    * archive axis. Per input archive row, every WARC `response` record
+    * whose payload is a parseable HTTP 200 with a text-family content
+    * type contributes one `conversion` record: html bodies go through
+    * the [[Markup.htmlToText]] strip stack (tags → entities →
+    * whitespace), other text bodies pass through verbatim after the
+    * charset decode
+    * (+ de-chunking when declared); non-text, non-200, and non-response
+    * records drop. Each conversion record carries WARC-Type: conversion,
+    * the source's WARC-Target-URI, WARC-Refers-To = the source record's
+    * WARC-Record-ID, and Content-Type: text/plain — the standard WET
+    * record shape (ISO 28500 §6.8). Output: (idCol, wet BINARY), one
+    * row per input archive that produced ≥ 1 conversion record.
+    *
+    * Scale shape: the parse explode and the html strip are row-grain
+    * (the strip is the codegen'd regexp chain, not a UDF); the only
+    * shuffle is the per-archive regroup for the writer, keyed by the
+    * input row id at input-row grain, and each group is bounded by
+    * records-per-archive. WARC-in is the ~1 GB-member crawl layout —
+    * one row each under a binaryFile read — so nothing here exceeds
+    * single-archive memory at any corpus size. */
+  def wetConversion(df: DataFrame, idCol: String, bytesCol: String,
+      gzipPerRecord: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    val parse = udf((bytes: Array[Byte]) =>
+      if (bytes == null)
+        Seq.empty[(Int, String, String, Int, String, String)]
+      else WarcCodec.decode(bytes).zipWithIndex.flatMap { case (r, i) =>
+        if (!r.warcType.contains("response")) None
+        else graft.functions.HttpMessage.parseResponse(r.payload)
+          .map { resp =>
+            val ct = resp.header("Content-Type").getOrElse("")
+            val cs = graft.functions.HttpMessage.charsetOf(ct)
+            val body =
+              if (resp.header("Transfer-Encoding")
+                  .exists(_.toLowerCase.contains("chunked")))
+                graft.functions.HttpMessage.decodeChunked(resp.body)
+                  .getOrElse(resp.body)
+              else resp.body
+            (i, r.header("WARC-Record-ID").getOrElse(""),
+              r.targetUri.getOrElse(""), resp.status, ct.toLowerCase,
+              graft.functions.HttpMessage.decodeBody(body, cs))
+          }
+      })
+    val rows = df.select(col(idCol).cast("long").as(idCol),
+        explode(parse(col(bytesCol))).as("_r"))
+      .select(col(idCol), col("_r._1").as("rec_idx"),
+        col("_r._2").as("rec_id"), col("_r._3").as("uri"),
+        col("_r._4").as("status"), col("_r._5").as("ct"),
+        col("_r._6").as("body"))
+      .filter(col("status") === 200 && col("ct").startsWith("text/"))
+      .withColumn("wet_text",
+        when(col("ct").startsWith("text/html"),
+          Markup.htmlToText(col("body"))).otherwise(col("body")))
+    val enc = udf((recs: Seq[Row]) =>
+      WarcCodec.encode(recs.map(r => (Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> r.getString(2),
+        "WARC-Refers-To" -> r.getString(1),
+        "Content-Type" -> "text/plain"),
+        r.getString(3).getBytes("UTF-8"))), gzipPerRecord))
+    rows.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("rec_idx"), col("rec_id"),
+        col("uri"), col("wet_text")))).as("_rs"))
+      .select(col(idCol), enc(col("_rs")).as("wet"))
   }
 
   /** Robots-compliance decisions (RFC 9309) over a crawled-page table —

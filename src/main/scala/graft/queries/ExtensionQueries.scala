@@ -2176,12 +2176,13 @@ object ExtensionQueries {
 
     "docs_warc_roundtrip" ->
       """SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
-        |'' AS target_uri, CAST(17 AS BIGINT) AS content_length,
+        |'' AS target_uri, '' AS refers_to,
+        |CAST(17 AS BIGINT) AS content_length,
         |'software: graft' || chr(13) || chr(10) AS payload
         |FROM documents
         |UNION ALL
         |SELECT doc_id, 1, 'response',
-        |'http://example.org/doc/' || doc_id,
+        |'http://example.org/doc/' || doc_id, '',
         |CAST(octet_length(encode(text)) AS BIGINT), text FROM documents
         |ORDER BY doc_id, rec_idx""".stripMargin,
 

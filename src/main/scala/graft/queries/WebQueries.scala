@@ -301,11 +301,162 @@ object WebQueries {
             (pmod(col("doc_id"), lit(20)) + 1).cast("int")).as("word"))
         .withColumn("stem", stemUdf(col("word")))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── WET conversion (the CommonCrawl *.warc.wet product): WARC-in →
+    //    conversion-record WARC-out through the full stack — HTTP parse,
+    //    charset decode, de-chunking, html-vs-plain strip dispatch, WET
+    //    re-encode — then decoded BACK through records() so the gate
+    //    sees every conversion header and the stripped payload. Three
+    //    response branches by doc_id%3 (html 200 whose strip drops a
+    //    script and decodes &amp;, plain-text 200 passing through
+    //    verbatim, html 404 dropped), chunked wire framing on %5==0,
+    //    per-record gzip members on %2==0 — 3,5,2 pairwise coprime, all
+    //    30 combos execute. Closed-form oracle per branch. ──────────────
+    "docs_warc_wet" -> ((s, d) => {
+      import graft.operators.WebArchive
+      val synth = udf((id: Long, text: String) => {
+        val status = if (id % 3 == 2) "404 Not Found" else "200 OK"
+        val (ct, body) =
+          if (id % 3 == 1)
+            ("text/plain; charset=utf-8", text.getBytes("UTF-8"))
+          else ("text/html; charset=utf-8",
+            (s"<html><head><title>T$id</title><script>var x=1;" +
+              s"</script></head><body><p>$text &amp; tail</p></body>" +
+              "</html>").getBytes("UTF-8"))
+        val chunked = id % 5 == 0
+        val wire = if (!chunked) body else {
+          val out = new java.io.ByteArrayOutputStream()
+          def put(from: Int, until: Int): Unit = if (until > from) {
+            out.write(s"${(until - from).toHexString}\r\n"
+              .getBytes("ISO-8859-1"))
+            out.write(body, from, until - from)
+            out.write("\r\n".getBytes("ISO-8859-1"))
+          }
+          put(0, body.length / 2)
+          put(body.length / 2, body.length)
+          out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+          out.toByteArray
+        }
+        val head = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
+          (if (chunked) "Transfer-Encoding: chunked\r\n" else "") + "\r\n"
+        graft.functions.WarcCodec.encode(Seq(
+          (Seq("WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:graft:info:$id>"),
+            "software: graft\r\n".getBytes("UTF-8")),
+          (Seq("WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:graft:resp:$id>",
+            "WARC-Target-URI" -> s"http://example.org/doc/$id"),
+            head.getBytes("ISO-8859-1") ++ wire)),
+          gzipPerRecord = id % 2 == 0)
+      })
+      val wet = WebArchive.wetConversion(
+        t(s, d, "documents").select(col("doc_id").cast("long")
+            .as("doc_id"), col("text"))
+          .select(col("doc_id"),
+            synth(col("doc_id"), col("text")).as("bytes")),
+        "doc_id", "bytes")
+      WebArchive.records(wet, "doc_id", "wet")
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
+    // ── mined crawl frontier — the COMPOSITION the per-piece queries
+    //    (web_sitemap, docs_url_canonical, web_robots_allowed,
+    //    web_host_rank) each gate alone: sitemap discovery →
+    //    canonicalization (the frontier dedup key) → distinct + anti-join
+    //    against already-crawled keys → RFC 9309 robots gate → host-rank
+    //    priority from the discovery graph (string-keyed integer
+    //    PageRank) → politeness slots per registrable domain
+    //    (row_number per domain = one fetch per domain per tick).
+    //    Dedup/robots/priority all replay in closed form; the PR rounds
+    //    unroll in the oracle exactly like web_host_rank's. ─────────────
+    "web_frontier" -> ((s, d) => {
+      import graft.operators.{GraphOps, Markup, WebArchive}
+      import org.apache.spark.sql.expressions.Window
+      val canon = udf(graft.functions.UrlFunctions.canonicalizeUrl _)
+      val rdom = udf(graft.functions.UrlFunctions.registrableDomain _)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      // per-doc sitemap: a messy same-site url (cased scheme/host, :80,
+      // utm_ param — the canonicalization gauntlet) + a bare cross-site
+      // one; hosts a{0,1,2}.example.com share one registrable domain so
+      // the politeness grouping is non-degenerate
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>  HTTP://A"),
+        pmod(col("doc_id"), lit(3)), lit(".Example.COM:80/p/"),
+        col("doc_id"), lit("?utm_source=x&id=7 </loc></url>" +
+          "<url><loc>https://site"),
+        pmod(col("doc_id"), lit(5)), lit(".com/b</loc></url></urlset>"))
+      val discovered = docs
+        .select(col("doc_id"), explode(Markup.sitemapEntries(xml)).as("e"))
+        .select(col("doc_id"), canon(col("e.loc")).as("url"))
+      // already-crawled keys: the %4 slice of the same-site urls, built
+      // through the SAME canonicalizer (a frontier dedups on canonical
+      // keys, never raw strings)
+      val crawled = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(canon(concat(lit("HTTP://A"), pmod(col("doc_id"), lit(3)),
+          lit(".Example.COM:80/p/"), col("doc_id"),
+          lit("?utm_source=x&id=7"))).as("url"))
+      val frontier = discovered.select(col("url")).distinct()
+        .join(crawled, Seq("url"), "left_anti")
+        .withColumn("host", regexp_extract(col("url"),
+          "^[a-z]+://([^/]+)", 1))
+        .withColumn("path", regexp_extract(col("url"),
+          "^[a-z]+://[^/]+([^?]*)", 1))
+      // robots gate: a0 bans /p/ outright, a1 bans the /p/1 prefix
+      // (ids whose decimal starts with 1), a2 allows graftbot /p/ while
+      // banning everyone else; site*.com hosts publish no robots.txt →
+      // allowed per the RFC
+      val robots = s.range(3)
+        .select(concat(lit("a"), col("id"), lit(".example.com"))
+            .as("host"),
+          element_at(array(FrontierRobots.map(lit): _*),
+            (col("id") + 1).cast("int")).as("robots_txt"))
+      val allowed = WebArchive.robotsDecisions(frontier, "url", "host",
+          "path", robots, "host", "robots_txt", agent = "graftbot")
+        .filter(col("allowed"))
+      // host-rank priority: the discovery graph (sitemap origin host →
+      // discovered host, plus a back-link family so ranks DIFFER across
+      // hosts — a0/a1 take two in-edges, a2 one, site0-2 one, site3/4
+      // none) deduped at host grain — dimension-sized at any corpus
+      // size — ranked by 3 integer-PageRank rounds
+      def siteHost(m: org.apache.spark.sql.Column) =
+        concat(lit("site"), m, lit(".com"))
+      def aHost(m: org.apache.spark.sql.Column) =
+        concat(lit("a"), m, lit(".example.com"))
+      val m5 = pmod(col("doc_id"), lit(5))
+      val m3 = pmod(col("doc_id"), lit(3))
+      val edges = docs
+        .select(siteHost(m5).as("src"), aHost(pmod(m5, lit(3))).as("dst"))
+        .union(docs.select(aHost(m3).as("src"), siteHost(m3).as("dst")))
+        .distinct()
+      val pr = GraphOps.pageRankIntKeyed(edges, "src", "dst", iters = 3)
+        .withColumnRenamed("id", "host")
+      // politeness: one fetch slot per registrable domain per tick —
+      // the window partitions by domain over the FRONTIER (already
+      // dedup'd + gated: far smaller than the corpus), highest host
+      // rank first, url as the total tiebreak
+      allowed.join(pr, Seq("host"), "left")
+        .select(rdom(col("host")).as("domain"),
+          col("url"), col("host"),
+          coalesce(col("rank_i"), lit(0L)).as("rank_i"))
+        .withColumn("slot", row_number().over(Window.partitionBy(
+          col("domain")).orderBy(col("rank_i").desc, col("url"))))
+        .select(col("domain"), col("slot"), col("url"), col("host"),
+          col("rank_i"))
+        .orderBy(col("domain"), col("slot"))
     }))
 
   /** RAKE stopwords for the synthetic corpus (its only function
     * words); interpolated into the oracle from this one value. */
   private val RakeStops = Seq("the", "a")
+
+  /** The 3 frontier robots policies (host a{i}.example.com): ban-all
+    * under /p/, ban the /p/1 decimal prefix, graftbot-only allow. */
+  private val FrontierRobots = Seq(
+    "User-agent: *\nDisallow: /p/",
+    "User-agent: *\nDisallow: /p/1",
+    "User-agent: graftbot\nAllow: /p/\nUser-agent: *\nDisallow: /")
 
   /** The 5 meta-robots HTML branches (doc_id % 5). */
   private val MetaRobotsHtml = Seq(
@@ -600,5 +751,79 @@ object WebQueries {
         |[$words][(doc_id % 20) + 1] AS word,
         |[$stems][(doc_id % 20) + 1] AS stem
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "docs_warc_wet" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'T' || doc_id || ' ' || text || ' & tail'
+        |    ELSE text END AS payload
+        |  FROM documents WHERE doc_id % 3 < 2)
+        |SELECT doc_id, 0 AS rec_idx, 'conversion' AS warc_type,
+        |'http://example.org/doc/' || doc_id AS target_uri,
+        |'<urn:graft:resp:' || doc_id || '>' AS refers_to,
+        |CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
+        |payload
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the frontier pieces in closed form (canonical urls, crawled keys,
+    // the three robots decisions) + the discovery-graph PageRank rounds
+    // unrolled exactly like web_host_rank's, keyed by host VARCHAR
+    "web_frontier" -> {
+      def iter(i: Int) =
+        s"""i$i AS (SELECT e.dst AS id, sum(r${i - 1}.rank_i // deg.outdeg)
+           |    AS s
+           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+           |  JOIN deg ON e.src = deg.src GROUP BY 1),
+           |r$i AS (SELECT nodes.id,
+           |  (CAST(15 AS BIGINT) * 1000000000) // (100 * n.n)
+           |    + (85 * CAST(coalesce(i$i.s, 0) AS BIGINT)) // 100 AS rank_i
+           |  FROM nodes CROSS JOIN n LEFT JOIN i$i ON nodes.id = i$i.id)"""
+          .stripMargin
+      s"""WITH u0 AS (
+        |  SELECT doc_id,
+        |  'http://a' || (doc_id % 3) || '.example.com/p/' || doc_id
+        |    || '?id=7' AS url,
+        |  'a' || (doc_id % 3) || '.example.com' AS host
+        |  FROM documents),
+        |f0 AS (
+        |  SELECT url, host FROM u0
+        |  WHERE doc_id % 4 <> 0
+        |  AND doc_id % 3 <> 0
+        |  AND NOT (doc_id % 3 = 1 AND CAST(doc_id AS VARCHAR) LIKE '1%')),
+        |f1 AS (
+        |  SELECT DISTINCT 'https://site' || (doc_id % 5) || '.com/b'
+        |    AS url,
+        |  'site' || (doc_id % 5) || '.com' AS host FROM documents),
+        |f AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1),
+        |e AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 5) || '.com' AS src,
+        |  'a' || ((doc_id % 5) % 3) || '.example.com' AS dst
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'a' || (doc_id % 3) || '.example.com',
+        |  'site' || (doc_id % 3) || '.com' FROM documents),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n.n AS rank_i
+        |  FROM nodes, n),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)},
+        |fr AS (
+        |  SELECT f.url, f.host,
+        |  CAST(coalesce(r3.rank_i, 0) AS BIGINT) AS rank_i,
+        |  CASE WHEN f.host LIKE '%.example.com' THEN 'example.com'
+        |    ELSE f.host END AS domain
+        |  FROM f LEFT JOIN r3 ON f.host = r3.id)
+        |SELECT domain,
+        |CAST(row_number() OVER (PARTITION BY domain
+        |  ORDER BY rank_i DESC, url) AS INT) AS slot,
+        |url, host, rank_i
+        |FROM fr ORDER BY domain, slot""".stripMargin
     })
 }
