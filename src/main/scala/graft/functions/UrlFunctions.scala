@@ -40,6 +40,11 @@ object UrlFunctions {
   def registrableDomain(host: String): String = {
     if (host == null) return null
     val h = host.toLowerCase(java.util.Locale.ROOT)
+    // address literals group as themselves: an IPv4 host would otherwise
+    // "register" as its last two octets ("192.168.0.1" → "0.1"), and an
+    // IPv6 literal has no label structure at all
+    if (h.startsWith("[") ||
+      h.nonEmpty && h.forall(c => c.isDigit || c == '.')) return h
     val labels = h.split('.')
     if (labels.length <= 1) return h
     val last2 = labels.takeRight(2).mkString(".")
@@ -61,7 +66,16 @@ object UrlFunctions {
     val (hostport, pathq) =
       if (slash < 0) (rest, "") else (rest.substring(0, slash),
         rest.substring(slash))
-    val colon = hostport.indexOf(':')
+    // the port separator is the colon AFTER a bracketed IPv6 literal's
+    // ']' (RFC 3986 §3.2.2) — a bare indexOf(':') would split inside
+    // "[2001:db8::1]:8080" and emit garbage host + port
+    val colon =
+      if (hostport.startsWith("[")) {
+        val close = hostport.indexOf(']')
+        if (close >= 0 && close + 1 < hostport.length &&
+          hostport.charAt(close + 1) == ':') close + 1
+        else -1
+      } else hostport.indexOf(':')
     val host =
       (if (colon < 0) hostport else hostport.substring(0, colon))
         .toLowerCase(java.util.Locale.ROOT)

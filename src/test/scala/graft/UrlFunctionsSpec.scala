@@ -55,9 +55,28 @@ class UrlFunctionsSpec extends AnyFunSuite {
 
   test("idempotent: canonical of canonical is itself") {
     for (u <- Seq("HTTP://A.com:80/x?utm_a=1&k=2#f",
-        "https://b.org", "http://c.net:9090/p?x=1")) {
+        "https://b.org", "http://c.net:9090/p?x=1",
+        "http://[2001:DB8::1]:8080/x", "http://192.168.0.1/x")) {
       val once = canonicalizeUrl(u)
       assert(canonicalizeUrl(once) === once, u)
     }
+  }
+
+  test("bracketed IPv6 hosts: the port colon is the one AFTER ']', " +
+      "never a colon inside the literal") {
+    assert(canonicalizeUrl("http://[2001:DB8::1]:8080/x") ===
+      "http://[2001:db8::1]:8080/x")
+    assert(canonicalizeUrl("http://[2001:db8::1]:80/x") ===
+      "http://[2001:db8::1]/x")
+    assert(canonicalizeUrl("http://[::1]/x") === "http://[::1]/x")
+  }
+
+  test("address-literal hosts group as themselves, not their tail " +
+      "octets") {
+    import graft.functions.UrlFunctions.registrableDomain
+    assert(registrableDomain("192.168.0.1") === "192.168.0.1")
+    assert(registrableDomain("[2001:db8::1]") === "[2001:db8::1]")
+    // all-digit multi-label NAMES don't exist; digits+dots = IPv4
+    assert(registrableDomain("10.0.0.0") === "10.0.0.0")
   }
 }
