@@ -888,4 +888,29 @@ object DocIngest {
           .sketch(col(keyCol), col(valueCol), k).as("qs")),
       mergeUdaf = org.apache.spark.sql.functions.udaf(
         new graft.operators.QuantileSketch.MergeAgg(k)))
+
+  /** Streaming WET extraction: WARC archives arrive as (idCol, bytes)
+    * parquet batches — the shape a fetch fleet lands them in — and each
+    * micro-batch runs [[graft.operators.WebArchive.wetConversion]]
+    * (HTTP parse → charset decode → html strip → conversion-record
+    * WARC-out), committing through [[commitBatch]] so a crash-replayed
+    * batch writes nothing twice. The batch transform is the SAME
+    * operator the batch query `docs_warc_wet` gates, so streaming and
+    * batch extraction cannot drift. State: none (each archive converts
+    * independently) — an unbounded crawl stream runs in O(batch). */
+  def startWetExtraction(spark: SparkSession, inDir: String,
+      outDir: String, checkpoint: String, idCol: String = "warc_id",
+      bytesCol: String = "bytes",
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(s"$idCol LONG, $bytesCol BINARY")
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(graft.operators.WebArchive
+          .wetConversion(batch, idCol, bytesCol), batchId, outDir); ()
+      }
+      .start()
 }

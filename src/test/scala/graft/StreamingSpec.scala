@@ -394,6 +394,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("streaming WET extraction converts each archive batch exactly " +
+      "once and replays write nothing") {
+    import spark.implicits._
+    import graft.functions.WarcCodec
+    val in = Files.createTempDirectory("graft_wet_in").toString
+    val out = Files.createTempDirectory("graft_wet_out").toString + "/wet"
+    val ckpt = Files.createTempDirectory("graft_wet_ck").toString
+    def archive(id: Long, text: String) = WarcCodec.encode(Seq(
+      (Seq("WARC-Type" -> "response", "WARC-Record-ID" -> s"<urn:r:$id>",
+        "WARC-Target-URI" -> s"http://h/$id"),
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<body><p>$text</p></body>").getBytes("ISO-8859-1"))))
+    Seq((0L, archive(0L, "doc zero")), (1L, archive(1L, "doc one")))
+      .toDF("warc_id", "bytes").write.mode("append").parquet(in)
+    val q = DocIngest.startWetExtraction(spark, in, out, ckpt,
+      pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      Seq((2L, archive(2L, "doc two")))
+        .toDF("warc_id", "bytes").write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 3)
+    val payloads = got.collect().map { r =>
+      val recs = WarcCodec.decode(r.getAs[Array[Byte]]("wet"))
+      assert(recs.map(_.warcType.get) === Seq("conversion"))
+      r.getAs[Long]("warc_id") -> new String(recs.head.payload, "UTF-8")
+    }.toMap
+    assert(payloads === Map(0L -> "doc zero", 1L -> "doc one",
+      2L -> "doc two"))
+    // crash-replay of an already-committed batchId writes nothing
+    val replay = Seq((0L, archive(0L, "doc zero")))
+      .toDF("warc_id", "bytes")
+    assert(!DocIngest.commitBatch(
+      graft.operators.WebArchive.wetConversion(replay, "warc_id", "bytes"),
+      0L, out))
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("stream-static enrichment broadcasts the dim and left-joins " +
       "(unmatched rows keep flowing with nulls)") {
     import spark.implicits._
