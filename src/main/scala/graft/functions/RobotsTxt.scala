@@ -93,6 +93,72 @@ object RobotsTxt {
     else pattern.length
   }
 
+  /** `Sitemap:` directive values in document order (duplicates kept —
+    * callers canonicalize + dedup alongside the discovered-URL stream).
+    * The directive is group-INDEPENDENT per sitemaps.org and RFC 9309
+    * §2.2.4 (other records): it may appear anywhere in the file, so
+    * this scan ignores group structure entirely. The standard crawl
+    * BOOTSTRAP channel: robots.txt is the one URL a crawler always
+    * fetches first, and its Sitemap lines seed the frontier before any
+    * page has been parsed. */
+  def sitemaps(txt: String): Vector[String] = {
+    if (txt == null) return Vector.empty
+    txt.split("\n", -1).iterator
+      .map(_.takeWhile(_ != '#').trim)
+      .flatMap { line =>
+        val ci = line.indexOf(':')
+        // the VALUE itself contains ':' (http://...) — key is before the
+        // FIRST colon only
+        if (ci <= 0) None
+        else if (!line.substring(0, ci).trim
+            .equalsIgnoreCase("sitemap")) None
+        else Some(line.substring(ci + 1).trim).filter(_.nonEmpty)
+      }.toVector
+  }
+
+  /** `Crawl-delay:` seconds for `agent` (exact group, else `*`, else
+    * None) — the de-facto politeness pacing signal (not in RFC 9309 but
+    * honored by Bing/Yandex and ubiquitous in the wild). The directive
+    * binds to the group like Allow/Disallow; a later repeat within the
+    * same group wins (last-wins, matching how crawlers re-read the
+    * file top to bottom). GROUP SELECTION comes first, exactly as in
+    * [[isAllowed]]: an agent with its own group never inherits `*`'s
+    * delay, even when its group states none. Non-numeric values are
+    * ignored; fractional seconds are honored. */
+  def crawlDelayOf(txt: String, agent: String): Option[Double] = {
+    if (txt == null) return None
+    val agentLc = agent.toLowerCase
+    var delays = Map.empty[String, Double]
+    var seen = Set.empty[String]
+    var agents: List[String] = Nil
+    var inRules = false
+    for (raw <- txt.split("\n", -1)) {
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { agents = Nil; inRules = false }
+            if (value.nonEmpty) {
+              agents = value.toLowerCase :: agents
+              seen += value.toLowerCase
+            }
+          case "allow" | "disallow" => inRules = true
+          case "crawl-delay" =>
+            inRules = true
+            value.toDoubleOption.filter(d => d >= 0 && !d.isNaN)
+              .foreach(d => for (a <- agents)
+                delays = delays.updated(a, d))
+          case _ => ()
+        }
+      }
+    }
+    if (seen.contains(agentLc)) delays.get(agentLc)
+    else delays.get("*")
+  }
+
   /** Full per-(robots, agent, path) decision — parse + select + longest
     * match with allow-wins ties. One-shot form; at corpus scale parse
     * each host's robots ONCE and run the relational argmax instead

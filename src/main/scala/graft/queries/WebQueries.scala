@@ -360,6 +360,42 @@ object WebQueries {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // ── robots.txt sidecar directives: Sitemap (group-INDEPENDENT, the
+    //    frontier bootstrap channel — robots.txt is the one URL a
+    //    crawler always fetches first) and Crawl-delay (group-bound
+    //    politeness pacing with exact-over-* selection). 4 in-plan
+    //    policy branches × 3 hosts (%4, %3 coprime): *-group delay
+    //    inherited by an agent with no group, exact-group delay BEATING
+    //    a *-group delay, non-numeric delay ignored, sitemap lines
+    //    inside a foreign group still extracted, empty file. Closed-form
+    //    oracle per branch. ───────────────────────────────────────────
+    "web_robots_sitemap" -> ((s, d) => {
+      val sm = udf(graft.functions.RobotsTxt.sitemaps _)
+      val cd = udf((t: String) =>
+        graft.functions.RobotsTxt.crawlDelayOf(t, "graftbot"))
+      val h = concat(lit("https://h"), pmod(col("doc_id"), lit(3)),
+        lit(".com"))
+      val m4 = pmod(col("doc_id"), lit(4))
+      val txt = when(m4 === 0, concat(
+          lit("User-agent: *\nDisallow: /x\nSitemap: "), h,
+          lit("/sm.xml\nCrawl-delay: 2")))
+        .when(m4 === 1, concat(
+          lit("User-agent: graftbot\nCrawl-delay: 0.5\nDisallow:\n" +
+            "User-agent: *\nCrawl-delay: 9\nSitemap: "), h,
+          lit("/a.xml\nSitemap: "), h, lit("/b.xml")))
+        .when(m4 === 2, lit("User-agent: *\nCrawl-delay: abc\n" +
+          "Disallow: /p"))
+        .otherwise(lit(""))
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), txt.as("_t"))
+        .select(col("doc_id"),
+          size(sm(col("_t"))).cast("bigint").as("n_sitemaps"),
+          coalesce(get(sm(col("_t")), lit(0)), lit(""))
+            .as("first_sitemap"),
+          coalesce(cd(col("_t")), lit(-1.0)).as("crawl_delay"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── mined crawl frontier — the COMPOSITION the per-piece queries
     //    (web_sitemap, docs_url_canonical, web_robots_allowed,
     //    web_host_rank) each gate alone: sitemap discovery →
@@ -766,6 +802,18 @@ object WebQueries {
         |CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
         |payload
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "web_robots_sitemap" ->
+      """SELECT doc_id,
+        |CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+        |  AS BIGINT) AS n_sitemaps,
+        |CASE doc_id % 4
+        |  WHEN 0 THEN 'https://h' || (doc_id % 3) || '.com/sm.xml'
+        |  WHEN 1 THEN 'https://h' || (doc_id % 3) || '.com/a.xml'
+        |  ELSE '' END AS first_sitemap,
+        |CAST(CASE doc_id % 4 WHEN 0 THEN 2.0 WHEN 1 THEN 0.5
+        |  ELSE -1.0 END AS DOUBLE) AS crawl_delay
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the frontier pieces in closed form (canonical urls, crawled keys,
     // the three robots decisions) + the discovery-graph PageRank rounds

@@ -110,4 +110,37 @@ class RobotsTxtSpec extends SparkSpec {
     }
     assert(got.size === hosts.size * paths.size)
   }
+
+  test("Sitemap: directives extract group-independently, in order, " +
+      "duplicates kept, comments and junk ignored") {
+    import RobotsTxt.sitemaps
+    val txt = "User-agent: a\nDisallow: /x\n" +
+      "Sitemap: https://h.com/a.xml # trailing comment\n" +
+      "User-agent: *\nSITEMAP: https://h.com/b.xml\n" +
+      "sitemap:https://h.com/a.xml\n" +
+      "Sitemap:\n" + // empty value drops
+      "NotSitemap: https://h.com/c.xml\n"
+    assert(sitemaps(txt) === Vector("https://h.com/a.xml",
+      "https://h.com/b.xml", "https://h.com/a.xml"))
+    assert(sitemaps("") === Vector.empty)
+    assert(sitemaps(null) === Vector.empty)
+  }
+
+  test("Crawl-delay: group-bound with exact-over-* selection, " +
+      "last-wins in group, non-numeric ignored") {
+    import RobotsTxt.crawlDelayOf
+    val txt = "User-agent: graftbot\nCrawl-delay: 0.5\nDisallow:\n" +
+      "User-agent: *\nCrawl-delay: 9\n"
+    assert(crawlDelayOf(txt, "GraftBot") === Some(0.5))
+    assert(crawlDelayOf(txt, "otherbot") === Some(9.0))
+    // an agent with its OWN group never inherits *'s delay
+    val own = "User-agent: b\nDisallow: /x\nUser-agent: *\nCrawl-delay: 3"
+    assert(crawlDelayOf(own, "b") === None)
+    // last-wins within a group; non-numeric and negative ignored
+    assert(crawlDelayOf(
+      "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4", "x") === Some(4.0))
+    assert(crawlDelayOf("User-agent: *\nCrawl-delay: soon", "x") === None)
+    assert(crawlDelayOf("User-agent: *\nCrawl-delay: -2", "x") === None)
+    assert(crawlDelayOf(null, "x") === None)
+  }
 }
