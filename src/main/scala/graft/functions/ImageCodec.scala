@@ -179,14 +179,17 @@ object ImageCodec {
     val stride = width * ch
     val raw = new Array[Byte]((stride + 1) * height)
     val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
+    // try/finally: the truncated-stream early return must ALSO free the
+    // Inflater's native memory (per-malformed-image finalizer debt)
     var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
-      got += n
-    }
-    inf.end()
+    try {
+      inf.setInput(idat.toByteArray)
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+    } finally inf.end()
     if (got < raw.length) return None
     // per-scanline defilter (PNG spec §6): each row = filter byte + data
     val out = new Array[Byte](stride * height)

@@ -307,16 +307,20 @@ object PdfCodec {
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
-    val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
-      else if (!inf.finished()) return out.toByteArray // truncated
-    }
-    inf.end()
-    out.toByteArray
+    // try/finally: the truncated-stream early return must ALSO free the
+    // Inflater's native memory — per-malformed-object GC-finalizer debt
+    // is real over a corpus-sized PDF scan
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (!inf.finished()) return out.toByteArray // truncated
+      }
+      out.toByteArray
+    } finally inf.end()
   }
 
   private def contentBytes(page: PdfObj,

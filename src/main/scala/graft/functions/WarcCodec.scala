@@ -57,7 +57,11 @@ object WarcCodec {
         "\r\n\r\n".getBytes("UTF-8")
       if (gzipPerRecord) {
         val gz = new GZIPOutputStream(out)
-        gz.write(rec); gz.finish()
+        // close(), not finish(): finish() flushes the member but leaves
+        // the internal Deflater's native memory for the GC finalizer —
+        // a per-record leak at archive-writing scale (close() on top of
+        // a ByteArrayOutputStream is otherwise a no-op)
+        gz.write(rec); gz.close()
       } else out.write(rec)
     }
     out.toByteArray
@@ -73,14 +77,20 @@ object WarcCodec {
     val plain =
       if (bytes.length >= 2 && bytes(0) == GzMagic(0) &&
           bytes(1) == GzMagic(1)) {
+        var in: GZIPInputStream = null
         try {
-          val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+          // the constructor itself reads the member header and throws on
+          // corruption past the 2-byte magic check above
+          in = new GZIPInputStream(new ByteArrayInputStream(bytes))
           val out = new ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
           out.toByteArray
         } catch { case _: Exception => return Seq.empty }
+        // free the Inflater's native memory NOW on both paths — per-row
+        // GC-finalizer debts add up over a corpus of archives
+        finally if (in != null) in.close()
       } else bytes
     val recs = Seq.newBuilder[WarcRecord]
     var pos = 0

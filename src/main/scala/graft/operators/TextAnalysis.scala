@@ -1020,7 +1020,9 @@ object TextAnalysis {
               .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
             (id, raw.length.toLong, n, ratio)
           }
-        }
+          // free the task's Deflater native memory when the partition
+          // drains (by-name ++ thunk) instead of leaving it to the GC
+        } ++ { deflater.end(); Iterator.empty }
       }
       .toDF("doc_id", "n_bytes", "n_deflated", "gzip_ratio")
   }
