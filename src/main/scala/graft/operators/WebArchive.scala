@@ -91,6 +91,9 @@ object WebArchive {
     * WARC-Record-ID, and Content-Type: text/plain — the standard WET
     * record shape (ISO 28500 §6.8). Output: (idCol, wet BINARY), one
     * row per input archive that produced ≥ 1 conversion record.
+    * `warcinfo = true` prepends the conventional `warcinfo` leader
+    * record (each output row IS a small WET file; the official product
+    * opens with one describing the conversion software).
     *
     * Scale shape: the parse explode and the html strip are row-grain
     * (the strip is the codegen'd regexp chain, not a UDF); the only
@@ -100,7 +103,8 @@ object WebArchive {
     * one row each under a binaryFile read — so nothing here exceeds
     * single-archive memory at any corpus size. */
   def wetConversion(df: DataFrame, idCol: String, bytesCol: String,
-      gzipPerRecord: Boolean = false): DataFrame = {
+      gzipPerRecord: Boolean = false,
+      warcinfo: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     val parse = udf((bytes: Array[Byte]) =>
       if (bytes == null)
@@ -132,8 +136,13 @@ object WebArchive {
       .withColumn("wet_text",
         when(col("ct").startsWith("text/html"),
           Markup.htmlToText(col("body"))).otherwise(col("body")))
+    val leader: Seq[(Seq[(String, String)], Array[Byte])] =
+      if (!warcinfo) Seq.empty
+      else Seq((Seq("WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft-wet\r\n".getBytes("UTF-8")))
     val enc = udf((recs: Seq[Row]) =>
-      WarcCodec.encode(recs.map(r => (Seq(
+      WarcCodec.encode(leader ++ recs.map(r => (Seq(
         "WARC-Type" -> "conversion",
         "WARC-Target-URI" -> r.getString(2),
         "WARC-Refers-To" -> r.getString(1),
