@@ -248,4 +248,28 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("HashAggregate") || l.contains("SortAggregate"))
     assert(aggs >= 2, s"partial+final argmax missing:\n${plan.take(2000)}")
   }
+
+  test("web_frontier: the politeness window partitions by domain (never " +
+      "global) and nothing degrades to a cartesian") {
+    val plan = executedPlan("web_frontier")
+    val win = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(win.contains("domain"),
+      s"politeness window lost its domain partitioning:\n$win")
+    assert(!plan.contains("CartesianProduct"),
+      s"a frontier join degraded to a cartesian:\n${plan.take(2000)}")
+    // small dims (robots rules, host ranks) stay broadcast-joined
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier lost its broadcast joins:\n${plan.take(2000)}")
+  }
+
+  test("docs_warc_wet: row-grain codec work — exactly the per-archive " +
+      "regroup shuffles data, plus the presentation sort") {
+    val plan = executedPlan("docs_warc_wet")
+    // hashpartitioning(doc_id) for the WET writer regroup +
+    // rangepartitioning for the final orderBy — nothing else
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"docs_warc_wet grew an extra exchange:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
