@@ -369,4 +369,126 @@ object GraftProperties extends Properties("graft") {
       }
       merged.size <= k && undercountOk && presenceOk
     }
+
+  // ── web-crawl kernels (WARC / robots / URL / HTTP) ────────────────────
+  private val headerName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.frequency(9 -> Gen.alphaNumChar,
+      1 -> Gen.const('-'))).map(_.mkString.take(24))
+      .suchThat(s => s.nonEmpty && !s.startsWith("-"))
+  private val headerValue: Gen[String] =
+    Gen.listOf(Gen.choose(' ', '~')).map(_.mkString.trim.take(40))
+  private val payload: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+  // distinct (case-insensitive) names: header() is documented FIRST-wins
+  // on duplicates, so a round-trip property must not demand both values
+  private def dedupNames(hs: List[(String, String)]) = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    hs.filter(h => seen.add(h._1.toLowerCase))
+  }
+  // re-impose the header contract INSIDE the property: ScalaCheck
+  // shrinking does not re-apply suchThat filters through zip/map, so a
+  // failing case can shrink to an empty/whitespace name the codecs
+  // reject by design — sanitize so any shrunk input stays in-contract
+  // (names token-shaped, values with no outer whitespace)
+  private def sanitize(hs: List[(String, String)]) = dedupNames(
+    hs.map { case (k, v) =>
+      (k.filter(c => c.isLetterOrDigit || c == '-').dropWhile(_ == '-'),
+        v.trim)
+    }.filter(h => h._1.nonEmpty))
+  private val warcRecord: Gen[(Seq[(String, String)], Array[Byte])] =
+    for {
+      n <- Gen.choose(0, 4)
+      hs <- Gen.listOfN(n, Gen.zip(headerName, headerValue))
+      p <- payload
+    } yield (sanitize(hs)
+      .filterNot(_._1.equalsIgnoreCase("Content-Length")), p)
+
+  property("WARC encode/decode round trip (both layouts): headers, " +
+      "order, and payload bytes survive") =
+    forAll(Gen.listOf(warcRecord), Gen.oneOf(true, false)) { (recs, gz) =>
+      import graft.functions.WarcCodec
+      val back = WarcCodec.decode(WarcCodec.encode(recs, gz))
+      back.length == recs.length && back.zip(recs).forall {
+        case (got, (hs, p)) =>
+          java.util.Arrays.equals(got.payload, p) &&
+            hs.forall { case (k, v) => got.header(k).contains(v) }
+      }
+    }
+
+  private val robotsPath: Gen[String] =
+    Gen.nonEmptyListOf(Gen.frequency(8 -> Gen.alphaLowerChar,
+      1 -> Gen.const('/'), 1 -> Gen.const('.')))
+      .map(cs => "/" + cs.mkString.take(30))
+
+  property("robots matchLen: a wildcard-free pattern matches exactly " +
+      "its prefix extensions, with its own length as precedence") =
+    forAll(robotsPath, robotsPath) { (pat, ext) =>
+      import graft.functions.RobotsTxt.matchLen
+      val p = pat.replace("*", "").replace("$", "")
+      matchLen(p, p + ext) == p.length &&
+        (matchLen(p, ext) == -1 || ext.startsWith(p))
+    }
+
+  property("robots isAllowed: empty policy allows all; 'Disallow: /' " +
+      "under * blocks all; the agent's own empty group allows all") =
+    forAll(robotsPath) { path =>
+      import graft.functions.RobotsTxt.isAllowed
+      isAllowed("", "anybot", path) &&
+        !isAllowed("User-agent: *\nDisallow: /", "anybot", path) &&
+        isAllowed("User-agent: anybot\nDisallow:\n" +
+          "User-agent: *\nDisallow: /", "anybot", path)
+    }
+
+  private val urlish: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+    host <- Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(12))
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/a/b", "/P")
+    q <- Gen.oneOf("", "?k=1", "?utm_a=1&k=2", "?utm_only=x")
+    frag <- Gen.oneOf("", "#f", "#a#b")
+  } yield s"$scheme://$host.com$port$path$q$frag"
+
+  property("canonicalizeUrl is idempotent and fragment-free on URL-ish " +
+      "inputs") = forAll(urlish) { u =>
+    import graft.functions.UrlFunctions.canonicalizeUrl
+    val once = canonicalizeUrl(u)
+    canonicalizeUrl(once) == once && !once.contains("#")
+  }
+
+  property("registrableDomain is a dot-suffix of the host and a fixed " +
+      "point of itself") =
+    forAll(Gen.nonEmptyListOf(
+        Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8)))
+      .map(_.take(4).mkString("."))) { host =>
+      import graft.functions.UrlFunctions.registrableDomain
+      val d = registrableDomain(host)
+      (host == d || host.endsWith("." + d)) &&
+        registrableDomain(d) == d
+    }
+
+  property("HTTP response round trip: status, headers, and body bytes " +
+      "survive the parse") =
+    forAll(Gen.choose(100, 599), Gen.listOf(Gen.zip(headerName,
+        headerValue)), payload) { (status, hs0, body) =>
+      import graft.functions.HttpMessage.parseResponse
+      val hs = sanitize(hs0)
+      val head = s"HTTP/1.1 $status X\r\n" +
+        hs.map { case (k, v) => s"$k: $v\r\n" }.mkString + "\r\n"
+      val r = parseResponse(head.getBytes("ISO-8859-1") ++ body)
+      r.exists(resp => resp.status == status &&
+        java.util.Arrays.equals(resp.body, body) &&
+        hs.forall { case (k, v) => resp.header(k).contains(v) })
+    }
+
+  property("robots sitemaps: inserted Sitemap lines come back verbatim, " +
+      "in order, regardless of surrounding groups") =
+    forAll(Gen.listOf(urlish)) { urls0 =>
+      import graft.functions.RobotsTxt.sitemaps
+      // '#' starts a robots comment — a fragment would be (correctly)
+      // truncated, so the round-trip property feeds fragment-free urls
+      val urls = urls0.map(_.takeWhile(_ != '#'))
+      val txt = "User-agent: *\nDisallow: /x\n" +
+        urls.map(u => s"Sitemap: $u\n").mkString + "User-agent: b\n"
+      sitemaps(txt) == urls.toVector
+    }
 }
