@@ -491,4 +491,75 @@ object GraftProperties extends Properties("graft") {
         urls.map(u => s"Sitemap: $u\n").mkString + "User-agent: b\n"
       sitemaps(txt) == urls.toVector
     }
+
+  // ── degrade-never-throw fuzz battery over every binary decoder ────────
+  // Every codec documents the same degradation contract: malformed input
+  // yields None / the well-formed prefix / Nil — NEVER a throw, because a
+  // corpus-scale scan cannot afford one bad record aborting a job. Random
+  // junk exercises the header/magic guards; BIT-FLIPPED and TRUNCATED
+  // valid containers reach the deep parse paths those guards protect.
+  private val junkBytes: Gen[Array[Byte]] =
+    Gen.choose(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  /** One bit-flip + one truncation of a valid container. */
+  private def mutations(valid: Array[Byte], pos: Int,
+      cut: Int): Seq[Array[Byte]] = {
+    if (valid.isEmpty) return Seq(valid)
+    val flipped = valid.clone()
+    val p = math.floorMod(pos, flipped.length)
+    flipped(p) = (flipped(p) ^ (1 << math.floorMod(pos, 8))).toByte
+    Seq(flipped, valid.take(math.floorMod(cut, valid.length + 1)))
+  }
+
+  private def survives(f: Array[Byte] => Any)(bs: Array[Byte]): Boolean =
+    try { f(bs); true } catch { case scala.util.control.NonFatal(_) => false }
+
+  private val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+    "warc" -> (bs => graft.functions.WarcCodec.decode(bs)),
+    "wav" -> (bs => graft.functions.WavCodec.decode(bs)),
+    "avi" -> (bs => graft.functions.AviCodec.decodeInfo(bs)),
+    "image" -> (bs => ImageCodec.decode(bs)),
+    "tfrecord" -> (bs => graft.functions.TfRecordCodec.decodeRecords(bs)),
+    "tfexample" -> (bs => graft.functions.TfRecordCodec.decodeExample(bs)),
+    "http" -> (bs => graft.functions.HttpMessage.parseResponse(bs)),
+    "chunked" -> (bs => graft.functions.HttpMessage.decodeChunked(bs)),
+    "pdf" -> (bs => graft.functions.PdfCodec.extractPages(bs)))
+
+  property("no decoder throws on random junk") =
+    forAll(junkBytes) { bs =>
+      Prop.all(decoders.map { case (n, f) =>
+        survives(f)(bs) :| s"$n threw" }: _*)
+    }
+
+  private val validContainers: Gen[(String, Array[Byte])] = {
+    val warc = Gen.zip(Gen.listOf(warcRecord), Gen.oneOf(true, false))
+      .map { case (rs, gz) =>
+        "warc" -> graft.functions.WarcCodec.encode(rs, gz) }
+    val wav = samples.map(s =>
+      "wav" -> graft.functions.WavCodec.encodePcm16(8000, s))
+    val avi = Gen.listOf(payload).map(fs =>
+      "avi" -> graft.functions.AviCodec.encode(4, 3, 40000, fs))
+    val tfr = Gen.listOf(payload).map(ps =>
+      "tfrecord" -> graft.functions.TfRecordCodec.encodeRecords(ps))
+    val png = raster9x8.map { px =>
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, 9, 8, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      "png" -> bos.toByteArray
+    }
+    Gen.oneOf(warc, wav, avi, tfr, png)
+  }
+
+  property("no decoder throws on bit-flipped or truncated valid " +
+      "containers (any container against any decoder)") =
+    forAll(validContainers, Gen.choose(0, 1 << 20),
+        Gen.choose(0, 1 << 20)) { case ((_, valid), pos, cut) =>
+      Prop.all((for {
+        m <- mutations(valid, pos, cut)
+        (n, f) <- decoders
+      } yield survives(f)(m) :| s"$n threw on a mutated container"): _*)
+    }
 }
