@@ -562,4 +562,28 @@ object GraftProperties extends Properties("graft") {
         (n, f) <- decoders
       } yield survives(f)(m) :| s"$n threw on a mutated container"): _*)
     }
+
+  property("no string parser throws on arbitrary unicode text") =
+    forAll(Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue))
+        .map(_.mkString)) { s =>
+      val parsers: Seq[(String, String => Any)] = Seq(
+        "robots.parse" -> (t => graft.functions.RobotsTxt.parse(t)),
+        "robots.isAllowed" ->
+          (t => graft.functions.RobotsTxt.isAllowed(t, "bot", t)),
+        "robots.sitemaps" -> (t => graft.functions.RobotsTxt.sitemaps(t)),
+        "robots.crawlDelay" ->
+          (t => graft.functions.RobotsTxt.crawlDelayOf(t, "bot")),
+        "url.canonicalize" ->
+          (t => graft.functions.UrlFunctions.canonicalizeUrl(t)),
+        "url.domain" ->
+          (t => graft.functions.UrlFunctions.registrableDomain(t)),
+        "http.charsetOf" ->
+          (t => graft.functions.HttpMessage.charsetOf(t)),
+        "alternatives" -> (t => Alternatives.parse(t)),
+        "porter" -> (t => graft.functions.PorterStemmer.stem(t)))
+      Prop.all(parsers.map { case (n, f) =>
+        (try { f(s); true } catch {
+          case scala.util.control.NonFatal(_) => false
+        }) :| s"$n threw" }: _*)
+    }
 }
