@@ -190,8 +190,9 @@ object TfRecordCodec {
   }
 
   /** Top-level wire fields of a message: (fieldNumber, body) for
-    * length-delimited fields; varint fields are surfaced as their
-    * 8-byte value so int64 lists written UNPACKED still parse. */
+    * length-delimited fields; varint fields are re-encoded as a minimal
+    * varint buffer so int64 lists written UNPACKED parse through the
+    * same packed-list reader. */
   private def fields(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
     val out = Seq.newBuilder[(Int, Array[Byte])]
     var pos = 0
