@@ -42,11 +42,26 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val pair = """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
-        pair.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val m = parsePriors(txt)
+        if (m.isEmpty)
+          System.err.println(
+            "[bench] bench_priors.json present but yielded no priors; " +
+              "falling back to hardcoded cost map")
+        m
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Parse a flat {"query":seconds,...} priors snapshot. Per-pair Try
+    * (ADVICE r11): one malformed numeric token (e.g. "1.2.3", a lone
+    * "-") keeps its OWN pair out but must not discard every other
+    * measured prior with it. Package-private for the spec. */
+  private[graft] def parsePriors(txt: String): Map[String, Double] = {
+    val pair = """"([^"]+)"\s*:\s*(-?[0-9.][0-9.eE+-]*)""".r
+    pair.findAllMatchIn(txt).flatMap(m =>
+      scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
+        .filter(_._2.isFinite))
+      .toMap
+  }
 
   private def prior(name: String): Double =
     MeasuredPriors.getOrElse(name, CostPriors.getOrElse(name, 1.0))

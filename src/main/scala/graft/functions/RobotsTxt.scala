@@ -148,7 +148,7 @@ object RobotsTxt {
           case "allow" | "disallow" => inRules = true
           case "crawl-delay" =>
             inRules = true
-            value.toDoubleOption.filter(d => d >= 0 && !d.isNaN)
+            value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
               .foreach(d => for (a <- agents)
                 delays = delays.updated(a, d))
           case _ => ()

@@ -42,9 +42,12 @@ object UrlFunctions {
     val h = host.toLowerCase(java.util.Locale.ROOT)
     // address literals group as themselves: an IPv4 host would otherwise
     // "register" as its last two octets ("192.168.0.1" → "0.1"), and an
-    // IPv6 literal has no label structure at all
+    // IPv6 literal has no label structure at all. ASCII digits only —
+    // Unicode-aware isDigit would misclassify hosts of non-ASCII digits
+    // (e.g. Arabic-Indic) as address literals (ADVICE r11).
     if (h.startsWith("[") ||
-      h.nonEmpty && h.forall(c => c.isDigit || c == '.')) return h
+      h.nonEmpty && h.forall(c => (c >= '0' && c <= '9') || c == '.'))
+      return h
     val labels = h.split('.')
     if (labels.length <= 1) return h
     val last2 = labels.takeRight(2).mkString(".")

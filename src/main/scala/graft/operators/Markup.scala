@@ -98,12 +98,16 @@ object Markup {
     * than call the per-flag helpers (each of those rebuilds the full
     * extraction tree and relies on subexpression elimination). The
     * `none` directive implies both flags (Google/Bing semantics);
-    * membership is WHOLE-TOKEN over the comma-split, trimmed directive
-    * list — substring matching would let content like "nonetheless" or
-    * "noindexable" set the flags (ADVICE r10). */
+    * membership is WHOLE-TOKEN over the directive list split on commas
+    * AND whitespace — substring matching would let content like
+    * "nonetheless" or "noindexable" set the flags (ADVICE r10), while a
+    * comma-only split would drop space-separated lists like
+    * content="noindex nofollow", common in dirty crawls and honored by
+    * major crawlers (ADVICE r11). */
   def metaRobotsFlags(html: Column): Column = {
     val c = metaRobotsContent(html)
-    val toks = transform(split(c, ","), t => trim(t))
+    val toks = filter(transform(split(c, "[,\\s]+"), t => trim(t)),
+      t => t =!= "")
     def has(d: String) = array_contains(toks, d)
     val none = has("none")
     struct(c.as("directives"),

@@ -33,4 +33,19 @@ class BenchOverrideSpec extends SparkSpec {
       graft.queries.SharedBenchStages.clear()
     }
   }
+
+  test("priors parsing is per-pair: one malformed numeric token keeps " +
+      "its pair out without discarding the rest (ADVICE r11)") {
+    val good = Bench.parsePriors("""{"a": 1.5, "b": 2, "c": 3e-1}""")
+    assert(good === Map("a" -> 1.5, "b" -> 2.0, "c" -> 0.3))
+    // "b"'s value is junk ("1.2.3" matches the pair regex but not
+    // toDouble) — a and c must survive
+    val part = Bench.parsePriors("""{"a": 1.5, "b": 1.2.3, "c": 4}""")
+    assert(part === Map("a" -> 1.5, "c" -> 4.0))
+    // non-finite overflow values are dropped, not propagated
+    assert(Bench.parsePriors("""{"a": 1e999, "b": 2}""")
+      === Map("b" -> 2.0))
+    assert(Bench.parsePriors("") === Map.empty)
+    assert(Bench.parsePriors("not json at all") === Map.empty)
+  }
 }

@@ -131,4 +131,21 @@ class MarkupSpec extends SparkSpec {
     assert(metaFlags("<meta name=\"robots\" content=\"noindex,nofollow\">")
       === (("noindex,nofollow", true, true)))
   }
+
+  test("meta robots: whitespace-separated directive lists (no commas) " +
+      "still set flags — dirty-crawl form honored by major crawlers " +
+      "(ADVICE r11)") {
+    assert(metaFlags("<meta name=\"robots\" content=\"noindex nofollow\">")
+      === (("noindex nofollow", true, true)))
+    assert(metaFlags("<meta name=\"robots\" content=\"noindex\tnofollow\">")
+      === (("noindex\tnofollow", true, true)))
+    // mixed commas + spaces, leading separator junk (directives keeps
+    // the raw captured value — extraction never trims)
+    assert(metaFlags(
+      "<meta name=\"robots\" content=\", noindex ,, nofollow \">")
+      === ((", noindex ,, nofollow ", true, true)))
+    // whole-token discipline survives the new split
+    assert(metaFlags("<meta name=\"robots\" content=\"nonetheless x\">")
+      === (("nonetheless x", false, false)))
+  }
 }

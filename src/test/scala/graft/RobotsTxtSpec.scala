@@ -143,4 +143,20 @@ class RobotsTxtSpec extends SparkSpec {
     assert(crawlDelayOf("User-agent: *\nCrawl-delay: -2", "x") === None)
     assert(crawlDelayOf(null, "x") === None)
   }
+
+  test("Crawl-delay: infinities rejected like NaN — '1e999' or " +
+      "'Infinity' must not poison pacing arithmetic (ADVICE r11)") {
+    import RobotsTxt.crawlDelayOf
+    assert(crawlDelayOf("User-agent: *\nCrawl-delay: 1e999", "x") === None)
+    assert(crawlDelayOf("User-agent: *\nCrawl-delay: Infinity", "x")
+      === None)
+    assert(crawlDelayOf("User-agent: *\nCrawl-delay: -Infinity", "x")
+      === None)
+    assert(crawlDelayOf("User-agent: *\nCrawl-delay: NaN", "x") === None)
+    // a later junk value must not erase an earlier good one? No —
+    // last-wins applies only to ACCEPTED values; junk is skipped
+    assert(crawlDelayOf(
+      "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 1e999", "x")
+      === Some(2.0))
+  }
 }

@@ -78,5 +78,11 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(registrableDomain("[2001:db8::1]") === "[2001:db8::1]")
     // all-digit multi-label NAMES don't exist; digits+dots = IPv4
     assert(registrableDomain("10.0.0.0") === "10.0.0.0")
+    // ASCII digits ONLY: a host of non-ASCII digits (Arabic-Indic,
+    // Devanagari) is a NAME, not an address literal — it must take the
+    // normal registrable-domain path and reduce to eTLD+1 (ADVICE r11;
+    // the literal path would have passed all 3 labels through whole)
+    assert(registrableDomain("١.٢.٣") === "٢.٣")
+    assert(registrableDomain("x.१२.com") === "१२.com")
   }
 }
