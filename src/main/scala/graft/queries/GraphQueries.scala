@@ -577,6 +577,25 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Bench-only (VERDICT r11 #1): the gate forms each pay the exact N²
+    // knnGraph + mutual self-join deliberately (the oracle replays it);
+    // the bench measures the OPERATOR — the bounded simultaneous-peeling
+    // loop — over the production edge build, and the two entries share
+    // ONE mutual-edge stage (SharedBenchStages.mutualKnnEdges) instead
+    // of deriving the same knn + mutual join twice in one session.
+    "graph_kcore" -> ((s, d) => {
+      GraphOps.kCore(SharedBenchStages.mutualKnnEdges(s, d),
+          "src", "dst", k = 2, maxRounds = 8)
+        .orderBy(col("id"))
+    }),
+
+    "graph_kcore_audit" -> ((s, d) => {
+      GraphOps.kCore(SharedBenchStages.mutualKnnEdges(s, d),
+          "src", "dst", k = 2, maxRounds = 8)
+        .filter(col("core_degree") < 2)
+        .orderBy(col("id"))
+    }),
+
     "graph_beam_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val edges = SimilaritySearch.knnGraphCells(emb, "vec_id", "embedding",

@@ -1,54 +1,57 @@
 package graft.queries
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-/** BENCH-ONLY cross-query stage sharing (VERDICT r9 task 6): the three
-  * connected-components consumers (`dedup_clusters`, `dedup_apply`,
-  * `dedup_apply_best`) all derive from the SAME
-  * `prefixFilterJaccardPairs(documents, n=3, t=0.8)` call; running each
-  * gate form in the bench recomputes that pair pipeline — and its
-  * internal localCheckpoint — three times in one session, which is
-  * exactly where r9's in-suite block pressure concentrated. The bench
-  * overrides pull the pair table from this memo instead: computed once
-  * per (session, sfDir), materialized with an EAGER localCheckpoint, and
-  * its block ids PINNED so the harness's between-query purge
+/** BENCH-ONLY cross-query stage sharing (VERDICT r9 task 6, extended
+  * r12): several bench entries derive from the same expensive upstream
+  * stage — the three connected-components consumers (`dedup_clusters`,
+  * `dedup_apply`, `dedup_apply_best`) from one
+  * `prefixFilterJaccardPairs(documents, n=3, t=0.8)` pair table, and the
+  * two k-core entries (`graph_kcore`, `graph_kcore_audit`) from one
+  * mutual k-NN edge table. Running each gate form in the bench
+  * recomputes the shared stage per consumer — and its internal
+  * localCheckpoint — several times in one session, which is exactly
+  * where r9's in-suite block pressure concentrated. The bench overrides
+  * pull the stage from these memos instead: computed once per
+  * (session, sfDir), materialized with an EAGER localCheckpoint, and its
+  * block ids PINNED so the harness's between-query purge
   * ([[graft.JvmHygiene.purgeBlocks]]) does not unpersist a live
   * checkpoint out from under the next query (truncated lineage cannot
   * be recomputed — the r9 tail-warning interaction).
   *
   * The correctness gate (Verify) never sees this: it runs the plain
   * `queries` forms, each self-contained. At production scale the same
-  * idea is "materialize the pair table once, run clusters/apply/policy
-  * passes over it" — the memo is the single-process stand-in. */
+  * idea is "materialize the pair/edge table once, run every consumer
+  * pass over it" — the memo is the single-process stand-in. */
 object SharedBenchStages {
-  private case class Entry(session: SparkSession, pairs: DataFrame,
+  private case class Entry(session: SparkSession, df: DataFrame,
     pinned: Set[Int])
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Entry]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String),
+      Entry]()
 
-  private def key(s: SparkSession, d: String) =
-    (System.identityHashCode(s), d)
+  private def key(stage: String, s: SparkSession, d: String) =
+    (stage, System.identityHashCode(s), d)
 
-  /** The shared (id_a, id_b, jaccard) pair table for `documents` in
-    * `d` — eagerly checkpointed on first use in this session. Only the
-    * OUTER pair-table checkpoint stays pinned: the generator's internal
-    * shingle-base checkpoint (`prefixFilterJaccardPairs`'s own
-    * localCheckpoint, which runs during plan construction) is DEAD once
-    * the pair table materializes, so it is unpersisted here rather than
-    * left for the between-query purge to find — pinning it would hold
-    * the largest intermediate of the whole stage resident for every
-    * remaining query in the bin. (`localCheckpoint()` is eager; no
-    * extra action is needed to materialize.) */
-  def prefixPairs(s: SparkSession, d: String): DataFrame =
-    cache.computeIfAbsent(key(s, d), _ => {
+  /** Compute-once-per-(session, sfDir) with an eager localCheckpoint.
+    * Only the OUTER checkpoint stays pinned: any checkpoint the builder
+    * persists internally (e.g. `prefixFilterJaccardPairs`'s own
+    * shingle-base checkpoint, which runs during plan construction) is
+    * DEAD once the stage table materializes, so it is unpersisted here
+    * rather than left for the between-query purge to find — pinning it
+    * would hold the largest intermediate of the whole stage resident
+    * for every remaining query in the bin. (`localCheckpoint()` is
+    * eager; no extra action is needed to materialize.) */
+  private def memo(stage: String, s: SparkSession, d: String)(
+      build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(key(stage, s, d), _ => {
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val pairsDf = Dedup.prefixFilterJaccardPairs(
-        Tables.t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8)
+      val df = build
       // ids persisted by the generator itself (its internal base cp)
       val mid = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val cp = pairsDf.localCheckpoint() // eager: materializes now
+      val cp = df.localCheckpoint() // eager: materializes now
       val after = s.sparkContext.getPersistentRDDs.keySet.toSet
       // blocking, for the same reason purgeBlocks is: async removals of
       // the stage's largest intermediate would overlap — and jitter —
@@ -59,7 +62,37 @@ object SharedBenchStages {
           catch { case _: Exception => () }
       }
       Entry(s, cp, after -- mid)
-    }).pairs
+    }).df
+
+  /** The shared (id_a, id_b, jaccard) pair table for `documents` in
+    * `d` — eagerly checkpointed on first use in this session. */
+  def prefixPairs(s: SparkSession, d: String): DataFrame =
+    memo("prefixPairs", s, d) {
+      Dedup.prefixFilterJaccardPairs(
+        Tables.t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    }
+
+  /** The shared MUTUAL k-NN edge table for `embeddings` in `d` — the
+    * production edge build (cell-restricted k-NN,
+    * [[SimilaritySearch.knnGraphCells]], per-cell quadratic) followed by
+    * the mutual filter (keep (src,dst) only when (dst,src) is also a
+    * top-k edge). Both k-core bench entries consume THIS table: the
+    * gate forms each pay the exact N² `knnGraph` deliberately (the
+    * oracle replays it), but measuring that exhaustive build twice is a
+    * bench artifact, not the operator under test (VERDICT r11 #1). */
+  def mutualKnnEdges(s: SparkSession, d: String): DataFrame =
+    memo("mutualKnnEdges", s, d) {
+      // checkpoint the knn table before the mutual self-join so the
+      // cell build runs once, not twice; this internal checkpoint is
+      // unpersisted by memo() once the outer mutual table materializes
+      val knn = SimilaritySearch.knnGraphCells(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, ncells = 8).localCheckpoint()
+      knn.as("e").join(knn.as("r"),
+          col("e.src") === col("r.dst") && col("e.dst") === col("r.src"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
 
   /** Block ids the between-query purge must leave alone (live
     * checkpoints of memoized stages in THIS session). */
@@ -67,7 +100,7 @@ object SharedBenchStages {
     import scala.jdk.CollectionConverters._
     val h = System.identityHashCode(s)
     cache.asScala.collect {
-      case ((k, _), e) if k == h => e.pinned
+      case ((_, k, _), e) if k == h => e.pinned
     }.flatten.toSet
   }
 

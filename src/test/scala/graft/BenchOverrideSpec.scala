@@ -34,6 +34,37 @@ class BenchOverrideSpec extends SparkSpec {
     }
   }
 
+  test("kcore bench overrides: one shared mutual-edge stage, the " +
+      "fixpoint witness holds on the production edge build too") {
+    try {
+      // the memo is compute-once: both entries must see the SAME
+      // checkpointed table (reference equality — a second derivation
+      // would mean the shared stage isn't shared)
+      val e1 = graft.queries.SharedBenchStages.mutualKnnEdges(spark, sf)
+      val e2 = graft.queries.SharedBenchStages.mutualKnnEdges(spark, sf)
+      assert(e1 eq e2, "mutualKnnEdges must memoize per (session, dir)")
+      // mutual edges are symmetric by construction
+      val asym = e1.as("f").join(e1.as("b"),
+        org.apache.spark.sql.functions.col("f.src") ===
+          org.apache.spark.sql.functions.col("b.dst") &&
+        org.apache.spark.sql.functions.col("f.dst") ===
+          org.apache.spark.sql.functions.col("b.src"), "left_anti")
+      assert(asym.count() === 0L, "mutual edge table must be symmetric")
+
+      val core = SparkEntry.benchQueries("graph_kcore")(spark, sf)
+        .collect()
+      assert(core.nonEmpty, "2-core of the mutual cell graph is empty")
+      assert(core.forall(_.getAs[Long]("core_degree") >= 2L),
+        "every survivor retains >= k in-core neighbors")
+      // the audit form is the 0-row fixpoint witness — it must hold on
+      // the production edges exactly as on the gate's exact edges
+      assert(SparkEntry.benchQueries("graph_kcore_audit")(spark, sf)
+        .count() === 0L)
+    } finally {
+      graft.queries.SharedBenchStages.clear()
+    }
+  }
+
   test("priors parsing is per-pair: one malformed numeric token keeps " +
       "its pair out without discarding the rest (ADVICE r11)") {
     val good = Bench.parsePriors("""{"a": 1.5, "b": 2, "c": 3e-1}""")
