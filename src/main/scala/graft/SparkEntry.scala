@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CompressionQueries, CoreQueries, CurationQueries, ExtensionQueries, GraphQueries, RankingQueries, TrainingQueries, WebQueries}
+import graft.queries.{CompressionQueries, CoreQueries, CurationQueries, ExtensionQueries, GraphQueries, PipelineQueries, RankingQueries, TrainingQueries, WebQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -35,7 +35,8 @@ object SparkEntry {
     CoreQueries.queries ++ ExtensionQueries.queries ++
       CurationQueries.queries ++ TrainingQueries.queries ++
       GraphQueries.queries ++ CompressionQueries.queries ++
-      RankingQueries.queries ++ WebQueries.queries
+      RankingQueries.queries ++ WebQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose output is defined by
@@ -44,7 +45,8 @@ object SparkEntry {
     CoreQueries.oracles ++ ExtensionQueries.oracles ++
       CurationQueries.oracles ++ TrainingQueries.oracles ++
       GraphQueries.oracles ++ CompressionQueries.oracles ++
-      RankingQueries.oracles ++ WebQueries.oracles
+      RankingQueries.oracles ++ WebQueries.oracles ++
+      PipelineQueries.oracles
 
   /** The bench suite: `queries` with a few audit entries swapped for
     * deterministically SAMPLED variants (e.g. the exact-all-pairs

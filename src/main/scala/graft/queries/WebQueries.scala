@@ -315,41 +315,7 @@ object WebQueries {
     //    30 combos execute. Closed-form oracle per branch. ──────────────
     "docs_warc_wet" -> ((s, d) => {
       import graft.operators.WebArchive
-      val synth = udf((id: Long, text: String) => {
-        val status = if (id % 3 == 2) "404 Not Found" else "200 OK"
-        val (ct, body) =
-          if (id % 3 == 1)
-            ("text/plain; charset=utf-8", text.getBytes("UTF-8"))
-          else ("text/html; charset=utf-8",
-            (s"<html><head><title>T$id</title><script>var x=1;" +
-              s"</script></head><body><p>$text &amp; tail</p></body>" +
-              "</html>").getBytes("UTF-8"))
-        val chunked = id % 5 == 0
-        val wire = if (!chunked) body else {
-          val out = new java.io.ByteArrayOutputStream()
-          def put(from: Int, until: Int): Unit = if (until > from) {
-            out.write(s"${(until - from).toHexString}\r\n"
-              .getBytes("ISO-8859-1"))
-            out.write(body, from, until - from)
-            out.write("\r\n".getBytes("ISO-8859-1"))
-          }
-          put(0, body.length / 2)
-          put(body.length / 2, body.length)
-          out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
-          out.toByteArray
-        }
-        val head = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
-          (if (chunked) "Transfer-Encoding: chunked\r\n" else "") + "\r\n"
-        graft.functions.WarcCodec.encode(Seq(
-          (Seq("WARC-Type" -> "warcinfo",
-            "WARC-Record-ID" -> s"<urn:graft:info:$id>"),
-            "software: graft\r\n".getBytes("UTF-8")),
-          (Seq("WARC-Type" -> "response",
-            "WARC-Record-ID" -> s"<urn:graft:resp:$id>",
-            "WARC-Target-URI" -> s"http://example.org/doc/$id"),
-            head.getBytes("ISO-8859-1") ++ wire)),
-          gzipPerRecord = id % 2 == 0)
-      })
+      val synth = warcResponseSynth
       val wet = WebArchive.wetConversion(
         t(s, d, "documents").select(col("doc_id").cast("long")
             .as("doc_id"), col("text"))
@@ -471,15 +437,36 @@ object WebQueries {
       // politeness: one fetch slot per registrable domain per tick —
       // the window partitions by domain over the FRONTIER (already
       // dedup'd + gated: far smaller than the corpus), highest host
-      // rank first, url as the total tiebreak
+      // rank first, url as the total tiebreak. Each fetch's earliest
+      // tick honors BOTH constraints (r12, VERDICT r11 #3): the domain
+      // serialization (≥ slot−1) and the fetched host's declared
+      // Crawl-delay pacing (≥ ceil((slot−1)·delay), exact-integer over
+      // declared-millisecond delays — 1000 ms when the host declares
+      // none or publishes no robots). The delay dimension rides the
+      // SAME 3-row robots table the gate already broadcasts.
+      val cdUdf = udf((t: String) =>
+        graft.functions.RobotsTxt.crawlDelayOf(t, "graftbot"))
+      val delays = robots.select(col("host"),
+        round(cdUdf(col("robots_txt")) * lit(1000)).cast("long")
+          .as("_delay_ms"))
+      val slotM1 = (col("slot") - lit(1)).cast("long")
       allowed.join(pr, Seq("host"), "left")
+        .join(delays, Seq("host"), "left")
         .select(rdom(col("host")).as("domain"),
           col("url"), col("host"),
-          coalesce(col("rank_i"), lit(0L)).as("rank_i"))
+          coalesce(col("rank_i"), lit(0L)).as("rank_i"),
+          coalesce(col("_delay_ms"), lit(1000L)).as("_delay_ms"))
         .withColumn("slot", row_number().over(Window.partitionBy(
           col("domain")).orderBy(col("rank_i").desc, col("url"))))
+        // ceil(slotM1·delay_ms / 1000) as exact integers: the double
+        // division of exact longs is correctly rounded and ≥ 1/1000
+        // away from any integer unless exactly divisible, so floor is
+        // exact cross-engine (DuckDB replays with integer `//`)
+        .withColumn("not_before_tick", greatest(slotM1,
+          floor((slotM1 * col("_delay_ms") + lit(999L)) / lit(1000L))
+            .cast("long")))
         .select(col("domain"), col("slot"), col("url"), col("host"),
-          col("rank_i"))
+          col("rank_i"), col("not_before_tick"))
         .orderBy(col("domain"), col("slot"))
     }))
 
@@ -487,12 +474,62 @@ object WebQueries {
     * words); interpolated into the oracle from this one value. */
   private val RakeStops = Seq("the", "a")
 
+  /** The docs_warc_wet WARC synthesizer, shared with the flagship
+    * end-to-end composition ([[PipelineQueries]]): per doc an archive of
+    * a warcinfo record + one HTTP response record — 3 response branches
+    * by id%3 (html 200 whose strip drops a script and decodes &amp;-family
+    * entities, plain-text 200 passing through verbatim, html 404
+    * dropped), chunked wire framing on %5==0, per-record gzip members on
+    * %2==0 — 3, 5, 2 pairwise coprime, so all 30 combos execute. */
+  private[queries] val warcResponseSynth =
+    udf((id: Long, text: String) => {
+      val status = if (id % 3 == 2) "404 Not Found" else "200 OK"
+      val (ct, body) =
+        if (id % 3 == 1)
+          ("text/plain; charset=utf-8", text.getBytes("UTF-8"))
+        else ("text/html; charset=utf-8",
+          (s"<html><head><title>T$id</title><script>var x=1;" +
+            s"</script></head><body><p>$text &amp; tail</p></body>" +
+            "</html>").getBytes("UTF-8"))
+      val chunked = id % 5 == 0
+      val wire = if (!chunked) body else {
+        val out = new java.io.ByteArrayOutputStream()
+        def put(from: Int, until: Int): Unit = if (until > from) {
+          out.write(s"${(until - from).toHexString}\r\n"
+            .getBytes("ISO-8859-1"))
+          out.write(body, from, until - from)
+          out.write("\r\n".getBytes("ISO-8859-1"))
+        }
+        put(0, body.length / 2)
+        put(body.length / 2, body.length)
+        out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+        out.toByteArray
+      }
+      val head = s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
+        (if (chunked) "Transfer-Encoding: chunked\r\n" else "") + "\r\n"
+      graft.functions.WarcCodec.encode(Seq(
+        (Seq("WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:graft:info:$id>"),
+          "software: graft\r\n".getBytes("UTF-8")),
+        (Seq("WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:graft:resp:$id>",
+          "WARC-Target-URI" -> s"http://example.org/doc/$id"),
+          head.getBytes("ISO-8859-1") ++ wire)),
+        gzipPerRecord = id % 2 == 0)
+    })
+
   /** The 3 frontier robots policies (host a{i}.example.com): ban-all
-    * under /p/, ban the /p/1 decimal prefix, graftbot-only allow. */
+    * under /p/, ban the /p/1 decimal prefix, graftbot-only allow. Each
+    * also declares pacing (r12): a0's delay is unreachable (every a0
+    * url is banned), a1 paces at 0.5 s via the *-group (graftbot
+    * inherits — it has no own group there), a2 paces graftbot's OWN
+    * group at 3 s. site*.com hosts publish no robots at all → the
+    * 1-tick default. */
   private val FrontierRobots = Seq(
-    "User-agent: *\nDisallow: /p/",
-    "User-agent: *\nDisallow: /p/1",
-    "User-agent: graftbot\nAllow: /p/\nUser-agent: *\nDisallow: /")
+    "User-agent: *\nDisallow: /p/\nCrawl-delay: 2",
+    "User-agent: *\nDisallow: /p/1\nCrawl-delay: 0.5",
+    "User-agent: graftbot\nAllow: /p/\nCrawl-delay: 3\n" +
+      "User-agent: *\nDisallow: /")
 
   /** The 5 meta-robots HTML branches (doc_id % 5). */
   private val MetaRobotsHtml = Seq(
@@ -866,12 +903,20 @@ object WebQueries {
         |  SELECT f.url, f.host,
         |  CAST(coalesce(r3.rank_i, 0) AS BIGINT) AS rank_i,
         |  CASE WHEN f.host LIKE '%.example.com' THEN 'example.com'
-        |    ELSE f.host END AS domain
-        |  FROM f LEFT JOIN r3 ON f.host = r3.id)
-        |SELECT domain,
+        |    ELSE f.host END AS domain,
+        |  CAST(CASE f.host WHEN 'a1.example.com' THEN 500
+        |    WHEN 'a2.example.com' THEN 3000
+        |    ELSE 1000 END AS BIGINT) AS delay_ms
+        |  FROM f LEFT JOIN r3 ON f.host = r3.id),
+        |sl AS (SELECT domain,
         |CAST(row_number() OVER (PARTITION BY domain
         |  ORDER BY rank_i DESC, url) AS INT) AS slot,
-        |url, host, rank_i
-        |FROM fr ORDER BY domain, slot""".stripMargin
+        |url, host, rank_i, delay_ms
+        |FROM fr)
+        |SELECT domain, slot, url, host, rank_i,
+        |GREATEST(CAST(slot - 1 AS BIGINT),
+        |  (CAST(slot - 1 AS BIGINT) * delay_ms + 999) // 1000)
+        |  AS not_before_tick
+        |FROM sl ORDER BY domain, slot""".stripMargin
     })
 }
