@@ -301,8 +301,15 @@ object Bench {
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
     val chunkGcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // wall-ms per chunk (VERDICT r11 #4): paired with gc_ms_per_chunk,
+    // and with the bin list plan-print mode emits (same pack() + priors
+    // → same bins), a GC or wall spike maps to the exact query set that
+    // produced it without a forensic round. Includes session create/
+    // stop + purge overhead — the part per-query seconds can't see.
+    val chunkWallMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var first = true
     val results = pack(names, chunkSize).flatMap { chunk =>
+      val wall0 = System.nanoTime()
       val gc0 = gcMsNow
       val spark = newSession(sfDir, cpus)
       if (first) {
@@ -340,6 +347,7 @@ object Bench {
       JvmHygiene.purgeCodegenCache()
       System.gc()
       chunkGcMs += gcMsNow - gc0
+      chunkWallMs += (System.nanoTime() - wall0) / 1000000L
       rs
     }
     // The driver keeps only the TAIL (~2 kB) of the run's output
@@ -375,7 +383,8 @@ object Bench {
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val gcs = chunkGcMs.map(_.toString).mkString("[", ",", "]")
-      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs}"""
+      val walls = chunkWallMs.map(_.toString).mkString("[", ",", "]")
+      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls}"""
     }
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},$env,"queries":$qs}""")
   }

@@ -35,44 +35,52 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Stages 1-3 (ingest → quality gate → LSH dedup) as one DataFrame —
+    * exposed separately because stage 4's two-pass packing crosses an
+    * RDD boundary that truncates the visible plan, and the PlanShapeSpec
+    * pins (anti-join, no cartesian) must see THESE stages' plan. */
+  private[graft] def dedupedCorpus(s: SparkSession, d: String)
+      : DataFrame = {
+    // ── stage 1: per-doc WARC archive → WET conversion records →
+    //    (doc_id, text). The 404 branch (id%3==2) drops here, exactly
+    //    as a real crawl's error responses never reach curation. ──────
+    val wet = WebArchive.wetConversion(
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .select(col("doc_id"),
+          WebQueries.warcResponseSynth(col("doc_id"), col("text"))
+            .as("bytes")),
+      "doc_id", "bytes")
+    val wetText = WebArchive.records(wet, "doc_id", "wet")
+      .filter(col("warc_type") === "conversion")
+      .select(col("doc_id"), col("payload").as("text"))
+
+    // ── stage 2: quality gate — strictly above the corpus median.
+    //    Quality rides as round4·10000 BIGINT micro-units so the
+    //    interpolated median is exact-integer-or-half on BOTH engines
+    //    (a double median of raw round4 values could differ in the
+    //    last ulp between interpolation formulas). ────────────────────
+    val q = TextAnalysis.qualityFrame(wetText, "doc_id", "text")
+      .select(col("doc_id"),
+        round(col("quality") * 10000).cast("long").as("q4"))
+    val med = q.agg(percentile(col("q4"), lit(0.5)))
+      .first().getDouble(0)
+    val kept = wetText.join(
+      q.filter(col("q4") > lit(med)).select("doc_id"), Seq("doc_id"))
+
+    // ── stage 3: LSH near-dup removal on the survivors (banded
+    //    MinHash candidates verified with exact shingle Jaccard →
+    //    survivor set equals the exact form's, which is what the
+    //    oracle replays) ──────────────────────────────────────────────
+    val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.8)
+    Dedup.dropNearDuplicates(kept, "doc_id", pairs)
+  }
+
   val queries: Map[String, Q] = Map(
 
     "pipeline_crawl_to_pack" -> ((s, d) => {
-      // ── stage 1: per-doc WARC archive → WET conversion records →
-      //    (doc_id, text). The 404 branch (id%3==2) drops here, exactly
-      //    as a real crawl's error responses never reach curation. ──────
-      val wet = WebArchive.wetConversion(
-        t(s, d, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-          .select(col("doc_id"),
-            WebQueries.warcResponseSynth(col("doc_id"), col("text"))
-              .as("bytes")),
-        "doc_id", "bytes")
-      val wetText = WebArchive.records(wet, "doc_id", "wet")
-        .filter(col("warc_type") === "conversion")
-        .select(col("doc_id"), col("payload").as("text"))
-
-      // ── stage 2: quality gate — strictly above the corpus median.
-      //    Quality rides as round4·10000 BIGINT micro-units so the
-      //    interpolated median is exact-integer-or-half on BOTH engines
-      //    (a double median of raw round4 values could differ in the
-      //    last ulp between interpolation formulas). ────────────────────
-      val q = TextAnalysis.qualityFrame(wetText, "doc_id", "text")
-        .select(col("doc_id"),
-          round(col("quality") * 10000).cast("long").as("q4"))
-      val med = q.agg(percentile(col("q4"), lit(0.5)))
-        .first().getDouble(0)
-      val kept = wetText.join(
-        q.filter(col("q4") > lit(med)).select("doc_id"), Seq("doc_id"))
-
-      // ── stage 3: LSH near-dup removal on the survivors (banded
-      //    MinHash candidates verified with exact shingle Jaccard →
-      //    survivor set equals the exact form's, which is what the
-      //    oracle replays) ──────────────────────────────────────────────
-      val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.8)
-      val uniq = Dedup.dropNearDuplicates(kept, "doc_id", pairs)
-
+      val uniq = dedupedCorpus(s, d)
       // ── stage 4: token counting + greedy sequence packing at 512 ─────
       val withTokens = uniq.select(col("doc_id"),
         size(graft.functions.Fingerprints.tokens(col("text")))

@@ -50,4 +50,31 @@ class DigestGateSpec extends SparkSpec {
     assert(out.getString(0) === "-123")
     assert(out.getLong(1) === 7L)
   }
+
+  test("NO gate query ships a DECIMAL column to the driver — the " +
+      "carrier rule enforced over every SparkEntry.queries output " +
+      "schema (VERDICT r11 #6)") {
+    // the r10 incident generalized: the driver's byte-hash disagrees
+    // with itself on DECIMAL regardless of which query ships it, so the
+    // rule is suite-wide — DECIMAL/BigInt arithmetic stays INSIDE the
+    // plan, the output casts to STRING/BIGINT/DOUBLE/BOOLEAN/DATE/TS.
+    // Building each DataFrame pays any driver-side scalar stages
+    // (medians, fits) at sf0.001 but collects nothing.
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema =
+          try fn(spark, sf).schema
+          catch { case e: Throwable =>
+            fail(s"$name failed to construct at $sf: ${e.getMessage}")
+          }
+        schema.fields.collect {
+          case f if f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.DecimalType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"DECIMAL gate carriers found:\n${offenders.mkString("\n")}")
+  }
 }

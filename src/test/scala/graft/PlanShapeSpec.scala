@@ -250,13 +250,19 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("web_frontier: the politeness window partitions by domain (never " +
-      "global) and nothing degrades to a cartesian") {
+      "global), the crawled-key dedup stays an anti-join, and nothing " +
+      "degrades to a cartesian") {
     val plan = executedPlan("web_frontier")
     val win = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
     assert(win.contains("domain"),
       s"politeness window lost its domain partitioning:\n$win")
     assert(!plan.contains("CartesianProduct"),
       s"a frontier join degraded to a cartesian:\n${plan.take(2000)}")
+    // the already-crawled subtraction must stay a LeftAnti on the
+    // canonical key — a rewrite to NOT IN / except would lose the
+    // streaming-side build and re-scan the frontier
+    assert(plan.contains("LeftAnti"),
+      s"frontier lost its crawled-keys anti-join:\n${plan.take(2000)}")
     // small dims (robots rules, host ranks) stay broadcast-joined
     assert(plan.contains("BroadcastHashJoin"),
       s"frontier lost its broadcast joins:\n${plan.take(2000)}")
@@ -271,5 +277,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2,
       s"docs_warc_wet grew an extra exchange:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("pipeline_crawl_to_pack stages 1-3: LSH candidates never " +
+      "cartesian, the dedup drop stays an anti-join, no window " +
+      "anywhere (packing's stage 4 is the two-pass prefix-sum behind " +
+      "an RDD boundary — pinned at the pre-pack plan, which is the " +
+      "last one Catalyst sees whole)") {
+    val plan = graft.queries.PipelineQueries.dedupedCorpus(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a pipeline join degraded to a cartesian/nested loop:\n" +
+        plan.take(3000))
+    assert(plan.contains("LeftAnti"),
+      s"the dedup drop lost its anti-join:\n${plan.take(3000)}")
+    assert(!plan.contains("Window "),
+      s"the pipeline grew a global window:\n${plan.take(3000)}")
   }
 }

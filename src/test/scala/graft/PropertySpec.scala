@@ -455,6 +455,36 @@ object GraftProperties extends Properties("graft") {
     canonicalizeUrl(once) == once && !once.contains("#")
   }
 
+  // ── crawl-frontier set algebra (VERDICT r11 #5) ────────────────────────
+  // web_frontier's dedup + anti-join stages, stated over the REAL
+  // canonicalizer: frontier(discovered, crawled) = distinct canonical
+  // keys of the discovered urls minus the already-crawled canonical keys.
+  private def frontierKeys(discovered: List[String],
+      crawled: Set[String]): Set[String] = {
+    import graft.functions.UrlFunctions.canonicalizeUrl
+    discovered.map(canonicalizeUrl).toSet -- crawled
+  }
+
+  property("frontier shrinkage: feeding emitted keys back as crawled " +
+      "empties the frontier; each partial feedback key strictly shrinks " +
+      "it by exactly one; crawling more never grows it") =
+    forAll(Gen.listOf(urlish), Gen.listOf(urlish)) { (disc, crawledRaw) =>
+      import graft.functions.UrlFunctions.canonicalizeUrl
+      // a frontier deduplicates on canonical keys, never raw strings
+      val crawled = crawledRaw.map(canonicalizeUrl).toSet
+      val f1 = frontierKeys(disc, crawled)
+      // fixpoint: a recrawl fed every emitted key discovers nothing new
+      val fixpoint = frontierKeys(disc, crawled ++ f1).isEmpty
+      // strict shrinkage: each emitted key fed back removes exactly
+      // itself (emitted keys are canonical — idempotence — and distinct)
+      val strict = f1.forall(k =>
+        frontierKeys(disc, crawled + k) == f1 - k)
+      // anti-monotone: a larger crawled set never grows the frontier
+      val antiMono = frontierKeys(disc, crawled ++ crawledRaw.toSet)
+        .subsetOf(f1)
+      fixpoint && strict && antiMono
+    }
+
   property("registrableDomain is a dot-suffix of the host and a fixed " +
       "point of itself") =
     forAll(Gen.nonEmptyListOf(

@@ -83,6 +83,58 @@ class WetConversionSpec extends SparkSpec {
       .map(_.warcType.get) === Seq("conversion"))
   }
 
+  test("WET ↔ records roundtrip battery (VERDICT r11 #5): 64 generated " +
+      "plain-text bodies — CRLFs, unicode, entity look-alikes, runs of " +
+      "whitespace — survive conversion + re-decode VERBATIM with exact " +
+      "content_length and back-pointers") {
+    // deterministic splitmix-style generator: adversarial alphabet
+    // including CR/LF (WARC's own framing bytes), multi-byte unicode,
+    // '&amp;'-shaped sequences the HTML branch would decode (the plain
+    // branch must NOT), and double spaces (the strip would collapse)
+    val alphabet = Array("a", "B", " ", "  ", "\r\n", "\n", "é", "日",
+      "&amp;", "<p>", "</p>", ".", "0", "\t")
+    def text(i: Int): String = {
+      if (i == 63) return "" // one guaranteed empty body
+      var x = i * 0x9E3779B97F4A7C15L + 1
+      val n = math.abs(x % 40).toInt + 1
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb ++= alphabet(math.floorMod(x, alphabet.length).toInt)
+      }
+      sb.result()
+    }
+    // http() encodes ISO-8859-1; the BODY must carry real UTF-8 bytes
+    // (multi-byte unicode is part of what's under test), so the archive
+    // is assembled from raw header + body bytes here
+    def mk(i: Int): Array[Byte] = {
+      val body = text(i).getBytes("UTF-8")
+      val head = "HTTP/1.1 200 OK\r\nContent-Type: " +
+        "text/plain; charset=utf-8\r\n\r\n"
+      WarcCodec.encode(Seq(
+        resp(s"<urn:r:$i>", s"http://h/$i",
+          head.getBytes("ISO-8859-1") ++ body)),
+        gzipPerRecord = i % 2 == 0)
+    }
+    val df = (0 until 64).map(i => (i.toLong, mk(i))).toDF("id", "bytes")
+    val wet = WebArchive.wetConversion(df, "id", "bytes")
+    val got = WebArchive.records(wet, "id", "wet")
+      .select(col("id"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("refers_to"), col("content_length"),
+        col("payload"))
+      .as[(Long, Int, String, String, String, Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.length === 64)
+    for ((id, idx, wt, uri, ref, len, payload) <- got) {
+      val i = id.toInt
+      assert(idx === 0 && wt === "conversion")
+      assert(uri === s"http://h/$i" && ref === s"<urn:r:$i>")
+      assert(payload === text(i), s"payload drifted for id $i")
+      assert(len === text(i).getBytes("UTF-8").length.toLong,
+        s"content_length drifted for id $i")
+    }
+  }
+
   test("records() exposes refers_to ('' when absent)") {
     val archive = WarcCodec.encode(Seq(
       (Seq("WARC-Type" -> "conversion", "WARC-Refers-To" -> "<urn:r:0>"),
