@@ -106,7 +106,10 @@ object Bench {
     * order. */
   private val RunTogether: Seq[Seq[String]] =
     Seq(Seq("dedup_clusters", "dedup_apply", "dedup_apply_best",
-      "dedup_soft_weights"))
+        "dedup_soft_weights"),
+      // r12: both consume SharedBenchStages.mutualKnnEdges — in separate
+      // bins each would rebuild the shared edge stage in its own session
+      Seq("graph_kcore", "graph_kcore_audit"))
 
   /** Pack queries into session-sized chunks, balancing PRIOR COST, not
     * alphabet (r9 adjudication: alphabetical chunks put the whole dedup
