@@ -51,9 +51,16 @@ object PipelineQueries {
           WebQueries.warcResponseSynth(col("doc_id"), col("text"))
             .as("bytes")),
       "doc_id", "bytes")
+    // materialize the WET product ONCE: five consumers read it (the
+    // quality frame, the median scalar, the LSH signature build, the
+    // drop side, the token count) and each would otherwise re-run the
+    // whole synth→convert→decode codec chain. At 100 TB this is the
+    // *.warc.wet artifact a crawl pipeline writes to storage between
+    // stages; the checkpoint is the single-process stand-in.
     val wetText = WebArchive.records(wet, "doc_id", "wet")
       .filter(col("warc_type") === "conversion")
       .select(col("doc_id"), col("payload").as("text"))
+      .localCheckpoint()
 
     // ── stage 2: quality gate — strictly above the corpus median.
     //    Quality rides as round4·10000 BIGINT micro-units so the

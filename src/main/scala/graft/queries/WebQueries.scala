@@ -446,9 +446,13 @@ object WebQueries {
       // SAME 3-row robots table the gate already broadcasts.
       val cdUdf = udf((t: String) =>
         graft.functions.RobotsTxt.crawlDelayOf(t, "graftbot"))
+      // declared delays clamp to one hour (the common crawler practice —
+      // an adversarial 'Crawl-delay: 9e9' must not starve the host's
+      // slots forever, and the clamp keeps slot·delay products far from
+      // long overflow at any frontier size)
       val delays = robots.select(col("host"),
-        round(cdUdf(col("robots_txt")) * lit(1000)).cast("long")
-          .as("_delay_ms"))
+        least(round(cdUdf(col("robots_txt")) * lit(1000)).cast("long"),
+          lit(3600000L)).as("_delay_ms"))
       val slotM1 = (col("slot") - lit(1)).cast("long")
       allowed.join(pr, Seq("host"), "left")
         .join(delays, Seq("host"), "left")

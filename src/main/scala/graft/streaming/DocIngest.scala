@@ -434,25 +434,10 @@ object DocIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(pollInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.{Dedup, LshIndex}
+        import graft.operators.LshIndex
         val ss = batch.sparkSession
         if (!batch.isEmpty) {
-          val exactClean = Dedup.dropExactDuplicates(batch, idCol, "text")
-          val innerPairs = Dedup.minhashLshPairs(exactClean, idCol,
-            "text", threshold = threshold)
-          val batchClean = Dedup.dropNearDuplicates(exactClean, idCol,
-            innerPairs)
-          val accepted =
-            if (!LshIndex.exists(ss, indexPath)) batchClean
-            else {
-              val exact = LshIndex.exactHits(ss, indexPath, batchClean,
-                idCol, "text")
-              val near = LshIndex.probePairs(ss, indexPath, batchClean,
-                  idCol, "text", threshold = threshold)
-                .select(col("new_id").as(idCol)).distinct()
-              batchClean.join(exact.union(near).distinct(),
-                Seq(idCol), "left_anti")
-            }
+          val accepted = indexGate(batch, idCol, indexPath, threshold)
           commitBatch(accepted, batchId, collectionPath)
           if (LshIndex.exists(ss, indexPath))
             LshIndex.append(accepted, idCol, "text", indexPath)
@@ -461,6 +446,33 @@ object DocIngest {
         ()
       }
       .start()
+
+  /** The indexed near-dup admission decision, shared by
+    * [[startIndexedNearDupGated]] and [[startCrawlPipeline]]: in-batch
+    * exact dedup → in-batch LSH near-dup keep-first → against the
+    * persisted index, exact-md5 hits (covers sub-shingle-width docs via
+    * the fps table) + bucket-keyed probe hits reject. Returns the
+    * admitted rows of `batch` unchanged in schema. */
+  private def indexGate(batch: DataFrame, idCol: String,
+      indexPath: String, threshold: Double): DataFrame = {
+    import graft.operators.{Dedup, LshIndex}
+    val ss = batch.sparkSession
+    val exactClean = Dedup.dropExactDuplicates(batch, idCol, "text")
+    val innerPairs = Dedup.minhashLshPairs(exactClean, idCol,
+      "text", threshold = threshold)
+    val batchClean = Dedup.dropNearDuplicates(exactClean, idCol,
+      innerPairs)
+    if (!LshIndex.exists(ss, indexPath)) batchClean
+    else {
+      val exact = LshIndex.exactHits(ss, indexPath, batchClean,
+        idCol, "text")
+      val near = LshIndex.probePairs(ss, indexPath, batchClean,
+          idCol, "text", threshold = threshold)
+        .select(col("new_id").as(idCol)).distinct()
+      batchClean.join(exact.union(near).distinct(),
+        Seq(idCol), "left_anti")
+    }
+  }
 
   /** Streaming IMAGE dedup-on-ingest: the [[startNearDupGated]] contract
     * on the multimodal axis. Each arriving batch of (idCol, bytes)
@@ -911,6 +923,77 @@ object DocIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(graft.operators.WebArchive
           .wetConversion(batch, idCol, bytesCol), batchId, outDir); ()
+      }
+      .start()
+
+  /** Records-per-archive bound for [[startCrawlPipeline]]'s composite
+    * doc ids (archive_id · 2^20 + rec_idx): real WET products run
+    * ~10^5 conversion records per ~1 GB archive member, well inside
+    * 2^20; archives beyond it fail LOUDLY rather than silently
+    * colliding ids. */
+  val RecordIdSpan: Long = 1L << 20
+
+  /** Streaming crawl→training pipeline — the streaming twin of the
+    * batch flagship `pipeline_crawl_to_pack`, composing the SAME
+    * operators so the two forms cannot drift: WARC archives arrive as
+    * (idCol, bytes) batches → [[graft.operators.WebArchive.wetConversion]]
+    * + `records` (the docs_warc_wet stack: HTTP parse, charset decode,
+    * de-chunking, html-vs-plain strip) → per-record composite doc ids →
+    * quality gate at a FROZEN micro-unit threshold (a stream has no
+    * corpus to take the batch form's median over; production freezes the
+    * cut from a reference corpus, exactly like startDriftMonitored's
+    * frozen histogram — same round4·10000 BIGINT carrier as the batch
+    * flagship) → the [[startIndexedNearDupGated]] admission (in-batch
+    * exact + LSH dedup, persisted-index rejection) → exactly-once append
+    * of (doc_id, uri, text, n_tokens) training rows + index fold-in.
+    *
+    * State: the LSH index directory (O(corpus signatures)) — no stream
+    * state store; each batch costs O(batch + index collisions)
+    * regardless of corpus size, so an unbounded crawl stream never
+    * rescans history. Replay safety: admission is deterministic
+    * (lowest-id-wins over engine-constant hashes) and the training
+    * append goes through [[commitBatch]]; index appends are
+    * at-least-once by the indexed-gate contract (duplicates only add
+    * redundant candidates). */
+  def startCrawlPipeline(spark: SparkSession, inDir: String,
+      trainDir: String, indexPath: String, checkpoint: String,
+      minQualityMicro: Long, idCol: String = "warc_id",
+      bytesCol: String = "bytes", threshold: Double = 0.8,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(s"$idCol LONG, $bytesCol BINARY")
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{LshIndex, TextAnalysis, WebArchive}
+        val ss = batch.sparkSession
+        if (!batch.isEmpty) {
+          val wet = WebArchive.wetConversion(batch, idCol, bytesCol)
+          val recs = WebArchive.records(wet, idCol, "wet")
+            .filter(col("warc_type") === "conversion")
+          require(recs.filter(col("rec_idx") >= RecordIdSpan).isEmpty,
+            s"archive exceeds $RecordIdSpan records — composite doc ids " +
+              "would collide")
+          val docs = recs.select(
+            (col(idCol) * RecordIdSpan + col("rec_idx")).as("doc_id"),
+            col("target_uri").as("uri"), col("payload").as("text"))
+          val q4 = TextAnalysis.qualityFrame(docs, "doc_id", "text")
+            .select(col("doc_id"),
+              round(col("quality") * 10000).cast("long").as("q4"))
+          val kept = docs.join(
+            q4.filter(col("q4") >= minQualityMicro).select("doc_id"),
+            Seq("doc_id"))
+          val accepted = indexGate(kept, "doc_id", indexPath, threshold)
+          commitBatch(accepted.select(col("doc_id"), col("uri"),
+            col("text"), size(Fingerprints.tokens(col("text")))
+              .cast("long").as("n_tokens")), batchId, trainDir)
+          if (LshIndex.exists(ss, indexPath))
+            LshIndex.append(accepted, "doc_id", "text", indexPath)
+          else LshIndex.build(accepted, "doc_id", "text", indexPath)
+        }
+        ()
       }
       .start()
 }

@@ -394,6 +394,72 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("streaming crawl pipeline (the batch flagship's twin): WET " +
+      "conversion → frozen quality gate → indexed near-dup gate → " +
+      "exactly-once training rows with composite doc ids") {
+    import spark.implicits._
+    import graft.functions.WarcCodec
+    val in = Files.createTempDirectory("graft_cp_in").toString
+    val train = Files.createTempDirectory("graft_cp_t").toString + "/train"
+    val idx = Files.createTempDirectory("graft_cp_x").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_cp_ck").toString
+
+    def resp(i: Int, text: String) =
+      (Seq("WARC-Type" -> "response", "WARC-Record-ID" -> s"<urn:r:$i>",
+        "WARC-Target-URI" -> s"http://h/$i"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8" +
+          "\r\n\r\n").getBytes("ISO-8859-1") ++ text.getBytes("UTF-8"))
+    def archive(texts: Seq[String]) =
+      WarcCodec.encode(texts.zipWithIndex.map { case (t, i) => resp(i, t) })
+
+    // wordy + stopword-rich → quality 1.0; the near-dup changes ONE word
+    // of 160 (trigram Jaccard ≈ 0.93 ≥ 0.8); junk is punct-only; fresh
+    // shares almost no shingles with good
+    val good = (0 until 40).map(i => s"the w$i of a").mkString(" ")
+    val nearDup = good.replace("w39", "zz")
+    val junk = "!!! ??? !!!"
+    val fresh = (0 until 40).map(i => s"the x$i of a").mkString(" ")
+    // the frozen threshold comes from the ENGINE's own quality values —
+    // strictly between junk's and good's (no hardcoded magic)
+    val q4 = graft.operators.TextAnalysis.qualityFrame(
+        Seq((0L, good), (1L, junk)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        math.round(r.getAs[Double]("quality") * 10000)).toMap
+    assert(q4(1L) < q4(0L))
+    val minQ = (q4(0L) + q4(1L)) / 2
+
+    // batch 1: archive 0 carries (good, junk), archive 1 a near-dup of
+    // good — junk fails quality, the near-dup loses in-batch LSH to the
+    // lower composite id
+    Seq((0L, archive(Seq(good, junk))), (1L, archive(Seq(nearDup))))
+      .toDF("warc_id", "bytes").write.mode("append").parquet(in)
+    val q = DocIngest.startCrawlPipeline(spark, in, train, idx, ckpt,
+      minQualityMicro = minQ, pollInterval = "200 milliseconds")
+    try {
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(train)
+        .select(col("doc_id"), col("uri"), col("n_tokens"))
+        .as[(Long, String, Long)].collect()
+      assert(r1.toSeq === Seq((0L, "http://h/0", 160L)))
+
+      // batch 2: an exact re-send of good (caught by the persisted
+      // index's md5 fps across batches) + a fresh doc (admitted)
+      Seq((2L, archive(Seq(good, fresh))))
+        .toDF("warc_id", "bytes").write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(train)
+        .select(col("doc_id")).as[Long].collect().sorted
+      assert(r2.toSeq === Seq(0L, 2L * DocIngest.RecordIdSpan + 1L))
+    } finally q.stop()
+
+    // crash-replay of a committed batchId writes nothing
+    assert(!DocIngest.commitBatch(
+      Seq((99L, "u", "t", 1L)).toDF("doc_id", "uri", "text", "n_tokens"),
+      0L, train))
+    assert(spark.read.parquet(train).count() === 2)
+  }
+
   test("streaming WET extraction converts each archive batch exactly " +
       "once and replays write nothing") {
     import spark.implicits._
