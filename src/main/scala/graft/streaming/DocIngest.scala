@@ -970,28 +970,39 @@ object DocIngest {
         import graft.operators.{LshIndex, TextAnalysis, WebArchive}
         val ss = batch.sparkSession
         if (!batch.isEmpty) {
-          val wet = WebArchive.wetConversion(batch, idCol, bytesCol)
-          val recs = WebArchive.records(wet, idCol, "wet")
+          // cache the decoded batch: six consumers read it (the span
+          // guard, the quality frame, the survivor join, both sides of
+          // the LSH gate, the output projection) and each would
+          // otherwise re-run the whole WET codec chain per archive
+          val decoded = WebArchive.records(
+              WebArchive.wetConversion(batch, idCol, bytesCol),
+              idCol, "wet")
             .filter(col("warc_type") === "conversion")
-          require(recs.filter(col("rec_idx") >= RecordIdSpan).isEmpty,
-            s"archive exceeds $RecordIdSpan records — composite doc ids " +
-              "would collide")
-          val docs = recs.select(
-            (col(idCol) * RecordIdSpan + col("rec_idx")).as("doc_id"),
-            col("target_uri").as("uri"), col("payload").as("text"))
-          val q4 = TextAnalysis.qualityFrame(docs, "doc_id", "text")
-            .select(col("doc_id"),
-              round(col("quality") * 10000).cast("long").as("q4"))
-          val kept = docs.join(
-            q4.filter(col("q4") >= minQualityMicro).select("doc_id"),
-            Seq("doc_id"))
-          val accepted = indexGate(kept, "doc_id", indexPath, threshold)
-          commitBatch(accepted.select(col("doc_id"), col("uri"),
-            col("text"), size(Fingerprints.tokens(col("text")))
-              .cast("long").as("n_tokens")), batchId, trainDir)
-          if (LshIndex.exists(ss, indexPath))
-            LshIndex.append(accepted, "doc_id", "text", indexPath)
-          else LshIndex.build(accepted, "doc_id", "text", indexPath)
+            .select(col(idCol), col("rec_idx"),
+              col("target_uri").as("uri"), col("payload").as("text"))
+            .cache()
+          try {
+            require(
+              decoded.filter(col("rec_idx") >= RecordIdSpan).isEmpty,
+              s"archive exceeds $RecordIdSpan records — composite doc " +
+                "ids would collide")
+            val docs = decoded.select(
+              (col(idCol) * RecordIdSpan + col("rec_idx")).as("doc_id"),
+              col("uri"), col("text"))
+            val q4 = TextAnalysis.qualityFrame(docs, "doc_id", "text")
+              .select(col("doc_id"),
+                round(col("quality") * 10000).cast("long").as("q4"))
+            val kept = docs.join(
+              q4.filter(col("q4") >= minQualityMicro).select("doc_id"),
+              Seq("doc_id"))
+            val accepted = indexGate(kept, "doc_id", indexPath, threshold)
+            commitBatch(accepted.select(col("doc_id"), col("uri"),
+              col("text"), size(Fingerprints.tokens(col("text")))
+                .cast("long").as("n_tokens")), batchId, trainDir)
+            if (LshIndex.exists(ss, indexPath))
+              LshIndex.append(accepted, "doc_id", "text", indexPath)
+            else LshIndex.build(accepted, "doc_id", "text", indexPath)
+          } finally decoded.unpersist()
         }
         ()
       }
