@@ -104,6 +104,11 @@ object Bench {
     * a memoized stage (SharedBenchStages.prefixPairs — computed by the
     * first, reused by the rest). Order inside the group is the run
     * order. */
+  /** Spec access to the affinity groups (BenchOverrideSpec asserts the
+    * names key real bench entries — a typo would silently drop the
+    * co-session guarantee). */
+  private[graft] def runTogetherNames: Seq[Seq[String]] = RunTogether
+
   private val RunTogether: Seq[Seq[String]] =
     Seq(Seq("dedup_clusters", "dedup_apply", "dedup_apply_best",
         "dedup_soft_weights"),

@@ -65,6 +65,23 @@ class BenchOverrideSpec extends SparkSpec {
     }
   }
 
+  test("catalog key discipline: every bench override and every oracle " +
+      "keys an existing gate query — an orphan override would add an " +
+      "UNGATED bench entry, an orphan oracle a dead driver row") {
+    val qs = SparkEntry.queries.keySet
+    val orphanOverrides = SparkEntry.benchQueries.keySet -- qs
+    assert(orphanOverrides.isEmpty,
+      s"bench overrides without a gate query: $orphanOverrides")
+    val orphanOracles = SparkEntry.oracleSql.keySet -- qs
+    assert(orphanOracles.isEmpty,
+      s"oracles without a gate query: $orphanOracles")
+    // and the RunTogether affinity groups must name real bench entries —
+    // a typo would silently drop the co-session guarantee
+    for (g <- Bench.runTogetherNames; n <- g)
+      assert(SparkEntry.benchQueries.contains(n),
+        s"RunTogether names unknown query: $n")
+  }
+
   test("priors parsing is per-pair: one malformed numeric token keeps " +
       "its pair out without discarding the rest (ADVICE r11)") {
     val good = Bench.parsePriors("""{"a": 1.5, "b": 2, "c": 3e-1}""")
