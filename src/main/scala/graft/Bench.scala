@@ -269,6 +269,12 @@ object Bench {
     // the exit as the argument expression and kills the JVM with code 0
     // unconditionally — the explicit lambda forces the Int overload
     reexecWithCodeCache(args).foreach(code => sys.exit(code))
+    // ambient load BEFORE any work starts (r12): the end-of-run load1m
+    // mostly reflects the bench's own tail activity; a high START value
+    // is the read-only signature of a contended window (the r12 noisy
+    // day read 1.19-1.27× uniform on identical code)
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 times a subset
@@ -392,7 +398,7 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       val gcs = chunkGcMs.map(_.toString).mkString("[", ",", "]")
       val walls = chunkWallMs.map(_.toString).mkString("[", ",", "]")
-      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls}"""
+      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load_start":$loadStart%.1f,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls}"""
     }
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},$env,"queries":$qs}""")
   }
