@@ -1129,8 +1129,7 @@ object TextAnalysis {
     * aggregated (doc, trigram, m) frame hash-joins the tables by term
     * keys — no per-position rows, no windows. */
   def stupidBackoffScores(docs: DataFrame, idCol: String, textCol: String,
-      refFilter: Column, alpha: Double = 0.4,
-      decimals: Int = 6): DataFrame = {
+      refFilter: Column, alpha: Double = 0.4): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("txt"), refFilter.as("is_ref"))
       .select(col("doc_id"), col("is_ref"), split(col("txt"), " ").as("ws"))
@@ -1188,8 +1187,13 @@ object TextAnalysis {
         sum(col("m_hit")).as("n_attested"),
         sum(col("s_micro")).as("_sm"))
       .select(col("doc_id"), col("n_trigrams"), col("n_attested"),
-        (round(col("_sm") / (col("n_trigrams") * lit(1e6)), decimals) +
-          lit(0.0)).as("sbo_score"))
+        // RAW single division of exact integers — identical doubles on
+        // any engine. A final round(q, 6) is a latent cross-engine flake
+        // (r12, observed at an sf0.1 replay): quotients like 253700/8e6
+        // terminate at the 7th decimal in a 5, where Spark rounds the
+        // exact binary (just below the boundary) and DuckDB the decimal
+        // rendering (half-up) — 0.031712 vs 0.031713.
+        (col("_sm") / (col("n_trigrams") * lit(1e6))).as("sbo_score"))
   }
 
   /** Interpolated bigram Kneser-Ney LM scoring (Kneser & Ney 1995; Chen &
@@ -1228,7 +1232,7 @@ object TextAnalysis {
     * (ctx, cont, scalars, the scoring join), so it is localCheckpoint'ed
     * once rather than re-aggregated per consumer. */
   def kneserNeyScores(docs: DataFrame, idCol: String, textCol: String,
-      refFilter: Column, decimals: Int = 6): DataFrame = {
+      refFilter: Column): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("txt"), refFilter.as("is_ref"))
       .select(col("doc_id"), col("is_ref"), split(col("txt"), " ").as("ws"))
@@ -1280,8 +1284,9 @@ object TextAnalysis {
         sum(col("m_hit")).as("n_attested"),
         sum(col("p_micro")).as("_pm"))
       .select(col("doc_id"), col("n_bigrams"), col("n_attested"),
-        (round(col("_pm") / (col("n_bigrams") * lit(1e6)), decimals) +
-          lit(0.0)).as("kn_score"))
+        // raw single division of exact integers — the sbo_score r12
+        // terminal-decimal-round fix applies verbatim here
+        (col("_pm") / (col("n_bigrams") * lit(1e6))).as("kn_score"))
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) over the

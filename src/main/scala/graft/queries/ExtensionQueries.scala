@@ -412,11 +412,16 @@ object ExtensionQueries {
 
     // ── sketch-estimator audit: EXACT per-source-pair shingle Jaccard
     //    (oracle-checkable) + a bound on the MinHash estimate's error.
-    //    k = 64 slots → stderr ≈ √(J(1−J)/64) ≤ 0.0625; 0.15 ≈ 2.4σ at the
-    //    worst point, and the estimate is DETERMINISTIC (fixed hash
-    //    family), so the flag is a stable, replayable contract — the
-    //    exact values hash-match DuckDB and certify the sketch the scale
-    //    path relies on. ─────────────────────────────────────────────────
+    //    k = 64 slots → per-pair stderr ≈ √(J(1−J)/64) ≤ 0.0625, but the
+    //    audit flags the MAX over all ~190 pairs, whose expectation is
+    //    ≈ σ·√(2·ln 190) ≈ 2.7σ — an sf0.1 replay measured 0.156 (2.96σ
+    //    at J=0.235), past the old 0.15 (~2.4σ) bound (the r12
+    //    bounds-must-cover-the-guarantee fix; audit flake class). 0.25 ≈
+    //    4σ at the worst point J=0.5 still certifies the sketch loudly —
+    //    a broken hash family reads errors near 0.5. The estimate is
+    //    DETERMINISTIC (fixed hash family), so the flag is a stable,
+    //    replayable contract — the exact values hash-match DuckDB and
+    //    certify the sketch the scale path relies on. ───────────────────
     "dedup_overlap_audit" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val est = Dedup.groupOverlap(Dedup.groupSignatures(docs,
@@ -426,23 +431,25 @@ object ExtensionQueries {
       est.join(exact, Seq("grp_a", "grp_b"))
         .select(col("grp_a"), col("grp_b"),
           round(col("jaccard"), 4).as("exact_jaccard"),
-          (abs(col("est_jaccard") - col("jaccard")) <= 0.15)
+          (abs(col("est_jaccard") - col("jaccard")) <= 0.25)
             .as("within_tol"))
         .orderBy(col("grp_a"), col("grp_b"))
     }),
 
     // ── SimHash signature audit: every ground-truth near-dup pair (exact
-    //    n-gram Jaccard ≥ 0.8) must land within simhash hamming ≤ 10 —
+    //    n-gram Jaccard ≥ 0.8) must land within simhash hamming ≤ 16 —
     //    pairs outside the radius are emitted, so the contract is a 0-row
     //    oracle (same pattern as emb_lsh_recall). This certifies the
     //    property that makes simhash usable AT ALL (similar token
-    //    multisets → close signatures; observed max hamming on this
-    //    corpus family is 8). dedup_simhash's own operating point stays
-    //    hamming ≤ 3 — the 4-chunk pigeonhole with 16-bit buckets that
-    //    scales (radius-10 pigeonhole would need 11 chunks of ~6 bits →
-    //    quadratic candidate blowup at 100 TB), trading recall at the
-    //    0.9-Jaccard margin for bounded candidates; its exact pair set is
-    //    pinned in GoldenValuesSpec. ──────────────────────────────────────
+    //    multisets → close signatures, vs ~32 for unrelated pairs;
+    //    measured max hamming 8 at sf0.01 but 11 at an sf0.1 replay — a
+    //    J=0.8 boundary pair broke the old ≤ 10 radius by one bit, the
+    //    r12 bounds-must-cover-the-guarantee fix). dedup_simhash's own
+    //    operating point stays hamming ≤ 3 — the 4-chunk pigeonhole with
+    //    16-bit buckets that scales (a wide-radius pigeonhole would need
+    //    many short chunks → quadratic candidate blowup at 100 TB),
+    //    trading recall at the 0.9-Jaccard margin for bounded candidates;
+    //    its exact pair set is pinned in GoldenValuesSpec. ───────────────
     "dedup_simhash_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -457,7 +464,7 @@ object ExtensionQueries {
       truth
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
-        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) > 10)
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) > 16)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1190,11 +1197,19 @@ object ExtensionQueries {
     //    n_islands / covered / max_island from ONE keyed exchange + sort —
     //    the dedup-aware "how much timeline is actually covered" rollup ────
     "a_interval_coverage" -> ((s, d) => {
+      // DISTINCT (key, s, e) before the island window: coverage is
+      // multiplicity-invariant, and the dedup makes the window's
+      // ORDER BY (s, e) UNIQUE per key — positional (ROWS) frames over
+      // duplicate sort keys are underdetermined SQL, and DuckDB's
+      // parallel window path was observed returning a value at sf0.1
+      // that NO tie order can produce (covered 1544 vs the tie-
+      // invariant 1541, nondeterministic across identical runs)
       val li = t(s, d, "lineitem")
         .select(col("l_suppkey"),
           (unix_timestamp(col("l_shipdate")) / 86400).cast("long").as("s"),
           ((unix_timestamp(col("l_shipdate")) / 86400).cast("long")
             + col("l_linenumber")).as("e"))
+        .distinct()
       graft.operators.Intervals.coverage(li, "l_suppkey", "s", "e")
         .orderBy(col("l_suppkey"))
     }),
@@ -2647,7 +2662,8 @@ object ExtensionQueries {
 
     "a_interval_coverage" ->
       """WITH iv AS (
-        |  SELECT l_suppkey, CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS s,
+        |  SELECT DISTINCT l_suppkey,
+        |  CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS s,
         |  CAST(epoch(l_shipdate) // 86400 AS BIGINT) + l_linenumber AS e
         |  FROM lineitem),
         |m AS (
@@ -2932,16 +2948,14 @@ object ExtensionQueries {
     "docs_sbo_score" -> (s"WITH $sboScoreCtes\n" +
       """SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
         |CAST(sum(mh) AS BIGINT) AS n_attested,
-        |round(CAST(sum(sm) AS DOUBLE) / (sum(m) * 1e6), 6) + 0.0
-        |  AS sbo_score
+        |CAST(sum(sm) AS DOUBLE) / (sum(m) * 1e6) AS sbo_score
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "docs_ccnet_buckets" -> (s"WITH $sboScoreCtes,\n" +
       """ds AS (
         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
         |  CAST(sum(mh) AS BIGINT) AS n_attested,
-        |  round(CAST(sum(sm) AS DOUBLE) / (sum(m) * 1e6), 6) + 0.0
-        |    AS sbo_score
+        |  CAST(sum(sm) AS DOUBLE) / (sum(m) * 1e6) AS sbo_score
         |  FROM s GROUP BY 1),
         |j AS (SELECT ds.*, d.source FROM ds
         |  JOIN documents d USING (doc_id)),

@@ -683,8 +683,7 @@ object WebQueries {
         |  FROM j)
         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
         |CAST(sum(mh) AS BIGINT) AS n_attested,
-        |round(CAST(sum(pm) AS DOUBLE) / (sum(m) * 1e6), 6) + 0.0
-        |  AS kn_score
+        |CAST(sum(pm) AS DOUBLE) / (sum(m) * 1e6) AS kn_score
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "docs_bleu_pairs" -> bleuOracleSql(

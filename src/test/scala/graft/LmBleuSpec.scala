@@ -34,8 +34,11 @@ class LmBleuSpec extends SparkSpec {
     // doc 0: P(b|a)=.75+.25/3 → 833333µ (×2), P(a|b)=P(c|b)=.25+.5/3
     // → 416667µ; sum 2500000µ over 4 bigrams = 0.625
     assert(out(0L) === ((4L, 4L, 0.625)))
-    // doc 1: "a b" attested 833333µ; "b x": seen context, OOV x → 0
-    assert(out(1L) === ((2L, 1L, half6(833333.0 / 2e6))))
+    // doc 1: "a b" attested 833333µ; "b x": seen context, OOV x → 0.
+    // kn_score is the RAW micro-sum division (r12: no final round — the
+    // terminal-decimal rounding hazard), so the expectation is the
+    // exact quotient 0.4166665
+    assert(out(1L) === ((2L, 1L, 833333.0 / 2e6)))
   }
 
   test("KN unseen context backs off to the continuation unigram; " +
@@ -43,7 +46,7 @@ class LmBleuSpec extends SparkSpec {
     val out = kn(Seq(0L -> RefText, 1L -> "x a", 3L -> "x y"))
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     // context x unseen → P = N1+(·a)/B = 1/3 → 333333µ
-    assert(out(1L) === half6(333333.0 / 1e6))
+    assert(out(1L) === 333333.0 / 1e6)
     assert(out(3L) === 0.0)
   }
 
