@@ -1203,12 +1203,16 @@ object ExtensionQueries {
       // duplicate sort keys are underdetermined SQL, and DuckDB's
       // parallel window path was observed returning a value at sf0.1
       // that NO tie order can produce (covered 1544 vs the tie-
-      // invariant 1541, nondeterministic across identical runs)
+      // invariant 1541, nondeterministic across identical runs).
+      // repartition(key) FIRST: hash(key) clustering satisfies the
+      // distinct's (key, s, e) grouping AND the island window, so ONE
+      // key exchange serves dedup + window + rollup (the plan pin).
       val li = t(s, d, "lineitem")
         .select(col("l_suppkey"),
           (unix_timestamp(col("l_shipdate")) / 86400).cast("long").as("s"),
           ((unix_timestamp(col("l_shipdate")) / 86400).cast("long")
             + col("l_linenumber")).as("e"))
+        .repartition(col("l_suppkey"))
         .distinct()
       graft.operators.Intervals.coverage(li, "l_suppkey", "s", "e")
         .orderBy(col("l_suppkey"))
