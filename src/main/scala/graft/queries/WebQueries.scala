@@ -407,11 +407,19 @@ object WebQueries {
           "^[a-z]+://[^/]+([^?]*)", 1))
       // robots gate: a0 bans /p/ outright, a1 bans the /p/1 prefix
       // (ids whose decimal starts with 1), a2 allows graftbot /p/ while
-      // banning everyone else; site*.com hosts publish no robots.txt →
-      // allowed per the RFC
-      val robots = s.range(3)
-        .select(concat(lit("a"), col("id"), lit(".example.com"))
-            .as("host"),
+      // banning everyone else; site0.com publishes allow-all (no
+      // Crawl-delay — the pacing-default branch); site{1-4}.com publish
+      // no robots.txt → allowed per the RFC
+      // 4th row (ADVICE r12): site0.com publishes an allow-all policy
+      // WITH NO Crawl-delay — the host-in-robots-but-no-delay branch that
+      // must fall back to the 1000 ms default (before the fix it took
+      // the clamp value: least() skips NULLs). Its oracle value is the
+      // same 1000 ms ELSE branch as the robots-less site hosts, so the
+      // gate pins the default-before-clamp order.
+      val robots = s.range(4)
+        .select(when(col("id") < 3,
+            concat(lit("a"), col("id"), lit(".example.com")))
+            .otherwise(lit("site0.com")).as("host"),
           element_at(array(FrontierRobots.map(lit): _*),
             (col("id") + 1).cast("int")).as("robots_txt"))
       val allowed = WebArchive.robotsDecisions(frontier, "url", "host",
@@ -450,8 +458,14 @@ object WebQueries {
       // an adversarial 'Crawl-delay: 9e9' must not starve the host's
       // slots forever, and the clamp keeps slot·delay products far from
       // long overflow at any frontier size)
+      // default BEFORE the clamp (ADVICE r12): Spark least() skips
+      // NULLs, so a host whose robots declares no (or an unparsable)
+      // Crawl-delay would otherwise take least(NULL, 3600000) = the
+      // CLAMP — starving it 3600× vs the documented 1000 ms default
       val delays = robots.select(col("host"),
-        least(round(cdUdf(col("robots_txt")) * lit(1000)).cast("long"),
+        least(coalesce(
+            round(cdUdf(col("robots_txt")) * lit(1000)).cast("long"),
+            lit(1000L)),
           lit(3600000L)).as("_delay_ms"))
       val slotM1 = (col("slot") - lit(1)).cast("long")
       allowed.join(pr, Seq("host"), "left")
@@ -527,13 +541,17 @@ object WebQueries {
     * also declares pacing (r12): a0's delay is unreachable (every a0
     * url is banned), a1 paces at 0.5 s via the *-group (graftbot
     * inherits — it has no own group there), a2 paces graftbot's OWN
-    * group at 3 s. site*.com hosts publish no robots at all → the
-    * 1-tick default. */
+    * group at 3 s. The 4th policy (site0.com) is allow-all with NO
+    * Crawl-delay line — a published-robots host that must still pace at
+    * the 1000 ms DEFAULT, not the clamp (ADVICE r12: the coalesce must
+    * run before the least). site{1-4}.com publish no robots at all →
+    * the same 1-tick default via the outer join's coalesce. */
   private val FrontierRobots = Seq(
     "User-agent: *\nDisallow: /p/\nCrawl-delay: 2",
     "User-agent: *\nDisallow: /p/1\nCrawl-delay: 0.5",
     "User-agent: graftbot\nAllow: /p/\nCrawl-delay: 3\n" +
-      "User-agent: *\nDisallow: /")
+      "User-agent: *\nDisallow: /",
+    "User-agent: *\nDisallow:")
 
   /** The 5 meta-robots HTML branches (doc_id % 5). */
   private val MetaRobotsHtml = Seq(

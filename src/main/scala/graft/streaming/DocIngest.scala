@@ -982,10 +982,18 @@ object DocIngest {
               col("target_uri").as("uri"), col("payload").as("text"))
             .cache()
           try {
+            // BOTH composite factors guarded (ADVICE r12): rec_idx
+            // outside the span collides forward; an archive id above
+            // Long.MaxValue/span − 1 overflows the multiply and a
+            // negative one produces colliding/negative ids — each
+            // silently without this check
+            val maxArchiveId = Long.MaxValue / RecordIdSpan - 1
             require(
-              decoded.filter(col("rec_idx") >= RecordIdSpan).isEmpty,
-              s"archive exceeds $RecordIdSpan records — composite doc " +
-                "ids would collide")
+              decoded.filter(col("rec_idx") >= RecordIdSpan ||
+                !col(idCol).between(0L, maxArchiveId)).isEmpty,
+              s"archive exceeds $RecordIdSpan records or archive id " +
+                s"outside [0, $maxArchiveId] — composite doc ids would " +
+                "collide or overflow")
             val docs = decoded.select(
               (col(idCol) * RecordIdSpan + col("rec_idx")).as("doc_id"),
               col("uri"), col("text"))
