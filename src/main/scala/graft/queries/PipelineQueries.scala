@@ -35,15 +35,17 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Stages 1-3 (ingest → quality gate → LSH dedup) as one DataFrame —
-    * exposed separately because stage 4's two-pass packing crosses an
-    * RDD boundary that truncates the visible plan, and the PlanShapeSpec
-    * pins (anti-join, no cartesian) must see THESE stages' plan. */
-  private[graft] def dedupedCorpus(s: SparkSession, d: String)
-      : DataFrame = {
-    // ── stage 1: per-doc WARC archive → WET conversion records →
-    //    (doc_id, text). The 404 branch (id%3==2) drops here, exactly
-    //    as a real crawl's error responses never reach curation. ──────
+  /** Stage 1 alone: per-doc WARC archive → WET conversion records →
+    * (doc_id, rec_idx, text). The 404 branch (id%3==2) drops here,
+    * exactly as a real crawl's error responses never reach curation.
+    * Materialized ONCE: five flagship consumers read it (the quality
+    * frame, the median scalar, the LSH signature build, the drop side,
+    * the token count) and each would otherwise re-run the whole
+    * synth→convert→decode codec chain. At 100 TB this is the *.warc.wet
+    * artifact a crawl pipeline writes to storage between stages; the
+    * checkpoint is the single-process stand-in. `rec_idx` rides along
+    * for the audit's composite-id checks. */
+  private[graft] def wetRecords(s: SparkSession, d: String): DataFrame = {
     val wet = WebArchive.wetConversion(
       t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -51,16 +53,23 @@ object PipelineQueries {
           WebQueries.warcResponseSynth(col("doc_id"), col("text"))
             .as("bytes")),
       "doc_id", "bytes")
-    // materialize the WET product ONCE: five consumers read it (the
-    // quality frame, the median scalar, the LSH signature build, the
-    // drop side, the token count) and each would otherwise re-run the
-    // whole synth→convert→decode codec chain. At 100 TB this is the
-    // *.warc.wet artifact a crawl pipeline writes to storage between
-    // stages; the checkpoint is the single-process stand-in.
-    val wetText = WebArchive.records(wet, "doc_id", "wet")
+    WebArchive.records(wet, "doc_id", "wet")
       .filter(col("warc_type") === "conversion")
-      .select(col("doc_id"), col("payload").as("text"))
+      .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
+        col("payload").as("text"))
       .localCheckpoint()
+  }
+
+  /** Stages 1-3 (ingest → quality gate → LSH dedup) as one DataFrame —
+    * exposed separately because stage 4's two-pass packing crosses an
+    * RDD boundary that truncates the visible plan, and the PlanShapeSpec
+    * pins (anti-join, no cartesian) must see THESE stages' plan. `wet`
+    * lets the audit pass in an already-materialized stage-1 product so
+    * the codec chain runs once per audit, not twice. */
+  private[graft] def dedupedCorpus(s: SparkSession, d: String,
+      wet: Option[DataFrame] = None): DataFrame = {
+    val wetText = wet.getOrElse(wetRecords(s, d))
+      .select(col("doc_id"), col("text"))
 
     // ── stage 2: quality gate — strictly above the corpus median.
     //    Quality rides as round4·10000 BIGINT micro-units so the
@@ -106,6 +115,68 @@ object PipelineQueries {
       Packing.packSequences(withTokens, "doc_id", "tok",
           Seq("doc_id"), seqLen = 512)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── flagship INVARIANT audit (VERDICT r12 #3): the value oracle
+    //    above proves the output; this proves the output's CONTRACTS
+    //    hold under ANY stage drift — the split_leakage_safe pattern
+    //    applied to the flagship. Four violation classes, all 0-row:
+    //    (1) lsh_pair_survived — no surviving pair at exact Jaccard
+    //        ≥ 0.8, checked with the INDEPENDENT prefix-filtered exact
+    //        generator (PPJoin-complete), so it also mechanically
+    //        certifies the pipeline's banded-LSH full-recall assumption
+    //        on the survivor side;
+    //    (2) below_median_survivor — every survivor's q4 strictly above
+    //        the independently recomputed corpus median;
+    //    (3) bad_composite — every stage-1 record forms a valid
+    //        composite id (rec_idx inside the 2^20 span, archive id in
+    //        [0, Long.MaxValue/span − 1], and the composite DIVides
+    //        back to its archive id — the overflow detector), the
+    //        contract the streaming twin's loud guard enforces;
+    //    (4) bad_pack — packing structure: non-negative seqs/tokens,
+    //        end ≥ start, zero-token docs pinned to their start. ───────
+    "pipeline_crawl_audit" -> ((s, d) => {
+      val span = graft.streaming.DocIngest.RecordIdSpan
+      val maxArch = Long.MaxValue / span - 1
+      val recs = wetRecords(s, d)
+      val vComposite = recs
+        .withColumn("cid", col("doc_id") * lit(span) + col("rec_idx"))
+        .filter(col("rec_idx") < 0 || col("rec_idx") >= lit(span) ||
+          col("doc_id") < 0 || col("doc_id") > lit(maxArch) ||
+          expr(s"cid DIV ${span}") =!= col("doc_id"))
+        .select(lit("bad_composite").as("kind"),
+          col("doc_id").as("id_a"), col("cid").as("id_b"))
+      val q4 = TextAnalysis.qualityFrame(
+          recs.select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("quality") * 10000).cast("long").as("q4"))
+      val med = q4.agg(percentile(col("q4"), lit(0.5)))
+        .first().getDouble(0) // 1-value scalar, bounded by definition
+      val survivors = dedupedCorpus(s, d, Some(recs))
+      val vPairs = Dedup.prefixFilterJaccardPairs(survivors, "doc_id",
+          "text", n = 3, threshold = 0.8)
+        .select(lit("lsh_pair_survived").as("kind"),
+          col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+      val vQuality = survivors.join(q4, Seq("doc_id"))
+        .filter(col("q4") <= lit(med))
+        .select(lit("below_median_survivor").as("kind"),
+          col("doc_id").as("id_a"), col("q4").as("id_b"))
+      val packed = Packing.packSequences(
+        survivors.select(col("doc_id"),
+          size(graft.functions.Fingerprints.tokens(col("text")))
+            .cast("long").as("tok")),
+        "doc_id", "tok", Seq("doc_id"), seqLen = 512)
+      val vPack = packed
+        .filter(col("tokens") < 0 || col("start_seq") < 0 ||
+          col("end_seq") < col("start_seq") ||
+          (col("tokens") === 0 && col("end_seq") =!= col("start_seq")))
+        .select(lit("bad_pack").as("kind"),
+          col("doc_id").cast("long").as("id_a"),
+          col("start_seq").as("id_b"))
+      vComposite.unionByName(vPairs).unionByName(vQuality)
+        .unionByName(vPack)
+        .orderBy(col("kind"), col("id_a"), col("id_b"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -188,5 +259,9 @@ object PipelineQueries {
         |(cum - tokens) // 512 AS start_seq,
         |CASE WHEN tokens = 0 THEN (cum - tokens) // 512
         |     ELSE (cum - 1) // 512 END AS end_seq
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipeline_crawl_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS id_a,
+        |CAST(NULL AS BIGINT) AS id_b WHERE FALSE""".stripMargin)
 }

@@ -295,4 +295,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window "),
       s"the pipeline grew a global window:\n${plan.take(3000)}")
   }
+
+  test("pipeline_crawl_audit detectors are LIVE (negative control): " +
+      "on the same corpus where the audit reads 0 rows, the exact pair " +
+      "generator finds pairs in the UN-deduped corpus and the quality " +
+      "detector finds at-or-below-median docs in the UN-gated corpus — " +
+      "a vacuously-green audit would fail here") {
+    import org.apache.spark.sql.functions._
+    val recs = graft.queries.PipelineQueries.wetRecords(spark, sf)
+    val wetText = recs.select(col("doc_id"), col("text"))
+    val pairs = graft.operators.Dedup.prefixFilterJaccardPairs(
+      wetText, "doc_id", "text", n = 3, threshold = 0.8)
+    assert(pairs.limit(1).count() === 1L,
+      "no exact J>=0.8 pair in the un-deduped corpus — the audit's " +
+        "lsh_pair_survived detector cannot be exercised at this SF")
+    val q4 = graft.operators.TextAnalysis
+      .qualityFrame(wetText, "doc_id", "text")
+      .select(col("doc_id"),
+        round(col("quality") * 10000).cast("long").as("q4"))
+    val med = q4.agg(percentile(col("q4"), lit(0.5))).first().getDouble(0)
+    assert(q4.filter(col("q4") <= lit(med)).limit(1).count() === 1L,
+      "no at-or-below-median doc — the below_median_survivor detector " +
+        "cannot be exercised at this SF")
+  }
 }
