@@ -28,13 +28,40 @@ object LshIndex {
   private def fpsPath(path: String) = s"$path/fps"
   private val PartMod = 64
 
+  private def tablePaths(path: String): Seq[String] =
+    Seq(bucketsPath(path), sigsPath(path), fpsPath(path))
+
+  /** Heal an interrupted [[compact]] swap (the
+    * [[graft.sources.VectorCollection]] recovery contract, per table): a
+    * live dir missing while its `._old` backup exists rolls the backup
+    * forward; a stale backup NEXT TO a live dir (crash after the second
+    * rename) is dropped. Called from every read/write entry point, so
+    * no manual recovery step exists. Single-writer assumption as for
+    * the collection. */
+  private def healSwaps(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tablePaths(path).foreach { s =>
+      val live = new org.apache.hadoop.fs.Path(s)
+      val fs = live.getFileSystem(conf)
+      val bak = new org.apache.hadoop.fs.Path(s + "._old")
+      if (fs.exists(bak)) {
+        if (!fs.exists(live)) {
+          if (!fs.rename(bak, live))
+            throw new java.io.IOException(
+              s"failed to heal interrupted compact: rename $bak -> $live")
+        } else fs.delete(bak, true)
+      }
+    }
+  }
+
   /** True once `build`/`append` has written the COMPLETE index (all
     * three tables — a crash between build's writes must read as absent,
     * or the next probe/exactHits would fail on the missing table; the
     * streaming gate then rebuilds from its batch). */
   def exists(spark: SparkSession, path: String): Boolean = {
+    healSwaps(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(bucketsPath(path), sigsPath(path), fpsPath(path)).forall { s =>
+    tablePaths(path).forall { s =>
       val p = new org.apache.hadoop.fs.Path(s)
       p.getFileSystem(conf).exists(p)
     }
@@ -73,6 +100,7 @@ object LshIndex {
     * documents. */
   def exactHits(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    healSwaps(spark, path)
     val fps = spark.read.parquet(fpsPath(path)).select(col("fp"))
       .distinct()
     batch.select(col(idCol), md5(col(textCol)).as("fp"))
@@ -90,6 +118,7 @@ object LshIndex {
       idCol: String, textCol: String, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
+    healSwaps(spark, path)
     val (newBuckets, newSigs) = signed(newDocs, idCol, textCol, n, k, bands)
     val nb = newBuckets
       .withColumn("pb", pmod(col("bucket"), lit(PartMod)).cast("int"))
@@ -125,6 +154,7 @@ object LshIndex {
   def append(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, k: Int = 64, bands: Int = 16): Unit = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
+    healSwaps(newDocs.sparkSession, path)
     val (buckets, sigs) = signed(newDocs, idCol, textCol, n, k, bands)
     buckets.withColumn("pb", pmod(col("bucket"), lit(PartMod)).cast("int"))
       .write.mode(SaveMode.Append)
@@ -134,5 +164,55 @@ object LshIndex {
     newDocs.select(col(idCol).cast("long").as("id"),
         md5(col(textCol)).as("fp"))
       .write.mode(SaveMode.Append).parquet(fpsPath(path))
+  }
+
+  /** Maintenance: restore one-row-per-key across all three tables
+    * (VERDICT r12 #6). The streaming gates' index fold-in is documented
+    * at-least-once — a crash-replayed batch re-appends its rows, which
+    * never changes ADMISSION (signatures are content-derived; probe
+    * candidates dedup; sigs dedup per id in [[probePairs]]) but grows
+    * the index and its redundant-candidate work monotonically. compact
+    * bounds that: keep-one-per-id rewrites via the temp-then-swap
+    * pattern of [[graft.sources.VectorCollection.compact]] — a failure
+    * before a table's swap leaves that table untouched; a failure
+    * inside a swap is healed by [[healSwaps]] on the next read. Any
+    * copy of a duplicated row is the right copy (all content-derived),
+    * so compaction commutes with admission decisions. Returns
+    * (rowsBefore, rowsAfter) summed over the three tables. */
+  def compact(spark: SparkSession, path: String): (Long, Long) = {
+    healSwaps(spark, path)
+    require(exists(spark, path), s"no complete index at $path")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapIn(live: String, rewrite: DataFrame => DataFrame,
+        write: (DataFrame, String) => Unit): (Long, Long) = {
+      val df = spark.read.parquet(live)
+      val before = df.count()
+      val tmp = new org.apache.hadoop.fs.Path(live + "._compact")
+      val fs = tmp.getFileSystem(conf)
+      fs.delete(tmp, true)
+      write(rewrite(df), tmp.toString)
+      val after = spark.read.parquet(tmp.toString).count()
+      val liveP = new org.apache.hadoop.fs.Path(live)
+      val bak = new org.apache.hadoop.fs.Path(live + "._old")
+      fs.delete(bak, true)
+      def renameOrThrow(a: org.apache.hadoop.fs.Path,
+          b: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(a, b))
+          throw new java.io.IOException(
+            s"index compact swap: rename $a -> $b failed")
+      renameOrThrow(liveP, bak)
+      renameOrThrow(tmp, liveP)
+      fs.delete(bak, true)
+      (before, after)
+    }
+    val b = swapIn(bucketsPath(path),
+      _.dropDuplicates("id", "bucket"),
+      (df, p) => df.write.mode(SaveMode.Overwrite)
+        .partitionBy("pb").parquet(p))
+    val s = swapIn(sigsPath(path), _.dropDuplicates("id"),
+      (df, p) => df.write.mode(SaveMode.Overwrite).parquet(p))
+    val f = swapIn(fpsPath(path), _.dropDuplicates("id"),
+      (df, p) => df.write.mode(SaveMode.Overwrite).parquet(p))
+    (b._1 + s._1 + f._1, b._2 + s._2 + f._2)
   }
 }

@@ -83,6 +83,69 @@ class LshIndexSpec extends SparkSpec {
     assert(rows.toSet === Set((30L, 20L)))
   }
 
+  test("compact after a replayed append restores exactly the " +
+      "once-appended row counts per table, and the next probe's pairs " +
+      "are unchanged") {
+    def rowCounts(dir: String): Map[String, Long] =
+      Seq("buckets", "sigs", "fps").map(t =>
+        t -> spark.read.parquet(s"$dir/$t").count()).toMap
+    def buildAt(suffix: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_lshidx_c$suffix").toString + "/idx"
+      LshIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+      dir
+    }
+    val accepted = Seq((20L, "frase original sobre jardins botanicos e " +
+      "estufas de vidro com plantas raras de climas tropicais umidos"))
+      .toDF("doc_id", "text")
+    // reference: the exactly-once world
+    val ref = buildAt("ref")
+    LshIndex.append(accepted, "doc_id", "text", ref)
+    // replayed world: same append lands twice, then compact
+    val dir = buildAt("dup")
+    LshIndex.append(accepted, "doc_id", "text", dir)
+    LshIndex.append(accepted, "doc_id", "text", dir)
+    val inflated = rowCounts(dir)
+    val expected = rowCounts(ref)
+    assert(Seq("buckets", "sigs", "fps")
+        .exists(t => inflated(t) > expected(t)),
+      "replay did not inflate any table — the compact test is vacuous")
+    val (before, after) = LshIndex.compact(spark, dir)
+    assert(before === inflated.values.sum)
+    assert(after === expected.values.sum)
+    assert(rowCounts(dir) === expected,
+      "compact did not restore the exactly-once per-table row counts")
+    // admission behavior is untouched: the next probe reads the same pairs
+    val probe = Seq((30L, "frase original sobre jardins botanicos e " +
+      "estufas de vidro com plantas raras de climas tropicais secos"))
+      .toDF("doc_id", "text")
+    def pairsAt(p: String) =
+      LshIndex.probePairs(spark, p, probe, "doc_id", "text",
+          threshold = 0.5)
+        .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(pairsAt(dir) === pairsAt(ref))
+    assert(pairsAt(dir) === Set((30L, 20L,
+      pairsAt(ref).head._3)))
+  }
+
+  test("an interrupted compact swap (live dir renamed away, tmp not " +
+      "yet in) heals on the next read — no data loss, no manual step") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx_h")
+      .toString + "/idx"
+    LshIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val fps = new org.apache.hadoop.fs.Path(s"$dir/fps")
+    val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: live renamed to ._old, nothing in place
+    assert(fs.rename(fps, new org.apache.hadoop.fs.Path(s"$dir/fps._old")))
+    assert(LshIndex.exists(spark, dir), "heal did not roll the backup in")
+    val hits = LshIndex.exactHits(spark, dir,
+        Seq((50L, bread)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(50L), "healed fps table lost the exact-dup rows")
+  }
+
   test("probe reads only the batch's pb partition folds (file pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx3")
       .toString + "/idx"
