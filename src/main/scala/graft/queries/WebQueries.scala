@@ -499,7 +499,7 @@ object WebQueries {
     * entities, plain-text 200 passing through verbatim, html 404
     * dropped), chunked wire framing on %5==0, per-record gzip members on
     * %2==0 — 3, 5, 2 pairwise coprime, so all 30 combos execute. */
-  private[queries] val warcResponseSynth =
+  private[graft] val warcResponseSynth =
     udf((id: Long, text: String) => {
       val status = if (id % 3 == 2) "404 Not Found" else "200 OK"
       val (ct, body) =

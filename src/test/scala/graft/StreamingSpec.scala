@@ -460,6 +460,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(train).count() === 2)
   }
 
+  test("streaming<->batch flagship equivalence (VERDICT r12 #4): the " +
+      "crawl pipeline over the sf0.001 corpus in 3 id-ordered batches, " +
+      "threshold frozen to the batch flagship's median and an empty " +
+      "starting index, admits EXACTLY the batch flagship's pre-pack " +
+      "survivor set — the 'twin from the same operators' claim, pinned " +
+      "mechanically") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft_cpe_in").toString
+    val train = Files.createTempDirectory("graft_cpe_t").toString + "/tr"
+    val idx = Files.createTempDirectory("graft_cpe_x").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_cpe_ck").toString
+
+    // the batch flagship's stages 1-3: survivor set + corpus median
+    val recs = graft.queries.PipelineQueries.wetRecords(spark, sf)
+    val batchSurvivors = graft.queries.PipelineQueries
+      .dedupedCorpus(spark, sf, Some(recs))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val q4 = graft.operators.TextAnalysis.qualityFrame(
+        recs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(round(col("quality") * 10000).cast("long").as("q4"))
+    val med = q4.agg(percentile(col("q4"), lit(0.5))).first().getDouble(0)
+    // q4 > med on integer micro-units <=> q4 >= floor(med)+1 (med is
+    // integer-or-half by the micro-unit carrier) — the exact freeze of
+    // the batch form's strictly-above gate
+    val minQ = math.floor(med).toLong + 1
+
+    // feed the SAME per-doc WARC synthesis the batch flagship reads,
+    // split into 3 id-ordered ranges (a replayed crawl arrives in crawl
+    // order; keep-first admission is id-ordered in both forms)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("warc_id"),
+        graft.queries.WebQueries.warcResponseSynth(
+          col("doc_id").cast("long"), col("text")).as("bytes"))
+      .localCheckpoint()
+    val q = DocIngest.startCrawlPipeline(spark, in, train, idx, ckpt,
+      minQualityMicro = minQ, pollInterval = "200 milliseconds")
+    try {
+      Seq((0L, 167L), (167L, 334L), (334L, 500L)).foreach {
+        case (lo, hi) =>
+          docs.filter(col("warc_id") >= lo && col("warc_id") < hi)
+            .write.mode("append").parquet(in)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamIds = spark.read.parquet(train)
+      .select(col("doc_id")).as[Long].collect()
+    assert(streamIds.length === streamIds.toSet.size,
+      "duplicate training rows across batches")
+    val streamDocs = streamIds.map(_ / DocIngest.RecordIdSpan).toSet
+    assert(streamDocs === batchSurvivors,
+      s"streaming admitted ${streamDocs.size} docs vs batch " +
+        s"${batchSurvivors.size}; only-stream=" +
+        s"${(streamDocs -- batchSurvivors).toSeq.sorted.take(10)} " +
+        s"only-batch=${(batchSurvivors -- streamDocs).toSeq.sorted.take(10)}")
+  }
+
   test("streaming WET extraction converts each archive batch exactly " +
       "once and replays write nothing") {
     import spark.implicits._
