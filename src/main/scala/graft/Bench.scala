@@ -98,7 +98,10 @@ object Bench {
     "dedup_substring_spans" -> 4.0, "docs_rolling_audit" -> 3.8,
     "eval_rbo_matryoshka" -> 2.5,
     // r11 introductions (isolated at sf0.1, -Xmx12g, 1g code cache)
-    "web_frontier" -> 7.9, "docs_warc_wet" -> 4.8)
+    "web_frontier" -> 7.9, "docs_warc_wet" -> 4.8,
+    // r13 introductions (isolated at sf0.1 on a ~1.7-loaded window;
+    // relative weight is what packing needs)
+    "pipeline_crawl_audit" -> 9.1, "pdf_pages_scan" -> 3.0)
 
   /** Queries that must share one session because their bench forms share
     * a memoized stage (SharedBenchStages.prefixPairs — computed by the

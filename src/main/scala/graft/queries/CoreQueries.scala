@@ -523,6 +523,64 @@ object CoreQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ── S1/S2 at the connector tier, BENCHED (VERDICT r12 #2): the PDF
+    //    codec is the reference's core competence (enem_pdf_extractor.py
+    //    959-996) but its throughput was invisible to the bench lines.
+    //    Synthesize a real-PDF corpus IN-PLAN (one page per document, 50
+    //    multi-page files, executor-side build+write via PdfSynth —
+    //    deterministic bytes, idempotent overwrite), scan it back through
+    //    the graft-pdf DSv2 connector (full content-stream + font decode
+    //    per page), and value-gate a per-page rollup against a
+    //    closed-form oracle reconstructing each page's EXACT text.
+    //    Moduli 4 (line count), 5 (token-run length), 7 (token id), 11
+    //    (image pages) are pairwise coprime — every combination
+    //    executes. 100 TB shape: PDFs build and decode per-group on
+    //    executors (only (group, bytes) rows exist in the plan, no
+    //    driver bytes); the scan is one file per InputPartition with
+    //    text decode pruned away when page_text is unprojected. ─────────
+    "pdf_pages_scan" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pdf_scan_" +
+        Integer.toHexString(d.hashCode)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        .groupByKey(_ % 50)
+        .mapGroups { (g, it) =>
+          val ids = it.toArray.sorted
+          val pages: Seq[Seq[String]] = ids.toSeq.map { id =>
+            s"DOC $id" +: (1L to (1 + id % 4)).map { j =>
+              s"pg $id ln $j" +
+                (" t" + ((id + j) % 7)) * (3 + ((id + j) % 5)).toInt
+            }
+          }
+          val img = ids.zipWithIndex.collect {
+            case (id, i) if id % 11 == 0 => i
+          }.toSet
+          (g, graft.functions.PdfSynth.build(pages, img))
+        }
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          it.foreach { case (g, bytes) =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/book_$g.pdf")
+            val fs = p.getFileSystem(conf.value)
+            val out = fs.create(p, true)
+            try out.write(bytes) finally out.close()
+          }
+        }
+      s.read.format("graft-pdf").load(dir)
+        .select(
+          regexp_extract(col("page_text"), "^DOC ([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("file_name"),
+          col("page_idx").cast("long").as("page_idx"),
+          (size(split(col("page_text"), "\n")) - 1).cast("long")
+            .as("n_lines"),
+          length(col("page_text")).cast("long").as("n_chars"),
+          md5(col("page_text")).as("text_md5"),
+          col("has_images"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── F1/F2/F5 composite filter predicates (SURVEY §2.2) ────────────────
     "f_filters" -> ((s, d) => {
       t(s, d, "documents")
@@ -1363,6 +1421,33 @@ object CoreQueries {
     "s2_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity < 3 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // closed-form replay of the synthesized booklet corpus: per doc the
+    // EXACT page text the codec must extract (lines joined by \n plus
+    // the trailing \n — the pymupdf get_text contract PdfCodecSpec
+    // pins), hashed on both sides; page_idx replays as the doc's rank
+    // inside its book group (unique ORDER BY doc_id)
+    "pdf_pages_scan" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id % 50 AS BIGINT) AS g,
+        |  'DOC ' || doc_id || chr(10) ||
+        |  array_to_string(
+        |    ['pg ' || doc_id || ' ln ' || j ||
+        |      repeat(' t' || ((doc_id + j) % 7),
+        |             CAST(3 + ((doc_id + j) % 5) AS INT))
+        |     FOR j IN range(1, CAST(2 + doc_id % 4 AS BIGINT))],
+        |    chr(10)) || chr(10) AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |'book_' || g || '.pdf' AS file_name,
+        |CAST(row_number() OVER (PARTITION BY g ORDER BY doc_id) - 1
+        |  AS BIGINT) AS page_idx,
+        |CAST(2 + doc_id % 4 AS BIGINT) AS n_lines,
+        |CAST(length(txt) AS BIGINT) AS n_chars,
+        |md5(txt) AS text_md5,
+        |doc_id % 11 = 0 AS has_images
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "f_filters" ->
       """SELECT doc_id, n_chars FROM documents

@@ -5,101 +5,21 @@ import graft.operators.ExtractPipeline
 import graft.sources.PdfSource
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Builds REAL PDF files from the published spec (object syntax, page
-  * tree, FlateDecode content streams, image XObjects, xref table) and
-  * parses them back — no golden binaries, no fixture boundary: the bytes
-  * on disk are genuine PDFs (validated structure: header, body, xref,
-  * trailer, startxref). */
+/** Builds REAL PDF files from the published spec and parses them back —
+  * no golden binaries, no fixture boundary: the bytes on disk are
+  * genuine PDFs (validated structure: header, body, xref, trailer,
+  * startxref). The writer itself lives in main as
+  * [[graft.functions.PdfSynth]] (the pdf_pages_scan gate synthesizes
+  * its corpus with it); this object keeps the fixture name the specs
+  * use. */
 object PdfFixture {
-
-  private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
-    d.setInput(data); d.finish()
-    val buf = new Array[Byte](data.length + 64)
-    val n = d.deflate(buf); d.end()
-    java.util.Arrays.copyOf(buf, n)
-  }
-
-  /** Escape a text line into a PDF literal string. */
-  private def lit(s: String): String =
-    "(" + s.flatMap {
-      case '(' => "\\("
-      case ')' => "\\)"
-      case '\\' => "\\\\"
-      case c => c.toString
-    } + ")"
-
-  /** A content stream that shows each line with a Td line advance —
-    * the Tj/Td shape every simple text PDF uses. */
   def contentStream(lines: Seq[String]): Array[Byte] =
-    deflate((Seq("BT", "/F1 10 Tf", "72 760 Td") ++
-      lines.flatMap(l => Seq(lit(l) + " Tj", "0 -14 Td")) ++
-      Seq("ET")).mkString("\n").getBytes("ISO-8859-1"))
+    graft.functions.PdfSynth.contentStream(lines)
 
-  /** Assemble a complete PDF: one page per entry of `pageLines`;
-    * `imageOnPages` embeds a tiny FlateDecode image XObject on those
-    * page indices. Returns the full file bytes. */
   def build(pageLines: Seq[Seq[String]],
       imageOnPages: Set[Int] = Set.empty,
-      imageBytes: Array[Byte] = Array.tabulate(12)(_.toByte)): Array[Byte] = {
-    val nPages = pageLines.length
-    // object numbering: 1 catalog, 2 pages-root, then per page i:
-    // (3+3i) page, (4+3i) contents, (5+3i) image (allocated always,
-    // emitted only when used)
-    val objs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
-    val kids = (0 until nPages).map(i => s"${3 + 3 * i} 0 R").mkString(" ")
-    objs += 1 -> s"<< /Type /Catalog /Pages 2 0 R >>".getBytes("ISO-8859-1")
-    objs += 2 -> s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>"
-      .getBytes("ISO-8859-1")
-    for (i <- 0 until nPages) {
-      val pageNum = 3 + 3 * i
-      val contNum = 4 + 3 * i
-      val imgNum = 5 + 3 * i
-      val res =
-        if (imageOnPages(i))
-          s"/Resources << /XObject << /Im$i $imgNum 0 R >> >> "
-        else ""
-      objs += pageNum ->
-        (s"<< /Type /Page /Parent 2 0 R $res/MediaBox [0 0 612 792] " +
-          s"/Contents $contNum 0 R >>").getBytes("ISO-8859-1")
-      val cs = contentStream(pageLines(i))
-      objs += contNum ->
-        (s"<< /Length ${cs.length} /Filter /FlateDecode >>\nstream\n"
-          .getBytes("ISO-8859-1") ++ cs ++
-          "\nendstream".getBytes("ISO-8859-1"))
-      if (imageOnPages(i)) {
-        val flated = deflate(imageBytes)
-        val body =
-          (s"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
-            s"/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
-            s"/Filter /FlateDecode /Length ${flated.length} >>\nstream\n")
-            .getBytes("ISO-8859-1") ++ flated ++
-            "\nendstream".getBytes("ISO-8859-1")
-        objs += imgNum -> body
-      }
-    }
-    // serialize with a valid xref + trailer
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
-    val offsets = scala.collection.mutable.Map[Int, Int]()
-    objs.sortBy(_._1).foreach { case (num, body) =>
-      offsets(num) = out.size()
-      out.write(s"$num 0 obj\n".getBytes("ISO-8859-1"))
-      out.write(body)
-      out.write("\nendobj\n".getBytes("ISO-8859-1"))
-    }
-    val xrefAt = out.size()
-    val maxObj = objs.map(_._1).max
-    out.write(s"xref\n0 ${maxObj + 1}\n".getBytes("ISO-8859-1"))
-    out.write("0000000000 65535 f \n".getBytes("ISO-8859-1"))
-    for (n <- 1 to maxObj)
-      out.write(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n"
-        .getBytes("ISO-8859-1"))
-    out.write(
-      (s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
-        s"startxref\n$xrefAt\n%%EOF\n").getBytes("ISO-8859-1"))
-    out.toByteArray
-  }
+      imageBytes: Array[Byte] = Array.tabulate(12)(_.toByte)): Array[Byte] =
+    graft.functions.PdfSynth.build(pageLines, imageOnPages, imageBytes)
 }
 
 class PdfCodecSpec extends AnyFunSuite {
