@@ -27,7 +27,12 @@ object PrintPlans {
       "a_mad_extremes", "graph_pagerank",
       "j_fuzzy_dl", "events_scd2", "j_asof_nearest", "pref_pairs",
       "sample_interleave", "vocab_oov_rate", "sft_transcripts")
-    interesting.foreach { name =>
+    // args beyond the sf dir narrow the dump to the named queries —
+    // `PrintPlans <sfDir> web_frontier` audits one plan without paying
+    // for the whole headline list
+    val selected =
+      if (args.length > 1) args.drop(1).toSeq else interesting
+    selected.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.{Bitext, TextAnalysis, WebArchive}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables.t
 
@@ -476,17 +476,34 @@ object WebQueries {
           coalesce(col("_delay_ms"), lit(1000L)).as("_delay_ms"))
         .withColumn("slot", row_number().over(Window.partitionBy(
           col("domain")).orderBy(col("rank_i").desc, col("url"))))
-        // ceil(slotM1·delay_ms / 1000) as exact integers: the double
-        // division of exact longs is correctly rounded and ≥ 1/1000
-        // away from any integer unless exactly divisible, so floor is
-        // exact cross-engine (DuckDB replays with integer `//`)
-        .withColumn("not_before_tick", greatest(slotM1,
-          floor((slotM1 * col("_delay_ms") + lit(999L)) / lit(1000L))
-            .cast("long")))
+        .withColumn("not_before_tick",
+          notBeforeTickCol(slotM1, col("_delay_ms")))
         .select(col("domain"), col("slot"), col("url"), col("host"),
           col("rank_i"), col("not_before_tick"))
         .orderBy(col("domain"), col("slot"))
     }))
+
+  /** Earliest permissible fetch tick for a host's slot-th URL under
+    * its declared Crawl-delay: `max(slot−1, ceil((slot−1)·delay_ms /
+    * 1000))` — the domain-serialization floor AND the pacing floor,
+    * whichever binds. ceil over exact longs via `floor((x+999)/1000)`:
+    * Spark's `/` on longs is correctly-rounded double division, and
+    * for any product this pipeline can produce (delay clamped to
+    * 3 600 000 ms, so x+999 < 2^53 for slots into the billions) the
+    * quotient is ≥ 1/1000 away from any integer unless exactly
+    * divisible — floor is exact and DuckDB replays it with integer
+    * `//`. [[notBeforeTickModel]] is the scalar twin; ScalaCheck pins
+    * the two agree plus the monotone/bound algebra the scheduler
+    * relies on ([[GraftProperties]]). */
+  private[graft] def notBeforeTickCol(slotM1: Column,
+      delayMs: Column): Column =
+    greatest(slotM1,
+      floor((slotM1 * delayMs + lit(999L)) / lit(1000L)).cast("long"))
+
+  /** Exact-integer scalar model of [[notBeforeTickCol]]. */
+  private[graft] def notBeforeTickModel(slotM1: Long,
+      delayMs: Long): Long =
+    math.max(slotM1, Math.floorDiv(slotM1 * delayMs + 999L, 1000L))
 
   /** RAKE stopwords for the synthetic corpus (its only function
     * words); interpolated into the oracle from this one value. */

@@ -268,6 +268,48 @@ class PlanShapeSpec extends SparkSpec {
       s"frontier lost its broadcast joins:\n${plan.take(2000)}")
   }
 
+  test("web_frontier pacing arithmetic: not_before_tick is codegen'd " +
+      "greatest/FLOOR integer math riding the window's own exchange — " +
+      "no UDF on the row path, the crawl-delay UDF evaluates only in " +
+      "the dim-side least(coalesce(...)) projection (default BEFORE " +
+      "clamp), and no exchange separates the Window from the pacing " +
+      "projection") {
+    val plan = executedPlan("web_frontier")
+    val lines = plan.linesIterator.toVector
+    val pacingAt = lines.indexWhere(_.contains("not_before_tick"))
+    assert(pacingAt >= 0, "pacing projection not found")
+    val pacing = lines(pacingAt)
+    // the row-path expression is pure integer/FLOOR arithmetic — a
+    // rewrite that evaluates crawlDelayOf per frontier row would show
+    // up here as a UDF call over the corpus-sized side
+    assert(pacing.contains("greatest") && pacing.contains("FLOOR") &&
+      !pacing.contains("UDF"),
+      s"pacing projection regressed off codegen'd integer math:\n$pacing")
+    // the delay dim: parse UDF + default-then-clamp, textually
+    // least(coalesce(UDF..., 1000), 3600000) — swapping to
+    // coalesce(least(...)) (the pre-ADVICE-r12 NULL-skipping shape)
+    // fails both pins. Whole-plan substrings, not per-line: the dim
+    // projection spans lines because the robots policy literals
+    // contain newlines
+    assert(plan.contains("least(coalesce(cast(round((UDF("),
+      "delay dim lost its default-before-clamp shape — the parse UDF " +
+        "no longer sits inside least(coalesce(...))")
+    assert(plan.contains("1000), 3600000) AS _delay_ms"),
+      "delay dim default/clamp ordering changed — expected the 1000 ms " +
+        "default applied BEFORE the 3600000 ms clamp in one dim-side " +
+        "projection")
+    // pacing rides the window's exchange: the projection sits directly
+    // above Window with no Exchange between them (tree prints top-down,
+    // so scan forward from the projection to the Window line)
+    val windowAt = lines.indexWhere(_.contains("Window"), pacingAt)
+    assert(windowAt > pacingAt,
+      "Window not found below the pacing projection")
+    assert(!lines.slice(pacingAt, windowAt).exists(_.contains("Exchange")),
+      "an exchange crept in between the politeness window and the " +
+        "pacing projection:\n" + lines.slice(pacingAt, windowAt + 1)
+          .mkString("\n"))
+  }
+
   test("docs_warc_wet: row-grain codec work — exactly the per-archive " +
       "regroup shuffles data, plus the presentation sort") {
     val plan = executedPlan("docs_warc_wet")

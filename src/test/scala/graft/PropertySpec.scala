@@ -485,6 +485,48 @@ object GraftProperties extends Properties("graft") {
       fixpoint && strict && antiMono
     }
 
+  // ── Crawl-delay pacing algebra (web_frontier, VERDICT r12 #7) ─────────
+  // not_before_tick(slot, delay) = max(slot−1, ceil((slot−1)·delay/1000))
+  // — the scalar twin of WebQueries.notBeforeTickCol. These pin the
+  // scheduler algebra: strictly later slots never pace EARLIER, a larger
+  // declared delay never paces earlier, the domain-serialization floor
+  // always holds, the 1-hour clamp bounds the tick linearly in slot, and
+  // the double-division floor the Column actually executes agrees with
+  // exact integer arithmetic for every product the clamp permits.
+  private val slotM1Gen: Gen[Long] = Gen.oneOf(
+    Gen.choose(0L, 64L),                    // the dense regime
+    Gen.choose(0L, 2500000000L))            // a 2.5-billion-URL host
+  private val delayGen: Gen[Long] = Gen.oneOf(
+    Gen.oneOf(0L, 1L, 999L, 1000L, 1001L, 3599999L, 3600000L),
+    Gen.choose(0L, 3600000L))
+
+  property("not_before_tick: strictly monotone in slot, monotone in " +
+      "delay, floored by slot−1 (tight iff delay ≤ 1000), and " +
+      "clamp-bounded by 3600·(slot−1)") =
+    forAll(slotM1Gen, delayGen) { (s, d) =>
+      import graft.queries.WebQueries.notBeforeTickModel
+      val tick = notBeforeTickModel(s, d)
+      (notBeforeTickModel(s + 1, d) > tick) :| "strict in slot" &&
+        (notBeforeTickModel(s, math.min(d + 1, 3600000L)) >= tick) :|
+          "monotone in delay" &&
+        (tick >= s) :| "domain-serialization floor" &&
+        ((d > 1000L || tick == s) &&
+          (d <= 1000L || s == 0L || tick > s)) :|
+          "floor tight exactly when delay ≤ 1000 ms" &&
+        (tick <= 3600L * math.max(s, 1L)) :| "1-hour clamp bound"
+    }
+
+  property("not_before_tick: the Column's double-division floor equals " +
+      "the exact-integer model over the full clamped domain") =
+    forAll(slotM1Gen, delayGen) { (s, d) =>
+      // exactly what notBeforeTickCol compiles to: long product, +999,
+      // correctly-rounded double division by 1000, floor — products stay
+      // below 2^53 (2.5e9 · 3.6e6 + 999 < 9.0e15) so this must be exact
+      val asSpark = math.max(s,
+        math.floor((s * d + 999L).toDouble / 1000.0).toLong)
+      asSpark == graft.queries.WebQueries.notBeforeTickModel(s, d)
+    }
+
   property("registrableDomain is a dot-suffix of the host and a fixed " +
       "point of itself") =
     forAll(Gen.nonEmptyListOf(

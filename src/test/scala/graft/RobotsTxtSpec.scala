@@ -159,4 +159,30 @@ class RobotsTxtSpec extends SparkSpec {
       "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 1e999", "x")
       === Some(2.0))
   }
+
+  test("pacing: notBeforeTickCol evaluated by Spark equals the " +
+      "exact-integer scalar model on the full boundary grid — the " +
+      "mechanical link the ScalaCheck pacing properties rest on") {
+    import graft.queries.WebQueries.{notBeforeTickCol, notBeforeTickModel}
+    import org.apache.spark.sql.functions.col
+    // every delay boundary (0, the default, clamp edges) × slots
+    // spanning the dense regime and a 2.5-billion-URL host — the
+    // exactness edge of the double-division floor
+    val delays = Seq(0L, 1L, 333L, 999L, 1000L, 1001L, 1500L, 2000L,
+      3599999L, 3600000L)
+    val slots = (0L to 64L) ++ Seq(999L, 1000L, 1001L, 65537L,
+      1000000L, 2500000000L)
+    val grid = for (s <- slots; d <- delays) yield (s, d)
+    val got = spark.createDataFrame(grid.map { case (s, d) =>
+        Tuple2(s, d) }).toDF("slot_m1", "delay_ms")
+      .select(col("slot_m1"), col("delay_ms"),
+        notBeforeTickCol(col("slot_m1"), col("delay_ms")).as("tick"))
+      .collect()
+    assert(got.length === grid.length)
+    got.foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === notBeforeTickModel(s, d),
+        s"Column/model divergence at slot_m1=$s delay_ms=$d")
+    }
+  }
 }
