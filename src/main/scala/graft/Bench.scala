@@ -117,7 +117,11 @@ object Bench {
         "dedup_soft_weights"),
       // r12: both consume SharedBenchStages.mutualKnnEdges — in separate
       // bins each would rebuild the shared edge stage in its own session
-      Seq("graph_kcore", "graph_kcore_audit"))
+      Seq("graph_kcore", "graph_kcore_audit"),
+      // r13: both consume SharedBenchStages.crawlWet + crawlDeduped —
+      // the flagship runs first and pays the memo builds, the audit
+      // rides the stored artifacts and measures only its detectors
+      Seq("pipeline_crawl_to_pack", "pipeline_crawl_audit"))
 
   /** Pack queries into session-sized chunks, balancing PRIOR COST, not
     * alphabet (r9 adjudication: alphabetical chunks put the whole dedup

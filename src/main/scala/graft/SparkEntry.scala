@@ -56,5 +56,6 @@ object SparkEntry {
     * production shape instead of an O(N²) verification pass. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ ExtensionQueries.benchOverrides ++
-      TrainingQueries.benchOverrides ++ GraphQueries.benchOverrides
+      TrainingQueries.benchOverrides ++ GraphQueries.benchOverrides ++
+      PipelineQueries.benchOverrides
 }

@@ -65,6 +65,36 @@ class BenchOverrideSpec extends SparkSpec {
     }
   }
 
+  test("flagship bench overrides: one shared WET + deduped-corpus " +
+      "artifact pair, output-identical to the self-contained gate " +
+      "forms, audit detectors still 0-row on the stored artifacts") {
+    try {
+      // compute-once: both entries must see the SAME checkpointed
+      // artifacts (reference equality — a second derivation would mean
+      // the shared stage isn't shared)
+      val w1 = graft.queries.SharedBenchStages.crawlWet(spark, sf)
+      val w2 = graft.queries.SharedBenchStages.crawlWet(spark, sf)
+      assert(w1 eq w2, "crawlWet must memoize per (session, dir)")
+      val c1 = graft.queries.SharedBenchStages.crawlDeduped(spark, sf)
+      val c2 = graft.queries.SharedBenchStages.crawlDeduped(spark, sf)
+      assert(c1 eq c2, "crawlDeduped must memoize per (session, dir)")
+      // the packed output from the stored corpus equals the gate form's
+      val gate = rows(
+        SparkEntry.queries("pipeline_crawl_to_pack")(spark, sf))
+      val bench = rows(
+        SparkEntry.benchQueries("pipeline_crawl_to_pack")(spark, sf))
+      assert(bench === gate,
+        "bench override diverged for pipeline_crawl_to_pack")
+      // the audit's detectors run over the stored artifacts and must
+      // find the same nothing the gate form finds
+      assert(SparkEntry.benchQueries("pipeline_crawl_audit")(spark, sf)
+        .count() === 0L,
+        "flagship invariant audit fired on the shared bench artifacts")
+    } finally {
+      graft.queries.SharedBenchStages.clear()
+    }
+  }
+
   test("catalog key discipline: every bench override and every oracle " +
       "keys an existing gate query — an orphan override would add an " +
       "UNGATED bench entry, an orphan oracle a dead driver row") {
