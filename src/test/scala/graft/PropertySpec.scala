@@ -222,6 +222,43 @@ object GraftProperties extends Properties("graft") {
       got.zip(frames).forall { case (a, b) => a.sameElements(b) }
   }
 
+  // ── PDF synth→decode roundtrip (the pdf_pages_scan kernel, r13) ──────
+  // PdfSynth writes spec-valid PDF 1.4; PdfCodec must recover every
+  // page's text EXACTLY (non-empty show lines joined by \n plus the
+  // trailing \n; a page whose every show is empty extracts as "" — an
+  // empty `() Tj` draws no glyphs, so like pymupdf's get_text the
+  // extractor sees no line there) in page-tree order, with image flags
+  // matching the embedded XObjects. The generator covers the escaping
+  // surface the literal-string encoder owns — parens, backslashes,
+  // Latin-1 accents — plus empty shows; the gate query exercises one
+  // synthesis pattern, this pins ARBITRARY content.
+  private val pdfLineGen: Gen[String] = Gen.chooseNum(0, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      (8, Gen.choose(' ', '~')),
+      (2, Gen.oneOf('(', ')', '\\')),
+      (1, Gen.oneOf('ç', 'ã', 'é', 'ê', 'í', 'õ', 'ú'))))
+      .map(_.mkString))
+  private val bookletGen: Gen[List[List[String]]] =
+    Gen.chooseNum(1, 4).flatMap(p => Gen.listOfN(p,
+      Gen.chooseNum(1, 6).flatMap(l => Gen.listOfN(l, pdfLineGen))))
+
+  property("PDF synth/decode round trip: exact page text (incl. " +
+      "escapes, accents, empty lines), page-tree order, image flags") =
+    forAll(bookletGen, Gen.choose(0, 15)) { (pages, imgMask) =>
+      import graft.functions.{PdfCodec, PdfSynth}
+      val imgs = (0 until pages.length).filter(i => (imgMask & (1 << i)) != 0).toSet
+      val got = PdfCodec.extractPages(PdfSynth.build(pages.map(_.toSeq), imgs))
+      (got.length == pages.length) :| "page count" &&
+        (got.map(_.pageIdx) == pages.indices.toList) :| "page order" &&
+        got.zip(pages).forall { case (p, lines) =>
+          val shown = lines.filter(_.nonEmpty)
+          p.text == (if (shown.isEmpty) ""
+                     else shown.mkString("", "\n", "\n"))
+        } :| "exact text incl. trailing newline" &&
+        (got.map(_.hasImages) ==
+          pages.indices.map(imgs.contains).toList) :| "image flags"
+    }
+
   // ── KMV sketch set algebra (pure hash-array form) ─────────────────────
   private val K = 16
   private def sortU(hs: Array[Long]): Array[Long] =
