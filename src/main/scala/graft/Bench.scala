@@ -403,6 +403,9 @@ object Bench {
         java.nio.file.Paths.get("bench_detail_local.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // one serialization for both consumers below (sidecar + env block)
+    val gcs = chunkGcMs.map(_.toString).mkString("[", ",", "]")
+    val walls = chunkWallMs.map(_.toString).mkString("[", ",", "]")
     // Full chunk forensics (VERDICT r12 #1): every chunk's QUERY SET as
     // run, beside its wall/GC reading — the artifact that maps a chunk
     // spike to the exact queries that produced it. This CANNOT ride the
@@ -411,14 +414,20 @@ object Bench {
     // parsed:null), and 309 query names are ~6.5 kB. So the names go to
     // this committed sidecar (the bench_detail_local.json channel, which
     // the r12 judge read), and the metric line carries the compact
-    // `bin_idx` array below.
+    // `bin_idx` array below. The committed name is reserved for full
+    // sf0.1 runs (the driver's SF): a local sf0.001 smoke or a
+    // SPARK_GRAFT_ONLY subset run must not clobber the adjudication
+    // artifact with wrong-SF or partial bins — those land in a
+    // gitignored per-SF file instead.
+    val binsFile =
+      if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
+        "bench_bins_local.json"
+      else s"bench_bins_${new java.io.File(sfDir).getName}_partial.json"
     try {
       val binsJson = chunks.map(_.map { case (n, _) => "\"" + n + "\"" }
         .mkString("[", ",", "]")).mkString("[", ",", "]")
-      val gcs = chunkGcMs.map(_.toString).mkString("[", ",", "]")
-      val walls = chunkWallMs.map(_.toString).mkString("[", ",", "]")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_bins_local.json"),
+        java.nio.file.Paths.get(binsFile),
         (s"""{"sf":"$sfDir","bins":$binsJson,""" +
           s""""wall_ms_per_chunk":$walls,"gc_ms_per_chunk":$gcs}""")
           .getBytes("UTF-8"))
@@ -429,8 +438,6 @@ object Bench {
       val reexec = sys.env.contains("SPARK_GRAFT_REEXECED")
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      val gcs = chunkGcMs.map(_.toString).mkString("[", ",", "]")
-      val walls = chunkWallMs.map(_.toString).mkString("[", ",", "]")
       // chunk index of each top-30 entry, POSITIONALLY aligned with the
       // "queries" map's cost-descending order (~4 bytes/entry): with the
       // wall/GC arrays this adjudicates every expensive query's reading
@@ -438,7 +445,7 @@ object Bench {
       // retained line. Full name-level bins: bench_bins_local.json.
       val binIdx = top.map { case (k, _, _) => binOf.getOrElse(k, -1) }
         .mkString("[", ",", "]")
-      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load_start":$loadStart%.1f,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls,"bin_idx":$binIdx,"bins_file":"bench_bins_local.json"}"""
+      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load_start":$loadStart%.1f,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls,"bin_idx":$binIdx,"bins_file":"$binsFile"}"""
     }
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},$env,"queries":$qs}""")
   }

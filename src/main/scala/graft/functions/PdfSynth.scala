@@ -25,9 +25,15 @@ object PdfSynth {
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
-    val buf = new Array[Byte](data.length + 64)
-    val n = d.deflate(buf); d.end()
-    java.util.Arrays.copyOf(buf, n)
+    // drain until finished — a single deflate() call into a
+    // data.length-sized buffer silently truncates incompressible input
+    // (stored-block overhead exceeds any fixed slack for large enough
+    // data), corrupting the stream with a matching /Length
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
   }
 
   /** Escape a text line into a PDF literal string. */

@@ -46,7 +46,10 @@ object LshIndex {
       val bak = new org.apache.hadoop.fs.Path(s + "._old")
       if (fs.exists(bak)) {
         if (!fs.exists(live)) {
-          if (!fs.rename(bak, live))
+          // tolerate a concurrent healer: a lost rename race leaves the
+          // index healthy (the OTHER caller rolled the backup forward),
+          // so only a failed rename with live STILL missing is an error
+          if (!fs.rename(bak, live) && !fs.exists(live))
             throw new java.io.IOException(
               s"failed to heal interrupted compact: rename $bak -> $live")
         } else fs.delete(bak, true)

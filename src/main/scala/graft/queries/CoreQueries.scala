@@ -544,6 +544,15 @@ object CoreQueries {
         Integer.toHexString(d.hashCode)
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
+      // the per-group writes below overwrite only SURVIVING groups — a
+      // testdata regeneration that shrinks the doc_id%50 residue set
+      // would otherwise leave stale book_*.pdf from the previous corpus
+      // in the listing and fail the gate with no hint of the cause
+      locally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
         .groupByKey(_ % 50)
         .mapGroups { (g, it) =>

@@ -986,10 +986,15 @@ object DocIngest {
             // outside the span collides forward; an archive id above
             // Long.MaxValue/span − 1 overflows the multiply and a
             // negative one produces colliding/negative ids — each
-            // silently without this check
+            // silently without this check. A NULL archive id is a
+            // violation too, and must be matched EXPLICITLY: a NULL
+            // operand makes the between-predicate NULL, the filter
+            // would drop the row, and the require would pass while the
+            // composite multiply downstream emits doc_id = NULL.
             val maxArchiveId = Long.MaxValue / RecordIdSpan - 1
             require(
-              decoded.filter(col("rec_idx") >= RecordIdSpan ||
+              decoded.filter(col(idCol).isNull ||
+                col("rec_idx") >= RecordIdSpan ||
                 !col(idCol).between(0L, maxArchiveId)).isEmpty,
               s"archive exceeds $RecordIdSpan records or archive id " +
                 s"outside [0, $maxArchiveId] — composite doc ids would " +

@@ -487,6 +487,47 @@ class StreamingSpec extends SparkSpec {
     // the batch form's strictly-above gate
     val minQ = math.floor(med).toLong + 1
 
+    // PRECONDITION the equivalence rests on (and the reason it must be
+    // asserted, not assumed): keep-first ONLINE admission equals
+    // connected-components keep-first for every batch split exactly
+    // when each near-dup component is a CLIQUE. A transitive chain
+    // a~b~c without a~c straddling batches diverges: the batch form's
+    // CC drops c into a's component, while the stream admits c because
+    // the index only holds a (b was rejected and never folded in). The
+    // sf0.001 corpus has clique-only components — assert that, so a
+    // testdata regeneration that introduces a chain fails HERE with
+    // the cause named, not below with a bare set mismatch.
+    locally {
+      val q4d = graft.operators.TextAnalysis.qualityFrame(
+          recs.select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("quality") * 10000).cast("long").as("q4"))
+      val kept = recs.select(col("doc_id"), col("text"))
+        .join(q4d.filter(col("q4") >= minQ).select("doc_id"), Seq("doc_id"))
+      val edges = graft.operators.Dedup.prefixFilterJaccardPairs(
+          kept, "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val comps = edges.flatMap(e => Seq(e._1, e._2)).groupBy(find)
+      comps.foreach { case (root, members) =>
+        val n = members.size.toLong
+        val within = edges.count { case (a, b) =>
+          members.contains(a) && members.contains(b) }
+        assert(within === n * (n - 1) / 2,
+          s"near-dup component at root $root is a CHAIN, not a clique " +
+            s"($within/${n * (n - 1) / 2} edges over $n members) — " +
+            "online keep-first and CC keep-first can diverge on a " +
+            "batch split, so this corpus no longer supports the " +
+            "equivalence this test pins")
+      }
+    }
+
     // feed the SAME per-doc WARC synthesis the batch flagship reads,
     // split into 3 id-ordered ranges (a replayed crawl arrives in crawl
     // order; keep-first admission is id-ordered in both forms)
