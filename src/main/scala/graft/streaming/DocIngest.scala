@@ -954,7 +954,18 @@ object DocIngest {
     * (lowest-id-wins over engine-constant hashes) and the training
     * append goes through [[commitBatch]]; index appends are
     * at-least-once by the indexed-gate contract (duplicates only add
-    * redundant candidates). */
+    * redundant candidates).
+    *
+    * Batch-equivalence contract: online keep-first admission equals the
+    * batch flagship's connected-components keep-first exactly when each
+    * near-dup component is a CLIQUE (the common case — mutually-similar
+    * variants of one source). On a transitive CHAIN a~b~c without a~c
+    * that straddles batches, the stream admits c (b was rejected and
+    * never folded into the index) while batch CC drops it — the stream
+    * keeps strictly MORE on chains, never less, because rejection
+    * always cites an ADMITTED index entry. StreamingSpec asserts the
+    * clique precondition before pinning set equality on the test
+    * corpus. */
   def startCrawlPipeline(spark: SparkSession, inDir: String,
       trainDir: String, indexPath: String, checkpoint: String,
       minQualityMicro: Long, idCol: String = "warc_id",
