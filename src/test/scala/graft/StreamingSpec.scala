@@ -460,6 +460,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(train).count() === 2)
   }
 
+  test("streaming crawl pipeline: invalid composite archive ids fail " +
+      "LOUDLY — negative and NULL ids both trip the guard (a NULL " +
+      "operand must be matched explicitly, or the violation predicate " +
+      "goes NULL and the row slips past the require as doc_id = NULL)") {
+    import spark.implicits._
+    import graft.functions.WarcCodec
+    def archive(text: String) = WarcCodec.encode(Seq(
+      (Seq("WARC-Type" -> "response", "WARC-Record-ID" -> "<urn:r:0>",
+        "WARC-Target-URI" -> "http://h/0"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8" +
+          "\r\n\r\n").getBytes("ISO-8859-1") ++ text.getBytes("UTF-8"))))
+    for (badId <- Seq(Some(-1L), None)) {
+      val in = Files.createTempDirectory("graft_cg_in").toString
+      val train = Files.createTempDirectory("graft_cg_t").toString + "/t"
+      val idx = Files.createTempDirectory("graft_cg_x").toString + "/x"
+      val ckpt = Files.createTempDirectory("graft_cg_ck").toString
+      Seq((badId, archive("the a of the b")))
+        .toDF("warc_id", "bytes").write.mode("append").parquet(in)
+      val q = DocIngest.startCrawlPipeline(spark, in, train, idx, ckpt,
+        minQualityMicro = 0L, pollInterval = "200 milliseconds")
+      val e = intercept[Exception] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("composite doc ids")),
+        s"archive id $badId did not trip the composite guard: $e")
+    }
+  }
+
   test("streaming<->batch flagship equivalence (VERDICT r12 #4): the " +
       "crawl pipeline over the sf0.001 corpus in 3 id-ordered batches, " +
       "threshold frozen to the batch flagship's median and an empty " +
