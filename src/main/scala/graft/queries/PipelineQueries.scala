@@ -162,7 +162,11 @@ object PipelineQueries {
       val maxArch = Long.MaxValue / span - 1
       val vComposite = recs
         .withColumn("cid", col("doc_id") * lit(span) + col("rec_idx"))
-        .filter(col("rec_idx") < 0 || col("rec_idx") >= lit(span) ||
+        // NULLs matched EXPLICITLY, like the streaming twin's guard: a
+        // NULL factor would turn every comparison disjunct NULL and
+        // slip past the filter as a green audit over a NULL composite
+        .filter(col("doc_id").isNull || col("rec_idx").isNull ||
+          col("rec_idx") < 0 || col("rec_idx") >= lit(span) ||
           col("doc_id") < 0 || col("doc_id") > lit(maxArch) ||
           expr(s"cid DIV ${span}") =!= col("doc_id"))
         .select(lit("bad_composite").as("kind"),

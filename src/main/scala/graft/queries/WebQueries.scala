@@ -451,7 +451,7 @@ object WebQueries {
       // Crawl-delay pacing (≥ ceil((slot−1)·delay), exact-integer over
       // declared-millisecond delays — 1000 ms when the host declares
       // none or publishes no robots). The delay dimension rides the
-      // SAME 3-row robots table the gate already broadcasts.
+      // SAME 4-row robots table the gate already broadcasts.
       val cdUdf = udf((t: String) =>
         graft.functions.RobotsTxt.crawlDelayOf(t, "graftbot"))
       // declared delays clamp to one hour (the common crawler practice —

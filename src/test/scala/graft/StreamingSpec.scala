@@ -509,10 +509,14 @@ class StreamingSpec extends SparkSpec {
     val batchSurvivors = graft.queries.PipelineQueries
       .dedupedCorpus(spark, sf, Some(recs))
       .select(col("doc_id")).as[Long].collect().toSet
-    val q4 = graft.operators.TextAnalysis.qualityFrame(
+    // one quality pass serves both the median freeze and the clique
+    // precondition below
+    val q4d = graft.operators.TextAnalysis.qualityFrame(
         recs.select(col("doc_id"), col("text")), "doc_id", "text")
-      .select(round(col("quality") * 10000).cast("long").as("q4"))
-    val med = q4.agg(percentile(col("q4"), lit(0.5))).first().getDouble(0)
+      .select(col("doc_id"),
+        round(col("quality") * 10000).cast("long").as("q4"))
+      .localCheckpoint()
+    val med = q4d.agg(percentile(col("q4"), lit(0.5))).first().getDouble(0)
     // q4 > med on integer micro-units <=> q4 >= floor(med)+1 (med is
     // integer-or-half by the micro-unit carrier) — the exact freeze of
     // the batch form's strictly-above gate
@@ -529,10 +533,6 @@ class StreamingSpec extends SparkSpec {
     // testdata regeneration that introduces a chain fails HERE with
     // the cause named, not below with a bare set mismatch.
     locally {
-      val q4d = graft.operators.TextAnalysis.qualityFrame(
-          recs.select(col("doc_id"), col("text")), "doc_id", "text")
-        .select(col("doc_id"),
-          round(col("quality") * 10000).cast("long").as("q4"))
       val kept = recs.select(col("doc_id"), col("text"))
         .join(q4d.filter(col("q4") >= minQ).select("doc_id"), Seq("doc_id"))
       val edges = graft.operators.Dedup.prefixFilterJaccardPairs(
