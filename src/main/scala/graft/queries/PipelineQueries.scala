@@ -156,7 +156,7 @@ object PipelineQueries {
     * artifacts). The detectors — exact pair generation, the median
     * recompute, the pack structure — are always the audit's OWN work:
     * independence from the pipeline's computation is the point. */
-  private def auditFrame(recs: DataFrame,
+  private[graft] def auditFrame(recs: DataFrame,
       survivors: DataFrame): DataFrame = {
       val span = graft.streaming.DocIngest.RecordIdSpan
       val maxArch = Long.MaxValue / span - 1

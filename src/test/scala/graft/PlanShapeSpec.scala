@@ -359,5 +359,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(q4.filter(col("q4") <= lit(med)).limit(1).count() === 1L,
       "no at-or-below-median doc — the below_median_survivor detector " +
         "cannot be exercised at this SF")
+    // the bad_composite detector must flag NULL factors EXPLICITLY (a
+    // NULL disjunct would otherwise slip the filter silently): a NULL
+    // rec_idx and a negative id are flagged, the valid row stays clean
+    import spark.implicits._
+    val bad = Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), None, "null rec idx"),
+      (Some(-1L), Some(0L), "negative id"),
+      (Some(2L), Some(3L), "valid"))
+      .toDF("doc_id", "rec_idx", "text")
+    val flagged = graft.queries.PipelineQueries
+      .auditFrame(bad, bad.filter(col("doc_id") === 2L)
+        .select(col("doc_id"), col("text")))
+      .filter(col("kind") === "bad_composite")
+    assert(flagged.count() === 2L,
+      "bad_composite must flag the NULL-rec_idx and negative-id rows " +
+        "— and only those")
+    // a NULL archive id can never reach a silently-green audit: the
+    // median stage's typed quality pass rejects it before the detector
+    // union even assembles — loud either way
+    intercept[Exception] {
+      graft.queries.PipelineQueries.auditFrame(
+        Seq[(Option[Long], Option[Long], String)](
+          (None, Some(0L), "null archive id"))
+          .toDF("doc_id", "rec_idx", "text"),
+        bad.filter(col("doc_id") === 2L)
+          .select(col("doc_id"), col("text")))
+    }
   }
 }
