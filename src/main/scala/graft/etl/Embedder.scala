@@ -74,19 +74,6 @@ object Embedder {
     spark.createDataFrame(rdd, schema)
   }
 
-  private def withRetries[T](maxRetries: Int, backoffMs: Long)(f: => T): T = {
-    var attempt = 0
-    var out: Option[T] = None
-    var lastErr: Throwable = null
-    while (out.isEmpty && attempt <= maxRetries) {
-      try out = Some(f)
-      catch {
-        case e: Exception =>
-          lastErr = e
-          attempt += 1
-          if (attempt <= maxRetries) Thread.sleep(backoffMs << (attempt - 1))
-      }
-    }
-    out.getOrElse(throw lastErr)
-  }
+  private def withRetries[T](maxRetries: Int, backoffMs: Long)(f: => T): T =
+    Retries.withRetries(maxRetries, backoffMs)(f)
 }

@@ -83,9 +83,18 @@ object BucketedCollection {
     * inserted. Only the buckets the batch hashes into are read or written.
     * Batch ids must be unique (the reference's ids are — they come off a
     * dense counter; a batch with duplicate ids has no well-defined winner). */
-  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+  def upsert(spark: SparkSession, path: String, updates0: DataFrame,
       idCol: String, nBuckets: Int): UpsertReport = {
     recoverInterruptedSwap(spark, path)
+    require(!updates0.columns.contains("bucket"),
+      "updates already has a 'bucket' column — the partition key " +
+        "withColumn would silently overwrite it (rename the data " +
+        "column; the JsonlCorpus 'shard' guard, same reason)")
+    // the batch plan feeds several actions below (counts, bucket list,
+    // replaced-count join, the merged write) — pin it once so an
+    // expensive upstream stage (an embedding pass, a codec chain) is
+    // not re-executed per action
+    val updates = updates0.localCheckpoint()
     val staged = updates
       .withColumn("bucket", bucketOf(col(idCol), nBuckets))
     val nUpdates = updates.count()

@@ -49,7 +49,10 @@ final class HttpVectorSink(baseUrl: String, collection: String,
         s"upsert HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
     val status = mapper.readTree(resp.body()).path("result").path("status")
       .asText("")
-    if (status != "completed" && status != "acknowledged")
+    // wait=true is on the request, so only 'completed' proves the batch
+    // is durably applied — counting 'acknowledged' (queued) as success
+    // would reconcile points a crashing store never persisted
+    if (status != "completed")
       throw new java.io.IOException(s"upsert status '$status' != completed")
     points.length.toLong
   }

@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   * per partition (loaders stripe reads across shards, so shard count =
   * parallelism; repartition upstream to pick it), written through the
   * Hadoop FS API so the same code targets local disk or HDFS/object
-  * stores. Writes go to `part-NNNNN.tfrecord.tmp` and RENAME into place
-  * — readers never observe a torn shard (the VectorCollection commit
-  * discipline); a re-run overwrites whole shards idempotently. */
+  * stores. Writes go to a per-ATTEMPT tmp file and RENAME into place —
+  * readers never observe a torn shard (the VectorCollection commit
+  * discipline), and speculative/zombie duplicate attempts cannot
+  * truncate each other's tmp (shard content is deterministic per
+  * partition, so whichever attempt wins the rename commits identical
+  * bytes). After the job the driver removes every `part-*.tfrecord`
+  * NOT written by this run plus orphaned tmp files, so a re-run with
+  * fewer (or differently-empty) partitions cannot leave stale shards
+  * for `read` to silently mix in. */
 object TfRecordShards {
 
   /** Write `payloadCol` (binary Example payloads) as TFRecord shards;
@@ -24,24 +30,44 @@ object TfRecordShards {
     val counts = df.select(col(payloadCol).cast("binary"))
       .rdd.mapPartitionsWithIndex { (idx, it) =>
         val payloads = it.map(_.getAs[Array[Byte]](0)).toSeq
-        if (payloads.isEmpty) Iterator.single(0L)
+        if (payloads.isEmpty) Iterator.single((idx, 0L))
         else {
           val bytes = TfRecordCodec.encodeRecords(payloads)
           val path = new org.apache.hadoop.fs.Path(dir,
             f"part-$idx%05d.tfrecord")
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           val tmp = new org.apache.hadoop.fs.Path(dir,
-            f"part-$idx%05d.tfrecord.tmp")
+            f"part-$idx%05d.tfrecord.tmp-$attempt")
           val fs = path.getFileSystem(conf.value)
           val out = fs.create(tmp, true)
           try out.write(bytes) finally out.close()
-          if (fs.exists(path) && !fs.delete(path, false))
-            throw new java.io.IOException(s"cannot replace $path")
-          if (!fs.rename(tmp, path))
-            throw new java.io.IOException(s"cannot commit $path")
-          Iterator.single(payloads.size.toLong)
+          if (fs.exists(path)) fs.delete(path, false)
+          if (!fs.rename(tmp, path)) {
+            // lost the commit race to a concurrent attempt writing the
+            // SAME deterministic bytes — drop our tmp and accept theirs
+            fs.delete(tmp, false)
+            if (!fs.exists(path))
+              throw new java.io.IOException(s"cannot commit $path")
+          }
+          Iterator.single((idx, payloads.size.toLong))
         }
-      }.collect() // one long per partition — bounded sidecar
-    counts.sum
+      }.collect() // one (idx, count) per partition — bounded sidecar
+    // stale-shard sweep: shards from a previous wider run (or from a
+    // partition that was non-empty then and is empty now) would
+    // otherwise survive and read() would mix them into results
+    val written = counts.collect {
+      case (i, n) if n > 0 => f"part-$i%05d.tfrecord"
+    }.toSet
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
+      val name = st.getPath.getName
+      if ((name.endsWith(".tfrecord") && !written.contains(name)) ||
+          name.contains(".tfrecord.tmp"))
+        fs.delete(st.getPath, false)
+    }
+    counts.map(_._2).sum
   }
 
   /** Read shards back: (shard, rec_idx, payload). CRC-corrupt tails

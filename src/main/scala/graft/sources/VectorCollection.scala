@@ -35,18 +35,43 @@ object VectorCollection {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
       .write.mode(SaveMode.ErrorIfExists).parquet(path(root, name))
+    // record the declared dimensionality in a SIBLING sidecar (inside
+    // the dir it would not survive compact's directory swap); append
+    // enforces it in-plan, so a wrong-width vector fails the load
+    // loudly instead of silently vanishing from every search
+    val sidecar = new org.apache.hadoop.fs.Path(path(root, name) + "._dim")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sidecar, true)
+    try out.write(dim.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The collection's declared dim from the create-time sidecar; None
+    * for collections predating it (no enforcement — back-compat). */
+  private def declaredDim(spark: SparkSession, root: String,
+      name: String): Option[Int] = {
+    val sidecar = new org.apache.hadoop.fs.Path(path(root, name) + "._dim")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sidecar)) None
+    else {
+      val in = fs.open(sidecar)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt)
+      finally in.close()
+    }
   }
 
   def recreate(spark: SparkSession, root: String, name: String,
       dim: Int): Unit = {
-    val dir = new java.io.File(path(root, name))
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(dir)
-    }
+    // Hadoop FS, like every other operation here — a java.io.File
+    // delete is a no-op against hdfs://-/s3a://-style roots and
+    // create() would then fail on the surviving directory
+    val dir = new org.apache.hadoop.fs.Path(path(root, name))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && !fs.delete(dir, true))
+      throw new java.io.IOException(s"cannot recreate: delete $dir failed")
+    val sidecar = new org.apache.hadoop.fs.Path(path(root, name) + "._dim")
+    if (fs.exists(sidecar)) fs.delete(sidecar, false)
     create(spark, root, name, dim)
   }
 
@@ -145,8 +170,19 @@ object VectorCollection {
     // the attempted count rides the WRITE as an Observation — a separate
     // points.count() would re-execute the whole batch plan (including any
     // embedding stage) a second time just to count it.
+    // dim enforcement (when the create-time sidecar exists): an
+    // assert_true INSIDE a filter predicate — it evaluates per row
+    // during the write scan (a projected-then-dropped column would be
+    // pruned away with its assertion), costs no extra pass, and fails
+    // the load loudly on the first wrong-width vector
+    val checked = declaredDim(spark, root, name) match {
+      case Some(d) => points.filter(assert_true(
+          size(col("vector")) === lit(d),
+          lit(s"vector dim != declared $d")).isNull)
+      case None => points
+    }
     val obs = org.apache.spark.sql.Observation()
-    points.observe(obs, org.apache.spark.sql.functions
+    checked.observe(obs, org.apache.spark.sql.functions
         .count(org.apache.spark.sql.functions.lit(1)).as("attempted"))
       .write.mode(SaveMode.Append).parquet(path(root, name))
     val attempted = obs.get("attempted").asInstanceOf[Long]

@@ -62,27 +62,22 @@ object VectorSink {
     * contract. */
   final class LocalDirSink(dir: String) extends VectorSink {
     override def upsertBatch(points: Seq[Point]): Long = {
-      writeJsonl(s"$dir/batch-${java.util.UUID.randomUUID()}.jsonl", points)
+      // file name derived from the batch's id set — a retried task
+      // re-sends identical batches and OVERWRITES its own files, which
+      // is the per-(id) idempotency the trait contract mandates (a
+      // UUID name would duplicate every replayed point)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      points.foreach(p => md.update(
+        java.nio.ByteBuffer.allocate(8).putLong(p._1).array()))
+      val key = md.digest().map("%02x".format(_)).mkString
+      writeJsonl(s"$dir/batch-$key.jsonl", points)
       points.length.toLong
     }
   }
 
   private[sources] def withRetries[T](maxRetries: Int, backoffMs: Long)(
-      f: => T): T = {
-    var attempt = 0
-    var out: Option[T] = None
-    var lastErr: Throwable = null
-    while (out.isEmpty && attempt <= maxRetries) {
-      try out = Some(f)
-      catch {
-        case e: Exception =>
-          lastErr = e
-          attempt += 1
-          if (attempt <= maxRetries) Thread.sleep(backoffMs << (attempt - 1))
-      }
-    }
-    out.getOrElse(throw lastErr)
-  }
+      f: => T): T =
+    graft.etl.Retries.withRetries(maxRetries, backoffMs)(f)
 
   /** Executor-local JSON-lines write (no SparkSession on executors — a
     * real sink client is a plain socket, this is a plain file; the spec

@@ -15,8 +15,23 @@ object LoadStats {
   val Subjects = Seq("eng", "lang", "spani", "natu", "math", "huma")
 
   /** counts: (year INT, subject STRING, kind STRING ∈ {todas questoes,
-    * questoes add}, n LONG) → pivoted stats frame. */
+    * questoes add}, n LONG) → pivoted stats frame. Inputs are guarded
+    * LOUDLY (the frame is stats-sized, the checks cost nothing): a
+    * subject outside [[Subjects]] would be silently DROPPED by the
+    * pivot whitelist, and a duplicate (year, subject, kind) key would
+    * make `first(n)` pick an arbitrary row — both must fail instead. */
   def pivot(counts: DataFrame): DataFrame = {
+    val unknown = counts.select(col("subject"))
+      .filter(!col("subject").isin(Subjects: _*)).limit(1).collect()
+    require(unknown.isEmpty,
+      s"subject '${unknown.headOption.map(_.getString(0)).orNull}' is " +
+        s"not in ${Subjects.mkString("/")} — the pivot whitelist would " +
+        "silently drop its counts")
+    val dup = counts.groupBy(col("year"), col("subject"), col("kind"))
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate (year, subject, kind) = ${dup.headOption.orNull} in " +
+        "counts — first(n) has no well-defined winner")
     val keyed = counts.withColumn("row_key",
       concat_ws(" ", col("year"), col("kind")))
     keyed.groupBy(col("row_key")).pivot("subject", Subjects)
@@ -32,8 +47,15 @@ object LoadStats {
   def mergeWithExisting(spark: SparkSession, existingCsv: Option[String],
       counts: DataFrame): DataFrame = {
     val newPivot = pivot(counts)
+    // existence via the Hadoop FS like the write side — a java.io.File
+    // check is always false against hdfs://-/s3a://-style paths, which
+    // would silently discard the existing stats on merge
+    def existsFs(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
     existingCsv match {
-      case Some(p) if new java.io.File(p).exists() =>
+      case Some(p) if existsFs(p) =>
         val old = spark.read.option("header", "true")
           .option("inferSchema", "true").csv(p)
           .select(newPivot.columns.toIndexedSeq.map(c =>

@@ -100,6 +100,18 @@ class BucketedCollectionSpec extends SparkSpec {
     }
   }
 
+  test("upsert rejects a batch that already carries a 'bucket' column — " +
+      "the partition key would silently overwrite the data column") {
+    import spark.implicits._
+    val path = tmpDir()
+    val clash = Seq((1L, "a", "s3-bucket-name"))
+      .toDF("id", "payload", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      BucketedCollection.upsert(spark, path, clash, "id", 4)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("upsert crash window: a read after a crash mid-bucket-swap heals " +
       "from the bucket's ._old backup") {
     import spark.implicits._

@@ -22,6 +22,25 @@ class LoadStatsSpec extends SparkSpec {
     assert(got(1) === Seq("2022 todas questoes", 0L, 24L, 3L, 29L, 37L, 26L))
   }
 
+  test("pivot fails LOUDLY on a subject outside the whitelist and on " +
+      "duplicate (year, subject, kind) keys — silent drops and " +
+      "arbitrary first() winners both under-report the stats CSV") {
+    import spark.implicits._
+    val unknown = Seq((2022, "physics", "todas questoes", 5L))
+      .toDF("year", "subject", "kind", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      LoadStats.pivot(unknown)
+    }
+    assert(e1.getMessage.contains("physics"))
+    val dup = Seq((2022, "math", "todas questoes", 5L),
+      (2022, "math", "todas questoes", 7L))
+      .toDF("year", "subject", "kind", "n")
+    val e2 = intercept[IllegalArgumentException] {
+      LoadStats.pivot(dup)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("mergeWithExisting: new rows win, old rows survive") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stats").toString

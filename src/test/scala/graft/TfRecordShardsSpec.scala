@@ -23,7 +23,8 @@ class TfRecordShardsSpec extends SparkSpec {
       .filter(_.getName.endsWith(".tfrecord"))
     assert(shards.length === 4)
     assert(!new java.io.File(dir).listFiles()
-      .exists(_.getName.endsWith(".tmp")), "uncommitted tmp shard left")
+      .exists(_.getName.contains(".tfrecord.tmp")),
+      "uncommitted tmp shard left")
 
     val back = TfRecordShards.read(spark, dir)
       .select(col("payload")).collect()
@@ -46,5 +47,25 @@ class TfRecordShardsSpec extends SparkSpec {
     assert(TfRecordShards.write(df, "payload", dir) === 2L)
     assert(TfRecordShards.write(df, "payload", dir) === 2L)
     assert(TfRecordShards.read(spark, dir).count() === 2L)
+  }
+
+  test("a re-run with FEWER partitions sweeps the stale higher-index " +
+      "shards — read() must never mix a previous run's data into the " +
+      "current result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfrec3")
+      .toString + "/shards"
+    val payloads = (0L until 16L).map(i => i -> s"p$i".getBytes("UTF-8"))
+    assert(TfRecordShards.write(
+      payloads.toDF("id", "payload").repartition(8), "payload", dir) === 16L)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tfrecord")) === 8)
+    // second run: same data, 2 partitions — shards 2-7 must disappear
+    assert(TfRecordShards.write(
+      payloads.toDF("id", "payload").repartition(2), "payload", dir) === 16L)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tfrecord")) === 2,
+      "stale shards from the wider run survived the sweep")
+    val back = TfRecordShards.read(spark, dir).count()
+    assert(back === 16L, s"read mixed stale shards: $back rows")
   }
 }

@@ -16,6 +16,33 @@ class VectorCollectionSpec extends SparkSpec {
     assert(VectorCollection.count(spark, root, "c1") === 0)
   }
 
+  test("dim is ENFORCED on append: a wrong-width vector fails the load " +
+      "loudly instead of silently vanishing from every search") {
+    import spark.implicits._
+    VectorCollection.recreate(spark, root, "cdim", dim = 3)
+    val good = Seq((0L, Seq(1.0, 2.0, 3.0), "ok", "math", 2023))
+      .toDF("id", "vector", "page_content", "materia", "ano")
+    val (a, d) = VectorCollection.append(spark, root, "cdim", good)
+    assert(a === 1L && d === 1L)
+    val bad = Seq((1L, Seq(1.0, 2.0), "short", "math", 2023))
+      .toDF("id", "vector", "page_content", "materia", "ano")
+    val e = intercept[Exception] {
+      VectorCollection.append(spark, root, "cdim", bad)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dim")), s"not the dim guard: $e")
+    // the failed append added nothing
+    assert(VectorCollection.count(spark, root, "cdim") === 1)
+    // the declared dim survives compact's directory swap (the sidecar
+    // is a SIBLING of the collection dir)
+    VectorCollection.compact(spark, root, "cdim")
+    intercept[Exception] {
+      VectorCollection.append(spark, root, "cdim", bad)
+    }
+  }
+
   test("W2/S8: id-offset append twice, then K1 search hits the right point") {
     import spark.implicits._
     VectorCollection.recreate(spark, root, "c2", dim = 4)

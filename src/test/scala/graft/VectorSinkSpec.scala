@@ -84,4 +84,19 @@ class VectorSinkSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === want) // JSON escaping survives quotes/newlines
   }
+
+  test("LocalDirSink honors the trait's idempotency-per-id contract: a " +
+      "replayed batch (a Spark task retry) overwrites its own file " +
+      "instead of duplicating every point") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val sink = new VectorSink.LocalDirSink(dir)
+    val batch = Seq((1L, Seq(0.5), "a", "math", 2023),
+      (2L, Seq(0.6), "b", "math", 2023))
+    assert(sink.upsertBatch(batch) === 2L)
+    assert(sink.upsertBatch(batch) === 2L) // the retry re-send
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".jsonl")) === 1,
+      "a replayed batch must overwrite, not duplicate")
+    assert(spark.read.json(s"$dir/*.jsonl").count() === 2)
+  }
 }
