@@ -123,8 +123,21 @@ object ImageCodec {
     pos += 1 // exactly one whitespace byte before the raster
     val n = width * height * ch
     if (pos + n > b.length) return None
+    val raster = java.util.Arrays.copyOfRange(b, pos, pos + n)
+    // the decoded-pixel contract is 8-bit samples: a maxval below 255
+    // (legal PNM) must RESCALE, or the image reads near-black to every
+    // 0-255 consumer and round-trips through encodePnm (maxval 255)
+    // silently darkened. Integer rounding keeps 0→0 and maxval→255.
+    if (maxval < 255) {
+      var i = 0
+      while (i < raster.length) {
+        raster(i) = (((raster(i) & 0xff) * 255 + maxval / 2) / maxval)
+          .min(255).toByte
+        i += 1
+      }
+    }
     Some(ImageInfo(if (ch == 3) "ppm" else "pgm", width, height, ch,
-      Some(java.util.Arrays.copyOfRange(b, pos, pos + n))))
+      Some(raster)))
   }
 
   // ── PNG ───────────────────────────────────────────────────────────────
@@ -186,7 +199,12 @@ object ImageCodec {
       inf.setInput(idat.toByteArray)
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // bail on ANY zero-progress state, not just needsInput: a zlib
+        // header with the FDICT preset-dictionary flag makes inflate()
+        // return 0 with needsInput() false forever — the PdfCodec
+        // inflate loop's contract, without which one crafted IDAT
+        // hangs the task thread instead of degrading to None
+        if (n == 0) return None
         got += n
       }
     } finally inf.end()

@@ -109,8 +109,14 @@ object PdfSynth {
     out.write(s"xref\n0 ${maxObj + 1}\n".getBytes("ISO-8859-1"))
     out.write("0000000000 65535 f \n".getBytes("ISO-8859-1"))
     for (n <- 1 to maxObj)
-      out.write(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n"
-        .getBytes("ISO-8859-1"))
+      // allocated-but-unemitted numbers (image slots of image-less
+      // pages) must be FREE entries — an in-use 'n' entry at offset 0
+      // points a conforming reader at the %PDF header and fails strict
+      // validators (PDF 1.4 §3.4.3: unused entries are type 'f')
+      out.write((offsets.get(n) match {
+        case Some(off) => f"$off%010d 00000 n \n"
+        case None => "0000000000 65535 f \n"
+      }).getBytes("ISO-8859-1"))
     out.write(
       (s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
         s"startxref\n$xrefAt\n%%EOF\n").getBytes("ISO-8859-1"))

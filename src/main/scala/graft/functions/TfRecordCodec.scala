@@ -144,7 +144,15 @@ object TfRecordCodec {
 
   /** Parse an Example's bytes + int64 features (unknown fields and
     * kinds are skipped; int64 lists accept packed AND unpacked
-    * encodings). Malformed input → empty maps, never a throw. */
+    * encodings). Malformed input → empty maps, never a throw.
+    *
+    * Single-value contract for BytesList: the return type holds ONE
+    * byte payload per feature (what [[encodeExample]] writes — the
+    * training-record shape this pipeline produces). A foreign Example
+    * carrying a multi-value BytesList decodes to its LAST value; use
+    * this codec for round-trips of its own records, not as a general
+    * tf.train.Example reader. Int64List keeps every value (the model
+    * type is an array). */
   def decodeExample(bytes: Array[Byte])
       : (Map[String, Array[Byte]], Map[String, Array[Long]]) = {
     try {

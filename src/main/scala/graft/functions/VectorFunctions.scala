@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // evals return null on length mismatch / zero norm even for non-null
+  // children — without this override, NullPropagation folds
+  // isnull(expr) to false over non-nullable inputs and codegen assigns
+  // into a FalseLiteral isNull (the DHash64Expr precedent)
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -135,6 +140,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 abstract class VectorMap extends org.apache.spark.sql.catalyst.expressions
     .UnaryExpression {
   override def nullIntolerant: Boolean = true
+  // null-producing on non-null input (zero vectors) — see VectorFold
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -78,19 +78,23 @@ object WarcCodec {
       if (bytes.length >= 2 && bytes(0) == GzMagic(0) &&
           bytes(1) == GzMagic(1)) {
         var in: GZIPInputStream = null
+        val out = new ByteArrayOutputStream()
         try {
           // the constructor itself reads the member header and throws on
           // corruption past the 2-byte magic check above
           in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-          val out = new ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toByteArray
-        } catch { case _: Exception => return Seq.empty }
+        } catch { case _: Exception => () }
         // free the Inflater's native memory NOW on both paths — per-row
         // GC-finalizer debts add up over a corpus of archives
         finally if (in != null) in.close()
+        // a corrupt/truncated TAIL member keeps what inflated before it
+        // — returning Seq.empty here would discard every intact record
+        // and break the documented well-formed-prefix contract for the
+        // gzip-membered layout (the usual CommonCrawl form)
+        out.toByteArray
       } else bytes
     val recs = Seq.newBuilder[WarcRecord]
     var pos = 0

@@ -87,14 +87,35 @@ object AsOfJoinPlan {
       s"left side already has $prefix-prefixed columns")
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
+    // resolve with the session's resolver (case-insensitive under the
+    // default spark.sql.caseSensitive=false) — the composed AsOfJoin
+    // goes through col() and resolves that way, and the two forms
+    // promise the same signature
+    val resolver = left.sparkSession.sessionState.analyzer.resolver
     def idx(plan: LogicalPlan, name: String, side: String): Int = {
-      val i = plan.output.indexWhere(_.name == name)
+      val i = plan.output.indexWhere(a => resolver(a.name, name))
       require(i >= 0, s"$side side has no column '$name' " +
         s"(has: ${plan.output.map(_.name).mkString(", ")})")
       i
     }
     val payloadIdx = payloadCols.map(idx(rPlan, _, "right"))
     val rTsIdx = idx(rPlan, tsCol, "right")
+    val lKeyIdx = idx(lPlan, keyCol, "left")
+    val lTsIdx = idx(lPlan, tsCol, "left")
+    val rKeyIdx = idx(rPlan, keyCol, "right")
+    // analysis-time type agreement: the exec builds its key/ts
+    // orderings from the LEFT attribute types and compares right-side
+    // values with them — a mismatch (ts INT vs BIGINT) would otherwise
+    // surface as an executor-side ClassCastException, and a key-type
+    // mismatch would hash-partition the two sides inconsistently
+    def sameType(li: Int, ri: Int, what: String): Unit = {
+      val (lt, rt) = (lPlan.output(li).dataType, rPlan.output(ri).dataType)
+      require(lt == rt,
+        s"as-of $what type mismatch: left ${lt.sql} vs right ${rt.sql} " +
+          "— cast the sides to one type first")
+    }
+    sameType(lKeyIdx, rKeyIdx, s"key '$keyCol'")
+    sameType(lTsIdx, rTsIdx, s"ts '$tsCol'")
     // output columns for the attached side: fresh expr-ids, nullable
     // (left-outer), names prefixed exactly like the composed operator
     val outAttrs =
@@ -106,8 +127,7 @@ object AsOfJoinPlan {
             nullable = true)()
         }
     val node = AsOfJoinNode(lPlan, rPlan,
-      idx(lPlan, keyCol, "left"), idx(lPlan, tsCol, "left"),
-      idx(rPlan, keyCol, "right"), rTsIdx, payloadIdx, outAttrs, forward)
+      lKeyIdx, lTsIdx, rKeyIdx, rTsIdx, payloadIdx, outAttrs, forward)
     GraftColumnBridge.ofRows(left.sparkSession, node)
   }
 }

@@ -154,4 +154,30 @@ class AsOfPlanSpec extends SparkSpec {
         "k", "t", Seq("v"))
     }
   }
+
+  test("guards: key/ts type mismatch fails at analysis time — the exec " +
+      "compares right-side values with LEFT-typed orderings, so a " +
+      "mismatch would otherwise be an executor-side ClassCastException") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    val rIntKey = Seq((1, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asOfBackward(l, rIntKey, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+    val rLongTs = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asOfBackward(l, rLongTs, "k", "t", Seq("v"))
+    }
+  }
+
+  test("column resolution is case-insensitive under the default " +
+      "resolver, like the composed operator's col() path") {
+    val l = Seq((1L, ts("2024-01-01 00:02:00"))).toDF("Key", "TS")
+    val r = Seq((1L, ts("2024-01-01 00:01:00"), 7.0))
+      .toDF("key", "ts", "v")
+    val got = AsOfJoinPlan.asOfBackward(l, r, "kEy", "tS", Seq("v"))
+      .select(col("asof_v")).collect()
+    assert(got.map(_.getDouble(0)).toSeq === Seq(7.0))
+  }
 }

@@ -235,6 +235,35 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(rgb(3, 2) === ((0, 0, 0xFF)))
   }
 
+  test("PNM maxval below 255 rescales to the 8-bit contract — a " +
+      "maxval-15 raster must not read near-black") {
+    val raster = Array[Byte](0, 5, 10, 15)
+    val bytes = "P5\n2 2\n15\n".getBytes("US-ASCII") ++ raster
+    val img = ImageCodec.decode(bytes).get
+    // v * 255 / 15 rounded: 0, 85, 170, 255
+    assert(img.pixels.get.map(_ & 0xff).toSeq === Seq(0, 85, 170, 255))
+  }
+
+  test("PNG with an FDICT (preset dictionary) zlib header degrades to " +
+      "None instead of spinning the inflate loop forever") {
+    // 0x78 0x20: CMF=0x78, FLG=0x20 — FDICT bit set and
+    // (0x78*256 + 0x20) % 31 == 0, so Inflater accepts the header and
+    // then stalls waiting for a dictionary: zero progress, not EOF
+    val idat = Array[Byte](0x78, 0x20, 1, 2, 3, 4)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(payload)
+      be32(payload.length) ++ t ++ payload ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 0, 0, 0, 0)
+    val png =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+        chunk("IEND", Array.empty[Byte])
+    assert(ImageCodec.decode(png).isEmpty) // and returns, not hangs
+  }
+
   test("corrupt and non-image payloads return None, never throw") {
     assert(ImageCodec.decode(null).isEmpty)
     assert(ImageCodec.decode("not an image".getBytes).isEmpty)

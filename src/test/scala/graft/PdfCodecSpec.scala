@@ -63,6 +63,27 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(images.head.bytes.toSeq === img.toSeq)
   }
 
+  test("xref marks allocated-but-unemitted image slots as FREE entries " +
+      "— an in-use 'n' entry at offset 0 would point a conforming " +
+      "reader at the %PDF header and fail strict validators") {
+    val bytes = graft.functions.PdfSynth.build(Seq(Seq("a"), Seq("b")))
+    val text = new String(bytes, "ISO-8859-1")
+    val xref = text.substring(text.indexOf("xref\n0 "))
+    val entries = xref.linesIterator
+      .filter(l => l.endsWith("n ") || l.endsWith("f ")).toVector
+    // objects 0-7: catalog, pages, 2×(page, contents) emitted; page
+    // 0's unused image slot (obj 5) is INSIDE the table and must be a
+    // free entry; page 1's (obj 8) is past maxObj and absent entirely
+    assert(entries.length === 8, s"xref rows: $entries")
+    assert(!entries.exists(e => e.startsWith("0000000000") &&
+      e.endsWith("n ")), s"in-use entry at offset 0: $entries")
+    assert(entries.count(_.endsWith("f ")) === 2, // obj 0 + obj 5
+      s"unused slots must be free entries: $entries")
+    // and the file still parses with both pages intact
+    val pages = PdfCodec.extractPages(bytes)
+    assert(pages.map(_.text) === Seq("a\n", "b\n"))
+  }
+
   test("corrupt bytes return empty, never throw") {
     assert(PdfCodec.extractPages("not a pdf at all".getBytes).isEmpty)
     val valid = PdfFixture.build(Seq(Seq("page")))

@@ -28,6 +28,24 @@ class SimilaritySpec extends SparkSpec {
       .first().isNullAt(0))
   }
 
+  test("vector expressions declare nullable even over non-null " +
+      "children — otherwise NullPropagation folds isnull() to false " +
+      "and the null row silently escapes every filter") {
+    import spark.implicits._
+    // LITERAL arrays are non-nullable children: without the nullable
+    // override the optimizer rewrites isnull(dot) to literal false
+    // even though eval returns null on the length mismatch
+    val one = Seq(Tuple1(1)).toDF("x")
+    val mismatch = one.select(isnull(VectorFunctions.vectorDot(
+      array(lit(1.0)), array(lit(1.0), lit(2.0)))).as("n"))
+    assert(mismatch.first().getBoolean(0),
+      "isnull(vector_dot) folded away over non-nullable children")
+    val zeroNorm = one.select(isnull(VectorFunctions.l2Normalize(
+      array(lit(0.0), lit(0.0)))).as("n"))
+    assert(zeroNorm.first().getBoolean(0),
+      "isnull(l2_normalize) folded away over a non-nullable child")
+  }
+
   test("hash embedder: deterministic, unit-norm, fixed dim") {
     import spark.implicits._
     val df = Seq("spark engine test text", "spark engine test text",

@@ -61,6 +61,20 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcCodec.decode(Array.emptyByteArray).isEmpty)
   }
 
+  test("gzip-membered archive with a truncated TAIL member keeps the " +
+      "intact members' records — the well-formed-prefix contract holds " +
+      "for the CommonCrawl layout, not just plain archives") {
+    val gz = WarcCodec.encode(Seq(rec1, rec2), gzipPerRecord = true)
+    // chop inside the LAST member: the first members inflate fully,
+    // then the stream hits EOF mid-member
+    val truncated = java.util.Arrays.copyOf(gz, gz.length - 7)
+    val r = WarcCodec.decode(truncated)
+    assert(r.nonEmpty,
+      "intact leading members were discarded with the corrupt tail")
+    assert(r.head.warcType === Some("response"))
+    assert(new String(r.head.payload, "UTF-8") === "hello")
+  }
+
   test("writer rejects a caller-supplied Content-Length (it computes it)") {
     intercept[IllegalArgumentException] {
       WarcCodec.encode(Seq((Seq("Content-Length" -> "3"), "abc".getBytes)))
