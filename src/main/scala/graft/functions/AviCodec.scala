@@ -22,11 +22,9 @@ object AviCodec {
   final case class Info(width: Int, height: Int, usPerFrame: Int,
       declaredFrames: Int, frameChunks: Int)
 
-  private def u32(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u32(b: Array[Byte], o: Int): Long = LittleEndian.u32(b, o)
   private def fourcc(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, "US-ASCII")
+    LittleEndian.fourcc(b, o)
 
   private def isFrameChunk(id: String): Boolean =
     id.length == 4 && id(0).isDigit && id(1).isDigit &&

@@ -53,11 +53,11 @@ object ImageCodec {
 
   // ── BMP ────────────────────────────────────────────────────────────────
 
+  // i32, not u32: BMP height is SIGNED (negative = top-down raster)
   private def le16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    LittleEndian.u16(b, off)
   private def le32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    LittleEndian.i32(b, off)
 
   private def decodeBmp(b: Array[Byte]): Option[ImageInfo] = {
     if (b.length < 54) return None

@@ -21,11 +21,8 @@ object WavCodec {
   final case class Wav(sampleRate: Int, channels: Int,
       samples: Array[Float])
 
-  private def u16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u16(b: Array[Byte], o: Int): Int = LittleEndian.u16(b, o)
+  private def u32(b: Array[Byte], o: Int): Long = LittleEndian.u32(b, o)
 
   /** RIFF/WAVE → mono float samples; None on anything malformed. */
   def decode(bytes: Array[Byte]): Option[Wav] = {
