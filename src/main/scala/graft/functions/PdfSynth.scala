@@ -107,15 +107,22 @@ object PdfSynth {
     val xrefAt = out.size()
     val maxObj = objs.map(_._1).max
     out.write(s"xref\n0 ${maxObj + 1}\n".getBytes("ISO-8859-1"))
-    out.write("0000000000 65535 f \n".getBytes("ISO-8859-1"))
+    // allocated-but-unemitted numbers (image slots of image-less
+    // pages) must be FREE entries — an in-use 'n' entry at offset 0
+    // points a conforming reader at the %PDF header and fails strict
+    // validators. PDF 1.4 §3.4.3 further requires the free entries to
+    // form a LINKED LIST: entry 0's offset field names the first free
+    // object, each free entry names the next, and the last points
+    // back to 0 (gen 65535 = never reuse).
+    val freeObjs = (1 to maxObj).filterNot(offsets.contains)
+    val nextFree: Map[Int, Int] =
+      (0 +: freeObjs).zip(freeObjs :+ 0).toMap
+    out.write(
+      f"${nextFree(0)}%010d 65535 f \n".getBytes("ISO-8859-1"))
     for (n <- 1 to maxObj)
-      // allocated-but-unemitted numbers (image slots of image-less
-      // pages) must be FREE entries — an in-use 'n' entry at offset 0
-      // points a conforming reader at the %PDF header and fails strict
-      // validators (PDF 1.4 §3.4.3: unused entries are type 'f')
       out.write((offsets.get(n) match {
         case Some(off) => f"$off%010d 00000 n \n"
-        case None => "0000000000 65535 f \n"
+        case None => f"${nextFree(n)}%010d 65535 f \n"
       }).getBytes("ISO-8859-1"))
     out.write(
       (s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +

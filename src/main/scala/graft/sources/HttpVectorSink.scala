@@ -21,8 +21,10 @@ import java.time.Duration
   * JVM, reused across batches — the connection amortization the
   * reference's per-call Python loop lacks.
   *
-  * Error contract: non-2xx responses and statuses other than
-  * `completed`/`acknowledged` THROW, which marks the batch failed and
+  * Error contract: upserts are sent with `wait=true`, so non-2xx
+  * responses and any status other than `completed` THROW (an
+  * `acknowledged` reply to a waited upsert means the store ignored
+  * the wait — not a durable ack), which marks the batch failed and
   * engages `VectorSink.write`'s retry/backoff; upserts are idempotent
   * per point id, so Spark task retries are safe. Spec-tested end-to-end
   * against an in-process HTTP server (`HttpVectorSinkSpec`) — the same

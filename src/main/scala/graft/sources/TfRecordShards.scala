@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   * discipline), and speculative/zombie duplicate attempts cannot
   * truncate each other's tmp (shard content is deterministic per
   * partition, so whichever attempt wins the rename commits identical
-  * bytes). After the job the driver removes every `part-*.tfrecord`
-  * NOT written by this run plus orphaned tmp files, so a re-run with
-  * fewer (or differently-empty) partitions cannot leave stale shards
-  * for `read` to silently mix in. */
+  * bytes). BEFORE launching tasks the driver sweeps every previous
+  * run's `part-*.tfrecord` shard and orphaned tmp file — loudly, a
+  * failed delete whose file persists aborts the write — so a re-run
+  * with fewer (or differently-empty) partitions cannot leave stale
+  * shards for `read` to silently mix in, and a task that finds the
+  * destination already present can only be observing a sibling
+  * attempt's identical bytes. Nothing is deleted after tasks launch:
+  * task kills are asynchronous, so a zombie attempt can outlive the
+  * job, and a post-job sweep of its tmp would make its rename-failure
+  * path delete a freshly committed shard (its leftover tmp is instead
+  * cleared by the next write's pre-sweep; tmps never match `read`'s
+  * `*.tfrecord` glob). */
 object TfRecordShards {
 
   /** Write `payloadCol` (binary Example payloads) as TFRecord shards;
@@ -27,6 +35,20 @@ object TfRecordShards {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    // pre-sweep, BEFORE any task launches: previous-run shards and
+    // orphaned tmps. Must be loud — if a stale shard survives a failed
+    // delete, a task's rename-failure path below would accept the OLD
+    // run's bytes as this run's commit.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(conf.value)
+    if (dirFs.exists(dirPath)) dirFs.listStatus(dirPath).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".tfrecord") || name.contains(".tfrecord.tmp")) {
+        if (!dirFs.delete(st.getPath, false) && dirFs.exists(st.getPath))
+          throw new java.io.IOException(
+            s"cannot clear stale shard ${st.getPath} before write")
+      }
+    }
     val counts = df.select(col(payloadCol).cast("binary"))
       .rdd.mapPartitionsWithIndex { (idx, it) =>
         val payloads = it.map(_.getAs[Array[Byte]](0)).toSeq
@@ -42,10 +64,11 @@ object TfRecordShards {
           val fs = path.getFileSystem(conf.value)
           val out = fs.create(tmp, true)
           try out.write(bytes) finally out.close()
-          if (fs.exists(path)) fs.delete(path, false)
           if (!fs.rename(tmp, path)) {
-            // lost the commit race to a concurrent attempt writing the
-            // SAME deterministic bytes — drop our tmp and accept theirs
+            // lost the commit race to a concurrent attempt of THIS job
+            // writing the SAME deterministic bytes (the pre-sweep
+            // removed every stale shard, so an existing destination
+            // can only be a sibling's) — drop our tmp, accept theirs
             fs.delete(tmp, false)
             if (!fs.exists(path))
               throw new java.io.IOException(s"cannot commit $path")
@@ -53,20 +76,6 @@ object TfRecordShards {
           Iterator.single((idx, payloads.size.toLong))
         }
       }.collect() // one (idx, count) per partition — bounded sidecar
-    // stale-shard sweep: shards from a previous wider run (or from a
-    // partition that was non-empty then and is empty now) would
-    // otherwise survive and read() would mix them into results
-    val written = counts.collect {
-      case (i, n) if n > 0 => f"part-$i%05d.tfrecord"
-    }.toSet
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(conf.value)
-    if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
-      val name = st.getPath.getName
-      if ((name.endsWith(".tfrecord") && !written.contains(name)) ||
-          name.contains(".tfrecord.tmp"))
-        fs.delete(st.getPath, false)
-    }
     counts.map(_._2).sum
   }
 

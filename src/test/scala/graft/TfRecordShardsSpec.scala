@@ -68,4 +68,33 @@ class TfRecordShardsSpec extends SparkSpec {
     val back = TfRecordShards.read(spark, dir).count()
     assert(back === 16L, s"read mixed stale shards: $back rows")
   }
+
+  test("stale shards and orphaned tmps are swept BEFORE tasks launch, " +
+      "and no post-job sweep exists to race a zombie attempt's " +
+      "rename-failure path into deleting a committed shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfrec4")
+      .toString + "/shards"
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    // simulate a previous crashed run: a stale high-index shard (whose
+    // partition won't exist this run) and an orphaned attempt tmp
+    java.nio.file.Files.write(
+      new java.io.File(d, "part-00099.tfrecord").toPath,
+      "stale".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(d, "part-00000.tfrecord.tmp-999").toPath,
+      "orphan".getBytes("UTF-8"))
+    val df = Seq(1L -> "a".getBytes, 2L -> "b".getBytes)
+      .toDF("id", "payload").repartition(2)
+    assert(TfRecordShards.write(df, "payload", dir) === 2L)
+    val names = d.listFiles().map(_.getName).toSet
+    assert(!names.contains("part-00099.tfrecord"),
+      "stale shard survived the pre-sweep")
+    assert(!names.exists(_.contains(".tfrecord.tmp")),
+      "orphaned tmp survived the pre-sweep")
+    assert(names.filter(_.endsWith(".tfrecord"))
+      .forall(_.matches("part-0000[01]\\.tfrecord")),
+      s"unexpected shards: $names")
+    assert(TfRecordShards.read(spark, dir).count() === 2L)
+  }
 }
