@@ -98,17 +98,11 @@ object AviCodec {
   def encode(width: Int, height: Int, usPerFrame: Int,
       frames: Seq[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def w32(v: Long): Unit = {
-      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-    }
+    def w32(v: Long): Unit = LittleEndian.w32(out, v)
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     val avih = {
       val b = new java.io.ByteArrayOutputStream()
-      def a32(v: Long): Unit = {
-        b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
-        b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
-      }
+      def a32(v: Long): Unit = LittleEndian.w32(b, v)
       a32(usPerFrame.toLong); a32(0L); a32(0L); a32(0L)
       a32(frames.length.toLong); a32(0L); a32(1L); a32(0L)
       a32(width.toLong); a32(height.toLong)
@@ -119,9 +113,7 @@ object AviCodec {
       val b = new java.io.ByteArrayOutputStream()
       b.write("hdrl".getBytes("US-ASCII"))
       b.write("avih".getBytes("US-ASCII"))
-      val le = java.nio.ByteBuffer.allocate(4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(avih.length).array()
-      b.write(le); b.write(avih)
+      LittleEndian.w32(b, avih.length.toLong); b.write(avih)
       if ((avih.length & 1) == 1) b.write(0)
       b.toByteArray
     }
@@ -130,9 +122,7 @@ object AviCodec {
       b.write("movi".getBytes("US-ASCII"))
       frames.foreach { f =>
         b.write("00dc".getBytes("US-ASCII"))
-        val le = java.nio.ByteBuffer.allocate(4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(f.length).array()
-        b.write(le); b.write(f)
+        LittleEndian.w32(b, f.length.toLong); b.write(f)
         if ((f.length & 1) == 1) b.write(0)
       }
       b.toByteArray

@@ -21,4 +21,14 @@ private[functions] object LittleEndian {
 
   def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
+
+  // writer twins (the codecs' encode fixtures) — same one-copy rule
+  def w16(out: java.io.OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+
+  def w32(out: java.io.OutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
 }

@@ -166,11 +166,8 @@ object WavCodec {
   def encodePcm16(sampleRate: Int, samples: Array[Float]): Array[Byte] = {
     val dataLen = samples.length * 2
     val out = new java.io.ByteArrayOutputStream(44 + dataLen)
-    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    def w32(v: Long): Unit = {
-      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-    }
+    def w16(v: Int): Unit = LittleEndian.w16(out, v)
+    def w32(v: Long): Unit = LittleEndian.w32(out, v)
     out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataLen)
     out.write("WAVE".getBytes("US-ASCII"))
     out.write("fmt ".getBytes("US-ASCII")); w32(16L)

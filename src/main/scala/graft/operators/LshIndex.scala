@@ -218,4 +218,38 @@ object LshIndex {
       (df, p) => df.write.mode(SaveMode.Overwrite).parquet(p))
     (b._1 + s._1 + f._1, b._2 + s._2 + f._2)
   }
+
+  /** Compaction POLICY (the WHEN to [[compact]]'s mechanism): a
+    * replayed-heavy index reports a ratio over this and a clean one
+    * reports ~1.0. 1.5 means half again the index's candidate work is
+    * redundant replay residue — the point where re-probing cost
+    * plausibly exceeds one compaction rewrite. */
+  val CompactTriggerRatio = 1.5
+
+  /** Estimated index redundancy = fps rows / distinct ids, in ONE
+    * aggregate over the index's smallest table. Every append — crash
+    * replays included — adds exactly one fps row per id, and all three
+    * tables grow by the same replay factor, so the fps ratio estimates
+    * the whole index. `approx_count_distinct` keeps the probe one
+    * shuffle-light pass at any index size (its ~2% default error is
+    * noise against the 1.5× trigger). An empty index reads 1.0. */
+  def redundancyRatio(spark: SparkSession, path: String): Double = {
+    healSwaps(spark, path)
+    val r = spark.read.parquet(fpsPath(path))
+      .agg(count(lit(1)), approx_count_distinct(col("id")))
+      .first()
+    val rows = r.getLong(0)
+    val ids = r.getLong(1)
+    // the approx distinct can OVERcount small tables a few percent;
+    // redundancy below 1.0 is logically impossible, so clamp
+    if (ids == 0L) 1.0 else math.max(1.0, rows.toDouble / ids)
+  }
+
+  /** Probe-only recommendation the streaming ingest hooks log after
+    * each fold-in: compaction itself STAYS a manual single-writer
+    * maintenance action — [[compact]]'s swap discipline assumes no
+    * concurrent writer, and a foreachBatch auto-compact would race the
+    * next batch's probe reads. */
+  def compactRecommended(spark: SparkSession, path: String): Boolean =
+    redundancyRatio(spark, path) >= CompactTriggerRatio
 }

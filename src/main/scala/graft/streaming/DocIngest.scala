@@ -442,6 +442,7 @@ object DocIngest {
           if (LshIndex.exists(ss, indexPath))
             LshIndex.append(accepted, idCol, "text", indexPath)
           else LshIndex.build(accepted, idCol, "text", indexPath)
+          probeIndexRedundancy(ss, indexPath)
         }
         ()
       }
@@ -472,6 +473,24 @@ object DocIngest {
       batchClean.join(exact.union(near).distinct(),
         Seq(idCol), "left_anti")
     }
+  }
+
+  /** Post-fold-in compaction-policy probe, shared by the indexed ingest
+    * hooks: logs a recommendation when the index's replay redundancy
+    * crosses [[graft.operators.LshIndex.CompactTriggerRatio]]. Probe
+    * ONLY — auto-compacting inside foreachBatch would race
+    * [[graft.operators.LshIndex.compact]]'s single-writer swap
+    * discipline against the next batch's probe reads, so compaction
+    * stays a manual quiet-window action. */
+  private def probeIndexRedundancy(spark: SparkSession,
+      indexPath: String): Unit = {
+    import graft.operators.LshIndex
+    val ratio = LshIndex.redundancyRatio(spark, indexPath)
+    if (ratio >= LshIndex.CompactTriggerRatio)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"LSH index at $indexPath carries $ratio%.2fx replay " +
+          f"redundancy (trigger ${LshIndex.CompactTriggerRatio}%.1fx) " +
+          "— run LshIndex.compact in a quiet single-writer window")
   }
 
   /** Streaming IMAGE dedup-on-ingest: the [[startNearDupGated]] contract
@@ -1026,6 +1045,7 @@ object DocIngest {
             if (LshIndex.exists(ss, indexPath))
               LshIndex.append(accepted, "doc_id", "text", indexPath)
             else LshIndex.build(accepted, "doc_id", "text", indexPath)
+            probeIndexRedundancy(ss, indexPath)
           } finally decoded.unpersist()
         }
         ()

@@ -130,6 +130,32 @@ class LshIndexSpec extends SparkSpec {
       pairsAt(ref).head._3)))
   }
 
+  test("compaction policy probe: a replay-heavy index recommends " +
+      "compaction, a clean one does not, and compact resets the ratio") {
+    val accepted = Seq((20L, "frase original sobre jardins botanicos e " +
+      "estufas de vidro com plantas raras de climas tropicais umidos"))
+      .toDF("doc_id", "text")
+    val clean = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_pc").toString + "/idx"
+    LshIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", clean)
+    LshIndex.append(accepted, "doc_id", "text", clean)
+    assert(LshIndex.redundancyRatio(spark, clean) === 1.0)
+    assert(!LshIndex.compactRecommended(spark, clean))
+    // replay-heavy: the same accepted batch folds in four times
+    // (at-least-once crash loops) — 7 fps rows over 4 ids = 1.75x
+    val heavy = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_ph").toString + "/idx"
+    LshIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", heavy)
+    (1 to 4).foreach(_ =>
+      LshIndex.append(accepted, "doc_id", "text", heavy))
+    val ratio = LshIndex.redundancyRatio(spark, heavy)
+    assert(ratio === 1.75, s"expected 7/4 fps redundancy, got $ratio")
+    assert(LshIndex.compactRecommended(spark, heavy))
+    LshIndex.compact(spark, heavy)
+    assert(LshIndex.redundancyRatio(spark, heavy) === 1.0)
+    assert(!LshIndex.compactRecommended(spark, heavy))
+  }
+
   test("an interrupted compact swap (live dir renamed away, tmp not " +
       "yet in) heals on the next read — no data loss, no manual step") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx_h")

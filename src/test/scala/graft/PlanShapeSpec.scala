@@ -387,4 +387,27 @@ class PlanShapeSpec extends SparkSpec {
           .select(col("doc_id"), col("text")))
     }
   }
+
+  test("pdf_pages_scan corpus: a projection-only read prunes page_text " +
+      "out of the DSv2 scan — the content-stream decode the 100 TB " +
+      "claim says never runs for metadata queries is plan-visibly " +
+      "absent, while the gate query's own scan still carries it") {
+    // building the gate query synthesizes (and overwrites) the corpus
+    val gatePlan = SparkEntry.queries("pdf_pages_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(gatePlan.contains("page_text"),
+      s"control failed — the gate query no longer reads page_text:\n" +
+        gatePlan.take(1500))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pdf_scan_" +
+      Integer.toHexString(sf.hashCode)
+    val pruned = spark.read.format("graft-pdf").load(dir)
+      .select("file_name", "page_idx")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[file_name,page_idx]"),
+      s"pruned scan description missing:\n${plan.take(1500)}")
+    assert(!plan.contains("page_text"),
+      s"page_text survived pruning on a projection-only read:\n" +
+        plan.take(1500))
+    assert(pruned.count() > 0)
+  }
 }

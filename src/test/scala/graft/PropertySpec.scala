@@ -10,6 +10,28 @@ import org.scalacheck.Prop.{forAll, propBoolean}
   * distributed operators rely on. */
 object GraftProperties extends Properties("graft") {
 
+  /** Flake-watch hook: the whole suite runs from ONE initial seed,
+    * printed to stderr at startup, so any failure — even one whose
+    * per-property "failing seed" line is lost to log truncation — is
+    * replayable by re-running with `GRAFT_SCALACHECK_SEED=<base64>`.
+    * Without the env var a fresh random seed is drawn per JVM (normal
+    * exploratory runs stay diverse across the watch loop). */
+  private lazy val suiteSeed: org.scalacheck.rng.Seed = {
+    val seed = sys.env.get("GRAFT_SCALACHECK_SEED") match {
+      case Some(s) => org.scalacheck.rng.Seed.fromBase64(s).getOrElse(
+        sys.error(s"GRAFT_SCALACHECK_SEED is not valid base64: $s"))
+      case None => org.scalacheck.rng.Seed.random()
+    }
+    Console.err.println(
+      s"[GraftProperties] initialSeed ${seed.toBase64} — replay with " +
+        "GRAFT_SCALACHECK_SEED=<that value>")
+    seed
+  }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withInitialSeed(suiteSeed)
+
   private val word: Gen[String] =
     Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(12))
   private val words: Gen[List[String]] = Gen.listOf(word)
@@ -53,10 +75,14 @@ object GraftProperties extends Properties("graft") {
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────
-  property("simhash is permutation-invariant") = forAll(someWords) { ws =>
-    Hashing.simhash(ws.iterator) ==
-      Hashing.simhash(scala.util.Random.shuffle(ws).iterator)
-  }
+  // the permutation is derived from a generated Long (not the global
+  // scala.util.Random) so the property replays exactly from the suite's
+  // pinned initial seed
+  property("simhash is permutation-invariant") =
+    forAll(someWords, Gen.long) { (ws, permSeed) =>
+      val shuffled = new scala.util.Random(permSeed).shuffle(ws)
+      Hashing.simhash(ws.iterator) == Hashing.simhash(shuffled.iterator)
+    }
 
   // ── hash embedding ─────────────────────────────────────────────────────
   property("hashEmbedVec norm is exactly 0 (empty input, or signed " +
