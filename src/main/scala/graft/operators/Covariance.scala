@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * pairs): elements are quantized to micro units IN-PLAN
   * (round(x·10⁶) — Spark HALF_UP and DuckDB half-away agree on
   * doubles), and every corpus-sized sum — Σqᵢ, Σqᵢqⱼ — is an integer
-  * sum: associative, shuffle-proof, overflow-proof (pair products
-  * accumulate as decimal(38,0): 10¹¹ rows × 10¹² ≈ 10²³ ≪ 10³⁸). fp
+  * sum: associative, shuffle-proof, overflow-proof (the per-partition
+  * Long grid flushes every 64k rows and uses exact arithmetic as a
+  * loud backstop; the cross-partition reduce accumulates as
+  * decimal(38,0): 10¹¹ rows × 10¹² ≈ 10²³ ≪ 10³⁸). fp
   * re-enters only in the per-cell fixed tree cov = (E[qᵢqⱼ] −
   * E[qᵢ]E[qⱼ])/10¹², identical in every engine.
   *
@@ -46,31 +48,21 @@ object Covariance {
     // then run the pair grid in one typed kernel pass.
     val q = df.select(transform(asDouble(col(vecCol)),
       x => round(x * lit(Micro), 0).cast("long")).as("qv"))
+    // The JVM accumulators are Longs, which wrap SILENTLY — unlike the
+    // decimal(38,0) reduce below, which is where the scaladoc's
+    // overflow-proof claim actually lives. Two defenses: the grid
+    // FLUSHES every 64k rows (bounding per-partial magnitude to
+    // 2¹⁶·qmax², i.e. safe through |x| ≈ 30 at micro scale — the
+    // flushed partials meet the map-side combine, so the extra rows
+    // never reach the shuffle ungrouped), and the pair product/add use
+    // EXACT arithmetic so a pathological vector fails loudly instead
+    // of corrupting every cell downstream.
+    val FlushRows = 1 << 16
     val partials = q.select(col("qv")).rdd.mapPartitions { it =>
       var cnt = 0L
       val s = new Array[Long](dim)
       val p = new Array[Long](nPairs)
-      it.foreach { row =>
-        val v = row.getSeq[Long](0)
-        require(v.length == dim,
-          s"covarianceMatrix: expected dim $dim, got ${v.length}")
-        val a = v.toArray
-        cnt += 1
-        var i = 0
-        var k = 0
-        while (i < dim) {
-          s(i) += a(i)
-          var j = i
-          while (j < dim) {
-            p(k) += a(i) * a(j)
-            k += 1
-            j += 1
-          }
-          i += 1
-        }
-      }
-      if (cnt == 0) Iterator.empty
-      else {
+      def emit(): Iterator[Row] = {
         val rows = new Array[Row](nPairs)
         var i = 0
         var k = 0
@@ -83,8 +75,31 @@ object Covariance {
           }
           i += 1
         }
+        cnt = 0L
+        java.util.Arrays.fill(s, 0L)
+        java.util.Arrays.fill(p, 0L)
         rows.iterator
       }
+      it.flatMap { row =>
+        val v = row.getSeq[Long](0)
+        require(v.length == dim,
+          s"covarianceMatrix: expected dim $dim, got ${v.length}")
+        val a = v.toArray
+        cnt += 1
+        var i = 0
+        var k = 0
+        while (i < dim) {
+          s(i) = Math.addExact(s(i), a(i))
+          var j = i
+          while (j < dim) {
+            p(k) = Math.addExact(p(k), Math.multiplyExact(a(i), a(j)))
+            k += 1
+            j += 1
+          }
+          i += 1
+        }
+        if (cnt >= FlushRows) emit() else Iterator.empty
+      } ++ (if (cnt > 0) emit() else Iterator.empty)
     }
     val schema = StructType(Seq(
       StructField("i", IntegerType, nullable = false),

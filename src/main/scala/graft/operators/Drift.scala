@@ -59,7 +59,7 @@ object Drift {
     * (segment, dim) aggregation over the exploded corpus; everything
     * after is segments²-sized. */
   def centroidCosine(df: DataFrame, segCol: Column, vecCol: Column,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, maxSidecarRows: Int = 262144): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // a null segment would NPE the driver-side grouping — fail loudly
@@ -71,13 +71,21 @@ object Drift {
     // aggregation, and n(seg) reads off the dim-0 group (every decoded
     // vector contributes exactly one dim-0 element; rows with a null
     // vector explode to nothing and are excluded from sums AND counts)
+    // the collect is a (segments × dim) sidecar ONLY when segCol is a
+    // genuine segment key; a mistaken data-grain key (doc_id) would pull
+    // the corpus to the driver — cap the pull and fail loudly BEFORE
+    // OOM (the Isotonic.fit cardinality-guard discipline)
     val rows = df
       .select(checkedSeg.as("seg"), posexplode(vecCol).as(Seq("pos", "v")))
       .select(col("seg"), col("pos"),
         round(col("v").cast("double") * scale).cast("long").as("qv"))
       .groupBy(col("seg"), col("pos"))
       .agg(sum(col("qv")).as("sv"), count(lit(1)).as("cnt"))
+      .limit(maxSidecarRows + 1)
       .collect()
+    require(rows.length <= maxSidecarRows,
+      s"Drift.centroidCosine: over $maxSidecarRows (segment, dim) rows — " +
+        "the segment column looks data-grained, not segment-grained")
     val sums = rows.groupBy(_.getAs[String]("seg"))
       .map { case (seg, rs) =>
         seg -> rs.map(r => r.getAs[Int]("pos") -> r.getAs[Long]("sv")).toMap
@@ -231,8 +239,18 @@ object Drift {
         lit(1L).as("_b")))
       .groupBy("category")
       .agg(sum(col("_a")).as("n_cur"), sum(col("_b")).as("n_ref"))
+    // an EMPTY snapshot makes every expected value 0 and the
+    // contributions NaN/Infinity — fail loudly like psiContributions
+    // does (drift against nothing is undefined, and a NaN row would
+    // poison any downstream threshold silently). The when() also traps
+    // the both-empty case, where the sums are NULL.
     val tot = counts.agg(sum(col("n_cur")).as("t_cur"),
-      sum(col("n_ref")).as("t_ref"))
+        sum(col("n_ref")).as("t_ref"))
+      .select(
+        when(col("t_cur") > 0 && col("t_ref") > 0, col("t_cur"))
+          .otherwise(raise_error(lit(
+            "categoricalDrift: a snapshot is empty"))).as("t_cur"),
+        col("t_ref"))
     def contrib(o: Column, tSnap: Column): Column = {
       // e = tSnap·rowTotal/N: integer product, one division.
       val e = (tSnap * (col("n_cur") + col("n_ref"))).cast("double") /

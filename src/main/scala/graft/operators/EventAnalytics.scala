@@ -121,6 +121,11 @@ object EventAnalytics {
   def latestPerKey(events: DataFrame, keyCols: Seq[String], tsCol: String,
       tieCol: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    // unlike the narrow-selecting operators below, this keeps the FULL
+    // frame — withColumn would silently replace (and then drop) a
+    // caller's own _rk column
+    require(!events.columns.contains("_rk"),
+      "latestPerKey writes working column '_rk' — input already has one")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).desc, col(tieCol).desc)
     events.withColumn("_rk", row_number().over(w))
@@ -435,7 +440,6 @@ object EventAnalytics {
       valCol: String, halflifeHours: Double,
       decimals: Int = 6): DataFrame = {
     require(halflifeHours > 0, "halflife must be positive")
-    val spark = events.sparkSession
     val hlMicros = halflifeHours * 3600.0 * 1e6
     val anchor = events.agg(max(unix_micros(col(tsCol))).as("_t0"))
     events

@@ -25,6 +25,15 @@ object Sampling {
   /** 256-bucket deterministic bucket id from the row's key content. */
   def hashBucket(key: Column): Column = substring(md5(key), 1, 2)
 
+  /** Every operator here that adds working/output columns guards them:
+    * `withColumn` silently REPLACES an existing column, so a caller's
+    * own `_rk`/`split`/… would be overwritten and (for working columns)
+    * then dropped — data loss with no error. */
+  private def requireFresh(df: DataFrame, op: String,
+      cols: String*): Unit =
+    cols.foreach(c => require(!df.columns.contains(c),
+      s"$op writes column '$c' — the input already has one"))
+
   /** The bucket as an INT in [0, 256) — thresholds compare numerically.
     * (A lexicographic compare against a formatted hex threshold breaks at
     * frac = 1.0, where round(256) formats as the 3-char '100' and the
@@ -45,6 +54,7 @@ object Sampling {
     * ~1/256 of uniform for any k ≤ ~100. */
   def kFold(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
+    requireFresh(df, "kFold", "fold")
     df.withColumn("fold",
       pmod(conv(substring(md5(key), 1, 4), 16, 10).cast("int"), lit(k)))
   }
@@ -57,6 +67,7 @@ object Sampling {
       valFrac: Double = 0.1): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       "fractions must be non-negative and sum to at most 1")
+    requireFresh(df, "hashSplit", "split")
     val b = bucketInt(key)
     df.withColumn("split",
       when(b < lit(threshold(trainFrac)), "train")
@@ -241,15 +252,25 @@ object Sampling {
     * retries, and other engines keep the exact same rows. The decay
     * exponent is floor-bucketed INTEGER arithmetic — no pow(), whose
     * last-ulp behavior differs across engines. Negative ages (rows
-    * newer than the anchor) are kept. One narrow filter — no shuffle. */
+    * newer than the anchor) are kept; NULL or unparseable timestamps
+    * fail LOUDLY (a row whose age cannot be computed must not silently
+    * vanish). One narrow filter — no shuffle. */
   def freshnessSample(df: DataFrame, key: Column, tsCol: Column,
       anchorDate: String, halflifeDays: Int,
       maxShift: Int = 20): DataFrame = {
     require(halflifeDays >= 1, "halflifeDays must be >= 1")
     require(maxShift >= 1 && maxShift <= 20, "maxShift must be in [1, 20]")
+    // a NULL/unparseable timestamp makes every admission branch NULL and
+    // the filter would drop the row SILENTLY — inconsistent with the
+    // loud-failure contract the weight-driven samplers keep, so fail
+    // with the offending value instead
+    val age0 = datediff(lit(anchorDate), to_date(tsCol))
+    val age = when(age0.isNotNull, age0).otherwise(raise_error(concat(
+      lit("freshnessSample: NULL or unparseable timestamp "),
+      coalesce(tsCol.cast("string"), lit("NULL")))))
     val shift = least(greatest(
-        floor(datediff(lit(anchorDate), to_date(tsCol)) /
-          lit(halflifeDays)).cast("int"), lit(0)), lit(maxShift))
+        floor(age / lit(halflifeDays)).cast("int"), lit(0)),
+      lit(maxShift))
     // thresholds as 5-char lowercase hex: 2^(20-k); k=0 admits all
     // (2^20 needs 6 digits, so it is its own branch, not a compare).
     val hex5 = (k: Int) =>
@@ -287,6 +308,7 @@ object Sampling {
     * loudly (NaN needs its own check: Spark orders NaN above every
     * number, so `w >= 0` alone would wave it through as ~1 copy). */
   def weightedMixByCol(df: DataFrame, key: Column, w: Column): DataFrame = {
+    requireFresh(df, "weightedMixByCol", "copy_id")
     val wchk = when(w >= 0 && !isnan(w), w).otherwise(raise_error(
       concat(lit("weightedMixByCol: negative, null, or NaN weight "),
         coalesce(w.cast("string"), lit("NULL")))))
@@ -304,6 +326,7 @@ object Sampling {
     * choice is stable across runs and machines. */
   def perGroupSample(df: DataFrame, groupCol: String, key: Column,
       n: Int): DataFrame = {
+    requireFresh(df, "perGroupSample", "_rk")
     val w = Window.partitionBy(col(groupCol)).orderBy(md5(key), key)
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= n)
@@ -323,6 +346,7 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, groupCol: String, key: Column,
       tokensCol: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    requireFresh(df, "tokenBudgetSample", "_cum")
     val w = Window.partitionBy(col(groupCol)).orderBy(md5(key), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(tokensCol).over(w))
@@ -349,6 +373,7 @@ object Sampling {
   def stratifiedSplit(df: DataFrame, strataCol: String, key: Column,
       trainFrac: Double = 0.8): DataFrame = {
     require(trainFrac >= 0 && trainFrac <= 1.0, "trainFrac must be in [0,1]")
+    requireFresh(df, "stratifiedSplit", "split", "_rk", "_n")
     val w = Window.partitionBy(col(strataCol)).orderBy(md5(key), key)
     df.withColumn("_rk", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
@@ -415,6 +440,11 @@ object Sampling {
     * id) — callers range-partition on pos to write shards. */
   def interleaveRoundRobin(df: DataFrame, sourceCol: String,
       idCol: String): DataFrame = {
+    // the select below narrows to (sourceCol, idCol), so only a NAME
+    // COLLISION with a working/output column can corrupt the result
+    Seq("_rk", "_si", "_ns", "pos").foreach(c =>
+      require(sourceCol != c && idCol != c,
+        s"interleaveRoundRobin reserves column name '$c'"))
     // the distinct-source frame is small by definition (a corpus has
     // dozens of sources, not millions); the unpartitioned window runs
     // over that sidecar only, never over data.

@@ -43,6 +43,8 @@ object Skew {
     * merge expressions). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16, positional: Boolean = false): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "saltedSumCount writes working column '_salt' — input already has one")
     val salted = df.withColumn("_salt", saltOf(df, salts, positional))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
@@ -61,6 +63,9 @@ object Skew {
       salts: Int = 8, positional: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
+    require(!left.columns.contains("_salt") &&
+      !right.columns.contains("_salt"),
+      "saltedJoin writes working column '_salt' — an input already has one")
     val saltedLeft = left.withColumn("_salt",
       saltOf(left, salts, positional).cast("int"))
     val saltsDf = (0 until salts).toDF("_salt")

@@ -72,6 +72,10 @@ object Sync {
       keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "snapshotDiff needs key and compare columns")
+    (keyCols ++ compareCols).foreach(c =>
+      require(!Set("_in_a", "_in_b", "status", "changed_cols")
+          .contains(c) && !c.startsWith("_a_"),
+        s"snapshotDiff reserves working/output name '$c'"))
     val b = before.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("_in_b", lit(true))
     val a = after.select(keyCols.map(col) ++

@@ -41,6 +41,8 @@ object ZOrder {
   def layoutByZ(df: DataFrame, dimA: String, dimB: String,
       nFiles: Int): DataFrame = {
     require(nFiles > 0, "nFiles must be positive")
+    require(!df.columns.contains("_z"),
+      "layoutByZ writes working column '_z' — input already has one")
     df.withColumn("_z", morton16(col(dimA), col(dimB)))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

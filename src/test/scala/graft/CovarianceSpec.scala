@@ -119,4 +119,31 @@ class CovarianceSpec extends SparkSpec {
     assert(math.abs(cov((1, 1)) - 1.0) < 0.05, s"var1 ${cov((1, 1))}")
     assert(math.abs(cov((0, 1))) < 0.05, s"cross ${cov((0, 1))}")
   }
+
+  test("grid flush: a single partition crossing the 64k-row flush " +
+      "boundary sums exactly (the flushed partials recombine losslessly)") {
+    val n = 70000
+    val df = spark.range(n).select(
+      typedLit(Seq(1.5, -2.0)).as("v")).repartition(1)
+    val cells = Covariance.covarianceMatrix(df, "v", 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getString(5), r.getDouble(6)))).toMap
+    // identical rows: n exact, s_i = n·q_i, s_ij = n·q_i·q_j, cov = 0
+    val q0 = 1500000L; val q1 = -2000000L
+    assert(cells((0, 0)) === ((n.toLong, n * q0, (BigInt(n) * q0 * q0).toString, 0.0)))
+    assert(cells((0, 1)) === ((n.toLong, n * q0, (BigInt(n) * q0 * q1).toString, 0.0)))
+    assert(cells((1, 1)) === ((n.toLong, n * q1, (BigInt(n) * q1 * q1).toString, 0.0)))
+  }
+
+  test("pathological magnitudes fail LOUDLY (exact arithmetic) instead " +
+      "of silently wrapping the Long grid") {
+    val df = Seq(Tuple1(Seq(4.0e12, 0.0))).toDF("v")
+    val e = intercept[Exception] {
+      Covariance.covarianceMatrix(df, "v", 2).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $e")
+  }
 }

@@ -163,4 +163,27 @@ class DriftSpec extends SparkSpec {
       col("vec")).collect().map(_.toSeq).toSeq
     assert(one === many)
   }
+
+  test("centroidCosine caps the driver sidecar: a data-grained segment " +
+      "key fails loudly instead of collecting the corpus") {
+    val df = (0 until 40).map(i => (s"doc$i", Seq(1.0, 2.0)))
+      .toDF("seg", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Drift.centroidCosine(df, col("seg"), col("vec"),
+        maxSidecarRows = 16)
+    }
+    assert(e.getMessage.contains("data-grained"))
+  }
+
+  test("categoricalDrift fails loudly on an empty snapshot (NaN " +
+      "contributions would silently pass any drift threshold)") {
+    val cur = Seq("en", "pt").toDF("lang")
+    val empty = cur.filter(lit(false))
+    intercept[Exception] {
+      Drift.categoricalDrift(cur, empty, "lang").collect()
+    }
+    intercept[Exception] {
+      Drift.categoricalDrift(empty, cur, "lang").collect()
+    }
+  }
 }

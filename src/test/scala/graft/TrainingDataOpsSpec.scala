@@ -183,6 +183,34 @@ class TrainingDataOpsSpec extends SparkSpec {
       Sampling.freshnessSample(d, col("id").cast("string"), col("ts"),
         "2024-02-01", halflifeDays = 7, maxShift = 21)
     }
+    // a NULL timestamp fails LOUDLY instead of silently vanishing
+    intercept[Exception] {
+      Sampling.freshnessSample(
+        Seq((1L, null: String)).toDF("id", "ts_s")
+          .withColumn("ts", to_timestamp(col("ts_s"))),
+        col("id").cast("string"), col("ts"),
+        "2024-02-01", halflifeDays = 7).collect()
+    }
+  }
+
+  test("working/output column guards: every sampler that writes a " +
+      "column refuses an input that already has it (withColumn would " +
+      "silently overwrite and then drop the caller's data)") {
+    val d = Seq((1L, "a", "x", 5L)).toDF("id", "grp", "text", "tok")
+    def boom(f: => Any): Unit =
+      intercept[IllegalArgumentException](f)
+    boom(Sampling.kFold(d.withColumn("fold", lit(9)), col("text"), 5))
+    boom(Sampling.hashSplit(d.withColumn("split", lit("x")), col("text")))
+    boom(Sampling.perGroupSample(d.withColumn("_rk", lit(1)), "grp",
+      col("text"), 2))
+    boom(Sampling.tokenBudgetSample(d.withColumn("_cum", lit(1)), "grp",
+      col("text"), col("tok"), 10L))
+    boom(Sampling.stratifiedSplit(d.withColumn("_n", lit(1)), "grp",
+      col("text")))
+    boom(Sampling.weightedMixByCol(d.withColumn("copy_id", lit(1)),
+      col("text"), lit(1.5)))
+    boom(Sampling.interleaveRoundRobin(
+      d.withColumnRenamed("id", "_rk"), "grp", "_rk"))
   }
 
   test("leakageSafeSplit: chained near-dup clusters land whole in one " +
