@@ -265,10 +265,18 @@ object KmvSketch {
     val utf8Order = graft.functions.Utf8Order.ordering
     val keyed = df.select(checkedG.as("_g"), valueCol.as("_v"))
     val sketches = groupSketches(keyed, col("_v"), Seq("_g"), k)
-    // group-count sized sidecar (segments, not data)
-    val sk = sketches.collect()
+    // group-count sized sidecar (segments, not data) — capped so a
+    // mistakenly data-grained group column fails loudly before pulling
+    // the corpus to the driver (the centroidCosine guard discipline);
+    // 1024 groups already mean ~524k output pairs, far past any
+    // segment-shaped audit
+    val maxGroups = 1024
+    val sk = sketches.limit(maxGroups + 1).collect()
       .map(r => r.getString(0) -> decode(r.getAs[Array[Byte]](1)))
       .toMap
+    require(sk.size <= maxGroups,
+      s"KmvSketch.pairOverlapAudit: over $maxGroups groups — the group " +
+        "column looks data-grained, not segment-grained")
     val pairs = sk.keys.toSeq.sorted(utf8Order).combinations(2).map { c =>
       val (ga, gb) = (c(0), c(1))
       val (a, b) = (sk(ga), sk(gb))

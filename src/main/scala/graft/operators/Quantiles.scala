@@ -42,8 +42,13 @@ object Quantiles {
     require(dims.map(_.scoreCol).distinct.size == dims.size,
       "score column names must be distinct")
     def v(d: Dim): Column = {
+      // a NULL value would silently score bucket 1 AND shift every
+      // cutpoint (the null group counts into the cumulative histogram,
+      // ordered first) — corrupted order statistics with no error
       val base = col(d.valueCol).cast("double")
-      if (d.ascending) base else -base
+      val chk = when(base.isNotNull, base).otherwise(raise_error(
+        lit(s"cutpointScores: NULL or non-numeric ${d.valueCol}")))
+      if (d.ascending) chk else -chk
     }
     val cutRows = dims.map { d =>
       require(d.k >= 2, s"k must be >= 2, got ${d.k} for ${d.scoreCol}")

@@ -136,4 +136,15 @@ class KmvSketchSpec extends SparkSpec {
     val again = sketch((0 until 50).map(i => s"pin$i"), k = 16)
     assert(s.toSeq === again.toSeq)
   }
+
+  test("pairOverlapAudit caps the group sidecar: a data-grained group " +
+      "column fails loudly instead of collecting the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 1200).map(i => (s"g$i", s"v$i")).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      KmvSketch.pairOverlapAudit(df, col("g"), col("v"), k = 16)
+    }
+    assert(e.getMessage.contains("data-grained"))
+  }
 }

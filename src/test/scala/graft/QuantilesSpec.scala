@@ -70,4 +70,13 @@ class QuantilesSpec extends SparkSpec {
       .toMap
     assert(a === b)
   }
+
+  test("cutpointScores fails LOUDLY on NULL values (a null would score " +
+      "bucket 1 and shift every cutpoint silently)") {
+    val d = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "v")
+    intercept[Exception] {
+      Quantiles.cutpointScores(d, "v", 2, "s").collect()
+    }
+  }
 }
