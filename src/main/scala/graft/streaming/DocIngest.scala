@@ -240,7 +240,18 @@ object DocIngest {
       fs.delete(tmp, true)
       batch.write.mode("overwrite").parquet(tmp.toString)
       if (fs.exists(live)) { fs.delete(tmp, true); false }
-      else { fs.mkdirs(live.getParent); fs.rename(tmp, live) }
+      else {
+        fs.mkdirs(live.getParent)
+        if (fs.rename(tmp, live)) true
+        else if (fs.exists(live)) { fs.delete(tmp, true); false }
+        else
+          // a failed rename with NO live directory is a lost batch, not
+          // a duplicate commit — returning false here would report
+          // "already committed" while nothing was written (the
+          // TfRecordShards rename-failure discipline)
+          throw new java.io.IOException(
+            s"commitBatch: cannot commit $live (rename failed)")
+      }
     }
   }
 
