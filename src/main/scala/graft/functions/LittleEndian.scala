@@ -6,7 +6,7 @@ package graft.functions
   * purpose: `u32` is UNSIGNED (Long) for RIFF chunk sizes, which are
   * unsigned on the wire; `i32` is SIGNED (Int) for BMP header fields,
   * where a negative height legitimately means a top-down raster. */
-private[functions] object LittleEndian {
+private[graft] object LittleEndian {
 
   def u16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)

@@ -119,7 +119,8 @@ object RetrievalMetrics {
     * BIGINTs from a k-row literal table; each depth term micro-rounds
     * to a BIGINT, and per-query RBO is an order-free integer sum (the
     * house micro discipline). Requires pNum^(k−1) and pDen^k·k to fit
-    * a long — k ≤ 18 at p = 9/10, loudly checked.
+    * a long — k ≤ 17 at p = 9/10 (10¹⁸·18 exceeds Long.Max), loudly
+    * checked.
     *
     * Input: two (qCol, idCol, rankCol) tables, rank 1-based; rows with
     * rank > k are ignored. Output: (query_id, overlap_k, rbo_micro) for

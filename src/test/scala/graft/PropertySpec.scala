@@ -627,6 +627,25 @@ object GraftProperties extends Properties("graft") {
       sitemaps(txt) == urls.toVector
     }
 
+  // ── little-endian reader/writer twins ─────────────────────────────────
+  // the RIFF-family codecs and BMP share ONE reader and (since r14) ONE
+  // writer pair; this pins the w16/w32 → u16/u32/i32 round trip over the
+  // full value domains so any future edit to either side breaks loudly
+  property("LittleEndian w16/w32 round-trip through u16, u32 and i32") =
+    forAll(Gen.choose(0, 0xFFFF), Gen.long) { (v16, raw) =>
+      val v32 = raw & 0xFFFFFFFFL // the unsigned 32-bit wire domain
+      val out = new java.io.ByteArrayOutputStream()
+      graft.functions.LittleEndian.w16(out, v16)
+      graft.functions.LittleEndian.w32(out, v32)
+      val b = out.toByteArray
+      Prop.all(
+        (b.length == 6) :| "2 + 4 bytes on the wire",
+        (graft.functions.LittleEndian.u16(b, 0) == v16) :| "u16",
+        (graft.functions.LittleEndian.u32(b, 2) == v32) :| "u32 unsigned",
+        (graft.functions.LittleEndian.i32(b, 2) == v32.toInt)
+          :| "i32 reads the same bits signed")
+    }
+
   // ── degrade-never-throw fuzz battery over every binary decoder ────────
   // Every codec documents the same degradation contract: malformed input
   // yields None / the well-formed prefix / Nil — NEVER a throw, because a
