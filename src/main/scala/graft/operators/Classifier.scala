@@ -150,13 +150,18 @@ object Classifier {
     val schema = withV.schema
     implicit val enc = org.apache.spark.sql.Encoders.row(
       schema.add("score", "double"))
+    val vIdx = schema.fieldIndex("_v")
     withV.mapPartitions { rows =>
       rows.map { r =>
-        val xs = r.getSeq[Double](schema.fieldIndex("_v"))
+        val xs = r.getSeq[Double](vIdx)
+        // loud like train: a null/mismatched vector scored against a
+        // truncated dot product yields a plausible-but-wrong score
+        require(xs != null && xs.length == w.length,
+          s"Classifier.scoreFrame: feature vector of dim " +
+            s"${if (xs == null) -1 else xs.length} (expected ${w.length})")
         var z = b
         var i = 0
-        val n = math.min(w.length, xs.length)
-        while (i < n) { z += w(i) * xs(i); i += 1 }
+        while (i < w.length) { z += w(i) * xs(i); i += 1 }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sigmoid(z))
       }
     }.drop("_v")

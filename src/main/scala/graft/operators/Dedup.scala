@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** In-plan NULL-text guard for the dedup-DECISION operators: md5(NULL)
+    * is NULL, so every NULL-text row would land in ONE exact-dup group
+    * and `dropExactDuplicates` would silently delete all but one of them;
+    * the line/span forms would silently drop the row and the typed
+    * shingle/simhash kernels would NPE without naming the cause. A dedup
+    * decision over a NULL text is undefined — fail loudly and name the
+    * operator. One codegen'd branch, zero cost on non-null rows. */
+  private def textOrRaise(c: Column, op: String): Column =
+    when(c.isNotNull, c).otherwise(raise_error(lit(
+      s"Dedup.$op: NULL text — a dedup decision over NULL is undefined; " +
+        "filter or fill NULL texts upstream")))
+
   /** Fan CPU-heavy per-row work out to the session's full parallelism when
     * the input arrives under-partitioned (e.g. one small parquet file → one
     * task evaluating every signature). No-op when the source already has
@@ -52,7 +64,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val src = spread(docs)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .select(col(idCol).cast("long").as("id"),
+        textOrRaise(col(textCol), "minhash/shingle signatures").as("text"))
       .as[(Long, String)]
     val withSig = k > 0
     src.mapPartitions { it =>
@@ -157,8 +170,11 @@ object Dedup {
       groupCol: String, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val groups = docs.select(col(groupCol).cast("string")).distinct()
-      .as[String].collect().sorted
+    val rawGroups = docs.select(col(groupCol).cast("string")).distinct()
+      .as[String].collect()
+    require(!rawGroups.contains(null),
+      s"groupOverlapExact: NULL value in group column '$groupCol'")
+    val groups = rawGroups.sorted
     require(groups.length <= 62,
       s"groupOverlapExact supports at most 62 groups, got ${groups.length}")
     val gidx = typedLit(groups.zipWithIndex.toMap)
@@ -196,7 +212,8 @@ object Dedup {
   /** Exact duplicate groups by content fingerprint: one row per distinct
     * text with the lowest id as the canonical representative. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5Fingerprint(col(textCol)).as("fp"))
+    docs.groupBy(md5Fingerprint(textOrRaise(col(textCol), "exactGroups"))
+        .as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Rows surviving exact dedup (keep lowest id per identical text). */
@@ -521,7 +538,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     spread(docs)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .select(col(idCol).cast("long").as("id"),
+        textOrRaise(col(textCol), "simhashSignatures").as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -534,6 +552,9 @@ object Dedup {
 
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // a negative radius would build ZERO chunks and silently return an
+    // empty frame — reject it loudly instead
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val sig = simhashSignatures(docs, idCol, textCol)
     val numChunks = math.min(maxHamming + 1, 64)
     val chunks = sig.select($"id", $"sig",
@@ -820,7 +841,8 @@ object Dedup {
   private def lineRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(textOrRaise(col(textCol), "line dedup"), "\n"))
+          .as(Seq("pos", "line")))
       .filter(length(trim(col("line"))) > 0)
 
   /** Corpus-wide line-level exact dedup (C4-style boilerplate removal):
@@ -936,7 +958,8 @@ object Dedup {
   private def normalizedDocs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        textOrRaise(col(textCol), "duplicate spans").as("text"))
 
   /** Verified corpus-duplicated (doc_id, pos) window positions — the shared
     * candidate pipeline of the counts and spans forms (see

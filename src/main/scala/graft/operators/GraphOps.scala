@@ -63,6 +63,9 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count()
+    // an empty edge table would otherwise surface as a bare division by
+    // zero in the rank seeding below
+    require(n > 0, "pageRank: empty edge table (no nodes)")
     // (src, dst, outdeg) once — each iteration reuses it, so the edge
     // table is shuffled into its join partitioning a single time.
     val contribEdges = e.join(

@@ -162,11 +162,20 @@ object Pq {
     import spark.implicits._
     val cb = model.codebooks
     val dsub = model.dsub
+    val dim = model.dim
     df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         it.map { case (id, vseq) =>
+          // loud like PqIndex.encodeWithCell: a wrong-dim vector would
+          // otherwise encode against a TRUNCATED distance comparison —
+          // garbage codes with no signal (train merely EXCLUDES such
+          // rows, but an encode that silently drops or mis-codes them
+          // corrupts the downstream ADC ranking)
+          require(vseq != null && vseq.length == dim,
+            s"Pq.encode: vector for id $id has dim " +
+              s"${if (vseq == null) -1 else vseq.length}, expected $dim")
           (id, codesOf(cb, dsub, vseq.toArray).toSeq)
         }
       }.toDF("id", "codes")
@@ -204,6 +213,12 @@ object Pq {
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
         it.map { case (id, codes) =>
+          // a short codes row would sum a PARTIAL lookup silently; a
+          // long one would crash with a bare index error — name the id
+          require(codes != null && codes.length == lut.length,
+            s"Pq.adcScores: codes for id $id have length " +
+              s"${if (codes == null) -1 else codes.length}, " +
+              s"expected ${lut.length}")
           var s = 0.0
           var j = 0
           while (j < codes.length) { s += lut(j)(codes(j)); j += 1 }

@@ -21,22 +21,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilaritySearch {
 
-  /** Exact top-k by cosine for one query vector. Ties broken by id. */
+  /** Exact top-k by cosine for one query vector. Ties broken by id.
+    * Degenerate corpus vectors (zero norm / dim mismatch) score null and
+    * are excluded — the [[topKForQueries]] contract. */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, scoreDecimals: Int = 6): DataFrame =
     corpus.select(col(idCol),
         round(cosineSimilarity(col(vecCol), typedLit(query)), scoreDecimals)
           .as("score"))
+      .filter(col("score").isNotNull)
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
 
-  /** Exact top-k per query row (broadcast the queries side). */
+  /** Exact top-k per query row (broadcast the queries side). Degenerate
+    * corpus vectors (zero norm / dimension mismatch) score null and are
+    * EXCLUDED — without the filter they would back-fill ranks on corpora
+    * with < k valid candidates, diverging from [[topKForQueriesHeap]],
+    * which never emits them. */
   def topKForQueries(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(queryId).as("query_id"), col(corpusId).as("id"),
         cosineSimilarity(col(corpusVec), col(queryVec)).as("score"))
+      .filter($"score".isNotNull)
     val w = Window.partitionBy($"query_id")
       .orderBy(desc("score"), $"id".asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{Classifier, Dedup, GraphOps, Pq, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+/** Round-14 core-operator review regressions: data shapes that used to
+  * corrupt results SILENTLY (or crash with a bare NPE / division) must
+  * now fail loudly with a message naming the operator — or, for the
+  * top-k forms, match the documented exclusion contract.
+  *
+  * The sharpest prior behavior: md5(NULL) is NULL, so every NULL-text
+  * row landed in ONE exact-duplicate group and dropExactDuplicates
+  * silently deleted all but one of them. */
+class LoudGuardsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def nullTextDocs = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, null.asInstanceOf[String]),
+    (3L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  private def msgOf(t: Throwable): String = {
+    var c: Throwable = t
+    val sb = new StringBuilder
+    while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+    sb.toString
+  }
+
+  test("exactGroups / dropExactDuplicates raise on NULL text instead of " +
+      "collapsing all NULL-text rows into one dup group") {
+    val e1 = intercept[Exception] {
+      Dedup.exactGroups(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e1).contains("NULL text"), msgOf(e1))
+    val e2 = intercept[Exception] {
+      Dedup.dropExactDuplicates(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e2).contains("NULL text"), msgOf(e2))
+    // positive control: non-null corpus unchanged
+    val groups = Dedup.exactGroups(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(groups.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("line dedup raises on NULL text instead of silently dropping the doc") {
+    val e = intercept[Exception] {
+      Dedup.lineDedupCounts(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e).contains("NULL text"), msgOf(e))
+    val e2 = intercept[Exception] {
+      Dedup.dropDuplicateLines(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e2).contains("NULL text"), msgOf(e2))
+  }
+
+  test("span / shingle / simhash kernels raise a NAMED error on NULL text " +
+      "(previously a bare executor NPE)") {
+    val e1 = intercept[Exception] {
+      Dedup.duplicateSpanCounts(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e1).contains("NULL text"), msgOf(e1))
+    val e2 = intercept[Exception] {
+      Dedup.minhashSignatures(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e2).contains("NULL text"), msgOf(e2))
+    val e3 = intercept[Exception] {
+      Dedup.simhashSignatures(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e3).contains("NULL text"), msgOf(e3))
+  }
+
+  test("simhashPairs rejects a negative radius instead of returning empty") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = -1)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
+  test("groupOverlapExact rejects a NULL group value") {
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c d", null))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.groupOverlapExact(docs, "doc_id", "text", "source")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("Classifier.scoreFrame fails loudly on dim mismatch instead of a " +
+      "silently truncated dot product") {
+    val train = Seq((Seq(0.0, 0.0), 0), (Seq(1.0, 1.0), 1))
+      .toDF("x", "y")
+    val m = Classifier.train(train, "x", "y", dim = 2, iters = 2)
+    val bad = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "x")
+    val e = intercept[Exception] {
+      Classifier.scoreFrame(bad, "x", m).collect()
+    }
+    assert(msgOf(e).contains("scoreFrame"), msgOf(e))
+    // positive control: matching dims still score
+    val ok = Classifier.scoreFrame(
+      Seq((1L, Seq(1.0, 1.0))).toDF("id", "x"), "x", m).collect()
+    assert(ok.length === 1)
+  }
+
+  test("Pq.encode and adcScores fail loudly on wrong-dim input") {
+    val embs = (0 until 64)
+      .map(i => Seq.tabulate(4)(j => (i * 4 + j).toDouble / 10.0))
+      .toDF("v")
+    val model = Pq.train(embs, "v", m = 2, ksub = 4, maxIter = 3)
+    val bad = Seq((7L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Pq.encode(bad, "id", "v", model).collect()
+    }
+    assert(msgOf(e).contains("Pq.encode"), msgOf(e))
+    val badCodes = Seq((7L, Seq(0))).toDF("id", "codes")
+    val e2 = intercept[Exception] {
+      Pq.adcScores(badCodes, model, Seq(1.0, 1.0, 1.0, 1.0)).collect()
+    }
+    assert(msgOf(e2).contains("adcScores"), msgOf(e2))
+  }
+
+  test("pageRank on an empty edge table raises a named error, not a bare " +
+      "division by zero") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pageRankInt(empty, "src", "dst", iters = 1)
+    }
+    assert(e.getMessage.contains("empty edge table"))
+  }
+
+  test("topK / topKForQueries exclude degenerate (zero-norm) corpus " +
+      "vectors — the heap form's contract") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 0.0)), // zero norm: cosine is null
+      (3L, Seq(0.5, 0.5))
+    ).toDF("id", "v")
+    val got = SimilaritySearch.topK(corpus, "id", "v", Seq(1.0, 0.0), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+    val queries = Seq((10L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val got2 = SimilaritySearch.topKForQueries(corpus, queries,
+        "id", "v", "qid", "qv", k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got2 === Set(1L, 3L))
+    // and the heap form agrees row-for-row
+    val got3 = SimilaritySearch.topKForQueriesHeap(corpus, "id", "v",
+        Seq((10L, Array(1.0, 0.0))), k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got3 === got2)
+  }
+}
