@@ -99,6 +99,9 @@ object BinaryQuant {
       .select(col(idCol),
         round(cosineSimilarity(asDouble(col(vecCol)), typedLit(query)),
           scoreDecimals).as("score"))
+      // zero-norm/mismatched candidates score null — excluded, the
+      // SimilaritySearch.topK contract
+      .filter(col("score").isNotNull)
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)
   }

@@ -27,7 +27,10 @@ object Decontaminate {
     val spark = df.sparkSession
     import spark.implicits._
     Dedup.spread(df)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .select(col(idCol).cast("long").as("id"),
+        // named raise instead of a bare kernel NPE — a decontamination
+        // DECISION over NULL text is undefined (the Dedup guard contract)
+        Dedup.textOrRaise(col(textCol), "decontaminate shingles").as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)

@@ -27,7 +27,7 @@ object Dedup {
     * shingle/simhash kernels would NPE without naming the cause. A dedup
     * decision over a NULL text is undefined — fail loudly and name the
     * operator. One codegen'd branch, zero cost on non-null rows. */
-  private def textOrRaise(c: Column, op: String): Column =
+  private[operators] def textOrRaise(c: Column, op: String): Column =
     when(c.isNotNull, c).otherwise(raise_error(lit(
       s"Dedup.$op: NULL text — a dedup decision over NULL is undefined; " +
         "filter or fill NULL texts upstream")))

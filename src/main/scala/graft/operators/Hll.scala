@@ -60,6 +60,12 @@ object Hll {
       if (a.isEmpty) b
       else if (b.isEmpty) a
       else {
+        // the [[union]] guard: merging sketches built at different p
+        // would otherwise silently drop the longer array's tail
+        // registers whenever the accumulator is the shorter one
+        require(a.length == b.length,
+          s"Hll.MergeAgg: sketch size mismatch (${a.length} vs " +
+            s"${b.length} registers — sketches built at different p?)")
         var i = 0
         while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
         a

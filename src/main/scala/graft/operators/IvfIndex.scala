@@ -23,6 +23,18 @@ object IvfIndex {
   private def cellsPath(path: String) = s"$path/cells"
   private def centroidsPath(path: String) = s"$path/centroids"
 
+  /** Assignment-failure guard shared by [[build]] and [[append]]: a
+    * null or dimension-drifted vector assigns cell = -1, which would
+    * WRITE into a `cell=-1` partition that [[probe]] never reads —
+    * silent permanent loss. Fail loudly, naming the offending id. */
+  private def guardedCells(assigned: DataFrame, idCol: String,
+      op: String): DataFrame =
+    assigned.withColumn("cell",
+      when(col("cell") >= 0, col("cell")).otherwise(raise_error(concat(
+        lit(s"IvfIndex.$op: vector failed centroid assignment " +
+          "(dimension drift or null vector) for id "),
+        coalesce(col(idCol).cast("string"), lit("NULL"))))))
+
   /** Build (or rebuild) the index at `path`: one pass to fit centroids on
     * a seeded sample, one pass to assign + write, centroid sidecar last. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
@@ -31,7 +43,9 @@ object IvfIndex {
     import spark.implicits._
     val centroids =
       SimilaritySearch.computeCentroids(corpus, vecCol, ncells, seed)
-    SimilaritySearch.assignCells(corpus, idCol, vecCol, centroids)
+    guardedCells(
+        SimilaritySearch.assignCells(corpus, idCol, vecCol, centroids),
+        idCol, "build")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(cellsPath(path))
@@ -81,17 +95,9 @@ object IvfIndex {
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val centroids = loadCentroids(newVecs.sparkSession, path)
-    // assignment failures (dimension drift vs the index's centroids, null
-    // vectors) yield cell = -1, which would WRITE into a cell=-1 partition
-    // that probe never reads — silent permanent loss on the maintenance
-    // path. Fail loudly instead, naming the offending id.
-    val assigned = SimilaritySearch.assignCells(newVecs, idCol, vecCol,
-        centroids)
-      .withColumn("cell",
-        when(col("cell") >= 0, col("cell")).otherwise(raise_error(concat(
-          lit("IvfIndex.append: vector failed centroid assignment " +
-            "(dimension drift or null vector) for id "),
-          coalesce(col(idCol).cast("string"), lit("NULL"))))))
+    val assigned = guardedCells(
+      SimilaritySearch.assignCells(newVecs, idCol, vecCol, centroids),
+      idCol, "append")
     assigned.write.mode(SaveMode.Append)
       .partitionBy("cell")
       .parquet(cellsPath(path))

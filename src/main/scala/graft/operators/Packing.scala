@@ -23,6 +23,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Packing {
 
+  /** In-plan token-count guard: a NULL count would crash the prefix-sum
+    * kernel with a bare unboxing NPE, and a NEGATIVE one would silently
+    * walk the global prefix sum (or the length bucket) backwards —
+    * corrupting every later document's placement. Fail loudly instead;
+    * free on valid rows. */
+  private def tokensOrRaise(tokenCol: String, op: String) = {
+    val t = col(tokenCol).cast("long")
+    when(t.isNotNull && t >= 0, t).otherwise(raise_error(concat(
+      lit(s"Packing.$op: token count must be a non-negative number, got "),
+      coalesce(col(tokenCol).cast("string"), lit("NULL"))))).as("tokens")
+  }
+
   /** docs must contain `idCol`, a numeric `tokenCol`, and `orderCols`
     * defining a TOTAL concatenation order (ties would make the packing
     * nondeterministic). Returns (idCol, tokens, start_seq, end_seq).
@@ -32,7 +44,7 @@ object Packing {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     val sorted = docs
-      .select(col(idCol), col(tokenCol).cast("long").as("tokens"))
+      .select(col(idCol), tokensOrRaise(tokenCol, "packSequences"))
       .orderBy(orderCols.map(col): _*)
     val rdd = sorted.rdd
 
@@ -86,7 +98,7 @@ object Packing {
     require(binSize > 0 && batchSize > 0, "binSize/batchSize must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col(idCol))
-    docs.select(col(idCol), col(tokenCol).cast("long").as("tokens"))
+    docs.select(col(idCol), tokensOrRaise(tokenCol, "lengthBuckets"))
       .withColumn("bucket",
         least(floor(col("tokens") / binSize), lit(maxBucket)).cast("int"))
       .withColumn("batch_idx",

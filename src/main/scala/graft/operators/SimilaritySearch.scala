@@ -242,7 +242,11 @@ object SimilaritySearch {
       ncells: Int, seed: Long): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // null vectors carry no centroid information and would NPE the
+    // driver-side Lloyd pass; they are excluded HERE so the cell
+    // ASSIGNMENT (which names the offending id) owns the loud failure
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
       .orderBy(xxhash64(col("v").cast("string"), lit(seed)))
       .limit(ncells * 8)
       .as[Seq[Double]].collect()

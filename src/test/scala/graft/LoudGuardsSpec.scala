@@ -131,6 +131,83 @@ class LoudGuardsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty edge table"))
   }
 
+  test("IvfIndex.build rejects a null/mismatched vector instead of " +
+      "writing it into a cell=-1 partition probe never reads") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_guard").toString
+    val good = (0 until 32).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3))))
+      .toDF("id", "v")
+    // positive control: clean corpus builds and probes
+    graft.operators.IvfIndex.build(good, "id", "v", s"$dir/ok", ncells = 2)
+    assert(graft.operators.IvfIndex.probe(spark, s"$dir/ok", "id",
+      Seq(1.0, 0.0), k = 3, nprobe = 2).count() === 3)
+    // a null vector must fail the BUILD loudly (r13 fixed append only)
+    val bad = good.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Double]])).toDF("id", "v"))
+    val e = intercept[Exception] {
+      graft.operators.IvfIndex.build(bad, "id", "v", s"$dir/bad", ncells = 2)
+    }
+    assert(msgOf(e).contains("IvfIndex.build"), msgOf(e))
+  }
+
+  test("Packing rejects NULL and negative token counts instead of " +
+      "corrupting the global prefix sum") {
+    val nullTok = Seq((1L, java.lang.Long.valueOf(3L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      graft.operators.Packing.packSequences(nullTok, "doc_id", "n_tokens",
+        Seq("doc_id"), seqLen = 4).collect()
+    }
+    assert(msgOf(e).contains("Packing.packSequences"), msgOf(e))
+    val negTok = Seq((1L, 3L), (2L, -5L)).toDF("doc_id", "n_tokens")
+    val e2 = intercept[Exception] {
+      graft.operators.Packing.lengthBuckets(negTok, "doc_id", "n_tokens",
+        binSize = 4, batchSize = 2).collect()
+    }
+    assert(msgOf(e2).contains("Packing.lengthBuckets"), msgOf(e2))
+    // positive control: the valid frame still packs
+    val ok = graft.operators.Packing.packSequences(
+      Seq((1L, 3L), (2L, 5L)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", Seq("doc_id"), seqLen = 4).collect()
+    assert(ok.length === 2)
+  }
+
+  test("Hll.MergeAgg rejects sketches of different sizes instead of " +
+      "silently dropping tail registers") {
+    val a = graft.operators.Hll.groupSketches(
+      Seq(("g", "x"), ("g", "y")).toDF("g", "v"), col("v"), Seq("g"), p = 4)
+      .select(col("hll")).first().getAs[Array[Byte]](0)
+    val b = graft.operators.Hll.groupSketches(
+      Seq(("g", "x")).toDF("g", "v"), col("v"), Seq("g"), p = 5)
+      .select(col("hll")).first().getAs[Array[Byte]](0)
+    val agg = new graft.operators.Hll.MergeAgg
+    val e = intercept[IllegalArgumentException] { agg.merge(a, b) }
+    assert(e.getMessage.contains("size mismatch"))
+    // positive control: equal-p sketches merge
+    assert(agg.merge(a.clone(), a.clone()).length === a.length)
+  }
+
+  test("Decontaminate raises a NAMED error on NULL text") {
+    val bench = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.operators.Decontaminate.overlaps(nullTextDocs, "doc_id", "text",
+        bench, "doc_id", "text", n = 2, minOverlap = 1).collect()
+    }
+    assert(msgOf(e).contains("NULL text"), msgOf(e))
+  }
+
+  test("hammingRerankTopK excludes zero-norm candidates from the rerank") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq(0.7, 0.7))
+    ).toDF("id", "v")
+    val got = graft.operators.BinaryQuant.hammingRerankTopK(corpus, "id",
+        "v", dim = 2, query = Seq(1.0, 0.0), k = 3, coarseK = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+  }
+
   test("topK / topKForQueries exclude degenerate (zero-norm) corpus " +
       "vectors — the heap form's contract") {
     val corpus = Seq(
