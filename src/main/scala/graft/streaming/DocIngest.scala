@@ -119,7 +119,10 @@ object DocIngest {
     * per-subject totals maintained in explicit keyed state with
     * mapGroupsWithState, emitting the updated running total once per
     * subject per micro-batch. State is one long per key — bounded by the
-    * subject domain, no watermark needed. */
+    * subject domain, no watermark needed. Sink is a blind append —
+    * AT-LEAST-ONCE under crash replay (a replayed batch re-emits the
+    * same rows); production routes through [[commitBatch]] like
+    * [[startWatermarkDedup]]. */
   def runningCounts(spark: SparkSession, inDir: String, schema: String,
       outDir: String, checkpoint: String): StreamingQuery = {
     import spark.implicits._
@@ -159,7 +162,8 @@ object DocIngest {
     * unbounded stream; the default (no timeout) keeps the query testable
     * with `processAllAvailable`, which never settles once wall-clock
     * timeouts keep scheduling no-data batches. Emitted rows match the
-    * batch rollup's columns. */
+    * batch rollup's columns. Sink is a blind append — at-least-once
+    * under crash replay; production routes through [[commitBatch]]. */
   def sessionize(spark: SparkSession, inDir: String, schema: String,
       outDir: String, checkpoint: String, gapSeconds: Long = 1800L,
       idleTimeout: Option[String] = None): StreamingQuery = {
@@ -570,7 +574,9 @@ object DocIngest {
     * batch pipeline uses) AND a DSIR importance weight, then route it —
     * accepted docs append to `acceptDir`, rejected to `rejectDir`, BOTH
     * carrying the (score, weight_micro) audit columns so the decision
-    * is replayable. The streaming form of the batch curation pipeline:
+    * is replayable. Both sinks are blind appends — at-least-once under
+    * crash replay (per-dir [[commitBatch]] is the exactly-once form).
+    * The streaming form of the batch curation pipeline:
     * the models are frozen driver-side artifacts (dim+1 doubles, B
     * longs) that ride the task closure, the per-batch work is two
     * stateless one-pass kernels (`Classifier.scoreFrame`,
@@ -660,7 +666,9 @@ object DocIngest {
   }
 
   /** Stateful variant: drop exact duplicates across the whole stream by
-    * content fingerprint (dropDuplicates with state). */
+    * content fingerprint (dropDuplicates with state). Blind-append sink —
+    * at-least-once under crash replay; [[startIdempotent]]'s commitBatch
+    * is the exactly-once form. */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,
       collectionPath: String, checkpoint: String, dim: Int = 64): StreamingQuery =
     spark.readStream

@@ -740,4 +740,80 @@ object GraftProperties extends Properties("graft") {
           case scala.util.control.NonFatal(_) => false
         }) :| s"$n threw" }: _*)
     }
+
+  // ── bottom-k quantile sketch algebra (r14 core-operator review) ───────
+  // the scaladoc's headline claim — the sketch is a pure function of the
+  // input MULTISET, independent of fold order, partitioning, and
+  // build-vs-merge path — pinned as algebra, not just observed in specs
+  private val qsRows: Gen[List[(String, Double)]] = Gen.listOf(
+      Gen.zip(Gen.identifier.map(_.take(8)), Gen.chooseNum(-1e6, 1e6)))
+    .map(_.distinctBy(_._1)) // the row-unique key contract
+
+  property("QuantileSketch is merge-order independent: any partitioning " +
+    "and fold order serializes to the identical sketch") =
+    forAll(qsRows, Gen.choose(0, 1000)) { (rows, cut0) =>
+      import graft.operators.QuantileSketch.SampleAgg
+      val k = 16
+      val agg = new SampleAgg(k)
+      def fold(rs: Seq[(String, Double)]): Array[Byte] =
+        rs.foldLeft(agg.zero)(agg.reduce)
+      val whole = agg.finish(fold(rows))
+      val cut = if (rows.isEmpty) 0 else cut0 % (rows.length + 1)
+      val (l, r) = rows.splitAt(cut)
+      val split = agg.finish(agg.merge(fold(l), fold(r)))
+      val reversed = agg.finish(fold(rows.reverse))
+      whole.toSeq == split.toSeq && whole.toSeq == reversed.toSeq
+    }
+
+  property("QuantileSketch below k is exact: the retained sample IS the " +
+    "value multiset and every φ-quantile is the true order statistic") =
+    forAll(qsRows.map(_.take(15))) { rows =>
+      import graft.operators.QuantileSketch._
+      val agg = new SampleAgg(16)
+      val sk = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+      val got = sampleValues(sk)
+      val want = rows.map(_._2).sorted.toArray
+      totalOf(sk) == rows.length.toLong &&
+        got.toSeq == want.toSeq &&
+        (rows.isEmpty || Seq((1L, 2L), (1L, 4L), (1L, 1L), (9L, 10L))
+          .forall { case (n, d) =>
+            quantileAt(sk, n, d).contains(
+              want(((n * want.length + d - 1) / d - 1).toInt))
+          })
+    }
+
+  // ── HLL register algebra ──────────────────────────────────────────────
+  private val hllItems: Gen[List[String]] = Gen.listOf(Gen.identifier)
+
+  property("HLL merge is commutative, agrees with union(), and is " +
+    "idempotent") = forAll(hllItems, hllItems) { (xs, ys) =>
+    import graft.operators.Hll
+    val agg = new Hll.SketchAgg(4)
+    def build(items: List[String]): Array[Byte] =
+      items.foldLeft(agg.zero)(agg.reduce)
+    val (a, b) = (build(xs), build(ys))
+    val m = new Hll.MergeAgg
+    val ab = m.merge(a.clone(), b.clone()).toSeq
+    val ba = m.merge(b.clone(), a.clone()).toSeq
+    ab == ba && ab == Hll.union(a, b).toSeq &&
+      Hll.union(a, a).toSeq == a.toSeq
+  }
+
+  // ── binary sign-quantization packing ──────────────────────────────────
+  property("BinaryQuant.signWordsOf: word bit i%32 of word i/32 is the " +
+    "strict-positive sign of vec(i); padding bits are clear; words stay " +
+    "in unsigned-32 range") =
+    forAll(Gen.listOf(Gen.chooseNum(-10.0, 10.0)), Gen.choose(1, 80)) {
+      (vec, dim) =>
+        val words = graft.operators.BinaryQuant.signWordsOf(vec, dim)
+        val nWords = (dim + 31) / 32
+        words.length == nWords &&
+          words.forall(w => w >= 0L && w < (1L << 32)) &&
+          (0 until nWords * 32).forall { i =>
+            val bit = (words(i / 32) >> (i % 32)) & 1L
+            val expect =
+              if (i < dim && i < vec.length && vec(i) > 0.0) 1L else 0L
+            bit == expect
+          }
+    }
 }
