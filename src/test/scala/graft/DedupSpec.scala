@@ -114,6 +114,38 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents agrees with an independent union-find on " +
+      "randomized graphs (r14 review: the operator under every dedup " +
+      "action had only hand cases and chain stress)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 150 + rnd.nextInt(100)
+      // mixed density + duplicate edges + both orientations
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }
+      // independent union-find with min-id labels
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("cosinePairsSemantic: precision 1 by construction; recall pinned " +
       "on the testdata corpus") {
     val sf = "/root/testdata/sf0.001"
