@@ -30,7 +30,7 @@ object Decontaminate {
       .select(col(idCol).cast("long").as("id"),
         // named raise instead of a bare kernel NPE — a decontamination
         // DECISION over NULL text is undefined (the Dedup guard contract)
-        Dedup.textOrRaise(col(textCol), "decontaminate shingles").as("text"))
+        Dedup.textOrRaise(col(textCol), "Decontaminate shingles").as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)

@@ -20,16 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** In-plan NULL-text guard for the dedup-DECISION operators: md5(NULL)
-    * is NULL, so every NULL-text row would land in ONE exact-dup group
-    * and `dropExactDuplicates` would silently delete all but one of them;
+  /** In-plan NULL-text guard for the text-DECISION operators (dedup,
+    * decontamination, quality verdicts): md5(NULL) is NULL, so every
+    * NULL-text row would land in ONE exact-dup group and
+    * `dropExactDuplicates` would silently delete all but one of them;
     * the line/span forms would silently drop the row and the typed
-    * shingle/simhash kernels would NPE without naming the cause. A dedup
-    * decision over a NULL text is undefined — fail loudly and name the
-    * operator. One codegen'd branch, zero cost on non-null rows. */
+    * kernels would NPE without naming the cause. A decision over a NULL
+    * text is undefined — fail loudly and name the operator (callers pass
+    * the fully-qualified name). One codegen'd branch, zero cost on
+    * non-null rows. */
   private[operators] def textOrRaise(c: Column, op: String): Column =
     when(c.isNotNull, c).otherwise(raise_error(lit(
-      s"Dedup.$op: NULL text — a dedup decision over NULL is undefined; " +
+      s"$op: NULL text — a text decision over NULL is undefined; " +
         "filter or fill NULL texts upstream")))
 
   /** Fan CPU-heavy per-row work out to the session's full parallelism when
@@ -65,7 +67,7 @@ object Dedup {
     import spark.implicits._
     val src = spread(docs)
       .select(col(idCol).cast("long").as("id"),
-        textOrRaise(col(textCol), "minhash/shingle signatures").as("text"))
+        textOrRaise(col(textCol), "Dedup minhash/shingle signatures").as("text"))
       .as[(Long, String)]
     val withSig = k > 0
     src.mapPartitions { it =>
@@ -212,7 +214,7 @@ object Dedup {
   /** Exact duplicate groups by content fingerprint: one row per distinct
     * text with the lowest id as the canonical representative. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5Fingerprint(textOrRaise(col(textCol), "exactGroups"))
+    docs.groupBy(md5Fingerprint(textOrRaise(col(textCol), "Dedup.exactGroups"))
         .as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -539,7 +541,7 @@ object Dedup {
     import spark.implicits._
     spread(docs)
       .select(col(idCol).cast("long").as("id"),
-        textOrRaise(col(textCol), "simhashSignatures").as("text"))
+        textOrRaise(col(textCol), "Dedup.simhashSignatures").as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -841,7 +843,7 @@ object Dedup {
   private def lineRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(textOrRaise(col(textCol), "line dedup"), "\n"))
+        posexplode(split(textOrRaise(col(textCol), "Dedup line dedup"), "\n"))
           .as(Seq("pos", "line")))
       .filter(length(trim(col("line"))) > 0)
 
@@ -959,7 +961,7 @@ object Dedup {
       textCol: String): DataFrame =
     spread(docs)
       .select(col(idCol).cast("long").as("doc_id"),
-        textOrRaise(col(textCol), "duplicate spans").as("text"))
+        textOrRaise(col(textCol), "Dedup duplicate spans").as("text"))
 
   /** Verified corpus-duplicated (doc_id, pos) window positions — the shared
     * candidate pipeline of the counts and spans forms (see

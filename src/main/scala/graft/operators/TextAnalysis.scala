@@ -188,6 +188,17 @@ object TextAnalysis {
   // per-row text analytics have no relational structure for Catalyst to
   // optimize anyway.
 
+  /** Shared NULL-text guard for the typed-kernel frames below (the
+    * [[Dedup.textOrRaise]] posture): these kernels feed quality VERDICTS
+    * and per-doc signals — a NULL text used to surface as a bare
+    * executor NPE (or, in the gzip kernel, silently conflate with the
+    * empty string). One codegen'd branch, free on valid rows. */
+  private def guardedDocs(docs: DataFrame, idCol: String, textCol: String,
+      op: String): DataFrame =
+    Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.textOrRaise(col(textCol), s"TextAnalysis.$op").as("text"))
+
   // Locale.ROOT: a tr-TR default locale would map I -> dotless ı and
   // diverge from the oracle's locale-independent lower()
   private[operators] def tokensOf(text: String): Array[String] =
@@ -209,8 +220,7 @@ object TextAnalysis {
   def langIdFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "langIdFrame")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, langIdOf(t)) })
       .toDF("doc_id", "lang_pred")
@@ -240,8 +250,7 @@ object TextAnalysis {
   def qualityFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "qualityFrame")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val (n, mtl, pr, sr, q) = qualityOf(t)
@@ -578,8 +587,7 @@ object TextAnalysis {
       .distinct.sorted.toArray
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val base = guardedDocs(docs, idCol, textCol, "keywordHits")
       .as[(Long, String)]
     val hits =
       if (kws.length >= acThreshold) {
@@ -620,8 +628,7 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "normalizeFrame")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, normalizeOf(t)) })
       .toDF("doc_id", "normalized")
@@ -656,8 +663,7 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "repetitionFrame")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val (nl, dl, nb, tc) = repetitionCountsOf(t)
@@ -671,8 +677,7 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "tokenCountsFrame")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val (ws, sub) = tokenCountsOf(t)
@@ -704,8 +709,7 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "rollingFingerprintFrame")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         (id, rollingFingerprintOf(t))
@@ -727,8 +731,7 @@ object TextAnalysis {
       minQuality: Double, requiredLang: Option[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "cleanVerdictFrame")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val (nTok, _, _, _, quality) = qualityOf(t)
@@ -996,19 +999,20 @@ object TextAnalysis {
     * (one Deflater per partition, reused); level pinned so the ratio is
     * a stable engine constant (pinned in GoldenValuesSpec; the
     * 0 < ratio ≤ bound invariant is oracle-gated by docs_gzip_audit).
-    * Empty text → ratio 0. */
+    * Empty text → ratio 0; NULL text raises (it is not an empty doc —
+    * the [[Dedup.textOrRaise]] posture). */
   def gzipRatioFrame(docs: DataFrame, idCol: String, textCol: String,
       level: Int = 6, decimals: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    guardedDocs(docs, idCol, textCol, "gzipRatioFrame")
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, t) =>
-          val raw = (if (t == null) "" else t).getBytes("UTF-8")
+          // NULL text raises upstream (guardedDocs); empty stays ratio 0
+          val raw = t.getBytes("UTF-8")
           if (raw.isEmpty) (id, 0L, 0L, 0.0)
           else {
             deflater.reset()

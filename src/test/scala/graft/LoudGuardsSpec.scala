@@ -187,6 +187,28 @@ class LoudGuardsSpec extends SparkSpec {
     assert(agg.merge(a.clone(), a.clone()).length === a.length)
   }
 
+  test("TextAnalysis kernel frames raise a NAMED error on NULL text " +
+      "(previously a bare NPE; gzipRatioFrame silently conflated NULL " +
+      "with empty)") {
+    import graft.operators.TextAnalysis
+    val e = intercept[Exception] {
+      TextAnalysis.cleanVerdictFrame(nullTextDocs, "doc_id", "text",
+        minTokens = 1, maxDupLineFrac = 1.0, maxTopBigramFrac = 1.0,
+        minQuality = 0.0, requiredLang = None).collect()
+    }
+    assert(msgOf(e).contains("cleanVerdictFrame"), msgOf(e))
+    val e2 = intercept[Exception] {
+      TextAnalysis.gzipRatioFrame(nullTextDocs, "doc_id", "text").collect()
+    }
+    assert(msgOf(e2).contains("gzipRatioFrame"), msgOf(e2))
+    // empty text keeps its documented ratio-0 row
+    val ok = TextAnalysis.gzipRatioFrame(
+      Seq((1L, ""), (2L, "some text")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getDouble(3))
+      .toMap
+    assert(ok(1L) === 0.0 && ok(2L) > 0.0)
+  }
+
   test("Decontaminate raises a NAMED error on NULL text") {
     val bench = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val e = intercept[Exception] {
