@@ -802,9 +802,14 @@ object Dedup {
     val members = connectedComponents(pairs)
     val safeW = when(col(weightCol).isNull || isnan(col(weightCol)),
       lit(Double.NegativeInfinity)).otherwise(col(weightCol))
+    // one weight per id BEFORE the member join (max — ties cannot arise
+    // after the reduce): a duplicated weights row used to fan its member
+    // out into BOTH a rank-1 and a rank>1 row, so the cluster's BEST
+    // member landed in the losers anti-join and was silently dropped
+    val oneW = weights.select(col(idCol).as("id"), safeW.as("w"))
+      .groupBy($"id").agg(max($"w").as("w"))
     val ranked = members
-      .join(weights.select(col(idCol).as("id"), safeW.as("w")),
-        Seq("id"), "left")
+      .join(oneW, Seq("id"), "left")
       .withColumn("w", coalesce($"w", lit(Double.NegativeInfinity)))
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy($"comp").orderBy(desc("w"), $"id")))

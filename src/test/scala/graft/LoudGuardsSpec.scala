@@ -230,6 +230,19 @@ class LoudGuardsSpec extends SparkSpec {
     assert(got === Set(1L, 3L))
   }
 
+  test("dropNearDuplicatesBest survives duplicate weight rows — the best " +
+      "member used to land in the losers anti-join and vanish") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // id 2 is the best copy but carries TWO weight rows
+    val weights = Seq((1L, 0.1), (2L, 0.9), (2L, 0.9), (3L, 0.5))
+      .toDF("doc_id", "w")
+    val kept = Dedup.dropNearDuplicatesBest(docs, "doc_id", pairs,
+        weights, "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("topK / topKForQueries exclude degenerate (zero-norm) corpus " +
       "vectors — the heap form's contract") {
     val corpus = Seq(
