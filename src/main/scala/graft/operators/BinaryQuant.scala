@@ -88,19 +88,30 @@ object BinaryQuant {
   /** Two-stage retrieval over sign codes: Hamming top-`coarseK`
     * candidates, then exact cosine top-`k` among them — the
     * compressed-domain production shape ([[Pq.adcTopK]]'s cheaper
-    * sibling). Output: (id, score) rounded to `scoreDecimals`. */
+    * sibling). Output: (id, score) rounded to `scoreDecimals`.
+    *
+    * Degenerate corpus rows (null / dim-drifted / zero-norm vectors)
+    * are excluded BEFORE the coarse stage, not just at the rerank:
+    * such a row sign-packs to all-zero words — valid Hamming mass that
+    * can rank high against a mostly-negative query, occupy coarseK
+    * slots, and starve the rerank below k rows even when k valid
+    * candidates exist. The filter is one short-circuit array scan in
+    * the same codegen stage as the pack. */
   def hammingRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, query: Seq[Double], k: Int, coarseK: Int,
       scoreDecimals: Int = 6): DataFrame = {
     require(coarseK >= k, "coarseK must be >= k")
-    val cands = hammingTopK(corpus, idCol, vecCol, dim, query, coarseK)
+    val vd = asDouble(col(vecCol))
+    val valid = corpus.filter(col(vecCol).isNotNull &&
+      size(vd) === dim && exists(vd, x => x =!= 0.0))
+    val cands = hammingTopK(valid, idCol, vecCol, dim, query, coarseK)
       .select(col(idCol))
-    corpus.join(broadcast(cands), Seq(idCol), "left_semi")
+    valid.join(broadcast(cands), Seq(idCol), "left_semi")
       .select(col(idCol),
         round(cosineSimilarity(asDouble(col(vecCol)), typedLit(query)),
           scoreDecimals).as("score"))
-      // zero-norm/mismatched candidates score null — excluded, the
-      // SimilaritySearch.topK contract
+      // the valid filter leaves no null scores, but keep the topK
+      // contract explicit against upstream drift
       .filter(col("score").isNotNull)
       .orderBy(desc("score"), col(idCol).asc)
       .limit(k)

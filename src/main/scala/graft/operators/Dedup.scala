@@ -802,14 +802,17 @@ object Dedup {
     val members = connectedComponents(pairs)
     val safeW = when(col(weightCol).isNull || isnan(col(weightCol)),
       lit(Double.NegativeInfinity)).otherwise(col(weightCol))
-    // one weight per id BEFORE the member join (max — ties cannot arise
-    // after the reduce): a duplicated weights row used to fan its member
-    // out into BOTH a rank-1 and a rank>1 row, so the cluster's BEST
-    // member landed in the losers anti-join and was silently dropped
-    val oneW = weights.select(col(idCol).as("id"), safeW.as("w"))
-      .groupBy($"id").agg(max($"w").as("w"))
+    // one weight per member AFTER the left join (max — ties cannot arise
+    // post-reduce): a duplicated weights row used to fan its member out
+    // into BOTH a rank-1 and a rank>1 row, so the cluster's BEST member
+    // landed in the losers anti-join and was silently dropped. Reducing
+    // on (id, comp) post-join keeps the reduce at MEMBER cardinality —
+    // the scaladoc's "cluster cardinality, not corpus cardinality"
+    // claim — instead of pre-aggregating the full weights frame.
     val ranked = members
-      .join(oneW, Seq("id"), "left")
+      .join(weights.select(col(idCol).as("id"), safeW.as("w")),
+        Seq("id"), "left")
+      .groupBy($"id", $"comp").agg(max($"w").as("w"))
       .withColumn("w", coalesce($"w", lit(Double.NegativeInfinity)))
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy($"comp").orderBy(desc("w"), $"id")))

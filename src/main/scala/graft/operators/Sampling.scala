@@ -118,21 +118,28 @@ object Sampling {
     *
     * Scale: one map-side-combinable aggregation to one row per group;
     * the collect is a bounded sidecar (languages/sources, not data) and
-    * the sequential loop is O(groups) on the driver. Output: one row
+    * the sequential loop is O(groups) on the driver — capped at
+    * `maxGroups` so a mistakenly data-grained `groupCol` (doc_id) fails
+    * loudly BEFORE pulling the corpus to the driver (the
+    * Drift/KmvSketch cardinality-guard discipline). Output: one row
     * per group — (groupCol, tokens, alloc). `alloc > tokens` means the
     * group upsamples (epochs > 1); pair with [[tokenBudgetSampleBy]]
     * for the ≤ 1-epoch admission side. */
   def unimaxAllocation(df: DataFrame, groupCol: String, tokensCol: Column,
-      budget: Long, maxEpochs: Int): DataFrame = {
+      budget: Long, maxEpochs: Int, maxGroups: Int = 65536): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(maxEpochs >= 1, "maxEpochs must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val totals = df.groupBy(col(groupCol).cast("string").as(groupCol))
       .agg(coalesce(sum(tokensCol).cast("long"), lit(0L)).as("tokens"))
+      .limit(maxGroups + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (g, tok) => (tok, g) }
+    require(totals.length <= maxGroups,
+      s"Sampling.unimaxAllocation: over $maxGroups groups — the group " +
+        "column looks data-grained, not segment-grained")
     val n = totals.length
     var rem = budget
     val rows = totals.zipWithIndex.map { case ((g, tok), i) =>
@@ -202,12 +209,13 @@ object Sampling {
     * with zero tokens get zero (they hold no mass to sample).
     *
     * Same scale shape as [[unimaxAllocation]]: one map-side-combinable
-    * aggregation to a bounded per-group sidecar, O(groups) driver loop,
+    * aggregation to a bounded per-group sidecar (`maxGroups`-capped
+    * with a loud failure, same discipline), O(groups) driver loop,
     * BigInt internally (no overflow at any corpus size). Output:
     * (groupCol, tokens, alloc); pair with [[tokenBudgetSampleBy]]. */
   def sqrtTemperatureAllocation(df: DataFrame, groupCol: String,
       tokensCol: Column, budget: Long,
-      precisionDigits: Int = 8): DataFrame = {
+      precisionDigits: Int = 8, maxGroups: Int = 65536): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(precisionDigits >= 0 && precisionDigits <= 18,
       "precisionDigits must be in [0, 18]")
@@ -215,9 +223,13 @@ object Sampling {
     import spark.implicits._
     val totals = df.groupBy(col(groupCol).cast("string").as(groupCol))
       .agg(coalesce(sum(tokensCol).cast("long"), lit(0L)).as("tokens"))
+      .limit(maxGroups + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
+    require(totals.length <= maxGroups,
+      s"Sampling.sqrtTemperatureAllocation: over $maxGroups groups — " +
+        "the group column looks data-grained, not segment-grained")
     val prec = BigInt(10).pow(2 * precisionDigits)
     val weights = totals.map { case (g, tok) =>
       (g, tok, isqrt(BigInt(tok) * prec))

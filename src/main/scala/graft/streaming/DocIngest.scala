@@ -584,7 +584,15 @@ object DocIngest {
     * state store, no shuffle of text beyond the id join, so the gate's
     * per-batch cost is O(batch) at any corpus size. Deterministic:
     * replaying a batch reproduces byte-identical decisions (hash
-    * embedding, frozen models, no RNG). */
+    * embedding, frozen models, no RNG).
+    *
+    * NULL-text rows are routed to `rejectDir` with NULL (score,
+    * weight_micro) audit columns BEFORE scoring: letting them reach
+    * `Classifier.scoreFrame`'s dim require (or Dsir's tokenizer) would
+    * fail the batch, and a streaming restart replays the same batch —
+    * a poison pill that wedges the query forever. A NULL audit column
+    * is the replayable record that the signal FAILED to compute, which
+    * is itself a rejection reason. */
   def startCurationGated(spark: SparkSession, inDir: String, schema: String,
       acceptDir: String, rejectDir: String, checkpoint: String,
       model: graft.operators.Classifier.Model, ratioMicro: Array[Long],
@@ -599,18 +607,33 @@ object DocIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.{Classifier, Dsir}
         if (!batch.isEmpty) {
-          val scored = Classifier.scoreFrame(
-            batch.withColumn("vector",
-              Fingerprints.hashEmbed(col("text"), dim)),
-            "vector", model).drop("vector")
-          val weighted = scored.join(
-            Dsir.importanceWeights(batch, idCol, "text", ratioMicro)
-              .withColumnRenamed("id", idCol),
-            Seq(idCol))
-          val accept = col("score") >= minScore &&
-            col("weight_micro") >= minWeightMicro
-          weighted.filter(accept).write.mode("append").parquet(acceptDir)
-          weighted.filter(!accept).write.mode("append").parquet(rejectDir)
+          val outCols = (batch.columns.toSeq :+ "score" :+ "weight_micro")
+            .map(col)
+          val invalid = batch.filter(col("text").isNull)
+          if (!invalid.isEmpty) {
+            invalid
+              .withColumn("score", lit(null).cast("double"))
+              .withColumn("weight_micro", lit(null).cast("long"))
+              .select(outCols: _*)
+              .write.mode("append").parquet(rejectDir)
+          }
+          val clean = batch.filter(col("text").isNotNull)
+          if (!clean.isEmpty) {
+            val scored = Classifier.scoreFrame(
+              clean.withColumn("vector",
+                Fingerprints.hashEmbed(col("text"), dim)),
+              "vector", model).drop("vector")
+            val weighted = scored.join(
+              Dsir.importanceWeights(clean, idCol, "text", ratioMicro)
+                .withColumnRenamed("id", idCol),
+              Seq(idCol))
+            val accept = col("score") >= minScore &&
+              col("weight_micro") >= minWeightMicro
+            weighted.filter(accept).select(outCols: _*)
+              .write.mode("append").parquet(acceptDir)
+            weighted.filter(!accept).select(outCols: _*)
+              .write.mode("append").parquet(rejectDir)
+          }
         }
         ()
       }

@@ -264,4 +264,49 @@ class LoudGuardsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(got3 === got2)
   }
+
+  test("hammingRerankTopK: degenerate vectors cannot starve the coarse " +
+      "stage — they used to occupy coarseK slots and leave < k results") {
+    // an all-negative query sign-packs to all-zero words, so every
+    // degenerate row (zero-norm / null / dim-drifted → all-zero code)
+    // ties at Hamming 0 and, with smaller ids, wins every coarseK slot
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0)),                   // zero norm
+      (2L, null.asInstanceOf[Seq[Double]]),  // null vector
+      (3L, Seq(-1.0)),                       // dim-drifted
+      (10L, Seq(-1.0, -2.0)),                // valid
+      (11L, Seq(-2.0, -1.0))                 // valid
+    ).toDF("id", "v")
+    val got = graft.operators.BinaryQuant.hammingRerankTopK(corpus, "id",
+        "v", dim = 2, query = Seq(-1.0, -1.0), k = 2, coarseK = 2)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet === Set(10L, 11L))
+    assert(got.forall(!_.isNullAt(1)))
+  }
+
+  test("unimaxAllocation / sqrtTemperatureAllocation raise loudly on a " +
+      "data-grained group column instead of pulling the corpus") {
+    import graft.operators.Sampling
+    val dataGrained = (0 until 10)
+      .map(i => (s"doc_$i", 100L)).toDF("grp", "n_tokens")
+    val e1 = intercept[Exception] {
+      Sampling.unimaxAllocation(dataGrained, "grp", col("n_tokens"),
+        budget = 500L, maxEpochs = 2, maxGroups = 4)
+    }
+    assert(msgOf(e1).contains("unimaxAllocation") &&
+      msgOf(e1).contains("data-grained"), msgOf(e1))
+    val e2 = intercept[Exception] {
+      Sampling.sqrtTemperatureAllocation(dataGrained, "grp",
+        col("n_tokens"), budget = 500L, maxGroups = 4)
+    }
+    assert(msgOf(e2).contains("sqrtTemperatureAllocation") &&
+      msgOf(e2).contains("data-grained"), msgOf(e2))
+    // positive control: at-or-under the cap both still allocate
+    val ok = Sampling.unimaxAllocation(dataGrained, "grp", col("n_tokens"),
+      budget = 500L, maxEpochs = 2, maxGroups = 10)
+    assert(ok.count() === 10L)
+    val ok2 = Sampling.sqrtTemperatureAllocation(dataGrained, "grp",
+      col("n_tokens"), budget = 500L, maxGroups = 10)
+    assert(ok2.agg(sum("alloc")).collect()(0).getLong(0) === 500L)
+  }
 }

@@ -1018,6 +1018,69 @@ class StreamingSpec extends SparkSpec {
       === Set("score", "weight_micro"))
   }
 
+  test("curation gate stream survives a NULL-text row — routed to reject " +
+      "with NULL audit columns instead of poison-pilling the query") {
+    import graft.operators.{Classifier, Dsir}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_curnull_in").toString
+    val acc = Files.createTempDirectory("graft_curnull_out").toString + "/acc"
+    val rej = Files.createTempDirectory("graft_curnull_out2").toString + "/rej"
+    val ckpt = Files.createTempDirectory("graft_curnull_ck").toString
+    val dim = 16
+    val ref = Seq(
+      (100L, "spark distributed query engine", 1.0),
+      (101L, "cake recipe with chocolate", 0.0)
+    ).toDF("doc_id", "text", "y")
+    val refEmb = ref.withColumn("x",
+      graft.functions.Fingerprints.hashEmbed(col("text"), dim))
+    val model = Classifier.train(refEmb, "x", "y", dim, lr = 1.0, iters = 40)
+    val ratio = Dsir.logRatioMicro(
+      ref.filter(col("y") === 1.0), ref, "text", 64)
+
+    // a NULL-text row in the SAME batch as valid rows: the batch must
+    // still complete (scoreFrame's dim require would otherwise fail the
+    // whole batch, and restart replays it forever)
+    Seq((0L, "spark query engine internals"),
+        (1L, null.asInstanceOf[String]),
+        (2L, "chocolate cake frosting"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+
+    val q = DocIngest.startCurationGated(spark, in, schema, acc, rej, ckpt,
+      model, ratio, minScore = 0.5, minWeightMicro = 1L, dim = dim,
+      pollInterval = "200 milliseconds")
+    try q.processAllAvailable() finally q.stop()
+
+    val accDf = spark.read.parquet(acc)
+    val rejDf = spark.read.parquet(rej)
+    val accIds = accDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rejIds = rejDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((accIds ++ rejIds) === Set(0L, 1L, 2L))
+    assert(accIds.intersect(rejIds) === Set.empty)
+    // the NULL-text row is always rejected, with NULL audit columns —
+    // the replayable record that the signal did not compute
+    assert(rejIds.contains(1L))
+    val nullRow = rejDf.filter(col("doc_id") === 1L).collect()
+    assert(nullRow.length === 1)
+    assert(nullRow(0).isNullAt(nullRow(0).fieldIndex("score")))
+    assert(nullRow(0).isNullAt(nullRow(0).fieldIndex("weight_micro")))
+    // the valid rows still scored (non-null audit columns) and their
+    // decisions replay from the frozen models over the text-only rows
+    val valid = Seq((0L, "spark query engine internals"),
+      (2L, "chocolate cake frosting")).toDF("doc_id", "text")
+    val expected = Classifier.scoreFrame(
+        valid.withColumn("v", graft.functions.Fingerprints.hashEmbed(
+          col("text"), dim)), "v", model)
+      .join(Dsir.importanceWeights(valid, "doc_id", "text", ratio)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .filter(col("score") >= 0.5 && col("weight_micro") >= 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accIds === expected)
+    val scoredValid = accDf.unionByName(rejDf)
+      .filter(col("doc_id") =!= 1L).collect()
+    assert(scoredValid.length === 2 &&
+      scoredValid.forall(r => !r.isNullAt(r.fieldIndex("score"))))
+  }
+
   test("drift monitor stream: an in-distribution batch scores near-zero " +
       "PSI, a shifted batch alarms, one report row per batch") {
     import graft.operators.Drift
