@@ -1,6 +1,105 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Pinned-prior contention canary (VERDICT r14 → r15 #1): a fixed,
+  * purely JVM-local CPU+memory workload run between chunks — while the
+  * bench's own Spark session is STOPPED — so its wall time reads the
+  * HOST, not the suite: external co-tenants inflate it, the bench's own
+  * code cannot. Three rounds (r12-r14) burned adjudication effort
+  * proving shared-host bursts weren't regressions from per-query
+  * ratios alone; with a per-chunk canary the driver's number is
+  * self-labeling and a burst maps to the exact chunk it hit.
+  *
+  * Work = `threads` concurrent fixed loops of xorshift mixing plus
+  * random reads over a private 4 MiB buffer — deliberately
+  * cache/bandwidth-sensitive, because a pure-register spin canary
+  * misses memory-bandwidth contention, the dominant shared-host tax on
+  * a 32-core box whose co-tenants also run data suites. The workload
+  * is SF-independent (synthetic), so ONE quiet-window prior covers
+  * every bench invocation; buffers are built once outside the timed
+  * window and reused, so no allocation or GC rides the reading. */
+private[graft] object BenchCanary {
+  /** A chunk canary above this × prior marks the run contended. */
+  val ContendedRatio = 1.3
+  /** Pre-existing machine load above this at bench start marks the run
+    * contended regardless of canary readings (the r12 lesson: a high
+    * START load1m is the read-only contention signature; end-of-run
+    * load mostly reflects the bench's own tail). */
+  val LoadStartThreshold = 2.0
+  /** Quiet-window prior, pinned from a solo run on the round host
+    * (load1m < 0.6, 12 back-to-back readings spanning 0.242-0.262 s,
+    * median 0.252). Re-pin via SPARK_GRAFT_CANARY_PRIOR_SEC after a
+    * host change. */
+  val PinnedPriorSec = 0.25
+
+  def priorSec: Double =
+    sys.env.get("SPARK_GRAFT_CANARY_PRIOR_SEC")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .filter(p => p.isFinite && p > 0)
+      .getOrElse(PinnedPriorSec)
+
+  private val BufWords = 1 << 19 // 4 MiB of longs per thread
+  private val ItersPerThread = 40000000
+  private val buffers =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  // the summed reads must stay observable or the JIT deletes the loop
+  private val sink = new java.util.concurrent.atomic.AtomicLong
+
+  private def bufFor(i: Int): Array[Long] =
+    buffers.computeIfAbsent(i, _ => {
+      val a = new Array[Long](BufWords)
+      var x = 0x9E3779B97F4A7C15L + i
+      var j = 0
+      while (j < BufWords) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(j) = x; j += 1
+      }
+      a
+    })
+
+  // the first execution of the loop pays JIT compilation (measured ~7×
+  // the steady-state wall) — without a discarded warm pass the run's
+  // FIRST chunk would always read as false contention
+  @volatile private var warmed = false
+
+  /** One canary reading: wall seconds for `threads` concurrent fixed
+    * work units (buffers resolved BEFORE the clock starts; first call
+    * runs a discarded warm pass so JIT cost never rides a reading). */
+  def once(threads: Int): Double = {
+    // two passes: tiered compilation reaches C2 only on the second
+    // (one warm pass still read ~1.6× steady — past the 1.3 threshold)
+    if (!warmed) { warmed = true; once(threads); once(threads) }
+    val mask = BufWords - 1
+    val ts = (0 until threads).map { i =>
+      val buf = bufFor(i)
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L ^ i.toLong
+        var s = 0L
+        var k = 0
+        while (k < ItersPerThread) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          s += buf((x & 0x7FFFFFFFL).toInt & mask)
+          k += 1
+        }
+        sink.addAndGet(s)
+        ()
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The self-labeling verdict: contended when the machine was already
+    * loaded at start OR any chunk's canary inflated past the pinned
+    * prior. Pure — spec'd directly. */
+  def contended(loadStart: Double, canarySecs: Seq[Double],
+      prior: Double): Boolean =
+    loadStart > LoadStartThreshold ||
+      canarySecs.exists(_ > ContendedRatio * prior)
+}
+
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
@@ -328,6 +427,21 @@ object Bench {
     // produced it without a forensic round. Includes session create/
     // stop + purge overhead — the part per-query seconds can't see.
     val chunkWallMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // contention self-labeling (VERDICT r15 #1): one load1m reading and
+    // one pinned-prior canary before EVERY chunk (the session is down at
+    // that moment — the canary reads the host, not the suite) plus one
+    // of each after the last chunk, so "before AND after each chunk" is
+    // the same n+1-length array. ~0.3 s/chunk quiet ≈ 1.5% of a full run.
+    val noCanary = sys.env.contains("SPARK_GRAFT_NO_CANARY")
+    val canarySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val loadPerChunk = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val nThreads = scala.util.Try(cpus.toInt).getOrElse(32)
+    def contentionSample(): Unit = {
+      loadPerChunk += loadNow
+      if (!noCanary) canarySecs += BenchCanary.once(nThreads)
+    }
     var first = true
     val chunks = pack(names, chunkSize)
     // chunk membership of every query, captured from the ACTUAL run plan
@@ -336,6 +450,7 @@ object Bench {
       case (chunk, i) => chunk.map { case (n, _) => n -> i }
     }.toMap
     val results = chunks.flatMap { chunk =>
+      contentionSample()
       val wall0 = System.nanoTime()
       val gc0 = gcMsNow
       val spark = newSession(sfDir, cpus)
@@ -377,6 +492,7 @@ object Bench {
       chunkWallMs += (System.nanoTime() - wall0) / 1000000L
       rs
     }
+    contentionSample() // the "after the last chunk" reading
     // The driver keeps only the TAIL (~2 kB) of the run's output
     // (BENCH_r05 was front-truncated → parsed:null), so the one line must
     // fit entirely: per-query detail is capped to the 30 most expensive
@@ -423,21 +539,33 @@ object Bench {
       if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
         "bench_bins_local.json"
       else s"bench_bins_${new java.io.File(sfDir).getName}_partial.json"
+    // contention telemetry, serialized once for sidecar + metric line:
+    // canary/load arrays are n_chunks+1 long (before each chunk + after
+    // the last), ratios are against the pinned quiet prior
+    val canaryArr = canarySecs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    val loadArr = loadPerChunk.map(l => f"$l%.1f").mkString("[", ",", "]")
+    val canaryPrior = BenchCanary.priorSec
+    val canaryMaxRatio =
+      if (canarySecs.isEmpty) 0.0 else canarySecs.max / canaryPrior
+    val isContended =
+      BenchCanary.contended(loadStart, canarySecs.toSeq, canaryPrior)
     try {
       val binsJson = chunks.map(_.map { case (n, _) => "\"" + n + "\"" }
         .mkString("[", ",", "]")).mkString("[", ",", "]")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(binsFile),
         (s"""{"sf":"$sfDir","bins":$binsJson,""" +
-          s""""wall_ms_per_chunk":$walls,"gc_ms_per_chunk":$gcs}""")
+          s""""wall_ms_per_chunk":$walls,"gc_ms_per_chunk":$gcs,""" +
+          f""""canary_prior_sec":$canaryPrior%.2f,""" +
+          s""""canary_sec_per_chunk":$canaryArr,""" +
+          s""""load_per_chunk":$loadArr,"contended":$isContended}""")
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    val env = {
+    def env(withArrays: Boolean) = {
       val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
       val ccMb = reservedCodeCacheBytes / (1024 * 1024)
       val reexec = sys.env.contains("SPARK_GRAFT_REEXECED")
-      val load = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
+      val load = loadNow
       // chunk index of each top-30 entry, POSITIONALLY aligned with the
       // "queries" map's cost-descending order (~4 bytes/entry): with the
       // wall/GC arrays this adjudicates every expensive query's reading
@@ -445,8 +573,22 @@ object Bench {
       // retained line. Full name-level bins: bench_bins_local.json.
       val binIdx = top.map { case (k, _, _) => binOf.getOrElse(k, -1) }
         .mkString("[", ",", "]")
-      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load_start":$loadStart%.1f,"load1m":$load%.1f,"cpus":$cpus,"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls,"bin_idx":$binIdx,"bins_file":"$binsFile"}"""
+      // per-chunk contention samples ride the line when they fit (the
+      // driver keeps only the output TAIL; overflow would lose the
+      // whole line) — the sidecar always has them
+      val arrays =
+        if (withArrays)
+          s""""canary_sec_per_chunk":$canaryArr,"load_per_chunk":$loadArr,"""
+        else ""
+      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load_start":$loadStart%.1f,"load1m":$load%.1f,"cpus":$cpus,"contended":$isContended,"canary_prior_sec":$canaryPrior%.2f,"canary_max_ratio":$canaryMaxRatio%.2f,$arrays"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls,"bin_idx":$binIdx,"bins_file":"$binsFile"}"""
     }
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},$env,"queries":$qs}""")
+    def line(withArrays: Boolean) =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},${env(withArrays)},"queries":$qs}"""
+    val fullLine = line(withArrays = true)
+    // the driver retains only the last ~2000 output chars — a line past
+    // that loses EVERYTHING (BENCH_r05 parsed:null), so degrade to the
+    // compact form (flag + scalars; arrays stay in the sidecar)
+    println(if (fullLine.length <= 1900) fullLine
+      else line(withArrays = false))
   }
 }

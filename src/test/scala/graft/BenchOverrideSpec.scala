@@ -126,4 +126,24 @@ class BenchOverrideSpec extends SparkSpec {
     assert(Bench.parsePriors("") === Map.empty)
     assert(Bench.parsePriors("not json at all") === Map.empty)
   }
+
+  test("contention canary: the contended verdict fires on start load OR " +
+      "any chunk ratio past the pinned prior, and readings are sane") {
+    val p = BenchCanary.PinnedPriorSec
+    // quiet run: low start load, every chunk at/below prior
+    assert(!BenchCanary.contended(0.3, Seq(p, p * 0.9, p * 1.1), p))
+    // a single mid-run burst marks the run (the r14 chunk-10 shape)
+    assert(BenchCanary.contended(0.3, Seq(p, p * 2.0, p), p))
+    // pre-loaded machine marks the run even with no canary readings
+    // (SPARK_GRAFT_NO_CANARY) — the r12 start-load signature
+    assert(BenchCanary.contended(6.0, Seq.empty, p))
+    assert(!BenchCanary.contended(0.3, Seq.empty, p))
+    // boundary: exactly at the threshold is NOT contended
+    assert(!BenchCanary.contended(0.3, Seq(p * BenchCanary.ContendedRatio), p))
+    // a real reading is positive, finite, and not absurdly long (the
+    // fixed work is ~0.25 s quiet; 30 s would mean the workload
+    // constant or the host changed under us)
+    val sec = BenchCanary.once(4)
+    assert(sec > 0.0 && sec.isFinite && sec < 30.0, s"canary read $sec s")
+  }
 }
