@@ -1539,11 +1539,15 @@ object CurationQueries {
         |CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS rebuilt
         |WHERE FALSE""".stripMargin,
 
-    // DigestGate constant (EM/Viterbi-defined output, deterministic —
-    // captured at sf0.01, stability-checked across partitionings; exact
-    // sf0.001 pieces pinned in UnigramLmSpec)
+    // DigestGate constants (EM/Viterbi-defined output, deterministic —
+    // captured per SF, each pin stability-checked across 4-way and
+    // 32-way partitionings; exact sf0.001 pieces pinned in
+    // UnigramLmSpec). Keyed by lineitem count — see DigestGate.oracleBySf.
     "vocab_unigram_top" ->
-      DigestGate.oracle("1297060967614641321", 20),
+      DigestGate.oracleBySf(Map(
+        6000L -> ("15884332258909225579", 20L),
+        60000L -> ("1297060967614641321", 20L),
+        600000L -> ("-15378278869380654775", 20L))),
 
     // the vocab literal is interpolated from WpVocab — one source of
     // truth for both engines. Greedy longest-match-first = at each

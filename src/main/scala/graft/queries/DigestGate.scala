@@ -48,4 +48,29 @@ object DigestGate {
   def oracle(digest: String, nRows: Long): String =
     s"SELECT '$digest' AS digest, " +
       s"CAST($nRows AS BIGINT) AS n_rows"
+
+  /** Per-SF form of [[oracle]] (VERDICT r14 → r15 #3): `(digest,
+    * n_rows)` pins keyed by the LINEITEM row count — the scale-factor
+    * fingerprint the testdata generator preserves (6000 / 60000 /
+    * 600000 at sf0.001 / 0.01 / 0.1; `documents` cannot discriminate —
+    * it ships 500 rows at BOTH sf0.001 and sf0.01 with different
+    * text). One SQL string thus serves every scale factor, so the
+    * three-SF replay reads 311/311 everywhere instead of
+    * 304/311-with-a-known-delta-list — a real regression can no longer
+    * hide inside "expected" deltas. An UNPINNED scale factor falls off
+    * the CASE and yields NULL digest → loud mismatch, the same fail
+    *-shut contract as a wrong constant. Every pin is captured by the
+    * standing protocol: two runs at different partitionings (4- and
+    * 32-way) must agree before the constant lands. */
+  def oracleBySf(pins: Map[Long, (String, Long)]): String = {
+    require(pins.nonEmpty, "oracleBySf: at least one pinned SF")
+    val sorted = pins.toSeq.sortBy(_._1)
+    val digests = sorted.map { case (n, (d, _)) => s"WHEN $n THEN '$d'" }
+      .mkString(" ")
+    val rows = sorted.map { case (n, (_, r)) =>
+      s"WHEN $n THEN CAST($r AS BIGINT)" }.mkString(" ")
+    "SELECT CASE (SELECT count(*) FROM lineitem) " + digests +
+      " END AS digest, CASE (SELECT count(*) FROM lineitem) " + rows +
+      " END AS n_rows"
+  }
 }

@@ -2226,20 +2226,41 @@ object ExtensionQueries {
         |WHERE rk <= 5 ORDER BY event_type, rank""".stripMargin,
 
     // DigestGate constants (engine-defined outputs, deterministic —
-    // captured at sf0.01 and stability-checked across partitionings;
-    // full outputs pinned at sf0.001 in GoldenValuesSpec)
+    // captured per SF and stability-checked across partitionings: every
+    // pin agreed between a 4-way and a 32-way run before landing; full
+    // outputs pinned at sf0.001 in GoldenValuesSpec). Keyed by lineitem
+    // count = 6000 / 60000 / 600000 for sf0.001 / 0.01 / 0.1, so the
+    // three-SF replay is full-strength at every scale factor.
     "dedup_simhash" ->
-      DigestGate.oracle("36934031300203723924", 27),
+      DigestGate.oracleBySf(Map(
+        6000L -> ("-20126744770507891241", 30L),
+        60000L -> ("36934031300203723924", 27L),
+        600000L -> ("226882958754801535032", 927L))),
     "dedup_source_overlap" ->
-      DigestGate.oracle("-4431174007424636817", 190),
+      DigestGate.oracleBySf(Map(
+        6000L -> ("79219567938623499008", 190L),
+        60000L -> ("-4431174007424636817", 190L),
+        600000L -> ("-21746055300684042748", 190L))),
     "docs_fingerprint_rolling" ->
-      DigestGate.oracle("-50340563749224009589", 500),
+      DigestGate.oracleBySf(Map(
+        6000L -> ("138235955207878988698", 500L),
+        60000L -> ("-50340563749224009589", 500L),
+        600000L -> ("585158246913188018369", 5000L))),
     "docs_gzip_ratio" ->
-      DigestGate.oracle("231570381743974535899", 500),
+      DigestGate.oracleBySf(Map(
+        6000L -> ("-6069504248247985191", 500L),
+        60000L -> ("231570381743974535899", 500L),
+        600000L -> ("-118798701769929606589", 5000L))),
     "multimodal_phash_pairs" ->
-      DigestGate.oracle("-11651530161756600003", 14),
+      DigestGate.oracleBySf(Map(
+        6000L -> ("-12828245317483882647", 19L),
+        60000L -> ("-11651530161756600003", 14L),
+        600000L -> ("15040105816544848202", 164L))),
     "multimodal_phash_apply" ->
-      DigestGate.oracle("-66487331316589846895", 487),
+      DigestGate.oracleBySf(Map(
+        6000L -> ("-87900742768145256853", 484L),
+        60000L -> ("-66487331316589846895", 487L),
+        600000L -> ("-285628830509313898618", 4844L))),
 
     "ann_ivf_dominance" ->
       """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS DOUBLE) AS exact_score,

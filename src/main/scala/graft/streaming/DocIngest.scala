@@ -575,7 +575,8 @@ object DocIngest {
     * accepted docs append to `acceptDir`, rejected to `rejectDir`, BOTH
     * carrying the (score, weight_micro) audit columns so the decision
     * is replayable. Both sinks are blind appends — at-least-once under
-    * crash replay (per-dir [[commitBatch]] is the exactly-once form).
+    * crash replay ([[startCurationGatedIdempotent]] is the
+    * exactly-once form, routing both sinks through [[commitBatch]]).
     * The streaming form of the batch curation pipeline:
     * the models are frozen driver-side artifacts (dim+1 doubles, B
     * longs) that ride the task closure, the per-batch work is two
@@ -605,35 +606,77 @@ object DocIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(pollInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.{Classifier, Dsir}
         if (!batch.isEmpty) {
-          val outCols = (batch.columns.toSeq :+ "score" :+ "weight_micro")
-            .map(col)
-          val invalid = batch.filter(col("text").isNull)
-          if (!invalid.isEmpty) {
-            invalid
-              .withColumn("score", lit(null).cast("double"))
-              .withColumn("weight_micro", lit(null).cast("long"))
-              .select(outCols: _*)
-              .write.mode("append").parquet(rejectDir)
-          }
-          val clean = batch.filter(col("text").isNotNull)
-          if (!clean.isEmpty) {
-            val scored = Classifier.scoreFrame(
-              clean.withColumn("vector",
-                Fingerprints.hashEmbed(col("text"), dim)),
-              "vector", model).drop("vector")
-            val weighted = scored.join(
-              Dsir.importanceWeights(clean, idCol, "text", ratioMicro)
-                .withColumnRenamed("id", idCol),
-              Seq(idCol))
-            val accept = col("score") >= minScore &&
-              col("weight_micro") >= minWeightMicro
-            weighted.filter(accept).select(outCols: _*)
-              .write.mode("append").parquet(acceptDir)
-            weighted.filter(!accept).select(outCols: _*)
-              .write.mode("append").parquet(rejectDir)
-          }
+          val (accepted, rejected) = curationDecide(batch, model,
+            ratioMicro, minScore, minWeightMicro, idCol, dim)
+          accepted.write.mode("append").parquet(acceptDir)
+          rejected.write.mode("append").parquet(rejectDir)
+        }
+        ()
+      }
+      .start()
+
+  /** One micro-batch's curation decision — the kernel both gate forms
+    * share: score clean rows (frozen classifier over the hash
+    * embedding + DSIR importance weight), route NULL-text rows
+    * straight to reject with NULL audit columns (they cannot be
+    * scored; failing the batch would poison-pill the stream — see
+    * [[startCurationGated]]). Returns (accepted, rejected), both with
+    * the input columns plus (score, weight_micro) in a fixed order.
+    * Deterministic: a replay reproduces byte-identical frames. */
+  private def curationDecide(batch: DataFrame,
+      model: graft.operators.Classifier.Model, ratioMicro: Array[Long],
+      minScore: Double, minWeightMicro: Long, idCol: String,
+      dim: Int): (DataFrame, DataFrame) = {
+    import graft.operators.{Classifier, Dsir}
+    val outCols = (batch.columns.toSeq :+ "score" :+ "weight_micro").map(col)
+    val invalid = batch.filter(col("text").isNull)
+      .withColumn("score", lit(null).cast("double"))
+      .withColumn("weight_micro", lit(null).cast("long"))
+      .select(outCols: _*)
+    val clean = batch.filter(col("text").isNotNull)
+    val scored = Classifier.scoreFrame(
+      clean.withColumn("vector", Fingerprints.hashEmbed(col("text"), dim)),
+      "vector", model).drop("vector")
+    val weighted = scored.join(
+      Dsir.importanceWeights(clean, idCol, "text", ratioMicro)
+        .withColumnRenamed("id", idCol),
+      Seq(idCol))
+    val accept = col("score") >= minScore &&
+      col("weight_micro") >= minWeightMicro
+    (weighted.filter(accept).select(outCols: _*),
+      weighted.filter(!accept).select(outCols: _*)
+        .unionByName(invalid))
+  }
+
+  /** [[startCurationGated]] with the exactly-once sink composition —
+    * the form a production gate runs (the blind-append demo above
+    * documents the basic shape and stays layout-stable for its specs).
+    * Each micro-batch commits ONCE per sink via [[commitBatch]]'s
+    * `batch=<id>` rename protocol, so a crash between the sink writes
+    * and the checkpoint commit cannot double-append on replay: the
+    * replayed batch recomputes the SAME deterministic decisions, finds
+    * whichever `batch=<id>` directories already exist, and writes only
+    * the missing one(s). Readers see each sink as ordinary partitioned
+    * parquet. */
+  def startCurationGatedIdempotent(spark: SparkSession, inDir: String,
+      schema: String, acceptDir: String, rejectDir: String,
+      checkpoint: String, model: graft.operators.Classifier.Model,
+      ratioMicro: Array[Long], minScore: Double, minWeightMicro: Long,
+      idCol: String = "doc_id", dim: Int = 64,
+      pollInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(pollInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (accepted, rejected) = curationDecide(batch, model,
+            ratioMicro, minScore, minWeightMicro, idCol, dim)
+          commitBatch(accepted, batchId, acceptDir)
+          commitBatch(rejected, batchId, rejectDir)
         }
         ()
       }

@@ -51,6 +51,26 @@ class DigestGateSpec extends SparkSpec {
     assert(out.getLong(1) === 7L)
   }
 
+  test("oracleBySf selects the pin matching the lineitem count and " +
+      "fails shut (NULL digest) on an unpinned scale factor") {
+    import spark.implicits._
+    val pins = Map(3L -> ("111", 10L), 6000L -> ("222", 20L))
+    val sql = DigestGate.oracleBySf(pins)
+    // a 3-row lineitem view selects the 3L pin
+    (1 to 3).toDF("x").createOrReplaceTempView("lineitem")
+    val out = spark.sql(sql).head()
+    assert(out.getString(0) === "111" && out.getLong(1) === 10L)
+    // an UNPINNED count (4 rows) yields NULL digest and NULL n_rows —
+    // a loud gate mismatch, never a silent pass
+    (1 to 4).toDF("x").createOrReplaceTempView("lineitem")
+    val miss = spark.sql(sql).head()
+    assert(miss.isNullAt(0) && miss.isNullAt(1))
+    spark.catalog.dropTempView("lineitem")
+    intercept[IllegalArgumentException] {
+      DigestGate.oracleBySf(Map.empty)
+    }
+  }
+
   test("NO gate query ships a DECIMAL column to the driver — the " +
       "carrier rule enforced over every SparkEntry.queries output " +
       "schema (VERDICT r11 #6)") {

@@ -394,6 +394,59 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("exactly-once curation gate: a crash between the two sink commits " +
+      "replays to the identical state, and a full replay writes nothing") {
+    import graft.operators.{Classifier, Dsir}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_curidem_in").toString
+    val acc = Files.createTempDirectory("graft_curidem_out").toString + "/acc"
+    val rej = Files.createTempDirectory("graft_curidem_out2").toString + "/rej"
+    val dim = 16
+    val ref = Seq(
+      (100L, "spark distributed query engine", 1.0),
+      (101L, "cake recipe with chocolate", 0.0)
+    ).toDF("doc_id", "text", "y")
+    val refEmb = ref.withColumn("x",
+      graft.functions.Fingerprints.hashEmbed(col("text"), dim))
+    val model = Classifier.train(refEmb, "x", "y", dim, lr = 1.0, iters = 40)
+    val ratio = Dsir.logRatioMicro(
+      ref.filter(col("y") === 1.0), ref, "text", 64)
+    Seq((0L, "spark query engine internals"),
+        (1L, null.asInstanceOf[String]),
+        (2L, "chocolate cake frosting"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val ckpt = Files.createTempDirectory("graft_curidem_ck").toString
+      val q = DocIngest.startCurationGatedIdempotent(spark, in, schema,
+        acc, rej, ckpt, model, ratio, minScore = 0.5, minWeightMicro = 1L,
+        dim = dim, pollInterval = "200 milliseconds")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    def state(dir: String) = spark.read.parquet(dir)
+      .select("doc_id", "score", "weight_micro", "batch")
+      .collect().map(_.toSeq).toSet
+    val acc0 = state(acc)
+    val rej0 = state(rej)
+    assert((acc0 ++ rej0).size === 3 &&
+      rej0.map(_.head).contains(1L)) // NULL-text row rejected here too
+
+    // crash between the two commits: accept's batch=0 landed, reject's
+    // did not, the checkpoint never committed → restart replays batch 0
+    // (a fresh checkpoint over the same input re-runs it as batch 0).
+    // The replay must fill ONLY the missing sink, to the identical rows.
+    val fs = new org.apache.hadoop.fs.Path(rej).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$rej/batch=0"), true))
+    runOnce()
+    assert(state(acc) === acc0 && state(rej) === rej0)
+
+    // a full replay (both sinks already committed) writes nothing twice
+    runOnce()
+    assert(state(acc) === acc0 && state(rej) === rej0)
+  }
+
   test("streaming crawl pipeline (the batch flagship's twin): WET " +
       "conversion → frozen quality gate → indexed near-dup gate → " +
       "exactly-once training rows with composite doc ids") {
