@@ -19,8 +19,15 @@ import org.apache.spark.sql.SparkSession
   * every bench invocation; buffers are built once outside the timed
   * window and reused, so no allocation or GC rides the reading. */
 private[graft] object BenchCanary {
-  /** A chunk canary above this × prior marks the run contended. */
-  val ContendedRatio = 1.3
+  /** A chunk canary above this × prior marks the run contended. 1.4,
+    * not 1.3: inside the bench JVM a single reading carries up to
+    * ~1.4× of residual self-noise (concurrent-GC/JIT threads right
+    * after a chunk's session teardown — a full quiet sf0.1 run read
+    * single samples 0.26-0.36 at host load 0.3), while genuine
+    * co-tenancy measured 1.6-2.1× on min-of-2 readings. [[reading]]'s
+    * min-of-2 removes most of the self-noise; the wider ratio removes
+    * the rest of the false-positive band. */
+  val ContendedRatio = 1.4
   /** Pre-existing machine load above this at bench start marks the run
     * contended regardless of canary readings (the r12 lesson: a high
     * START load1m is the read-only contention signature; end-of-run
@@ -90,6 +97,14 @@ private[graft] object BenchCanary {
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** One chunk-boundary sample: the MIN of two back-to-back readings.
+    * A transient self-noise burst (the previous chunk's concurrent GC
+    * draining, a JIT background compile) rarely spans both readings,
+    * while genuine co-tenancy inflates both — so min-of-2 keeps the
+    * external signal and sheds the internal one. */
+  def reading(threads: Int): Double =
+    math.min(once(threads), once(threads))
 
   /** The self-labeling verdict: contended when the machine was already
     * loaded at start OR any chunk's canary inflated past the pinned
@@ -431,7 +446,9 @@ object Bench {
     // one pinned-prior canary before EVERY chunk (the session is down at
     // that moment — the canary reads the host, not the suite) plus one
     // of each after the last chunk, so "before AND after each chunk" is
-    // the same n+1-length array. ~0.3 s/chunk quiet ≈ 1.5% of a full run.
+    // the same n+1-length array. Each sample is min-of-2 readings
+    // (~0.55 s/chunk quiet ≈ 3% of a full run — the price of not
+    // adjudicating shared-host contention by hand every round).
     val noCanary = sys.env.contains("SPARK_GRAFT_NO_CANARY")
     val canarySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loadPerChunk = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -440,7 +457,7 @@ object Bench {
     val nThreads = scala.util.Try(cpus.toInt).getOrElse(32)
     def contentionSample(): Unit = {
       loadPerChunk += loadNow
-      if (!noCanary) canarySecs += BenchCanary.once(nThreads)
+      if (!noCanary) canarySecs += BenchCanary.reading(nThreads)
     }
     var first = true
     val chunks = pack(names, chunkSize)
