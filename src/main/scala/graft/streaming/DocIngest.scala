@@ -629,6 +629,13 @@ object DocIngest {
       minScore: Double, minWeightMicro: Long, idCol: String,
       dim: Int): (DataFrame, DataFrame) = {
     import graft.operators.{Classifier, Dsir}
+    // withColumn-clobber guard (the r14 discipline): "vector" would
+    // silently overwrite and then DROP a user column of that name;
+    // "score"/"weight_micro" would collide with the audit columns
+    Seq("vector", "score", "weight_micro").foreach { c =>
+      require(!batch.columns.contains(c),
+        s"curation gate: input already has reserved column '$c'")
+    }
     val outCols = (batch.columns.toSeq :+ "score" :+ "weight_micro").map(col)
     val invalid = batch.filter(col("text").isNull)
       .withColumn("score", lit(null).cast("double"))

@@ -127,15 +127,19 @@ class BenchOverrideSpec extends SparkSpec {
     assert(Bench.parsePriors("not json at all") === Map.empty)
   }
 
-  test("contention canary: the contended verdict fires on start load OR " +
-      "any chunk ratio past the pinned prior, and readings are sane") {
+  test("contention canary: live readings decide when present, start " +
+      "load only as the canary-less fallback, and readings are sane") {
     val p = BenchCanary.PinnedPriorSec
     // quiet run: low start load, every chunk at/below prior
     assert(!BenchCanary.contended(0.3, Seq(p, p * 0.9, p * 1.1), p))
     // a single mid-run burst marks the run (the r14 chunk-10 shape)
     assert(BenchCanary.contended(0.3, Seq(p, p * 2.0, p), p))
-    // pre-loaded machine marks the run even with no canary readings
-    // (SPARK_GRAFT_NO_CANARY) — the r12 start-load signature
+    // an elevated start load with QUIET live canaries does NOT mark the
+    // run: load1m decays from whatever just ended (the driver's own
+    // verify pass always precedes its bench) — in-run measurement wins
+    assert(!BenchCanary.contended(6.0, Seq(p, p * 1.1), p))
+    // pre-loaded machine marks the run when there are NO canary
+    // readings (SPARK_GRAFT_NO_CANARY) — the r12 start-load signature
     assert(BenchCanary.contended(6.0, Seq.empty, p))
     assert(!BenchCanary.contended(0.3, Seq.empty, p))
     // boundary: exactly at the threshold is NOT contended
