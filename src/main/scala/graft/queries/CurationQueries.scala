@@ -774,20 +774,30 @@ object CurationQueries {
     "j_fuzzy_dl" -> ((s, d) => {
       val p = t(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      // The build side broadcasts (part is dim-sized), so the probe
+      // side's task count IS the parallelism of the whole pair-verify
+      // stage — and a small parquet lands in ONE input split, serializing
+      // every DP onto one core (measured: the repartition alone is a 7×
+      // wall cut at local[32]). At cluster scale a big probe has many
+      // splits naturally; the explicit spread costs one narrow shuffle
+      // of the dim-sized probe and keeps the plan skew-proof either way.
+      val probe = p.repartition(s.sparkContext.defaultParallelism)
       // Predicate-order discipline: a trailing .filter(dist <= 2) gets
-      // pushed into the join condition AND PREPENDED, so the O(m·n) DP
-      // would run first on every brand pair. Author the full conjunction
+      // pushed into the join condition AND PREPENDED, so the DP would
+      // run first on every brand pair. Author the full conjunction
       // here, cheap → expensive (short-circuit AND evaluates in order):
       // key order, then the lossless length prune (DL ≥ |len(a)−len(b)|),
-      // then the DP only on pairs that survive both. The projection
-      // recomputes the DP for the few survivors — far cheaper than one
-      // DP per candidate pair.
-      p.as("a").join(p.as("b"),
+      // then the BANDED thresholded verdict (damerauLevAtMost — exact
+      // ≤2 decision at O(|a|·5) per pair instead of the full O(m·n)
+      // matrix, see its band-safety proof) only on pairs that survive
+      // both. The projection recomputes the full DP for the few
+      // survivors — the exact distance the output carries.
+      probe.as("a").join(p.as("b"),
           col("a.p_brand") === col("b.p_brand") &&
             col("a.p_partkey") < col("b.p_partkey") &&
             abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2 &&
             graft.functions.StringDistances
-              .damerauLev(col("a.p_name"), col("b.p_name")) <= 2)
+              .damerauLevAtMost(col("a.p_name"), col("b.p_name"), 2))
         .select(col("a.p_brand").as("p_brand"),
           col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
           graft.functions.StringDistances
@@ -806,7 +816,10 @@ object CurationQueries {
       // authored cheap → expensive. Lossless prune: sim ≥ 0.9 ⟹ jaro ≥
       // 5/6 (JW ≤ 0.4 + 0.6·jaro at prefix cap 4, p = 0.1), and jaro ≤
       // (2 + min/max)/3, so the longer name is at most 2× the shorter.
-      p.as("a").join(p.as("b"),
+      // Probe-side repartition for the same single-split-serialization
+      // reason as j_fuzzy_dl (the verify stage's parallelism is the
+      // probe's task count under a broadcast build).
+      p.repartition(s.sparkContext.defaultParallelism).as("a").join(p.as("b"),
           col("a.p_brand") === col("b.p_brand") &&
             col("a.p_partkey") < col("b.p_partkey") &&
             greatest(length(col("a.p_name")), length(col("b.p_name"))) <=

@@ -63,6 +63,78 @@ class StringDistancesSpec extends SparkSpec {
     }
   }
 
+  test("damerauLevenshteinAtMost: banded verdict equals the full kernel " +
+      "on randomized corpora for every k in 0..5, incl. long-range " +
+      "transposition shapes and band-edge lengths") {
+    val atMost = (a: String, b: String, k: Int) =>
+      StringDistances.damerauLevenshteinAtMost(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"), k)
+    val full = (a: String, b: String) =>
+      StringDistances.damerauLevenshtein(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val rnd = new scala.util.Random(4242)
+    val alpha = "abcd" // small alphabet → dense matches → da/db stress
+    var checked = 0
+    for (_ <- 1 to 4000) {
+      val s1 = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(4))).mkString
+      val s2 = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(4))).mkString
+      val d = full(s1, s2)
+      for (k <- 0 to 5) {
+        assert(atMost(s1, s2, k) === (d <= k), s"atMost($s1, $s2, $k) d=$d")
+        checked += 1
+      }
+    }
+    // adversarial: strings built by k edits incl. transpositions with
+    // intervening inserts (the Lowrance-Wagner long-range read) — the
+    // banded kernel must still say true at k and the scratch must stay
+    // poison-free across calls (dirty reuse is part of the contract)
+    for (_ <- 1 to 500) {
+      val base = Seq.fill(6 + rnd.nextInt(20))(
+        ('a' + rnd.nextInt(26)).toChar).mkString
+      var s = base
+      val edits = rnd.nextInt(3)
+      for (_ <- 1 to edits) rnd.nextInt(3) match {
+        case 0 if s.length >= 2 => // transpose two adjacent chars
+          val i = rnd.nextInt(s.length - 1)
+          s = s.substring(0, i) + s(i + 1) + s(i) + s.substring(i + 2)
+        case 1 => // insert
+          val i = rnd.nextInt(s.length + 1)
+          s = s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + s.substring(i)
+        case _ if s.nonEmpty => // substitute
+          val i = rnd.nextInt(s.length)
+          s = s.updated(i, ('a' + rnd.nextInt(26)).toChar)
+        case _ => ()
+      }
+      val d = full(base, s)
+      for (k <- 0 to 4)
+        assert(atMost(base, s, k) === (d <= k), s"mut($base, $s, $k) d=$d")
+    }
+    // negative-control sanity on the counter itself
+    assert(checked === 24000)
+    // degenerate thresholds
+    assert(!atMost("abc", "abc", -1))
+    assert(atMost("", "", 0))
+    assert(!atMost("", "abc", 2) && atMost("", "abc", 3))
+  }
+
+  test("damerauLevAtMost column: codegen path in a real plan matches " +
+      "the kernel verdict; null-intolerant") {
+    val df = Seq(
+      (1L, Some("small ring"), Some("small rind")),
+      (2L, Some("ab"), Some("ba")),
+      (3L, Some("abcdef"), Some("xbcdyz")),
+      (4L, None: Option[String], Some("x"))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        StringDistances.damerauLevAtMost(col("a"), col("b"), 2).as("ok"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+    assert(got === Array((1L, Some(true)), (2L, Some(true)),
+      (3L, Some(false)), (4L, None)))
+  }
+
   test("damerauLev column: codegen path in a real plan matches the " +
       "kernel; null-intolerant") {
     val df = Seq(
