@@ -39,7 +39,7 @@ object Dedup {
     * task evaluating every signature). No-op when the source already has
     * enough partitions, so a well-partitioned production input pays no
     * extra shuffle. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // toRdd peeks at the physical partitioning without building the extra
     // row-deserializing RDD lineage that `.rdd` would attach per call.

@@ -777,11 +777,11 @@ object CurationQueries {
       // The build side broadcasts (part is dim-sized), so the probe
       // side's task count IS the parallelism of the whole pair-verify
       // stage — and a small parquet lands in ONE input split, serializing
-      // every DP onto one core (measured: the repartition alone is a 7×
-      // wall cut at local[32]). At cluster scale a big probe has many
-      // splits naturally; the explicit spread costs one narrow shuffle
-      // of the dim-sized probe and keeps the plan skew-proof either way.
-      val probe = p.repartition(s.sparkContext.defaultParallelism)
+      // every DP onto one core (measured: the spread alone is a 7× wall
+      // cut at local[32]). At cluster scale a big probe has many splits
+      // naturally and Dedup.spread no-ops; on an under-partitioned one
+      // it costs a narrow shuffle of the dim-sized probe.
+      val probe = graft.operators.Dedup.spread(p)
       // Predicate-order discipline: a trailing .filter(dist <= 2) gets
       // pushed into the join condition AND PREPENDED, so the DP would
       // run first on every brand pair. Author the full conjunction
@@ -819,7 +819,7 @@ object CurationQueries {
       // Probe-side repartition for the same single-split-serialization
       // reason as j_fuzzy_dl (the verify stage's parallelism is the
       // probe's task count under a broadcast build).
-      p.repartition(s.sparkContext.defaultParallelism).as("a").join(p.as("b"),
+      graft.operators.Dedup.spread(p).as("a").join(p.as("b"),
           col("a.p_brand") === col("b.p_brand") &&
             col("a.p_partkey") < col("b.p_partkey") &&
             greatest(length(col("a.p_name")), length(col("b.p_name"))) <=
