@@ -19,15 +19,18 @@ import org.apache.spark.sql.SparkSession
   * every bench invocation; buffers are built once outside the timed
   * window and reused, so no allocation or GC rides the reading. */
 private[graft] object BenchCanary {
-  /** A chunk canary above this × prior marks the run contended. 1.4,
-    * not 1.3: inside the bench JVM a single reading carries up to
-    * ~1.4× of residual self-noise (concurrent-GC/JIT threads right
-    * after a chunk's session teardown — a full quiet sf0.1 run read
-    * single samples 0.26-0.36 at host load 0.3), while genuine
-    * co-tenancy measured 1.6-2.1× on min-of-2 readings. [[reading]]'s
-    * min-of-2 removes most of the self-noise; the wider ratio removes
-    * the rest of the false-positive band. */
+  /** The moderate-contention ratio: TWO OR MORE chunk canaries above
+    * this × prior mark the run contended. Even min-of-2 samples carry
+    * residual self-noise tails inside the bench JVM (a load-0.0 quiet
+    * full run read one boundary at 1.38× among 26 at 1.0-1.3× —
+    * concurrent-GC/JIT drain right after a session teardown), so a
+    * SINGLE moderate sample is ambiguous; genuine co-tenancy persists
+    * across the ~15 s between boundaries and trips several. */
   val ContendedRatio = 1.4
+  /** The unambiguous-burst ratio: ONE sample above this × prior marks
+    * the run on its own — no self-noise reading has come within 25% of
+    * it (validated 16-thread co-tenant: 1.6-2.1× on every sample). */
+  val BurstRatio = 1.75
   /** Pre-existing machine load above this at bench start marks the run
     * contended — but ONLY when no canary readings exist
     * (SPARK_GRAFT_NO_CANARY): load1m is a decaying average polluted by
@@ -111,14 +114,18 @@ private[graft] object BenchCanary {
   def reading(threads: Int): Double =
     math.min(once(threads), once(threads))
 
-  /** The self-labeling verdict: with canary readings, contended iff
-    * any chunk's canary inflated past the pinned prior (in-run
-    * measurement beats the start-load prior — see
-    * [[LoadStartThreshold]]); without readings, fall back to the
-    * start-load signature. Pure — spec'd directly. */
+  /** The self-labeling verdict: with canary readings, contended iff one
+    * sample reads an unambiguous burst (> [[BurstRatio]]) OR two or
+    * more read moderate contention (> [[ContendedRatio]] — sustained
+    * across boundaries, which self-noise is not); in-run measurement
+    * beats the start-load prior (see [[LoadStartThreshold]]). Without
+    * readings, fall back to the start-load signature. Pure — spec'd
+    * directly. */
   def contended(loadStart: Double, canarySecs: Seq[Double],
       prior: Double): Boolean =
-    if (canarySecs.nonEmpty) canarySecs.exists(_ > ContendedRatio * prior)
+    if (canarySecs.nonEmpty)
+      canarySecs.exists(_ > BurstRatio * prior) ||
+        canarySecs.count(_ > ContendedRatio * prior) >= 2
     else loadStart > LoadStartThreshold
 }
 

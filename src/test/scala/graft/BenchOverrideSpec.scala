@@ -132,8 +132,13 @@ class BenchOverrideSpec extends SparkSpec {
     val p = BenchCanary.PinnedPriorSec
     // quiet run: low start load, every chunk at/below prior
     assert(!BenchCanary.contended(0.3, Seq(p, p * 0.9, p * 1.1), p))
-    // a single mid-run burst marks the run (the r14 chunk-10 shape)
+    // a single mid-run BURST marks the run (the r14 chunk-10 shape)
     assert(BenchCanary.contended(0.3, Seq(p, p * 2.0, p), p))
+    // one MODERATE sample is self-noise, not contention (a quiet
+    // load-0.0 full run read one boundary at 1.38× among 26 clean)
+    assert(!BenchCanary.contended(0.3, Seq(p, p * 1.5, p), p))
+    // ...but two moderate samples are sustained contention
+    assert(BenchCanary.contended(0.3, Seq(p, p * 1.5, p * 1.45), p))
     // an elevated start load with QUIET live canaries does NOT mark the
     // run: load1m decays from whatever just ended (the driver's own
     // verify pass always precedes its bench) — in-run measurement wins
