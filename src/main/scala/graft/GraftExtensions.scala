@@ -76,6 +76,14 @@ object GraftExtensions {
             "distance (UTF-8 byte grain, DuckDB-compatible)"),
         (args: Seq[Expression]) =>
           DamerauLevenshteinExpr(args(0), args(1))),
+      (FunctionIdentifier("damerau_levenshtein_at_most"),
+        info("damerau_levenshtein_at_most",
+          "damerau_levenshtein_at_most(a, b, k) - TRUE iff " +
+            "damerau_levenshtein(a, b) <= k, via the banded O(|a|*(2k+1)) " +
+            "kernel (exact verdict; the join-predicate form)"),
+        (args: Seq[Expression]) =>
+          graft.functions.DamerauLevenshteinAtMostExpr(args(0), args(1),
+            litInt(args(2), "damerau_levenshtein_at_most k"))),
       (FunctionIdentifier("jaro_winkler"),
         info("jaro_winkler",
           "jaro_winkler(a, b) - Jaro-Winkler similarity (UTF-8 byte " +

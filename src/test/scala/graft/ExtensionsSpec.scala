@@ -84,6 +84,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(3))
   }
 
+  test("SQL damerau_levenshtein_at_most matches the banded kernel " +
+      "verdict; k must be a literal; null-intolerant") {
+    val r = spark.sql(
+      """SELECT damerau_levenshtein_at_most('CA', 'ABC', 2) AS a,
+        |damerau_levenshtein_at_most('CA', 'ABC', 1) AS b,
+        |damerau_levenshtein_at_most('widget', 'wigdet', 1) AS c,
+        |damerau_levenshtein_at_most(CAST(NULL AS STRING), 'x', 2) AS d""".stripMargin)
+      .first()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+    assert(r.getBoolean(2) === true)
+    assert(r.isNullAt(3))
+    val e = intercept[Exception] {
+      spark.sql("SELECT damerau_levenshtein_at_most('a', 'b', 1 + 1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("SQL jaro_winkler matches the kernel incl. boost gate and nulls") {
     val r = spark.sql(
       """SELECT jaro_winkler('martha', 'marhta') AS a,
