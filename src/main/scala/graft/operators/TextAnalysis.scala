@@ -340,82 +340,99 @@ object TextAnalysis {
     * positions, no double counting), then its word's characters weigh
     * the fraction.
     *
-    * Shape: ONE explode produces every (n, start, gram) for all
-    * requested n; (doc, n, gram) counts aggregate map-side; the top pick
-    * is a (doc, n)-keyed window; dup coverage re-joins starts to the
-    * duplicated grams, explodes their position ranges, distincts, and
-    * weights by word length — every stage keyed by doc_id, so the plan
-    * is a handful of same-key exchanges regardless of corpus size. Docs
-    * shorter than n (or empty) emit 0.0 for that n. Ties for "most
-    * frequent" break to the lexicographically smallest gram. */
+    * Shape: every statistic is DOC-LOCAL, so the whole battery is ONE
+    * typed mapPartitions kernel over (id, text) — zero shuffles, the
+    * text never leaves its scan task (the [[graft.operators.Dedup]]
+    * shingleFrame rationale; the r15 rewrite of the earlier declarative
+    * form, whose (doc, n, gram) count aggregation exchanged the gram
+    * STRINGS — at corpus scale the operator's single biggest
+    * intermediate, and ~4× the wall at local[32]). Value-for-value
+    * identical to the declarative form and its DuckDB oracle, with the
+    * three engine-semantics pins made explicit in code: word/gram
+    * lengths count Unicode CODE POINTS (Spark `length`), the
+    * most-frequent tie breaks to the UTF-8-BYTE-order smallest gram
+    * (Spark/DuckDB binary string `<`, NOT Java's UTF-16 compareTo —
+    * [[graft.functions.Utf8Order]]), and fractions round like Spark's
+    * `round` (BigDecimal-of-toString HALF_UP). Docs shorter than n (or
+    * empty/NULL text) emit 0.0 for that n. */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4),
       dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
-    val allNs = (topNs ++ dupNs).distinct.sorted
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > lit(0))
-    val base = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
-      .withColumn("m", size(col("ws")))
-      .withColumn("total_chars",
-        aggregate(transform(col("ws"), w => length(w)), lit(0L),
-          (a, x) => a + x))
-    val emptyGrams =
-      array().cast("array<struct<n:int,s:int,g:string>>")
-    val gramArr = flatten(array(allNs.map(n =>
-      when(col("m") >= n, transform(sequence(lit(0), col("m") - n),
-        j => struct(lit(n).as("n"), j.cast("int").as("s"),
-          array_join(slice(col("ws"), j + 1, lit(n)), " ").as("g"))))
-        .otherwise(emptyGrams)): _*))
-    val grams = base
-      .select(col("doc_id"), col("total_chars"), explode(gramArr).as("t"))
-      .select(col("doc_id"), col("total_chars"),
-        col("t.n").as("n"), col("t.s").as("s"), col("t.g").as("g"))
-    val counts = grams.groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("cnt"), first(col("total_chars")).as("tc"))
-
-    // top n-gram char fraction: cnt × chars(gram) / total_chars
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("n"))
-      .orderBy(col("cnt").desc, col("g"))
-    val top = counts.filter(col("n").isin(topNs: _*))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("n"),
-        round(col("cnt") *
-          length(replace(col("g"), lit(" "), lit(""))).cast("double") /
-          col("tc"), 4).as("frac"))
-    // dup coverage: distinct positions inside duplicated n-gram spans,
-    // weighted by the word length at each position
-    val pos = base.select(col("doc_id"),
-        posexplode(col("ws")).as(Seq("p", "w")))
-      .select(col("doc_id"), col("p"), length(col("w")).as("wl"))
-    val dupStarts = grams.filter(col("n").isin(dupNs: _*))
-      .join(counts.filter(col("cnt") > 1)
-          .select(col("doc_id"), col("n"), col("g")),
-        Seq("doc_id", "n", "g"))
-    val covered = dupStarts
-      .select(col("doc_id"), col("n"), col("total_chars"),
-        explode(sequence(col("s"), col("s") + col("n") - 1)).as("p"))
-      .dropDuplicates("doc_id", "n", "p")
-      .join(pos, Seq("doc_id", "p"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(round(sum(col("wl")).cast("double") /
-        first(col("total_chars")), 4).as("frac"))
-
-    val perDoc = top.select(col("doc_id"), col("n"), col("frac"))
-      .unionByName(covered.select(col("doc_id"),
-        (col("n") + 1000).as("n"), col("frac")))
-    // n + 1000 disambiguates a value of n appearing in BOTH families
-    val topColsKeyed = topNs.map(n =>
-      coalesce(max(when(col("n") === n, col("frac"))), lit(0.0))
-        .as(s"top_${n}gram_frac"))
-    val dupColsKeyed = dupNs.map(n =>
-      coalesce(max(when(col("n") === n + 1000, col("frac"))), lit(0.0))
-        .as(s"dup_${n}gram_frac"))
-    base.select(col("doc_id"))
-      .join(perDoc.groupBy(col("doc_id"))
-          .agg(topColsKeyed.head, (topColsKeyed.tail ++ dupColsKeyed): _*),
-        Seq("doc_id"), "left")
-      .na.fill(0.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tNs = topNs.toArray
+    val dNs = dupNs.toArray
+    val src = Dedup.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+    val out = src.mapPartitions { it =>
+      val utf8 = graft.functions.Utf8Order.ordering
+      def round4(x: Double): Double =
+        scala.math.BigDecimal(x)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+      it.map { case (id, text) =>
+        val ws: Array[String] =
+          if (text == null) Array.empty
+          else text.split("\\s+").filter(_.nonEmpty)
+        val m = ws.length
+        val wl = ws.map(cp)
+        val tc = wl.sum
+        def gramCounts(n: Int): java.util.HashMap[String, Int] = {
+          val h = new java.util.HashMap[String, Int]((m + 1) * 2)
+          var j = 0
+          while (j + n <= m) {
+            val g = ws.slice(j, j + n).mkString(" ")
+            h.merge(g, 1, Integer.sum)
+            j += 1
+          }
+          h
+        }
+        val topFracs = tNs.map { n =>
+          if (m < n || tc == 0L) 0.0
+          else {
+            val h = gramCounts(n)
+            var bestG: String = null
+            var bestC = 0
+            h.forEach { (g, c) =>
+              if (c > bestC || (c == bestC && utf8.compare(g, bestG) < 0)) {
+                bestG = g; bestC = c
+              }
+            }
+            // gram chars = gram minus its n−1 single-space joiners
+            val gChars = cp(bestG) - (n - 1)
+            round4(bestC * gChars.toDouble / tc)
+          }
+        }
+        val dupFracs = dNs.map { n =>
+          if (m < n || tc == 0L) 0.0
+          else {
+            val h = gramCounts(n)
+            val covered = new Array[Boolean](m)
+            var j = 0
+            while (j + n <= m) {
+              if (h.get(ws.slice(j, j + n).mkString(" ")) > 1) {
+                var p = j
+                while (p < j + n) { covered(p) = true; p += 1 }
+              }
+              j += 1
+            }
+            var sumWl = 0L
+            var p = 0
+            while (p < m) { if (covered(p)) sumWl += wl(p); p += 1 }
+            round4(sumWl.toDouble / tc)
+          }
+        }
+        (id, topFracs, dupFracs)
+      }
+    }.toDF("doc_id", "_top", "_dup")
+    val topCols = topNs.zipWithIndex.map { case (n, i) =>
+      col("_top")(i).as(s"top_${n}gram_frac") }
+    val dupCols = dupNs.zipWithIndex.map { case (n, i) =>
+      col("_dup")(i).as(s"dup_${n}gram_frac") }
+    out.select(col("doc_id") +: (topCols ++ dupCols): _*)
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the other

@@ -568,10 +568,31 @@ object ExtensionQueries {
       val ws = filter(split(lower(col("text")), "\\s+"),
         w => length(w) > lit(0))
       val types = array_distinct(ws)
-      // hapax count via an in-row nested filter: types whose occurrence
-      // count in the token array is exactly 1
-      val hapax = size(filter(types, ty =>
-        size(filter(ws, w => w === ty)) === lit(1)))
+      // hapax count = types occurring exactly once = run-length-1 runs
+      // of the SORTED token array, counted in ONE aggregate fold:
+      // O(n log n) per doc instead of the nested filter-in-filter's
+      // O(types × tokens) string compares (r15: the quadratic was ~4×
+      // this query's wall). The sort sits in the aggregate's INPUT
+      // slot, evaluated once per row — an aliased array_sort referenced
+      // from inside a lambda body gets CollapseProject-inlined per
+      // ELEMENT (measured 45 s vs 1.3 s, the PLANS lesson-7 trap).
+      // Fold state: (prev token, current run length, hapax count);
+      // a new run (x ≠ prev, NULL-prev first element included via the
+      // otherwise branch) banks +1, the run's SECOND occurrence takes
+      // it back, later occurrences are neutral.
+      val hapax = aggregate(
+        array_sort(ws),
+        struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+          lit(0).as("cnt")),
+        (acc, x) => struct(
+          x.as("prev"),
+          when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1)).as("run"),
+          (acc.getField("cnt") +
+            when(x === acc.getField("prev"),
+              when(acc.getField("run") === 1, lit(-1)).otherwise(lit(0)))
+              .otherwise(lit(1))).as("cnt")),
+        acc => acc.getField("cnt"))
       t(s, d, "documents").select(col("doc_id"),
           size(ws).as("n_tokens"), size(types).as("n_types"),
           hapax.as("n_hapax"))
