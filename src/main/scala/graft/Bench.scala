@@ -474,6 +474,49 @@ object Bench {
       if (!noCanary) canarySecs += BenchCanary.reading(nThreads)
     }
     var first = true
+    // JVM warmup OUTSIDE every timed window (VERDICT r15 #2): chunk 0
+    // historically read ~2× the chunk median (r15 driver: 30.9 s vs a
+    // 14-18 s steady state) — pure one-time JVM cost (Spark class
+    // loading, Janino codegen pipeline, parquet reader init, shuffle
+    // machinery JIT) that inflated every driver reading ~4% and widened
+    // driver/quiet to 1.18. One throwaway session runs a representative
+    // op mix (scan+agg, shuffle join, window, sort, typed mapPartitions
+    // kernel) and tears down exactly like a chunk boundary, so chunk 0
+    // starts from the same JVM state every later chunk does. The
+    // schema-drift gate also moves here (it was inside chunk 0's timer).
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
+      val spark = newSession(sfDir, cpus)
+      try {
+        graft.queries.SchemaContract.enforce(spark, sfDir)
+        first = false
+        import org.apache.spark.sql.functions._
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        // shuffle join + hash agg + sort
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+          .orderBy("q")
+          .write.format("noop").mode("overwrite").save()
+        // window function path
+        ord.select(col("o_custkey"), row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_custkey").orderBy("o_orderkey")).as("rn"))
+          .write.format("noop").mode("overwrite").save()
+        // typed-kernel path (encoders + mapPartitions + Row serializer)
+        graft.operators.TextAnalysis.qualityFrame(
+            spark.read.parquet(s"$sfDir/documents.parquet"),
+            "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup pass failed (${e.getMessage})" +
+          " — continuing; chunk 0 may carry JIT warmup cost")
+      }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      JvmHygiene.purgeCodegenCache()
+      System.gc()
+    }
     val chunks = pack(names, chunkSize)
     // chunk membership of every query, captured from the ACTUAL run plan
     // (not re-derived) — see the bins emit below

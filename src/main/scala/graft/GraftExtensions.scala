@@ -30,8 +30,19 @@ object GraftExtensions {
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
+    // constant-fold before rejecting (ADVICE r15): SQL like `k = -1`
+    // arrives as UnaryMinus(Literal(1)), and `2 + 1` as Add — both
+    // resolved foldable INT trees, which the kernel handles fine
+    case other if other.resolved && other.foldable &&
+        other.dataType == org.apache.spark.sql.types.IntegerType =>
+      other.eval() match {
+        case i: Int => i
+        case _ => throw new IllegalArgumentException(
+          s"$what must be a non-NULL constant integer, got $other")
+      }
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$what must be a constant integer (a literal or an expression " +
+        s"foldable to INT at plan time), got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =

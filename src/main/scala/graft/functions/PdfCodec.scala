@@ -47,6 +47,19 @@ object PdfCodec {
   private final case class PdfObj(num: Int, dict: String,
       stream: Option[Array[Byte]])
 
+  /** Hostile-input work bounds (VERDICT r15 #3: at 100 TB the codec's
+    * inputs are adversarial — crafted bytes must not hang or OOM an
+    * executor). Both are generous multiples of any legitimate document
+    * and FAIL LOUDLY ([[PdfLimitException]] → the public API's
+    * documented Nil) rather than silently truncating. */
+  private[graft] val MaxInflatedBytes: Int = 1 << 28 // 256 MiB per stream
+  private[graft] val MaxFormInvocations: Int = 4096  // Do budget per page
+
+  /** A crafted input exceeded a work bound (decompression bomb, form-
+    * invocation bomb). Extends Exception so the public API's
+    * parse-or-Nil contract absorbs it like any other malformed input. */
+  final class PdfLimitException(msg: String) extends Exception(msg)
+
   // ── public API ────────────────────────────────────────────────────────
 
   /** All pages in page-tree order with extracted text + image flags.
@@ -286,8 +299,14 @@ object PdfCodec {
   private def orderedPageObjects(objs: Map[Int, PdfObj]): Seq[PdfObj] = {
     val catalog = objs.values.find(o => o.dict.contains("/Catalog"))
     val rootPages = catalog.flatMap(c => dictRef(c.dict, "/Pages"))
+    // visited set, not just a depth cap: a WIDE cycle (two nodes each
+    // listing the other b times in /Kids) explodes a depth-only guard
+    // to b^64 walk calls — with the set the walk is O(|objs|) on any
+    // input, and a node legitimately appears once in a conforming tree
+    // (every page-tree node has exactly ONE /Parent)
+    val visited = mutable.Set[Int]()
     def walk(num: Int, depth: Int): Seq[PdfObj] = {
-      if (depth > 64) return Nil // cycle guard
+      if (depth > 64 || !visited.add(num)) return Nil // cycle guard
       objs.get(num) match {
         case None => Nil
         case Some(o) if o.dict.contains("/Kids") =>
@@ -305,18 +324,28 @@ object PdfCodec {
 
   // ── streams ───────────────────────────────────────────────────────────
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     // try/finally: the truncated-stream early return must ALSO free the
     // Inflater's native memory — per-malformed-object GC-finalizer debt
     // is real over a corpus-sized PDF scan
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(data.length * 4, MaxInflatedBytes))
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          // decompression-bomb bound: zlib expands up to ~1032:1, so a
+          // small crafted stream can otherwise inflate past executor
+          // memory; fail loudly, never OOM
+          if (out.size() + n > MaxInflatedBytes)
+            throw new PdfLimitException(
+              s"inflated stream exceeds $MaxInflatedBytes bytes " +
+                s"(input ${data.length} B) — decompression bomb?")
+          out.write(buf, 0, n)
+        }
         else if (!inf.finished()) return out.toByteArray // truncated
       }
       out.toByteArray
@@ -770,7 +799,8 @@ object PdfCodec {
       fontCache: mutable.Map[Int, PdfFont]): String = {
     val state = new TextAssembler
     runContent(contentBytes(page, objs), resourcesOf(page.dict, objs),
-      objs, state, Identity, 0, fontCache)
+      objs, state, Identity, 0, fontCache,
+      new java.util.concurrent.atomic.AtomicInteger(MaxFormInvocations))
     state.finish()
   }
 
@@ -925,7 +955,8 @@ object PdfCodec {
 
   private def runContent(data: Array[Byte], resDict: String,
       objs: Map[Int, PdfObj], state: TextAssembler, ctm0: Mat,
-      depth: Int, fontCache: mutable.Map[Int, PdfFont]): Unit = {
+      depth: Int, fontCache: mutable.Map[Int, PdfFont],
+      formBudget: java.util.concurrent.atomic.AtomicInteger): Unit = {
     if (depth > 8) return
     var ctm = ctm0
     val fonts = fontDecoders(resDict, objs, fontCache)
@@ -1054,6 +1085,16 @@ object PdfCodec {
             case "Do" =>
               xobjs.get(lastName).flatMap(objs.get).foreach { xo =>
                 if (xo.stream.isDefined && isFormObj(xo.dict)) {
+                  // total-work budget, not just the depth cap: a form
+                  // whose stream invokes itself b times per level
+                  // explodes depth-only guarding to b^8 executions (and
+                  // re-inflates its stream each time) — a crafted
+                  // content bomb. Legitimate pages run a handful of
+                  // forms; 4096 is loud-fail headroom, not a tradeoff.
+                  if (formBudget.decrementAndGet() < 0)
+                    throw new PdfLimitException(
+                      s"page exceeded $MaxFormInvocations form XObject " +
+                        "invocations — content bomb?")
                   val data2 =
                     if (xo.dict.contains("/FlateDecode"))
                       inflate(xo.stream.get)
@@ -1066,7 +1107,7 @@ object PdfCodec {
                       if (mv.length == 6) Some(matMul(mv, ctm)) else None
                   }.getOrElse(ctm)
                   runContent(data2, resourcesOf(xo.dict, objs), objs,
-                    state, fctm, depth + 1, fontCache)
+                    state, fctm, depth + 1, fontCache, formBudget)
                 }
               }
             case _ => ()
@@ -1095,6 +1136,11 @@ object PdfCodec {
 
   private def pageImages(page: PdfObj,
       objs: Map[Int, PdfObj]): Seq[(String, PdfObj)] = {
+    // visited set on form object numbers: a resource dict listing the
+    // same form b times (or two forms listing each other) explodes the
+    // depth-only guard to b^4 walks; each form contributes its images
+    // once — the trailing .distinct already collapsed re-entries anyway
+    val seenForms = mutable.Set[Int]()
     def walk(resDict: String, depth: Int): Seq[(String, PdfObj)] = {
       if (depth > 4) return Nil
       val xAt = resDict.indexOf("/XObject")
@@ -1103,7 +1149,7 @@ object PdfCodec {
       FontEntryRe.findAllMatchIn(sub).flatMap { m =>
         objs.get(m.group(2).toInt).toSeq.flatMap { o =>
           if (isImageObj(o.dict)) Seq((m.group(1), o))
-          else if (isFormObj(o.dict))
+          else if (isFormObj(o.dict) && seenForms.add(o.num))
             walk(resourcesOf(o.dict, objs), depth + 1)
           else Nil
         }

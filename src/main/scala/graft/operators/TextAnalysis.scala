@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.functions.Fingerprints
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §7.1-8):
   * token counting, language ID, quality scoring, fingerprinting. All pure
@@ -188,16 +189,41 @@ object TextAnalysis {
   // per-row text analytics have no relational structure for Catalyst to
   // optimize anyway.
 
-  /** Shared NULL-text guard for the typed-kernel frames below (the
-    * [[Dedup.textOrRaise]] posture): these kernels feed quality VERDICTS
-    * and per-doc signals — a NULL text used to surface as a bare
-    * executor NPE (or, in the gzip kernel, silently conflate with the
-    * empty string). One codegen'd branch, free on valid rows. */
-  private def guardedDocs(docs: DataFrame, idCol: String, textCol: String,
-      op: String): DataFrame =
-    Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"),
-        Dedup.textOrRaise(col(textCol), s"TextAnalysis.$op").as("text"))
+  /** Shared plumbing for the typed-kernel frames below. Two contracts:
+    *
+    *  - NULL-text guard (the [[Dedup.textOrRaise]] posture) when `op` is
+    *    set: these kernels feed quality VERDICTS and per-doc signals — a
+    *    NULL text used to surface as a bare executor NPE (or, in the gzip
+    *    kernel, silently conflate with the empty string). One codegen'd
+    *    branch, free on valid rows. `op = None` passes NULL text through
+    *    (for kernels that define NULL, e.g. gopherRepetition → 0.0).
+    *  - The caller's id column keeps its ORIGINAL type (r15 ADVICE: the
+    *    previous `cast("long")` silently narrowed doc_id to LONG for all
+    *    callers and turned non-numeric ids into NULLs that failed deep in
+    *    the encoder). The id value rides through the kernel opaquely as
+    *    element 0 of each output row; only the text enters the kernel.
+    *
+    * The kernel stays a scalac-compiled mapPartitions body (PLANS.md
+    * lesson 7 — immune to interpreted-expression JIT loss); `kernel` may
+    * emit 0..n rows per document (flatMap semantics). */
+  private def kernelFrame(docs: DataFrame, idCol: String, textCol: String,
+      op: Option[String], outFields: Seq[StructField])(
+      kernel: Iterator[(Any, String)] => Iterator[(Any, Seq[Any])])
+      : DataFrame = {
+    val guarded = op match {
+      case Some(o) => Dedup.textOrRaise(col(textCol), s"TextAnalysis.$o")
+      case None => col(textCol)
+    }
+    val src = Dedup.spread(docs)
+      .select(col(idCol).as("doc_id"), guarded.as("text"))
+    val schema = StructType(src.schema.head +: outFields)
+    src.mapPartitions { it =>
+      val docs = it.map { r =>
+        (r.get(0), if (r.isNullAt(1)) null else r.getString(1))
+      }
+      kernel(docs).map { case (id, vs) => Row.fromSeq(id +: vs) }
+    }(Encoders.row(schema))
+  }
 
   // Locale.ROOT: a tr-TR default locale would map I -> dotless ı and
   // diverge from the oracle's locale-independent lower()
@@ -217,14 +243,10 @@ object TextAnalysis {
     if (total == 0) "und" else scores.maxBy(_._2)._1
   }
 
-  def langIdFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "langIdFrame")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, langIdOf(t)) })
-      .toDF("doc_id", "lang_pred")
-  }
+  def langIdFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    kernelFrame(docs, idCol, textCol, Some("langIdFrame"),
+      Seq(StructField("lang_pred", StringType, nullable = false)))(
+      _.map { case (id, t) => (id, Seq(langIdOf(t))) })
 
   /** Kernel semantics of `qualityColumns` (identical output). n_chars is
     * the code-point count (matches SQL `length`). */
@@ -247,18 +269,19 @@ object TextAnalysis {
       round4(quality))
   }
 
-  def qualityFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "qualityFrame")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
+  def qualityFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    kernelFrame(docs, idCol, textCol, Some("qualityFrame"),
+      Seq(StructField("n_tokens", LongType, nullable = false),
+        StructField("mean_token_len", DoubleType, nullable = false),
+        StructField("punct_ratio", DoubleType, nullable = false),
+        StructField("stopword_ratio", DoubleType, nullable = false),
+        StructField("quality", DoubleType, nullable = false)))(
+      _.map { case (id, t) =>
         val (n, mtl, pr, sr, q) = qualityOf(t)
-        (id, n, mtl, pr, sr, q)
+        // Seq[Any]: a bare Seq(long, double, …) would numerically WIDEN
+        // the long to Double (weak conformance) and break the encoder
+        (id, Seq[Any](n, mtl, pr, sr, q))
       })
-      .toDF("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
-        "stopword_ratio", "quality")
-  }
 
   /** The Gopher quality-rule battery (Rae et al. 2021, table A1 — the
     * standard pretraining curation gate): per-document attribution of all
@@ -358,15 +381,14 @@ object TextAnalysis {
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4),
       dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val tNs = topNs.toArray
     val dNs = dupNs.toArray
-    val src = Dedup.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"))
-      .as[(Long, String)]
-    val out = src.mapPartitions { it =>
+    val outFields = Seq(
+      StructField("_top", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("_dup", ArrayType(DoubleType, containsNull = false),
+        nullable = false))
+    val out = kernelFrame(docs, idCol, textCol, None, outFields) { it =>
       val utf8 = graft.functions.Utf8Order.ordering
       def round4(x: Double): Double =
         scala.math.BigDecimal(x)
@@ -425,9 +447,9 @@ object TextAnalysis {
             round4(sumWl.toDouble / tc)
           }
         }
-        (id, topFracs, dupFracs)
+        (id, Seq(topFracs, dupFracs))
       }
-    }.toDF("doc_id", "_top", "_dup")
+    }
     val topCols = topNs.zipWithIndex.map { case (n, i) =>
       col("_top")(i).as(s"top_${n}gram_frac") }
     val dupCols = dupNs.zipWithIndex.map { case (n, i) =>
@@ -602,29 +624,28 @@ object TextAnalysis {
       "keywordHits: dictionary contains an empty keyword")
     val kws = keywords.map(_.toLowerCase(java.util.Locale.ROOT))
       .distinct.sorted.toArray
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = guardedDocs(docs, idCol, textCol, "keywordHits")
-      .as[(Long, String)]
-    val hits =
-      if (kws.length >= acThreshold) {
-        val ac = graft.functions.AhoCorasick.build(kws.toSeq)
-        base.mapPartitions(_.flatMap { case (id, t) =>
+    val outFields = Seq(
+      StructField("keyword", StringType, nullable = false),
+      StructField("hits", IntegerType, nullable = false))
+    if (kws.length >= acThreshold) {
+      val ac = graft.functions.AhoCorasick.build(kws.toSeq)
+      kernelFrame(docs, idCol, textCol, Some("keywordHits"), outFields)(
+        _.flatMap { case (id, t) =>
           val counts =
             ac.countHits(t.toLowerCase(java.util.Locale.ROOT))
           counts.iterator.zipWithIndex.collect {
-            case (n, ki) if n > 0 => (id, kws(ki), n)
+            case (n, ki) if n > 0 => (id, Seq(kws(ki), n))
           }
         })
-      } else {
-        base.mapPartitions(_.flatMap { case (id, t) =>
+    } else {
+      kernelFrame(docs, idCol, textCol, Some("keywordHits"), outFields)(
+        _.flatMap { case (id, t) =>
           val lower = t.toLowerCase(java.util.Locale.ROOT)
           kws.iterator
-            .map(kw => (id, kw, countOccurrences(lower, kw)))
-            .filter(_._3 > 0)
+            .map(kw => (kw, countOccurrences(lower, kw)))
+            .collect { case (kw, n) if n > 0 => (id, Seq(kw, n)) }
         })
-      }
-    hits.toDF("doc_id", "keyword", "hits")
+    }
   }
 
   /** Canonical text normalization (the first pass of every dedup/quality
@@ -642,14 +663,10 @@ object TextAnalysis {
   }
 
   def normalizeFrame(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "normalizeFrame")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, normalizeOf(t)) })
-      .toDF("doc_id", "normalized")
-  }
+      textCol: String): DataFrame =
+    kernelFrame(docs, idCol, textCol, Some("normalizeFrame"),
+      Seq(StructField("normalized", StringType, nullable = false)))(
+      _.map { case (id, t) => (id, Seq(normalizeOf(t))) })
 
   /** Gopher-style repetition counts per document (the standard boilerplate
     * signals a pretraining quality filter computes): line counts, distinct
@@ -677,31 +694,26 @@ object TextAnalysis {
   }
 
   def repetitionFrame(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "repetitionFrame")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
+      textCol: String): DataFrame =
+    kernelFrame(docs, idCol, textCol, Some("repetitionFrame"),
+      Seq(StructField("n_lines", LongType, nullable = false),
+        StructField("n_distinct_lines", LongType, nullable = false),
+        StructField("n_bigrams", LongType, nullable = false),
+        StructField("top_bigram_cnt", LongType, nullable = false)))(
+      _.map { case (id, t) =>
         val (nl, dl, nb, tc) = repetitionCountsOf(t)
-        (id, nl, dl, nb, tc)
+        (id, Seq(nl, dl, nb, tc))
       })
-      .toDF("doc_id", "n_lines", "n_distinct_lines", "n_bigrams",
-        "top_bigram_cnt")
-  }
 
   def tokenCountsFrame(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "tokenCountsFrame")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
+      textCol: String): DataFrame =
+    kernelFrame(docs, idCol, textCol, Some("tokenCountsFrame"),
+      Seq(StructField("ws_tokens", LongType, nullable = false),
+        StructField("subword_tokens", LongType, nullable = false)))(
+      _.map { case (id, t) =>
         val (ws, sub) = tokenCountsOf(t)
-        (id, ws, sub)
+        (id, Seq(ws, sub))
       })
-      .toDF("doc_id", "ws_tokens", "subword_tokens")
-  }
 
   /** Kernel semantics of `Fingerprints.rollingFingerprint` — identical
     * values (Spark's own XXH64 over each char 8-gram's UTF-8 bytes, seed
@@ -723,16 +735,10 @@ object TextAnalysis {
   }
 
   def rollingFingerprintFrame(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "rollingFingerprintFrame")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
-        (id, rollingFingerprintOf(t))
-      })
-      .toDF("doc_id", "fp_rolling")
-  }
+      textCol: String): DataFrame =
+    kernelFrame(docs, idCol, textCol, Some("rollingFingerprintFrame"),
+      Seq(StructField("fp_rolling", LongType, nullable = false)))(
+      _.map { case (id, t) => (id, Seq(rollingFingerprintOf(t))) })
 
   /** The assembled pretraining quality filter: every per-document signal
     * (token count, Gopher repetition fractions, composite quality, language
@@ -746,11 +752,15 @@ object TextAnalysis {
   def cleanVerdictFrame(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Long, maxDupLineFrac: Double, maxTopBigramFrac: Double,
       minQuality: Double, requiredLang: Option[String]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "cleanVerdictFrame")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
+    kernelFrame(docs, idCol, textCol, Some("cleanVerdictFrame"),
+      Seq(StructField("n_tokens", LongType, nullable = false),
+        StructField("quality", DoubleType, nullable = false),
+        StructField("lang_pred", StringType, nullable = false),
+        StructField("dup_line_frac", DoubleType, nullable = false),
+        StructField("top_bigram_frac", DoubleType, nullable = false),
+        StructField("keep", BooleanType, nullable = false),
+        StructField("reason", StringType, nullable = false)))(
+      _.map { case (id, t) =>
         val (nTok, _, _, _, quality) = qualityOf(t)
         val lang = langIdOf(t)
         val (nl, dl, nb, tc) = repetitionCountsOf(t)
@@ -763,11 +773,9 @@ object TextAnalysis {
           else if (quality < minQuality) "low_quality"
           else if (requiredLang.exists(_ != lang)) "wrong_lang"
           else "ok"
-        (id, nTok, quality, lang, dupLineFrac, topBigramFrac,
-          reason == "ok", reason)
+        (id, Seq[Any](nTok, quality, lang, dupLineFrac, topBigramFrac,
+          reason == "ok", reason))
       })
-      .toDF("doc_id", "n_tokens", "quality", "lang_pred", "dup_line_frac",
-        "top_bigram_frac", "keep", "reason")
   }
 
   /** Corpus-trained bigram language-model surprisal per document — the
@@ -1019,34 +1027,31 @@ object TextAnalysis {
     * Empty text → ratio 0; NULL text raises (it is not an empty doc —
     * the [[Dedup.textOrRaise]] posture). */
   def gzipRatioFrame(docs: DataFrame, idCol: String, textCol: String,
-      level: Int = 6, decimals: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    guardedDocs(docs, idCol, textCol, "gzipRatioFrame")
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val deflater = new java.util.zip.Deflater(level)
-        val buf = new Array[Byte](1 << 16)
-        it.map { case (id, t) =>
-          // NULL text raises upstream (guardedDocs); empty stays ratio 0
-          val raw = t.getBytes("UTF-8")
-          if (raw.isEmpty) (id, 0L, 0L, 0.0)
-          else {
-            deflater.reset()
-            deflater.setInput(raw)
-            deflater.finish()
-            var n = 0L
-            while (!deflater.finished()) n += deflater.deflate(buf)
-            val ratio = BigDecimal(n.toDouble / raw.length)
-              .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
-            (id, raw.length.toLong, n, ratio)
-          }
-          // free the task's Deflater native memory when the partition
-          // drains (by-name ++ thunk) instead of leaving it to the GC
-        } ++ { deflater.end(); Iterator.empty }
-      }
-      .toDF("doc_id", "n_bytes", "n_deflated", "gzip_ratio")
-  }
+      level: Int = 6, decimals: Int = 4): DataFrame =
+    kernelFrame(docs, idCol, textCol, Some("gzipRatioFrame"),
+      Seq(StructField("n_bytes", LongType, nullable = false),
+        StructField("n_deflated", LongType, nullable = false),
+        StructField("gzip_ratio", DoubleType, nullable = false))) { it =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](1 << 16)
+      it.map { case (id, t) =>
+        // NULL text raises upstream (kernelFrame guard); empty stays 0
+        val raw = t.getBytes("UTF-8")
+        if (raw.isEmpty) (id, Seq[Any](0L, 0L, 0.0))
+        else {
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio = BigDecimal(n.toDouble / raw.length)
+            .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, Seq[Any](raw.length.toLong, n, ratio))
+        }
+        // free the task's Deflater native memory when the partition
+        // drains (by-name ++ thunk) instead of leaving it to the GC
+      } ++ { deflater.end(); Iterator.empty }
+    }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): k-token shingles → 32-bit md5-prefix hashes → in every

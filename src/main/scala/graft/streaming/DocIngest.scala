@@ -58,7 +58,7 @@ object DocIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(pollInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, outDir); ()
+        commitBatchStateful(batch, batchId, outDir); ()
       }
       .start()
 
@@ -259,6 +259,23 @@ object DocIngest {
     }
   }
 
+  /** [[commitBatch]] for micro-batches whose plan holds STATEFUL
+    * operators (stream dedup, watermarked joins/aggregations): when the
+    * batch is already committed the sink write is skipped, but the plan
+    * must STILL execute — Spark validates that every stateful operator
+    * partition committed its state store for the trigger
+    * (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise), and the state
+    * version must advance with the checkpoint even on a sink-skip
+    * replay. The skip path materializes the plan through the noop sink:
+    * full execution and state commit, zero bytes written — paid only on
+    * the rare crash-replay of an already-committed batch. */
+  def commitBatchStateful(batch: DataFrame, batchId: Long,
+      outDir: String): Boolean = {
+    val wrote = commitBatch(batch, batchId, outDir)
+    if (!wrote) batch.write.format("noop").mode("overwrite").save()
+    wrote
+  }
+
   /** `start` with the exactly-once sink — the form a production ingest
     * runs (the plain append in `start` documents the basic shape). */
   def startIdempotent(spark: SparkSession, inDir: String, schema: String,
@@ -322,7 +339,7 @@ object DocIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, outDir); ()
+        commitBatchStateful(batch, batchId, outDir); ()
       }
       .start()
   }
@@ -740,8 +757,9 @@ object DocIngest {
 
   /** Stateful variant: drop exact duplicates across the whole stream by
     * content fingerprint (dropDuplicates with state). Blind-append sink —
-    * at-least-once under crash replay; [[startIdempotent]]'s commitBatch
-    * is the exactly-once form. */
+    * at-least-once under crash replay; [[startDedupedIdempotent]] is the
+    * exactly-once form (the demo shape here stays layout-stable for its
+    * specs). */
   def startDeduped(spark: SparkSession, inDir: String, schema: String,
       collectionPath: String, checkpoint: String, dim: Int = 64): StreamingQuery =
     spark.readStream
@@ -754,6 +772,30 @@ object DocIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("append").parquet(collectionPath)
+      }
+      .start()
+
+  /** [[startDeduped]] with the exactly-once sink composition (VERDICT
+    * r15 #6, continuing the curation-gate precedent): the stream-wide
+    * exact-dedup gate commits each micro-batch ONCE via [[commitBatch]]'s
+    * `batch=<id>` rename protocol. A crash between the sink write and
+    * the checkpoint commit replays the batch against the SAME state-store
+    * version (the dropDuplicates state rolls back with the checkpoint),
+    * so the replay recomputes identical survivors and the rename
+    * protocol fills only what the sink is missing — no double-append. */
+  def startDedupedIdempotent(spark: SparkSession, inDir: String,
+      schema: String, collectionPath: String, checkpoint: String,
+      dim: Int = 64): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inDir)
+      .withColumn("fp", Fingerprints.md5Fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .withColumn("vector", Fingerprints.hashEmbed(col("text"), dim))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchStateful(batch, batchId, collectionPath); ()
       }
       .start()
 

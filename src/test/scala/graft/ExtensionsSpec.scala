@@ -85,7 +85,7 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("SQL damerau_levenshtein_at_most matches the banded kernel " +
-      "verdict; k must be a literal; null-intolerant") {
+      "verdict; k may be any plan-time INT constant; null-intolerant") {
     val r = spark.sql(
       """SELECT damerau_levenshtein_at_most('CA', 'ABC', 2) AS a,
         |damerau_levenshtein_at_most('CA', 'ABC', 1) AS b,
@@ -96,11 +96,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getBoolean(1) === false)
     assert(r.getBoolean(2) === true)
     assert(r.isNullAt(3))
+    // constant-foldable k (ADVICE r15): `-1` arrives as UnaryMinus over
+    // a literal and `1 + 1` as Add — both must fold, not reject
+    val f = spark.sql(
+      """SELECT damerau_levenshtein_at_most('a', 'b', 1 + 1) AS a,
+        |damerau_levenshtein_at_most('abc', 'abc', -1) AS b""".stripMargin)
+      .first()
+    assert(f.getBoolean(0) === true)  // d('a','b') = 1 ≤ 2
+    assert(f.getBoolean(1) === false) // k < 0 is always false
+    // a genuinely non-constant k still fails loudly at plan time
     val e = intercept[Exception] {
-      spark.sql("SELECT damerau_levenshtein_at_most('a', 'b', 1 + 1)")
-        .collect()
+      spark.range(1).createOrReplaceTempView("ks")
+      spark.sql(
+        "SELECT damerau_levenshtein_at_most('a', 'b', CAST(id AS INT)) " +
+          "FROM ks").collect()
     }
-    assert(e.getMessage.contains("integer literal"), e.getMessage)
+    assert(e.getMessage.contains("constant integer"), e.getMessage)
   }
 
   test("SQL jaro_winkler matches the kernel incl. boost gate and nulls") {

@@ -816,4 +816,42 @@ object GraftProperties extends Properties("graft") {
             bit == expect
           }
     }
+
+  // ── banded thresholded Damerau-Levenshtein (VERDICT r15 #4) ────────────
+  // multi-byte char included: the kernel's grain is UTF-8 BYTES
+  private val dlStr: Gen[String] =
+    Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'é')).map(_.mkString))
+
+  property("damerauLevenshteinAtMost verdict equals the full kernel for " +
+    "every k in -1..8 on arbitrary byte-grain strings") =
+    forAll(dlStr, dlStr, Gen.choose(-1, 8)) { (a, b, k) =>
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      val d = graft.functions.StringDistances.damerauLevenshtein(ab, bb)
+      graft.functions.StringDistances
+        .damerauLevenshteinAtMost(ab, bb, k) == (k >= 0 && d <= k)
+    }
+
+  property("SQL builder for damerau_levenshtein_at_most accepts any " +
+    "plan-time INT constant shape (literal / unary-minus / add) and the " +
+    "built expression matches the kernel verdict") = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Literal, UnaryMinus}
+    val builder = GraftExtensions.functions
+      .find(_._1.funcName == "damerau_levenshtein_at_most").get._3
+    forAll(dlStr, dlStr, Gen.choose(-1, 8), Gen.choose(0, 2)) {
+      (a, b, k, shape) =>
+        val kExpr = shape match {
+          case 0 => Literal(k)
+          case 1 => Add(Literal(k - 1), Literal(1))
+          case _ => UnaryMinus(Literal(-k))
+        }
+        val lit = (s: String) =>
+          Literal.create(s, org.apache.spark.sql.types.StringType)
+        val got = builder(Seq(lit(a), lit(b), kExpr))
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        val d = graft.functions.StringDistances.damerauLevenshtein(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        got == (k >= 0 && d <= k)
+    }
+  }
 }

@@ -447,6 +447,49 @@ class StreamingSpec extends SparkSpec {
     assert(state(acc) === acc0 && state(rej) === rej0)
   }
 
+  test("exactly-once deduped ingest (VERDICT r15 #6): a crash-replayed " +
+      "batch recomputes the same dedup survivors and the rename " +
+      "protocol fills only what the sink is missing") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_dedidem_in").toString
+    val out = Files.createTempDirectory("graft_dedidem_out").toString + "/col"
+    Seq((0L, "alpha document body"),
+        (1L, "alpha document body"), // exact dup — one survivor
+        (2L, "beta document body"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val ckpt = Files.createTempDirectory("graft_dedidem_ck").toString
+      val q = DocIngest.startDedupedIdempotent(spark, in, schema, out,
+        ckpt, dim = 16)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    // (fp, batch) is replay-deterministic even if the arbitrary
+    // dropDuplicates survivor between doc 0 and doc 1 were to flip
+    def state() = spark.read.parquet(out)
+      .select("fp", "batch").collect().map(_.toSeq).toSet
+    val s0 = state()
+    assert(spark.read.parquet(out).count() === 2) // dup collapsed
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(2L) &&
+      (survivors.contains(0L) ^ survivors.contains(1L)))
+
+    // full crash-replay (sink committed, checkpoint offset lost): the
+    // replayed batch 0 finds batch=0 present and writes NOTHING
+    runOnce()
+    assert(state() === s0 && spark.read.parquet(out).count() === 2)
+
+    // crash BEFORE the sink commit (batch=0 never landed): the replay
+    // recomputes the same decisions and fills the missing directory
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$out/batch=0"), true))
+    runOnce()
+    assert(state() === s0 && spark.read.parquet(out).count() === 2)
+  }
+
   test("streaming crawl pipeline (the batch flagship's twin): WET " +
       "conversion → frozen quality gate → indexed near-dup gate → " +
       "exactly-once training rows with composite doc ids") {

@@ -117,6 +117,57 @@ class StringDistancesSpec extends SparkSpec {
     assert(!atMost("", "abc", 2) && atMost("", "abc", 3))
   }
 
+  test("damerauLevenshteinAtMost: k 0..8 × length-skew hardening " +
+      "(VERDICT r15 #4) — |la−lb| at the band-width boundary, " +
+      "transposition sources pushed to the band edge, k ≥ max length") {
+    val atMost = (a: String, b: String, k: Int) =>
+      StringDistances.damerauLevenshteinAtMost(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"), k)
+    val full = (a: String, b: String) =>
+      StringDistances.damerauLevenshtein(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val rnd = new scala.util.Random(1616)
+    // (1) exact length-skew boundary: |la−lb| ∈ {k−1, k, k+1} for every
+    // k in 0..8 — d ≥ |la−lb| makes the skew the band's own edge (the
+    // band-safety proof's first case), k+1 pins the early-exit side
+    for (k <- 0 to 8; skew <- Seq(k - 1, k, k + 1); if skew >= 0;
+         _ <- 1 to 40) {
+      val la = 1 + rnd.nextInt(24)
+      val s1 = Seq.fill(la)(('a' + rnd.nextInt(4)).toChar).mkString
+      val s2 = Seq.fill(la + skew)(('a' + rnd.nextInt(4)).toChar).mkString
+      val d = full(s1, s2)
+      assert(atMost(s1, s2, k) === (d <= k), s"skew($s1,$s2,$k) d=$d")
+      assert(atMost(s2, s1, k) === (d <= k), s"skewSym($s2,$s1,$k) d=$d")
+    }
+    // (2) transposition source AT the band edge: one adjacent
+    // transposition plus k−1 front inserts of a char outside the base
+    // alphabet — the inserts displace the transposition's Lowrance-
+    // Wagner source cell to the band's far diagonal (|kk−l| = k−1),
+    // the guarded long-range read's worst case
+    for (k <- 1 to 8; _ <- 1 to 60) {
+      val base = Seq.fill(6 + rnd.nextInt(20))(
+        ('a' + rnd.nextInt(6)).toChar).mkString
+      val i = rnd.nextInt(base.length - 1)
+      val tra = base.substring(0, i) + base(i + 1) + base(i) +
+        base.substring(i + 2)
+      val s = ("z" * (k - 1)) + tra
+      val d = full(base, s)
+      assert(d <= k, s"construction invariant broke: d=$d > k=$k")
+      for (kk <- math.max(0, d - 1) to (k + 1))
+        assert(atMost(base, s, kk) === (d <= kk),
+          s"edgeTra($base,$s,$kk) d=$d")
+    }
+    // (3) k at and beyond the string lengths (band covers the whole
+    // matrix — the banded kernel must degrade to the full verdict)
+    for (_ <- 1 to 200) {
+      val s1 = Seq.fill(rnd.nextInt(7))(('a' + rnd.nextInt(3)).toChar).mkString
+      val s2 = Seq.fill(rnd.nextInt(7))(('a' + rnd.nextInt(3)).toChar).mkString
+      val d = full(s1, s2)
+      for (k <- Seq(6, 7, 8, 20))
+        assert(atMost(s1, s2, k) === (d <= k), s"wide($s1,$s2,$k) d=$d")
+    }
+  }
+
   test("damerauLevAtMost column: codegen path in a real plan matches " +
       "the kernel verdict; null-intolerant") {
     val df = Seq(

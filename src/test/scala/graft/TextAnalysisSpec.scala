@@ -11,6 +11,49 @@ class TextAnalysisSpec extends SparkSpec {
     Seq(text).toDF("t").select(colExpr).first()
   }
 
+  test("typed-kernel frames preserve the caller's id column TYPE " +
+      "(ADVICE r15: cast('long') narrowed doc_id and NULLed non-numeric " +
+      "ids) — string and int ids ride through every frame unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      ("doc-a", "the cat and the dog of the house is a pet"),
+      ("doc-b", "hello world\nhello world\nhello world")
+    ).toDF("doc_id", "text")
+    val frames: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "langId" -> TextAnalysis.langIdFrame(docs, "doc_id", "text"),
+      "quality" -> TextAnalysis.qualityFrame(docs, "doc_id", "text"),
+      "normalize" -> TextAnalysis.normalizeFrame(docs, "doc_id", "text"),
+      "repetition" -> TextAnalysis.repetitionFrame(docs, "doc_id", "text"),
+      "tokenCounts" -> TextAnalysis.tokenCountsFrame(docs, "doc_id", "text"),
+      "rolling" -> TextAnalysis.rollingFingerprintFrame(docs, "doc_id", "text"),
+      "gzip" -> TextAnalysis.gzipRatioFrame(docs, "doc_id", "text"),
+      "gopher" -> TextAnalysis.gopherRepetition(docs, "doc_id", "text"),
+      "cleanVerdict" -> TextAnalysis.cleanVerdictFrame(docs, "doc_id",
+        "text", 1L, 0.9, 0.9, 0.0, None),
+      "keywords" -> TextAnalysis.keywordHits(docs, "doc_id", "text",
+        Seq("hello", "cat"))
+    )
+    frames.foreach { case (name, f) =>
+      assert(f.schema("doc_id").dataType ===
+        org.apache.spark.sql.types.StringType, s"$name narrowed doc_id")
+      val ids = f.select("doc_id").as[String].collect().toSet
+      assert(ids.subsetOf(Set("doc-a", "doc-b")) && ids.nonEmpty,
+        s"$name lost id values: $ids")
+    }
+    // int ids stay int (no silent widening either)
+    val intDocs = Seq((7, "some text here")).toDF("doc_id", "text")
+    val lf = TextAnalysis.langIdFrame(intDocs, "doc_id", "text")
+    assert(lf.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(lf.select("doc_id").as[Int].collect().toSeq === Seq(7))
+    // and the values themselves are unchanged vs a long-id run of the
+    // same corpus (the kernel output must not depend on the id plumbing)
+    val longDocs = Seq((1L, "the cat and the dog of the house is a pet"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.langIdFrame(longDocs, "doc_id", "text")
+      .select("lang_pred").as[String].first() === "en")
+  }
+
   test("langId picks the dominant marker language, 'und' when none") {
     assert(one(TextAnalysis.langId(col("t")),
       "the cat and the dog of the house is a pet").getString(0) === "en")

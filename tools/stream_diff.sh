@@ -20,6 +20,13 @@ prior = json.load(open('/tmp/stream_prior.json'))
 drift = False
 print(f"total_wall_ms: {cur['total_wall_ms']} vs prior {prior['total_wall_ms']} "
       f"({cur['total_wall_ms']/prior['total_wall_ms']:.2f}x)")
+# batch-COUNT drift is drift too: zip() truncates to the shorter list, so
+# an extra or missing micro-batch would otherwise escape the verdict
+# entirely (ADVICE r15)
+if len(cur["batches"]) != len(prior["batches"]):
+    drift = True
+    print(f"BATCH COUNT DRIFT: cur {len(cur['batches'])} batches "
+          f"vs prior {len(prior['batches'])}")
 for c, p in zip(cur["batches"], prior["batches"]):
     keys = ("admitted", "probe_pairs", "index_fps_rows", "redundancy")
     same = all(c[k] == p[k] for k in keys)
