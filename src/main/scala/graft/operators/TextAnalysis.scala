@@ -189,14 +189,18 @@ object TextAnalysis {
   // per-row text analytics have no relational structure for Catalyst to
   // optimize anyway.
 
-  /** Shared plumbing for the typed-kernel frames below. Two contracts:
+  /** Shared plumbing for the typed-kernel frames below. Three contracts:
     *
-    *  - NULL-text guard (the [[Dedup.textOrRaise]] posture) when `op` is
-    *    set: these kernels feed quality VERDICTS and per-doc signals — a
-    *    NULL text used to surface as a bare executor NPE (or, in the gzip
-    *    kernel, silently conflate with the empty string). One codegen'd
-    *    branch, free on valid rows. `op = None` passes NULL text through
-    *    (for kernels that define NULL, e.g. gopherRepetition → 0.0).
+    *  - NULL-text guard (the [[Dedup.textOrRaise]] posture) when
+    *    `guardText` (the default): these kernels feed quality VERDICTS
+    *    and per-doc signals — a NULL text used to surface as a bare
+    *    executor NPE (or, in the gzip kernel, silently conflate with the
+    *    empty string). One codegen'd branch, free on valid rows.
+    *    `guardText = false` passes NULL text through (for kernels that
+    *    define NULL, e.g. gopherRepetition → 0.0).
+    *  - NULL ids raise loudly (always): an unjoinable NULL-id signal row
+    *    is garbage, and downstream audit negative-controls rely on the
+    *    loudness the old encoder cast provided by accident.
     *  - The caller's id column keeps its ORIGINAL type (r15 ADVICE: the
     *    previous `cast("long")` silently narrowed doc_id to LONG for all
     *    callers and turned non-numeric ids into NULLs that failed deep in
@@ -207,18 +211,24 @@ object TextAnalysis {
     * lesson 7 — immune to interpreted-expression JIT loss); `kernel` may
     * emit 0..n rows per document (flatMap semantics). */
   private def kernelFrame(docs: DataFrame, idCol: String, textCol: String,
-      op: Option[String], outFields: Seq[StructField])(
+      op: String, outFields: Seq[StructField], guardText: Boolean = true)(
       kernel: Iterator[(Any, String)] => Iterator[(Any, Seq[Any])])
       : DataFrame = {
-    val guarded = op match {
-      case Some(o) => Dedup.textOrRaise(col(textCol), s"TextAnalysis.$o")
-      case None => col(textCol)
-    }
+    val guarded =
+      if (guardText) Dedup.textOrRaise(col(textCol), s"TextAnalysis.$op")
+      else col(textCol)
     val src = Dedup.spread(docs)
       .select(col(idCol).as("doc_id"), guarded.as("text"))
     val schema = StructType(src.schema.head +: outFields)
     src.mapPartitions { it =>
       val docs = it.map { r =>
+        // explicit NULL-id guard: the pre-r16 cast("long") encoder made
+        // a NULL id fail loudly BY ACCIDENT, and downstream audits
+        // (PlanShapeSpec's bad-composite negative control) rely on that
+        // loudness — an unjoinable NULL-id signal row is garbage
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"TextAnalysis.$op: NULL id in column '$idCol' — per-doc " +
+            "signal rows must be joinable; filter or repair ids upstream")
         (r.get(0), if (r.isNullAt(1)) null else r.getString(1))
       }
       kernel(docs).map { case (id, vs) => Row.fromSeq(id +: vs) }
@@ -244,7 +254,7 @@ object TextAnalysis {
   }
 
   def langIdFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    kernelFrame(docs, idCol, textCol, Some("langIdFrame"),
+    kernelFrame(docs, idCol, textCol, "langIdFrame",
       Seq(StructField("lang_pred", StringType, nullable = false)))(
       _.map { case (id, t) => (id, Seq(langIdOf(t))) })
 
@@ -270,7 +280,7 @@ object TextAnalysis {
   }
 
   def qualityFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    kernelFrame(docs, idCol, textCol, Some("qualityFrame"),
+    kernelFrame(docs, idCol, textCol, "qualityFrame",
       Seq(StructField("n_tokens", LongType, nullable = false),
         StructField("mean_token_len", DoubleType, nullable = false),
         StructField("punct_ratio", DoubleType, nullable = false),
@@ -388,7 +398,8 @@ object TextAnalysis {
         nullable = false),
       StructField("_dup", ArrayType(DoubleType, containsNull = false),
         nullable = false))
-    val out = kernelFrame(docs, idCol, textCol, None, outFields) { it =>
+    val out = kernelFrame(docs, idCol, textCol, "gopherRepetition", outFields,
+      guardText = false) { it =>
       val utf8 = graft.functions.Utf8Order.ordering
       def round4(x: Double): Double =
         scala.math.BigDecimal(x)
@@ -629,7 +640,7 @@ object TextAnalysis {
       StructField("hits", IntegerType, nullable = false))
     if (kws.length >= acThreshold) {
       val ac = graft.functions.AhoCorasick.build(kws.toSeq)
-      kernelFrame(docs, idCol, textCol, Some("keywordHits"), outFields)(
+      kernelFrame(docs, idCol, textCol, "keywordHits", outFields)(
         _.flatMap { case (id, t) =>
           val counts =
             ac.countHits(t.toLowerCase(java.util.Locale.ROOT))
@@ -638,7 +649,7 @@ object TextAnalysis {
           }
         })
     } else {
-      kernelFrame(docs, idCol, textCol, Some("keywordHits"), outFields)(
+      kernelFrame(docs, idCol, textCol, "keywordHits", outFields)(
         _.flatMap { case (id, t) =>
           val lower = t.toLowerCase(java.util.Locale.ROOT)
           kws.iterator
@@ -664,7 +675,7 @@ object TextAnalysis {
 
   def normalizeFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    kernelFrame(docs, idCol, textCol, Some("normalizeFrame"),
+    kernelFrame(docs, idCol, textCol, "normalizeFrame",
       Seq(StructField("normalized", StringType, nullable = false)))(
       _.map { case (id, t) => (id, Seq(normalizeOf(t))) })
 
@@ -695,7 +706,7 @@ object TextAnalysis {
 
   def repetitionFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    kernelFrame(docs, idCol, textCol, Some("repetitionFrame"),
+    kernelFrame(docs, idCol, textCol, "repetitionFrame",
       Seq(StructField("n_lines", LongType, nullable = false),
         StructField("n_distinct_lines", LongType, nullable = false),
         StructField("n_bigrams", LongType, nullable = false),
@@ -707,7 +718,7 @@ object TextAnalysis {
 
   def tokenCountsFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    kernelFrame(docs, idCol, textCol, Some("tokenCountsFrame"),
+    kernelFrame(docs, idCol, textCol, "tokenCountsFrame",
       Seq(StructField("ws_tokens", LongType, nullable = false),
         StructField("subword_tokens", LongType, nullable = false)))(
       _.map { case (id, t) =>
@@ -736,7 +747,7 @@ object TextAnalysis {
 
   def rollingFingerprintFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    kernelFrame(docs, idCol, textCol, Some("rollingFingerprintFrame"),
+    kernelFrame(docs, idCol, textCol, "rollingFingerprintFrame",
       Seq(StructField("fp_rolling", LongType, nullable = false)))(
       _.map { case (id, t) => (id, Seq(rollingFingerprintOf(t))) })
 
@@ -752,7 +763,7 @@ object TextAnalysis {
   def cleanVerdictFrame(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Long, maxDupLineFrac: Double, maxTopBigramFrac: Double,
       minQuality: Double, requiredLang: Option[String]): DataFrame = {
-    kernelFrame(docs, idCol, textCol, Some("cleanVerdictFrame"),
+    kernelFrame(docs, idCol, textCol, "cleanVerdictFrame",
       Seq(StructField("n_tokens", LongType, nullable = false),
         StructField("quality", DoubleType, nullable = false),
         StructField("lang_pred", StringType, nullable = false),
@@ -1028,7 +1039,7 @@ object TextAnalysis {
     * the [[Dedup.textOrRaise]] posture). */
   def gzipRatioFrame(docs: DataFrame, idCol: String, textCol: String,
       level: Int = 6, decimals: Int = 4): DataFrame =
-    kernelFrame(docs, idCol, textCol, Some("gzipRatioFrame"),
+    kernelFrame(docs, idCol, textCol, "gzipRatioFrame",
       Seq(StructField("n_bytes", LongType, nullable = false),
         StructField("n_deflated", LongType, nullable = false),
         StructField("gzip_ratio", DoubleType, nullable = false))) { it =>
