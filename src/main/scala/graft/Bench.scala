@@ -41,11 +41,15 @@ private[graft] object BenchCanary {
     * measure contention DURING the run and supersede the prior. The
     * r12 start-load signature still holds for canary-less runs. */
   val LoadStartThreshold = 2.0
-  /** Quiet-window prior, pinned from a solo run on the round host
-    * (load1m < 0.6, 12 back-to-back readings spanning 0.242-0.262 s,
-    * median 0.252). Re-pin via SPARK_GRAFT_CANARY_PRIOR_SEC after a
-    * host change. */
-  val PinnedPriorSec = 0.25
+  /** Quiet-window prior, pinned from a solo run on the round host.
+    * r16 re-pin: the round-16 host is ~1.8× slower on this workload
+    * than the r15 box (82-reading solo monitor at load1m < 0.3:
+    * min 0.392, median 0.445, max 0.569 — the r15 host read
+    * 0.242-0.262); with the old 0.25 prior every run here labeled
+    * contended unconditionally (quiet floor 0.43 > the 0.35
+    * ContendedRatio bar). Re-pin via SPARK_GRAFT_CANARY_PRIOR_SEC
+    * after the next host change. */
+  val PinnedPriorSec = 0.44
 
   def priorSec: Double =
     sys.env.get("SPARK_GRAFT_CANARY_PRIOR_SEC")

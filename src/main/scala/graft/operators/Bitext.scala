@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions.cosineSimilarity
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
@@ -42,11 +41,23 @@ object Bitext {
     * because the sum of the top-k multiset does not depend on how ties
     * break. */
   private def marginOverPairs(pairs: DataFrame, k: Int): DataFrame = {
-    val kx = pairs.groupBy(col("sid"))
+    // Materialize the candidate-pair table ONCE (r16 plan audit): it is
+    // consumed by three plan branches (the sid-side k-NN sum, the
+    // tid-side k-NN sum, and the join probe), and Catalyst recomputes a
+    // DataFrame subtree per consumer — so the UNmaterialized form paid
+    // the candidate generator (cross join + 64-dim cosine, the dominant
+    // cost) three times per margin table. At 100 TB the pair table is
+    // the operator's single biggest intermediate; production writes it
+    // once between stages and fans consumers out from the artifact —
+    // the eager localCheckpoint is the single-process stand-in, and its
+    // known post-materialization size lets AQE pick the join strategy
+    // for the two sum-tables from real bytes instead of estimates.
+    val p = pairs.localCheckpoint()
+    val kx = p.groupBy(col("sid"))
       .agg(graft.functions.TopKSum.topKSum(col("cos_micro"), k).as("sx"))
-    val ky = pairs.groupBy(col("tid"))
+    val ky = p.groupBy(col("tid"))
       .agg(graft.functions.TopKSum.topKSum(col("cos_micro"), k).as("sy"))
-    pairs
+    p
       .join(kx, "sid").join(ky, "tid")
       .withColumn("margin",
         (col("cos_micro") * (2L * k)).cast("double") /
@@ -70,11 +81,20 @@ object Bitext {
   private def marginTable(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val s = src.select(col(idCol).cast("long").as("sid"),
-      col(vecCol).as("sv"))
+    // Spread the STREAM side before the broadcast cross join (r16): a
+    // dimension-sized parquet source arrives as one input split, and the
+    // cosine Project runs in the cross join's own stage — so without the
+    // repartition the entire |S|·|T| cosine compute serialized onto ONE
+    // core. (r15 recorded spread-on-bitext as net-negative, but that was
+    // measured on the UNmaterialized form, where the repartition exchange
+    // was itself re-evaluated three times per margin table; with the
+    // pair table checkpointed once the spread is paid once and the
+    // cosine stage parallelizes cleanly — re-measured this round.)
+    val s = Dedup.spread(src.select(col(idCol).cast("long").as("sid"),
+      col(vecCol).as("sv")))
     val t = tgt.select(col(idCol).cast("long").as("tid"),
       col(vecCol).as("tv"))
-    val pairs = s.crossJoin(t)
+    val pairs = s.crossJoin(broadcast(t))
       .select(col("sid"), col("tid"),
         round(cosineSimilarity(col("sv"), col("tv")) * 1000000)
           .cast("long").as("cos_micro"))
@@ -190,17 +210,34 @@ object Bitext {
     * in the positive regime where the case cannot arise. */
   def mutualTopPairs(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4): DataFrame = {
-    val m = marginTable(src, tgt, idCol, vecCol, k)
-    val bestT = m.withColumn("rk", row_number().over(
-        Window.partitionBy(col("sid"))
-          .orderBy(desc("margin"), col("tid"))))
-      .filter(col("rk") === 1).select(col("sid"), col("tid"))
-    val bestS = m.withColumn("rk", row_number().over(
-        Window.partitionBy(col("tid"))
-          .orderBy(desc("margin"), col("sid"))))
-      .filter(col("rk") === 1).select(col("sid"), col("tid"))
-    m.join(bestT, Seq("sid", "tid"))
-      .join(bestS, Seq("sid", "tid"))
+    // r16 plan rewrite — same mined set, computed as two ARGMAX
+    // AGGREGATIONS instead of two row_number windows plus two join-backs
+    // against the full margin table. The window form exchanged AND
+    // sorted the entire pair table once per side, then shuffled it twice
+    // more to recover (cos_micro, margin) for the survivors; the
+    // aggregate form collapses every map partition to one best-candidate
+    // buffer per id before anything shuffles (partial aggregation), and
+    // the payload rides IN the aggregate, so nothing joins back.
+    //
+    // Equivalence to `row_number().over(orderBy(desc(margin), id)) = 1`:
+    // max(struct(margin, -id, …)) compares margin first with Spark's
+    // SQL double ordering — the SAME total order the window sort uses
+    // (NaN greatest, -0.0 = 0.0) — and breaks exact-margin ties by the
+    // SMALLEST id via the negated second field. Ids are non-negative
+    // longs (cast in marginTable), so the negation cannot overflow.
+    // Fields after the (margin, -id) key are payload only: (sid, tid)
+    // is unique in the pair table, so two candidates can never compare
+    // equal through the key.
+    val m = marginTable(src, tgt, idCol, vecCol, k).localCheckpoint()
+    val bestT = m.groupBy(col("sid"))
+      .agg(max(struct(col("margin"), (-col("tid")).as("ntid"),
+        col("cos_micro"))).as("b"))
+      .select(col("sid"), (-col("b.ntid")).as("tid"),
+        col("b.cos_micro").as("cos_micro"), col("b.margin").as("margin"))
+    val bestS = m.groupBy(col("tid"))
+      .agg(max(struct(col("margin"), (-col("sid")).as("nsid"))).as("b"))
+      .select((-col("b.nsid")).as("sid"), col("tid"))
+    bestT.join(bestS, Seq("sid", "tid"))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         col("cos_micro"), col("margin"))
   }
@@ -235,8 +272,32 @@ object Bitext {
     * pair. No windows, no driver state. */
   def bleuPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, decimals: Int = 6): DataFrame = {
+    // distinct: a caller passing a duplicated pair row would otherwise
+    // double the clipped counts through the gram joins AND emit duplicate
+    // output rows (ADVICE r10). One (long, long)-grain shuffle over the
+    // pair table — dimension-sized next to the gram joins it protects.
+    // Materialized once (r16): the pair table feeds four plan branches
+    // (two clipped-count joins, the totals join, and the id prefilter
+    // below), and each unmaterialized consumer re-evaluated the caller's
+    // entire upstream miner — for emb_bitext_bleu that was the whole
+    // mutual-argmax chain, several times over.
+    val base = pairs.select(col("ref_id").cast("long").as("ref_id"),
+      col("cand_id").cast("long").as("cand_id")).distinct()
+      .localCheckpoint()
+    // Prefilter (r16, the guide's semi-join/Bloom pre-filter shape):
+    // only docs that appear in the pair table can survive any join
+    // below — every consumer keys on cand_id/ref_id drawn from `base` —
+    // so restrict the tokenized corpus BEFORE the n-gram explode. At
+    // corpus scale the gram table over ALL docs is this operator's
+    // biggest intermediate while mined pair sets touch a tiny fraction
+    // of the corpus; the semi-join on the exact id set (not a Bloom
+    // filter) keeps the result provably identical.
+    val ids = base.select(explode(array(col("ref_id"), col("cand_id")))
+      .as("id")).distinct()
     val toks = docs.select(col(idCol).cast("long").as("id"),
-      split(col(textCol), " ").as("ws"))
+        split(col(textCol), " ").as("ws"))
+      .join(ids, Seq("id"), "left_semi")
+      .localCheckpoint()
     // per-doc n-gram multiplicity tables, n = 1, 2 (packed with ,
     // the house gram separator — corpus text never contains it)
     def gramCounts(n: Int) = toks
@@ -246,12 +307,6 @@ object Bitext {
           i => concat_ws("", slice(col("ws"), i + 1, lit(n))))).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
     val lens = toks.select(col("id"), size(col("ws")).as("len"))
-    // distinct: a caller passing a duplicated pair row would otherwise
-    // double the clipped counts through the gram joins AND emit duplicate
-    // output rows (ADVICE r10). One (long, long)-grain shuffle over the
-    // pair table — dimension-sized next to the gram joins it protects.
-    val base = pairs.select(col("ref_id").cast("long").as("ref_id"),
-      col("cand_id").cast("long").as("cand_id")).distinct()
     def clipped(n: Int) = {
       val gc = gramCounts(n)
       base
