@@ -56,12 +56,22 @@ object Quantiles {
         .agg(count(lit(1)).as("_c"))
       // cumulative counts over the DISTINCT-VALUE frame — global window
       // by construction (it computes global order statistics), bounded
-      // by the value domain; allowlisted in GlobalWindowSpec
-      val cum = hist.withColumn("_cum",
-        sum(col("_c")).over(Window.orderBy(col("_v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val total = hist.agg(sum(col("_c")).as("_n"))
-      cum.crossJoin(broadcast(total))
+      // by the value domain; allowlisted in GlobalWindowSpec.
+      // The grand total rides a SECOND frame over the same ordered
+      // histogram (r16; the classifier_conformal_audit cum+total
+      // pattern) instead of a separate `hist.agg(sum)` branch — the
+      // aggregate branch re-evaluated the ENTIRE upstream `df` plan a
+      // second time per dimension (Catalyst recomputes shared subtrees
+      // per consumer), which for callers whose input is an expensive
+      // chain (docs_ccnet_buckets: the full stupid-backoff scorer)
+      // doubled the dominant cost. Both frames are histogram-bounded.
+      val w = Window.orderBy(col("_v"))
+      val cum = hist
+        .withColumn("_cum", sum(col("_c")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_n", sum(col("_c")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      cum
         .select(explode(array((1 until d.k).map(lit): _*)).as("_p"),
           col("_v"), col("_cum"), col("_n"))
         .filter(col("_cum") >= ceil(col("_p") * col("_n") / lit(d.k)))

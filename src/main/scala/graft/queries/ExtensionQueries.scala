@@ -804,9 +804,15 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       val scored = TextAnalysis.stupidBackoffScores(docs, "doc_id",
         "text", refFilter = pmod(col("doc_id"), lit(2)) === 0)
+      // materialize the scored corpus ONCE (r16): cutpointScores consumes
+      // its input twice (histogram pass + scoring pass) and each branch
+      // re-ran the whole stupid-backoff scorer — at scale the scored
+      // corpus is the artifact a CCNet pipeline writes between the LM
+      // stage and the bucketing stage
       val withSrc = scored.join(
         docs.select(col("doc_id").cast("long").as("doc_id"),
           col("source")), "doc_id")
+        .localCheckpoint()
       graft.operators.Quantiles.cutpointScores(withSrc, "sbo_score",
           3, "bucket", ascending = false)
         .groupBy(col("source"), col("bucket"))
