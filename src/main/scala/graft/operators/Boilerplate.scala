@@ -51,10 +51,15 @@ object Boilerplate {
         posexplode(segsCol).as(Seq("_pos", "_seg")))
     // doc-frequency over 8-byte segment hashes; exact strings recovered
     // only for the (small) frequent set via semi-join.
+    // materialized (r16): the frequent-hash table is tiny (≤ maxFrequent
+    // rows by the guard below) but was evaluated TWICE — once by the
+    // guard count and again by the recovery semi-join — and each
+    // evaluation re-ran the corpus explode + doc-frequency shuffle.
     val freqHashes = exploded
       .select(col("_id"), xxhash64(col("_seg")).as("_h"))
       .groupBy("_h").agg(countDistinct("_id").as("_df"))
       .filter(col("_df") >= minDocs)
+      .localCheckpoint()
     val nFrequent = freqHashes.count()
     require(nFrequent <= maxFrequent,
       s"stripFrequentSegments: $nFrequent frequent segments exceeds " +

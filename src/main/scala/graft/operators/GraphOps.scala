@@ -59,7 +59,13 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       "need scale > 0 and 0 <= dampNum <= dampDen")
-    val e = edges
+    // Materialize the caller's edge plan ONCE (r16): `e` feeds four plan
+    // branches across TWO separate checkpoint jobs below (nodes unions
+    // it twice, contribEdges joins it with its own degree table), and
+    // exchange reuse never crosses job boundaries — callers passing an
+    // expensive edge build (cell-restricted k-NN, corpus co-occurrence
+    // explodes) paid it up to 4×. labelPropagate already does this.
+    val e = edges.localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val n = nodes.count()
@@ -161,13 +167,20 @@ object GraphOps {
             .as("score"))
     val entries = broadcast(
       entryPoints.select(col(entryIdCol).cast("long").as("id")).distinct())
+    // Materialize the caller's edge plan ONCE (r16): the hop loop joined
+    // the raw `edges` DataFrame every round, so an expensive edge build
+    // (the bench's cell-restricted k-NN graph) re-ran per hop — `hops`
+    // evaluations of the biggest upstream stage. Beam/visited were
+    // already checkpointed per round; the edge table is the loop's only
+    // unmaterialized loop-invariant input.
+    val eg = edges.select(col(srcCol).cast("long").as("id"),
+      col(dstCol).cast("long").as("_dst")).localCheckpoint()
     var beam = score(q.select(col("query_id")).crossJoin(entries))
       .localCheckpoint()
     var visited = beam
     for (_ <- 1 to hops) {
       val cand = beam
-        .join(edges.select(col(srcCol).cast("long").as("id"),
-          col(dstCol).cast("long").as("_dst")), "id")
+        .join(eg, "id")
         .select(col("query_id"), col("_dst").as("id")).distinct()
         .join(visited.select(col("query_id"), col("id")),
           Seq("query_id", "id"), "left_anti")
