@@ -429,6 +429,20 @@ object Bench {
     // day read 1.19-1.27× uniform on identical code)
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Whole-run /proc/stat delta (r16): the round-16 host shows
+    // minutes-long DEGRADED windows in which Spark stages inflate far
+    // beyond the CPU canary's ratio (suspected hypervisor/memory-side
+    // interference). iowait/steal percentages over the run are the
+    // kernel's own account of involuntary waiting — one more
+    // self-labeling channel beside the canary, costing two file reads.
+    // Silently absent off Linux.
+    def procStat(): Option[Array[Long]] =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().split("\\s+")
+        Some(l.slice(1, 9).map(_.toLong))
+      } catch { case _: Throwable => None }
+    val procStart = procStat()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q1,q2 times a subset
@@ -671,6 +685,15 @@ object Bench {
           s""""load_per_chunk":$loadArr,"contended":$isContended}""")
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // iowait/steal as % of total ticks over the whole run (see procStat
+    // above); -1.0 = /proc/stat unavailable
+    val (iowaitPct, stealPct) = (procStart, procStat()) match {
+      case (Some(a), Some(b)) =>
+        val d = b.zip(a).map { case (x, y) => math.max(0L, x - y) }
+        val tot = math.max(1L, d.sum)
+        (100.0 * d(4) / tot, 100.0 * d(7) / tot)
+      case _ => (-1.0, -1.0)
+    }
     def env(withArrays: Boolean) = {
       val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
       val ccMb = reservedCodeCacheBytes / (1024 * 1024)
@@ -690,7 +713,7 @@ object Bench {
         if (withArrays)
           s""""canary_sec_per_chunk":$canaryArr,"load_per_chunk":$loadArr,"""
         else ""
-      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load_start":$loadStart%.1f,"load1m":$load%.1f,"cpus":$cpus,"contended":$isContended,"canary_prior_sec":$canaryPrior%.2f,"canary_max_ratio":$canaryMaxRatio%.2f,$arrays"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls,"bin_idx":$binIdx,"bins_file":"$binsFile"}"""
+      f""""env":{"heap_max_mb":$heapMb,"code_cache_mb":$ccMb,"reexec":$reexec,"load_start":$loadStart%.1f,"load1m":$load%.1f,"cpus":$cpus,"contended":$isContended,"canary_prior_sec":$canaryPrior%.2f,"canary_max_ratio":$canaryMaxRatio%.2f,"iowait_pct":$iowaitPct%.1f,"steal_pct":$stealPct%.1f,$arrays"gc_ms_per_chunk":$gcs,"wall_ms_per_chunk":$walls,"bin_idx":$binIdx,"bins_file":"$binsFile"}"""
     }
     def line(withArrays: Boolean) =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","n":${results.size},"failed":$failed,"rest_sum":$restSum%.2f,"rest_n":${rest.size},${env(withArrays)},"queries":$qs}"""
