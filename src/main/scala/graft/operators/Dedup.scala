@@ -290,12 +290,22 @@ object Dedup {
       .localCheckpoint()
     val sh = base.select($"id", $"n_sh", explode($"shs").as("sg"))
     val dfreq = sh.groupBy($"sg").agg(count(lit(1)).as("_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"id").orderBy($"_df", $"sg")
+    // Per-doc prefix via ONE aggregation (r16): the row_number form
+    // exchanged AND sorted the full (id, _df, sg) shingle table to rank
+    // within each doc; the aggregate form shuffles the same rows but
+    // replaces the global sort with a per-doc array_sort over the doc's
+    // own shingles, and the variable-length prefix is a slice. The
+    // (_df, sg) struct order IS the window's (orderBy _df, sg), and the
+    // PPJoin prefix theorem needs only a CONSISTENT global shingle
+    // order, so the candidate set — and the verified pair set — is
+    // unchanged. n_sh is constant per doc (min — any — is exact).
     val prefix = sh.join(dfreq, "sg")
-      .withColumn("_pos", row_number().over(w))
-      .filter($"_pos" <= $"n_sh" - ceil($"n_sh" * lit(threshold)) + lit(1))
-      .select($"id", $"sg")
+      .groupBy($"id")
+      .agg(min($"n_sh").as("_n"),
+        array_sort(collect_list(struct($"_df", $"sg"))).as("_ord"))
+      .select($"id", explode(slice($"_ord", lit(1),
+        ($"_n" - ceil($"_n" * lit(threshold)) + lit(1)).cast("int"))
+        .getField("sg")).as("sg"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
