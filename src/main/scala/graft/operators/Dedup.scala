@@ -1025,9 +1025,19 @@ object Dedup {
     val candHash = wins.groupBy(col("h")).agg(count(lit(1)).as("hc"))
       .filter(col("hc") > 1).select(col("h"))
     val candPos = wins.join(candHash, Seq("h")).select(col("doc_id"), col("pos"))
+    // candWin feeds TWO consumers (the winCount aggregation and the final
+    // probe join): left unmaterialized, the whole candidate pipeline —
+    // the corpus scan, the O(chars) rolling-hash kernel and the
+    // candidate-hash aggregation — re-evaluates once PER consumer (the
+    // r16 plan audit showed the kernel 4× in one dedup_substring plan).
+    // Candidates are only the positions whose 64-bit hash repeats — rare
+    // in clean corpora — so this checkpoint is small where `wins` (every
+    // position in the corpus) would not be; the kernel now runs twice
+    // (candHash + the probe into this join), not four times.
     val candWin = candPos.join(src, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos") + 1, lit(winLen)).as("win"))
+      .localCheckpoint()
     // text-equality verification: occurrences of the REAL window among
     // candidates = its occurrences in the whole corpus (see scaladoc)
     val winCount = candWin.groupBy(col("win")).agg(count(lit(1)).as("wc"))

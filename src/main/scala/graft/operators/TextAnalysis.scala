@@ -1082,30 +1082,46 @@ object TextAnalysis {
     * Output rows are the selected fingerprints, ~2n/(w+1) per doc.
     * Output: (doc_id, fp_pos, fp_hash). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 5): DataFrame = {
+      k: Int = 4, w: Int = 5): DataFrame =
+    winnowSelections(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("sel.pos").as("fp_pos"),
+        col("sel.h").as("fp_hash"))
+      .distinct()
+
+  /** Pre-distinct window-min selections — one row per FULL window start
+    * position, heavy duplicate (pos, h) struct values. Shared by the
+    * public fingerprint table (distinct over (doc_id, pos, hash)) and
+    * [[winnowCandidatePairs]], which only needs (doc_id, hash) and
+    * dedups on that narrower key directly. */
+  private def winnowSelections(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       Fingerprints.tokens(col(textCol)).as("ws"))
+    // the last shingle start is size(ws) − k by construction (posexplode
+    // over a dense 0..size−k sequence), so the full-window bound rides
+    // the scan as a column — the previous max(pos) full-partition window
+    // was a second pass over every shingle row to recompute it (r16)
     val shingles = base.filter(size(col("ws")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(col("ws")) - k),
+      // maxp is projected BEFORE the explode so the Generate prunes the
+      // token array from its output — computed after, `ws` rides every
+      // exploded shingle row (measured +27% on docs_winnow)
+      .select(col("doc_id"), (size(col("ws")) - k).as("maxp"), col("ws"))
+      .select(col("doc_id"), col("maxp"),
+        posexplode(transform(
+          sequence(lit(0), col("maxp")),
           i => concat_ws(" ", slice(col("ws"), i + 1, lit(k)))))
         .as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("maxp"), col("pos"),
         conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h"))
     val winSel = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
-    val winAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
     shingles
       .withColumn("sel", min(struct(col("h"), col("pos"))).over(winSel))
-      .withColumn("maxp", max(col("pos")).over(winAll))
       // only FULL windows select (start positions with w members)
       .filter(col("pos") <= col("maxp") - (w - 1))
-      .select(col("doc_id"), col("sel.pos").as("fp_pos"),
-        col("sel.h").as("fp_hash"))
-      .distinct()
+      .select(col("doc_id"), col("sel"))
   }
 
   /** Winnow candidate pairs — the MOSS match step over
@@ -1131,12 +1147,21 @@ object TextAnalysis {
     require(minShared >= 1 && maxDf >= 2,
       s"minShared >= 1 and maxDf >= 2 required, got $minShared/$maxDf")
     // fp feeds three consumers (df count + both join sides); it is a
-    // selections-sized table (~2n/(w+1) rows of (long, int, long)) —
-    // checkpoint so the shingle→window-min pipeline runs once
-    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+    // selections-sized table (~2n/(w+1) rows of (long, long)) —
+    // checkpoint so the shingle→window-min pipeline runs once. The
+    // match step never reads fp_pos, so dedup happens on the narrower
+    // (doc_id, hash) key directly (one distinct instead of the public
+    // table's 3-column distinct), which makes every row unique per
+    // (doc, hash): the df count and the per-pair shared count become
+    // plain count(1)s — no countDistinct expand-dedup passes — and a
+    // hash selected at several positions of both docs joins once, not
+    // positions² times (r16).
+    val fp = winnowSelections(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("sel.h").as("fp_hash"))
+      .distinct()
       .localCheckpoint()
     val keep = fp.groupBy(col("fp_hash"))
-      .agg(countDistinct(col("doc_id")).as("_df"))
+      .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
       .select(col("fp_hash"))
     val fpk = fp.join(keep, "fp_hash")
@@ -1144,7 +1169,7 @@ object TextAnalysis {
         col("a.fp_hash") === col("b.fp_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(countDistinct(col("a.fp_hash")).as("shared"))
+      .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
 
