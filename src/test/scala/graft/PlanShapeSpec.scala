@@ -39,14 +39,16 @@ class PlanShapeSpec extends SparkSpec {
       s"length prune is not ahead of jaro_winkler: $cond")
   }
 
-  test("docs_winnow: one data exchange feeds both windows; distinct " +
-      "reuses the doc partitioning") {
+  test("docs_winnow: one data exchange feeds the single window pass " +
+      "(maxp rides the scan as size(ws)-k since r16); distinct reuses " +
+      "the doc partitioning") {
     val plan = executedPlan("docs_winnow")
     // exchanges: one hashpartitioning(doc_id) + the presentation sort's
     // rangepartitioning — and nothing else
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"docs_winnow grew a third exchange:\n$plan")
-    assert(plan.linesIterator.count(_.contains("Window ")) === 2)
+    assert(plan.linesIterator.count(_.contains("Window ")) === 1,
+      s"docs_winnow no longer runs exactly one window pass:\n$plan")
   }
 
   test("s2_scan_pushdown: filters still reach the parquet scan") {
