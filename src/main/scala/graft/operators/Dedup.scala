@@ -388,7 +388,14 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val rows = k / bands
-    val sig = shingleFrame(docs, idCol, textCol, n, k)
+    // The signature table feeds three-plus plan branches (the band
+    // bucket build and both verify-join sides; exchange reuse covers
+    // only the bucket self-join): checkpoint it so the corpus scan +
+    // shingle/minhash kernel runs ONCE — the prefixFilterJaccardPairs
+    // discipline (r9/r16), previously missing from the LSH generator.
+    // In the flagship pipeline `docs` is itself a join over the quality
+    // gate, so each re-evaluation repaid upstream stages too.
+    val sig = shingleFrame(docs, idCol, textCol, n, k).localCheckpoint()
 
     // (band_idx, hash(band slice)) bucket keys; one row per band — ids only,
     // shingle arrays do NOT ride through the shuffle.
@@ -664,6 +671,11 @@ object Dedup {
             (id, v, bandKeys)
           }
         }.toDF("id", "v", "bands")
+        // the sign-projection kernel feeds four plan branches (bucket
+        // self-join sides + both verify re-attach sides): checkpoint so
+        // the per-row hyperplane dots run ONCE — the minhashLshPairs /
+        // prefixFilterJaccardPairs discipline (r17)
+        .localCheckpoint()
     }
     val buckets = vecs.select($"id", explode($"bands").as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),

@@ -188,9 +188,14 @@ object GraphOps {
       visited = visited.union(scored).localCheckpoint()
       val w = Window.partitionBy(col("query_id"))
         .orderBy(desc("score"), col("id").asc)
+      // beam stays LAZY (r17): its single consumer is the next hop's
+      // candidate expansion, and it derives from the just-checkpointed
+      // `visited` by one window — checkpointing it spent one extra job
+      // per hop materializing a table the next checkpoint would fold in
+      // anyway, and the FINAL hop's beam (no consumer: the answer ranks
+      // `visited`) paid a whole window pass for nothing.
       beam = visited.withColumn("_rk", row_number().over(w))
         .filter(col("_rk") <= beamWidth).drop("_rk")
-        .localCheckpoint()
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), col("id").asc)
@@ -259,19 +264,32 @@ object GraphOps {
     val nbr = und.select(col("a").as("id"), col("b").as("nb"))
       .union(und.select(col("b").as("id"), col("a").as("nb")))
       .localCheckpoint()
-    var alive = nbr.select(col("id")).distinct().localCheckpoint()
-    var aliveCount = alive.count()
+    // survivor-count rides the checkpoint materialization as an
+    // Observation (the connectedComponents precedent, r17): the loop
+    // previously ran TWO actions per round — the checkpoint job plus a
+    // count() re-scan of the freshly materialized survivor table — and
+    // at scale that second action is a full extra pass over a
+    // node-sized table every round. Same fixpoint semantics: converged
+    // iff the simultaneous removal deleted nobody.
+    def checkpointCounted(df: DataFrame, obsName: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(obsName)
+      val cp = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (cp, Option(obs.get.getOrElse("n", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    var (alive, aliveCount) =
+      checkpointCounted(nbr.select(col("id")).distinct(), "kcore_n_0")
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val next = nbr
-        .join(alive, Seq("id"), "left_semi")
-        .join(alive.select(col("id").as("nb")), Seq("nb"), "left_semi")
-        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("id"))
-        .localCheckpoint()
-      val nextCount = next.count()
+      val (next, nextCount) = checkpointCounted(
+        nbr
+          .join(alive, Seq("id"), "left_semi")
+          .join(alive.select(col("id").as("nb")), Seq("nb"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("id")),
+        s"kcore_n_${round + 1}")
       converged = nextCount == aliveCount
       alive.unpersist()
       alive = next

@@ -43,9 +43,18 @@ object Packing {
       orderCols: Seq[String], seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
+    // Materialize the sorted (id, tokens) table ONCE (r17): both prefix
+    // passes below consume `rdd`, so the whole upstream — the caller's
+    // token-count kernel over document text plus the range-partitioned
+    // sort — ran TWICE per pack. The table is two longs per doc; at
+    // corpus scale re-tokenizing the text a second time costs far more
+    // than holding it. (localCheckpoint also pins the partitioning, so
+    // pass-1 offsets are computed over exactly the partitions pass 2
+    // reads — previously guaranteed only by deterministic replanning.)
     val sorted = docs
       .select(col(idCol), tokensOrRaise(tokenCol, "packSequences"))
       .orderBy(orderCols.map(col): _*)
+      .localCheckpoint()
     val rdd = sorted.rdd
 
     // pass 1: one (partition, tokenSum) row per partition (tiny).

@@ -40,12 +40,24 @@ object PqIndex {
     * codes from the same kernel — the vector itself is never written). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       ncells: Int, m: Int, ksub: Int, maxIter: Int = 12,
+      seed: Long = 42L): Unit =
+    buildWith(corpus, idCol, vecCol, path, ncells,
+      Pq.train(corpus, vecCol, m, ksub, maxIter), seed)
+
+  /** [[build]] with an ALREADY-TRAINED codebook (r17): `Pq.train` is a
+    * deterministic function of (corpus, m, ksub, maxIter) — hash-ordered
+    * init, fixed Lloyd passes — so a caller that already holds the
+    * model for this corpus (the gate queries share one via a model
+    * registry) gets a bit-identical index without paying the full
+    * k-means train a second time. The m/ksub geometry rides in the
+    * model itself. */
+  def buildWith(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, ncells: Int, model: Pq.Model,
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val coarse = SimilaritySearch.computeCentroids(corpus, vecCol, ncells, seed)
     require(coarse.nonEmpty, "cannot build an index on an empty corpus")
-    val model = Pq.train(corpus, vecCol, m, ksub, maxIter)
     encodeWithCell(corpus, idCol, vecCol, coarse, model)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")

@@ -82,9 +82,16 @@ object PipelineQueries {
     //    interpolated median is exact-integer-or-half on BOTH engines
     //    (a double median of raw round4 values could differ in the
     //    last ulp between interpolation formulas). ────────────────────
+    // Materialized ONCE (r17): `q` feeds the median action AND the
+    // survivor join below, and the survivor join is itself evaluated by
+    // BOTH stage-3 consumers (the LSH signature build and the dedup
+    // drop side) — so the quality kernel, a full typed pass over the
+    // corpus text, ran three times per pipeline. The checkpoint is two
+    // longs per doc; every consumer now rides it.
     val q = TextAnalysis.qualityFrame(wetText, "doc_id", "text")
       .select(col("doc_id"),
         round(col("quality") * 10000).cast("long").as("q4"))
+      .localCheckpoint()
     val med = q.agg(percentile(col("q4"), lit(0.5)))
       .first().getDouble(0)
     val kept = wetText.join(

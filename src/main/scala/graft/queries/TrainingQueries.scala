@@ -370,8 +370,13 @@ object TrainingQueries {
       val k = 10
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx_" +
         Integer.toHexString(d.hashCode)
-      PqIndex.build(emb, "vec_id", "embedding", path, ncells = 8,
-        m = PqM, ksub = PqKsub, maxIter = 12)
+      // buildWith (r17): the roundtrip contract is "probe-all-cells
+      // equals ephemeral ADC under the SAME model" — `model` above IS
+      // that model (Pq.train is deterministic in (corpus, PqM, PqKsub,
+      // maxIter)), so re-training an identical codebook inside build
+      // spent a second full Lloyd pass for bit-identical sidecars.
+      PqIndex.buildWith(emb, "vec_id", "embedding", path, ncells = 8,
+        model)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(desc("adc_score"), col("id").asc)
       val full = Pq.adcTopK(Pq.encode(emb, "vec_id", "embedding", model),
