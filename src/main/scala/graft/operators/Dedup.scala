@@ -1034,9 +1034,22 @@ object Dedup {
         }
       }
     }.toDF("doc_id", "pos", "h")
+    // JOIN STRATEGY IS FORCED to sort-merge on every verification join
+    // below (r17): all three build sides — the repeated-hash set, the
+    // corpus text re-attach, the duplicated-window set — are
+    // DUPLICATION-BOUNDED, not statically bounded: on a corpus of
+    // near-identical documents each approaches corpus size. AQE's
+    // runtime SMJ→broadcast conversion sizes them from COMPRESSED
+    // shuffle bytes, and highly repetitive text compresses ~100×, so at
+    // a 32×-replica rehearsal it chose to broadcast the corpus text and
+    // died building the hash relation ("Not enough memory to build and
+    // broadcast"). Sort-merge spills gracefully at any size (guide
+    // §3.1); at sf0.1 these joins already planned sort-merge statically,
+    // so the hint costs nothing locally and removes the scale killer.
     val candHash = wins.groupBy(col("h")).agg(count(lit(1)).as("hc"))
       .filter(col("hc") > 1).select(col("h"))
-    val candPos = wins.join(candHash, Seq("h")).select(col("doc_id"), col("pos"))
+    val candPos = wins.join(candHash.hint("merge"), Seq("h"))
+      .select(col("doc_id"), col("pos"))
     // candWin feeds TWO consumers (the winCount aggregation and the final
     // probe join): left unmaterialized, the whole candidate pipeline —
     // the corpus scan, the O(chars) rolling-hash kernel and the
@@ -1046,7 +1059,7 @@ object Dedup {
     // in clean corpora — so this checkpoint is small where `wins` (every
     // position in the corpus) would not be; the kernel now runs twice
     // (candHash + the probe into this join), not four times.
-    val candWin = candPos.join(src, Seq("doc_id"))
+    val candWin = candPos.join(src.hint("merge"), Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         col("text").substr(col("pos") + 1, lit(winLen)).as("win"))
       .localCheckpoint()
@@ -1054,7 +1067,8 @@ object Dedup {
     // candidates = its occurrences in the whole corpus (see scaladoc)
     val winCount = candWin.groupBy(col("win")).agg(count(lit(1)).as("wc"))
       .filter(col("wc") > 1).select(col("win"))
-    candWin.join(winCount, Seq("win")).select(col("doc_id"), col("pos"))
+    candWin.join(winCount.hint("merge"), Seq("win"))
+      .select(col("doc_id"), col("pos"))
   }
 
   private implicit class ColName(private val sc: StringContext) {
