@@ -527,8 +527,12 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val rows = k / bands
-    val sigNew = shingleFrame(newDocs, idCol, textCol, n, k)
-    val sigOld = shingleFrame(corpus, idCol, textCol, n, k)
+    // each side feeds its band-bucket build AND its verify re-attach
+    // (2 consumers), so un-materialized the shingle/minhash kernel ran
+    // twice per side — and the corpus side is the big one (r17; the
+    // minhashLshPairs discipline)
+    val sigNew = shingleFrame(newDocs, idCol, textCol, n, k).localCheckpoint()
+    val sigOld = shingleFrame(corpus, idCol, textCol, n, k).localCheckpoint()
     val cand = bandBuckets(sigNew, bands, rows).as("a")
       .join(bandBuckets(sigOld, bands, rows).as("b"), Seq("bucket"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
@@ -743,7 +747,11 @@ object Dedup {
       // that constant IS the min id: fully converged. The previous
       // next-vs-prev count join spent one whole job per round re-proving
       // the same fact.
-      val obs = org.apache.spark.sql.Observation(s"cc_chg_$iter")
+      // auto-named (r17): a fixed per-iter name collides when two CC
+      // loops run concurrently (driver-thread overlap, guide §2.6) —
+      // one loop's listener could then read the OTHER's changed-count
+      // and end its loop early. Observation() generates a unique name.
+      val obs = org.apache.spark.sql.Observation()
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "a"), "a")
         .groupBy($"b".as("id"))

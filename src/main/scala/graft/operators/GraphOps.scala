@@ -271,14 +271,16 @@ object GraphOps {
     // at scale that second action is a full extra pass over a
     // node-sized table every round. Same fixpoint semantics: converged
     // iff the simultaneous removal deleted nobody.
-    def checkpointCounted(df: DataFrame, obsName: String): (DataFrame, Long) = {
-      val obs = org.apache.spark.sql.Observation(obsName)
+    // auto-named observations: fixed names collide if two peel loops
+    // ever run concurrently (driver-thread overlap, guide §2.6)
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
       val cp = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
       (cp, Option(obs.get.getOrElse("n", null))
         .map(_.asInstanceOf[Long]).getOrElse(0L))
     }
     var (alive, aliveCount) =
-      checkpointCounted(nbr.select(col("id")).distinct(), "kcore_n_0")
+      checkpointCounted(nbr.select(col("id")).distinct())
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -288,8 +290,7 @@ object GraphOps {
           .join(alive.select(col("id").as("nb")), Seq("nb"), "left_semi")
           .groupBy(col("id")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
-          .select(col("id")),
-        s"kcore_n_${round + 1}")
+          .select(col("id")))
       converged = nextCount == aliveCount
       alive.unpersist()
       alive = next

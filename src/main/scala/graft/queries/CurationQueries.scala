@@ -939,15 +939,24 @@ object CurationQueries {
       val emb = t(s, d, "embeddings")
       val srcE = emb.filter(col("label") < 5)
       val tgtE = emb.filter(col("label") >= 5)
-      val exact = graft.operators.Bitext.marginPairs(srcE, tgtE,
-        "vec_id", "embedding", k = 4, minMargin = Double.MinValue)
-      val cells = graft.operators.Bitext.marginPairsCells(srcE, tgtE,
-        "vec_id", "embedding", k = 4, minMargin = Double.MinValue,
-        ncells = 8)
+      // independent eager builds (each checkpoints its own pair table;
+      // the cells side also runs the centroid fit) — overlapped from
+      // two driver threads (guide §2.6), results unchanged
+      val (exact, cells) = graft.operators.Overlap.inParallel(
+        graft.operators.Bitext.marginPairs(srcE, tgtE,
+          "vec_id", "embedding", k = 4, minMargin = Double.MinValue),
+        graft.operators.Bitext.marginPairsCells(srcE, tgtE,
+          "vec_id", "embedding", k = 4, minMargin = Double.MinValue,
+          ncells = 8))
+      // materialized ONCE (r17): `shared` feeds BOTH violation branches
+      // (dominance + recall), so un-materialized the exact-vs-cells
+      // join — and both miners' TopKSum/join tails above their internal
+      // pair-table checkpoints — ran twice per audit
       val shared = cells.select(col("src_id"), col("tgt_id"),
           col("cos_micro"), col("margin").as("margin_cells"))
         .join(exact.select(col("src_id"), col("tgt_id"),
           col("margin").as("margin_exact")), Seq("src_id", "tgt_id"))
+        .localCheckpoint()
       val v1 = shared.filter(col("cos_micro") > 0 &&
           col("margin_exact") > 0 && col("margin_cells") > 0 &&
           col("margin_cells") < col("margin_exact"))

@@ -86,14 +86,22 @@ object TrainingQueries {
     //    semantic survivor count itself is pinned in DedupSpec. ─────────
     "dedup_apply_semantic" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val sem = Dedup.cosinePairsSemantic(emb, "vec_id", "embedding",
-        threshold = 0.3, ncells = 8)
-      val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding",
-        threshold = 0.3)
-      val semKeep = Dedup.dropNearDuplicates(emb, "vec_id", sem)
-        .select(col("vec_id"))
-      val bruteKeep = Dedup.dropNearDuplicates(emb, "vec_id", brute)
-        .select(col("vec_id"))
+      // the two dedup pipelines are independent and their construction
+      // is EAGER (k-means driver rounds + a connected-components loop
+      // each) — overlap them from two driver threads (guide §2.6) so
+      // one pipeline's jobs back-fill the other's scheduling gaps; the
+      // anti-join of the results is unchanged
+      val (semKeep, bruteKeep) = graft.operators.Overlap.inParallel(
+        {
+          val sem = Dedup.cosinePairsSemantic(emb, "vec_id", "embedding",
+            threshold = 0.3, ncells = 8)
+          Dedup.dropNearDuplicates(emb, "vec_id", sem).select(col("vec_id"))
+        },
+        {
+          val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding",
+            threshold = 0.3)
+          Dedup.dropNearDuplicates(emb, "vec_id", brute).select(col("vec_id"))
+        })
       bruteKeep.join(semKeep, Seq("vec_id"), "left_anti")
         .orderBy(col("vec_id"))
     }),
